@@ -1,0 +1,20 @@
+"""ocr_spark — a from-scratch PySpark-native main-content extraction engine.
+
+Re-expresses the computation of the reference worker (scrapperorg/ocr,
+/root/reference) — validation → parse → block extraction → boilerplate
+cleaning → quality scoring → keyword/span matching → metrics/lineage —
+as idiomatic Spark DataFrame dataflow over a table of multi-turn agent
+transcripts (conv_id, turn_idx, role, text, tool, ts).
+
+Design stance (SURVEY.md §7):
+  * the line-filter bank and regex bank (reference text_processing.py:76-213)
+    are 100% native Catalyst expressions over array<string> via higher-order
+    functions — zero shuffle, zero Python in the hot path;
+  * payload parse (HTML/tool-markup/PDF-layout; reference ocr_service.py:112-145
+    analog) is an Arrow-batched pandas stage;
+  * quality scoring (reference ocr_evaluation.py:50-90) is native;
+  * keyword matching (reference doc_analysis.py:168-178) is a broadcast
+    token-sequence join with a batched span extractor.
+"""
+
+__version__ = "0.1.0"

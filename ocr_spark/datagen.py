@@ -1,0 +1,235 @@
+"""Deterministic synthetic transcripts generator (FIXTURES.md §1).
+
+Shape is exactly BASELINE.json's ``input_hint``:
+``conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp``. Payload ``text`` embeds HTML fragments, PDF-layout markup
+and tool-output markup; turns-per-conversation is heavy-tailed (lognormal,
+capped) to reproduce the ~500× size skew seen in the reference benchmark
+(nlp/perf_analysis_1.1.4.jsonl — max/median processing time ≈ 500×,
+SURVEY.md §6).
+
+Everything derives from a seeded ``numpy.random.RandomState`` — same seed
+⇒ byte-identical table, on any machine.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+#: Romanian-ish word pool — drives payload text AND the vocabulary dim.
+WORD_POOL = (
+    "ana are mere pere decizie lege tribunal dosar plata factura termen "
+    "contract articol aliniat hotarare instanta judecator sentinta apel "
+    "recurs cerere parte reclamant parat martor proba inscris act emis "
+    "semnat data numar pagina document text curat analiza extras bloc "
+    "continut principal linie rand cuvant limba text lung scurt mediu "
+    "și în la cu de pe un o este sunt care pentru din dar nu da mai "
+    "foarte apoi după între către asupra legală juridică civilă penală "
+    "ședință țară școală întrebare răspuns mulțime rețea signală"
+).split()
+
+#: keyword dim (analog of nlp/resources/keywords.txt; FIXTURES.md §2) —
+#: single- and multi-token phrases over the pool
+KEYWORDS = [
+    "decizie",
+    "tribunal",
+    "dosar",
+    "contract",
+    "hotarare",
+    "sentinta",
+    "recurs",
+    "reclamant",
+    "proba",
+    "legală",
+    "ședință",
+    "școală",
+    "decizie legală",
+    "plata factura",
+    "articol aliniat",
+    "cerere apel",
+    "instanta judecator",
+    "continut principal",
+    "parte reclamant parat",
+    "act emis semnat",
+]
+
+NOISE_CHARS = "¤§¶"  # injected by noisy payloads; stripped by the H6 second pass
+
+TOOLS = ["search", "browser", "calc", "sql", "compile"]
+ROLES = ["user", "assistant", "tool"]
+
+CATEGORIES = [
+    # (name, weight)
+    ("plain", 0.30),
+    ("html", 0.25),
+    ("tool", 0.15),
+    ("pdfish", 0.12),
+    ("kwds", 0.05),
+    ("noisy", 0.04),
+    ("very_noisy", 0.02),
+    ("wrapped", 0.03),
+    ("malformed", 0.02),
+    ("empty", 0.01),
+    ("undecodable", 0.01),
+]
+
+
+def vocabulary() -> list[str]:
+    """Vocabulary dim = pool ∪ frozen-normalized pool (mirrors
+    ocr_evaluation.py:24-34: base ∪ custom ∪ normalized ∪ stopwords)."""
+    from ocr_spark.pyclean import normalize_word
+
+    words = set(WORD_POOL)
+    words |= {normalize_word(w) for w in WORD_POOL}
+    return sorted(w for w in words if w)
+
+
+def _sentence(rs: np.random.RandomState, n: int) -> str:
+    return " ".join(rs.choice(WORD_POOL, size=n))
+
+
+#: dirt injected into lines so the regex bank r1–r9 and the literal
+#: replacements actually fire on synthetic data (cedilla diacritics,
+#: hyphen splits, URLs, emails, unicode dashes, number-comma splits)
+_DIRT = [
+    "recitiţi şedinţa Ţării Şcolii",
+    "s- ar putea să- l vedem",
+    "valoare 1, 4% din total",
+    "LL/ AAAA pe prima pagina",
+    "vezi www.exemplu.ro/dosar acum",
+    "contact office@exemplu.ro aici",
+    "text•separat•cu•buline bune",
+    "interval 10–20 em—dash aici",
+    "tabel ───── separator gros",
+    "linie ----- subtire aici",
+]
+
+
+def _lines(rs: np.random.RandomState, n_lines: int, kw_rate: float = 0.08) -> list[str]:
+    out = []
+    for _ in range(n_lines):
+        words = _sentence(rs, rs.randint(6, 18))
+        if rs.rand() < kw_rate:
+            kw = KEYWORDS[rs.randint(len(KEYWORDS))]
+            words = words + " " + kw
+        if rs.rand() < 0.25:
+            words = words + " " + _DIRT[rs.randint(len(_DIRT))]
+        out.append(words)
+    return out
+
+
+def _noisify(rs: np.random.RandomState, text: str, rate: float) -> str:
+    chars = list(text)
+    idx = rs.rand(len(chars)) < rate
+    noise = rs.choice(list(NOISE_CHARS), size=int(idx.sum()))
+    j = 0
+    for i in np.where(idx)[0]:
+        chars[i] = chars[i] + noise[j]
+        j += 1
+    return "".join(chars)
+
+
+def make_payload(rs: np.random.RandomState, category: str) -> str:
+    if category == "empty":
+        return "" if rs.rand() < 0.5 else "   \n  "
+    if category == "undecodable":
+        return "%BIN!" + "".join(chr(rs.randint(0x80, 0x2FF)) for _ in range(40))
+    if category == "plain":
+        return "\n".join(_lines(rs, rs.randint(2, 12)))
+    if category == "kwds":
+        # the keywords.pdf analog: every keyword occurs (FIXTURES: kwds_all)
+        body = _lines(rs, 4)
+        body += [f"mentiune importanta despre {kw} in acest dosar" for kw in KEYWORDS]
+        return "\n".join(body)
+    if category == "noisy" or category == "very_noisy":
+        rate = 0.03 if category == "noisy" else 0.30
+        return _noisify(rs, "\n".join(_lines(rs, rs.randint(3, 10))), rate)
+    if category == "html":
+        nav = "<nav><a href=/h>acasa</a> <a href=/d>dosare</a></nav>"
+        paras = "".join(
+            f"<p>{ln}</p>" for ln in _lines(rs, rs.randint(2, 8))
+        )
+        linky = (
+            "<div><a href=/x>click aici</a> <a href=/y>si aici</a> mai</div>"
+        )
+        footer = "<footer>copyright tribunalul municipal</footer>"
+        return f"<html><body>{nav}<div id=main>{paras}</div>{linky}{footer}</body></html>"
+    if category == "malformed":
+        # truncated closing tag → unbalanced angle brackets → parse_warn
+        paras = "".join(f"<p>{ln}" for ln in _lines(rs, rs.randint(2, 5)))
+        return f"<html><body><div>{paras}</body"
+    if category == "tool":
+        name = TOOLS[rs.randint(len(TOOLS))]
+        body = []
+        for ln in _lines(rs, rs.randint(2, 8)):
+            r = rs.rand()
+            if r < 0.15:
+                body.append("[TRACE] " + ln)
+            elif r < 0.3:
+                body.append("[DEBUG] " + ln)
+            elif r < 0.5:
+                body.append("[INFO] " + ln)
+            else:
+                body.append(ln)
+        return f"```tool:{name}\n" + "\n".join(body) + "\n```"
+    if category == "pdfish":
+        pages = []
+        for pg in range(1, rs.randint(1, 4) + 1):
+            pages.append(f"[page {pg}]")
+            n_blocks = rs.randint(1, 5)
+            ys = rs.permutation(n_blocks) * 100
+            for b in range(n_blocks):
+                pages.append(f"[block {b} @ {rs.randint(0, 500)},{ys[b]}]")
+                for ln in _lines(rs, rs.randint(1, 3)):
+                    pages.append(ln)
+        return "%PDF-SIM\n" + "\n".join(pages)
+    if category == "wrapped":
+        inner = make_payload(rs, "plain" if rs.rand() < 0.5 else "html")
+        return "BEGIN-WRAP v1\n" + inner + "\nEND-WRAP"
+    raise ValueError(category)
+
+
+def generate(n_conversations: int, seed: int = SEED) -> pd.DataFrame:
+    rs = np.random.RandomState(seed)
+    cat_names = [c for c, _ in CATEGORIES]
+    cat_p = np.array([w for _, w in CATEGORIES])
+    cat_p = cat_p / cat_p.sum()
+
+    rows: list[tuple] = []
+    base_ts = np.datetime64("2025-01-01T00:00:00")
+    for ci in range(n_conversations):
+        conv_id = f"c{ci:08d}-{rs.randint(0, 16**6):06x}"
+        # heavy tail: lognormal capped at 500 (the reference's 500× skew)
+        n_turns = int(min(500, max(1, np.exp(rs.normal(1.6, 1.1)))))
+        t = base_ts + np.timedelta64(int(rs.randint(0, 10_000_000)), "s")
+        for ti in range(n_turns):
+            role = ROLES[ti % 3] if rs.rand() < 0.8 else ROLES[rs.randint(3)]
+            cat = cat_names[rs.choice(len(cat_names), p=cat_p)]
+            text = make_payload(rs, cat)
+            tool = TOOLS[rs.randint(len(TOOLS))] if role == "tool" else None
+            t = t + np.timedelta64(int(rs.randint(1, 240)), "s")
+            rows.append((conv_id, ti, role, text, tool, t))
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def write_parquet(path: str, n_conversations: int, seed: int = SEED) -> str:
+    """Generate (if absent) and cache the transcripts parquet."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df = generate(n_conversations, seed)
+    # Spark cannot read TIMESTAMP(NANOS) parquet — write microseconds
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    tmp = path + ".tmp"
+    df.to_parquet(tmp, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    os.replace(tmp, path)
+    return path

@@ -1,0 +1,106 @@
+"""Reusable native (Catalyst) column expressions for text analysis.
+
+Every expression here is pure ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path. Patterns are the Java
+translations of the oracle regexes in :mod:`ocr_spark.pyclean`; parity is
+enforced by the fuzz tests in ``tests/test_cleaning.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ocr_spark import pyclean
+
+# ---------------------------------------------------------------------------
+# Java-regex translations of the oracle patterns.
+# (?U) = UNICODE_CHARACTER_CLASS so \w \s \d match Python's unicode classes;
+# \p{L} / \p{N} are always unicode in Java.
+# ---------------------------------------------------------------------------
+
+STRIP_RE = r"(?U)^\s+|\s+$"
+R1 = r"(?iU)([\w]+-)[\s]([\w]+)"
+R2 = r"(?iU)([\w]+/)\s([\w]+)"
+R3 = "([" + pyclean.DASH_CLASS_CHARS + "]+)"
+R4 = r"(?iU)([\d]+,)\s([\d]+)"
+R5 = "­"
+R6 = r"(?U)(?:www|http)\S+|<\S+|\w+/*>"
+R7 = r"([^@]+@[^@]+\.[^@]+)"
+R8 = "─+"
+R9 = "-+"
+SPACES = " +"
+FORBIDDEN_CLASS = "[" + "".join(sorted(set(pyclean.FORBIDDEN_CHARS))) + "]"
+
+#: char class matching anything NOT in the CER whitelist RO_CHARS
+#: (reference nlp/resources/constants.py:5-7) — counted by subtraction.
+_META = set("\\^]-[&")
+NOT_RO_CLASS = (
+    "[^"
+    + "".join(("\\" + c) if c in _META else c for c in sorted(pyclean.RO_CHARS))
+    + "]"
+)
+
+
+def strip_ws(col: Column) -> Column:
+    """Python ``str.strip()`` parity (unicode whitespace at both ends)."""
+    return F.regexp_replace(col, STRIP_RE, "")
+
+
+def clean_line(col: Column) -> Column:
+    """Regex bank r1–r9 + literal replaces + space collapse, in the exact
+    order of the reference (text_processing.py:171-191) — all native."""
+    c = F.regexp_replace(col, R1, "$1$2")
+    c = F.regexp_replace(c, R2, "$1$2")
+    c = F.regexp_replace(c, R3, "-")
+    c = F.regexp_replace(c, R4, "$1$2")
+    c = F.regexp_replace(c, R5, "")
+    c = F.regexp_replace(c, R6, "")
+    c = F.regexp_replace(c, R7, "")
+    c = F.regexp_replace(c, R8, "")
+    c = F.regexp_replace(c, R9, "")
+    c = F.replace(c, F.lit("( ă)"), F.lit("(ă)"))
+    c = F.replace(c, F.lit("ţ"), F.lit("ț"))
+    c = F.replace(c, F.lit("ş"), F.lit("ș"))
+    c = F.replace(c, F.lit("Ţ"), F.lit("Ț"))
+    c = F.replace(c, F.lit("Ş"), F.lit("Ș"))
+    c = F.replace(c, F.lit("Ã¢"), F.lit("â"))
+    c = F.regexp_replace(c, SPACES, " ")
+    return strip_ws(c)
+
+
+# ---------------------------------------------------------------------------
+# Frozen word normalization (oracle: pyclean.normalize_word)
+# ---------------------------------------------------------------------------
+
+FOLD_SRC = "ăâîșşțţáàäéèëíìïóòöúùüñçœ"
+FOLD_DST = "aaissttaaaeeeiiiooouuunco"
+STEM_RE = (
+    r"(?<=...)(urilor|urile|iilor|easca|ului|elor|ilor|iile|ilar|easca"
+    r"|uri|ele|ile|ati|ata|ul|ii|le|ea|ie|ia|a|e|i|u)$"
+)
+TOKEN_SPLIT_RE = r"(?U)[^\w]+"
+
+
+def fold_diacritics(col: Column) -> Column:
+    """lower → translate the frozen fold map → drop leftover non-ascii."""
+    return F.regexp_replace(
+        F.translate(F.lower(col), FOLD_SRC, FOLD_DST), "[^\\x00-\\x7f]", ""
+    )
+
+
+def normalize_word(col: Column) -> Column:
+    """Native twin of :func:`ocr_spark.pyclean.normalize_word`."""
+    return F.regexp_replace(fold_diacritics(col), STEM_RE, "")
+
+
+def tokens(col: Column) -> Column:
+    """Frozen tokenizer: maximal runs of word chars over the lowered text,
+    as array<string> (empties removed)."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def count_re(col: Column, pattern: str) -> Column:
+    return F.regexp_count(col, F.lit(pattern))

@@ -1,0 +1,178 @@
+"""Boilerplate cleaning — the reference's ``Cleaner.clean``
+(text_processing.py:76-213) as pure Catalyst higher-order functions.
+
+Scale design: the whole stage is a single projection over
+``array<string>`` line arrays — **zero shuffle, zero Python**. A 10^12-turn
+table cleans embarrassingly parallel; cluster cost is one scan + one write.
+Chained ``transform``s materialize intermediates so each regex runs once
+per line (no common-subexpression blowup).
+
+Line verdicts carry a ``reason`` code; per-turn stats reproduce the
+reference's five ``[lines, chars]`` pair counters (text_processing.py:85-91).
+Spark's partial+final aggregation over these IS the reference's
+``add_stats`` combiner (text_processing.py:215-243).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+
+MIN_LINE_LENGTH = 10  # reference text_processing.py:81
+PERCENT_MAX_NUMERIC = 0.7  # :79
+PERCENT_MAX_NON_ASCII = 0.40  # :80
+
+#: reason codes (NULL = kept). ``table`` is charged to the forbidden-chars
+#: stats bucket, mirroring text_processing.py:159-167.
+REASONS = ("min_length", "forbidden", "alpha", "numeric", "non_ascii", "table")
+
+
+def line_verdicts(text_col: Column) -> Column:
+    """array<struct<orig_len:int, reason:string, cleaned:string>> per input.
+
+    ``reason`` NULL ⇔ the line survives; ``cleaned`` is only populated for
+    surviving lines. Filter order matches the reference exactly.
+    """
+    lines = F.split(F.coalesce(text_col, F.lit("")), "\n")
+    stripped = F.transform(lines, X.strip_ws)
+
+    def measure(s: Column) -> Column:
+        return F.struct(
+            s.alias("s"),
+            F.length(s).alias("len"),
+            X.count_re(s, r"\p{L}").alias("alpha"),
+            X.count_re(s, r"\p{N}").alias("digit"),
+            X.count_re(s, r"[\x00-\x7F]").alias("ascii"),
+            s.rlike(X.FORBIDDEN_CLASS).alias("forbidden"),
+        )
+
+    measured = F.transform(stripped, measure)
+
+    def verdict(m: Column) -> Column:
+        pipe_cnt = m["len"] - F.length(F.replace(m["s"], F.lit("|"), F.lit("")))
+        bar_cnt = m["len"] - F.length(F.replace(m["s"], F.lit("│"), F.lit("")))
+        first = F.substring(m["s"], 1, 1)
+        reason = (
+            F.when(m["len"] < MIN_LINE_LENGTH, "min_length")
+            .when(m["forbidden"], "forbidden")
+            .when(
+                (m["alpha"] == 0) | (m["alpha"] / m["len"] < 0.5), "alpha"
+            )
+            .when(
+                (m["digit"] / m["alpha"] >= PERCENT_MAX_NUMERIC)
+                & (m["digit"] > 6),
+                "numeric",
+            )
+            .when(
+                (m["ascii"] / m["alpha"] < PERCENT_MAX_NON_ASCII)
+                & (m["len"] > 15),
+                "non_ascii",
+            )
+            .when(
+                ((first == "|") & (pipe_cnt > 2))
+                | ((first == "│") & (bar_cnt > 2)),
+                "table",
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return F.struct(
+            m["s"].alias("s"), m["len"].alias("len"), reason.alias("reason")
+        )
+
+    judged = F.transform(measured, verdict)
+
+    def finish(v: Column) -> Column:
+        cleaned = F.when(v["reason"].isNull(), X.clean_line(v["s"]))
+        # post-clean min-length re-check charges the ORIGINAL length
+        # (text_processing.py:194-196)
+        reason = F.when(
+            v["reason"].isNull() & (F.length(cleaned) < MIN_LINE_LENGTH),
+            F.lit("min_length"),
+        ).otherwise(v["reason"])
+        return F.struct(
+            v["len"].alias("orig_len"),
+            reason.alias("reason"),
+            F.when(reason.isNull(), cleaned).alias("cleaned"),
+        )
+
+    return F.transform(judged, finish)
+
+
+def clean_text_from_verdicts(verdicts: Column) -> Column:
+    """Kept lines, each suffixed ``\\n`` and concatenated — byte-identical to
+    the reference's ``"".join(output)`` (text_processing.py:199,213)."""
+    kept = F.filter(verdicts, lambda v: v["reason"].isNull())
+    return F.array_join(
+        F.transform(kept, lambda v: F.concat(v["cleaned"], F.lit("\n"))), ""
+    )
+
+
+def _pair(verdicts: Column, *codes: str) -> Column:
+    sel = F.filter(
+        verdicts, lambda v: v["reason"].isin(*codes)
+    )
+    lines = F.size(sel).cast("long")
+    chars = F.aggregate(
+        sel, F.lit(0).cast("long"), lambda acc, v: acc + v["orig_len"]
+    )
+    return F.array(lines, chars)
+
+
+def stats_from_verdicts(verdicts: Column) -> Column:
+    """struct of the reference's counters: five [lines,chars] pairs + totals
+    (text_processing.py:202-211)."""
+    kept = F.filter(verdicts, lambda v: v["reason"].isNull())
+    return F.struct(
+        _pair(verdicts, "min_length").alias("skipped_because_min_length"),
+        _pair(verdicts, "alpha").alias("skipped_alpha_count"),
+        _pair(verdicts, "numeric").alias("skipped_because_max_numeric"),
+        _pair(verdicts, "non_ascii").alias("skipped_because_max_non_ascii"),
+        _pair(verdicts, "forbidden", "table").alias(
+            "skipped_because_forbidden_chars"
+        ),
+        F.aggregate(
+            verdicts, F.lit(0).cast("long"), lambda acc, v: acc + v["orig_len"]
+        ).alias("total_original_length"),
+        F.aggregate(
+            kept,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.length(v["cleaned"]),
+        ).alias("total_clean_length"),
+    )
+
+
+def with_clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    stats_col: str | None = "clean_stats",
+) -> DataFrame:
+    """Add cleaned text (and optionally the stats struct) — one projection,
+    no shuffle."""
+    df = df.withColumn("_verdicts", line_verdicts(F.col(text_col)))
+    df = df.withColumn(out_col, clean_text_from_verdicts(F.col("_verdicts")))
+    if stats_col:
+        df = df.withColumn(stats_col, stats_from_verdicts(F.col("_verdicts")))
+    return df.drop("_verdicts")
+
+
+def aggregate_stats(df: DataFrame, stats_col: str = "clean_stats") -> DataFrame:
+    """Global merge of per-turn stats — Spark's hash aggregate replaces the
+    reference's ``add_stats`` loop (text_processing.py:215-243)."""
+    s = F.col(stats_col)
+    pairs = [
+        "skipped_because_min_length",
+        "skipped_alpha_count",
+        "skipped_because_max_numeric",
+        "skipped_because_max_non_ascii",
+        "skipped_because_forbidden_chars",
+    ]
+    aggs = []
+    for p in pairs:
+        aggs.append(F.sum(s[p][0]).alias(f"{p}_lines"))
+        aggs.append(F.sum(s[p][1]).alias(f"{p}_chars"))
+    aggs.append(F.sum(s["total_original_length"]).alias("total_original_length"))
+    aggs.append(F.sum(s["total_clean_length"]).alias("total_clean_length"))
+    return df.agg(*aggs)

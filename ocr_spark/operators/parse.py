@@ -1,0 +1,50 @@
+"""Arrow-batched payload parse stage — the H2 replacement (reference
+``call_ocr``/``get_ocrized_text_from_blocks``, ocr_service.py:112-145).
+
+The reference forks one Tesseract subprocess per document; here each Spark
+task pulls Arrow batches of turn payloads through :mod:`ocr_spark.pyparse`
+(DOM tokenization + layout parse + markup cleanup — pure Python, no
+subprocess). Parallelism is partition-level, exactly where Spark wants it
+(SURVEY.md §4: the reference's ``--jobs N`` page parallelism is replaced by
+partition parallelism).
+
+Failure semantics follow the F2 pattern (ocr_service.py:54-62): a broken
+payload yields ``parse_ok=false`` *data*, never a task failure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark import pyparse
+from ocr_spark.schemas import PARSE_RESULT
+
+
+def _parse_batch(texts: pd.Series, second_pass: bool) -> pd.DataFrame:
+    res = [pyparse.parse_payload(t, second_pass) for t in texts]
+    return pd.DataFrame(res, columns=ParseCols, index=texts.index)
+
+
+ParseCols = ["kind", "parse_ok", "parse_warn", "blocks_kept", "blocks_dropped", "extracted"]
+
+
+def with_parsed(
+    df: DataFrame, text_col: str = "text", second_pass: bool = False
+) -> DataFrame:
+    """Append the six parse-result columns via ``mapInPandas`` (one Arrow
+    round-trip, batch size bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``)."""
+    out_schema = T.StructType(df.schema.fields + PARSE_RESULT.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = _parse_batch(pdf[text_col], second_pass)
+            yield pd.concat([pdf.reset_index(drop=True),
+                             parsed.reset_index(drop=True)], axis=1)
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,148 @@
+"""Quality scoring — the reference's ``cer``/``wer``/``estimate_quality``
+(ocr_evaluation.py:41-90) as native Catalyst expressions.
+
+* ``cer``: membership count vs the RO_CHARS whitelist
+  (nlp/resources/constants.py:5-7), computed by subtraction with one
+  ``regexp_count`` — no UDF.
+* ``wer``: frozen tokenizer + frozen stemmer (see pyclean) entirely with
+  array higher-order functions against a *literal* vocabulary array for
+  small vocabularies (shuffle-free — the vocab rides the plan like a
+  broadcast), or a broadcast semi-join variant (``wer_join``) for large
+  vocabularies. Replicates the reference's ``all_words = 1`` off-by-one
+  (ocr_evaluation.py:67).
+* ``estimate_quality``: ``bround((cer+wer)/2*100, 2)`` — bround is
+  HALF_EVEN, matching Python's ``round`` (ocr_evaluation.py:85-90); invalid
+  text scores 100 (``validate_text``, ocr_evaluation.py:41-47).
+
+Scale note: the conditional second pass (H6, ocr_worker.py:214-222) is in
+plans/pipeline.py — filter low-quality rows, re-run parse with alt params,
+``unionByName`` back; cheap because the low-quality slice is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+
+MIN_QUALITY = 77.0  # reference app/config.py:17
+OCR_SKIPPED_PREFIX = "[OCR skipped on page(s)"  # ocr_evaluation.py:43
+
+
+def validate_text(col: Column) -> Column:
+    """ocr_evaluation.py:41-47 as a boolean column."""
+    return (~F.startswith(col, F.lit(OCR_SKIPPED_PREFIX))) & (
+        F.length(X.strip_ws(col)) > 0
+    )
+
+
+def cer(col: Column) -> Column:
+    """Fraction of chars of lower(text) inside RO_CHARS (ocr_evaluation.py:50-57)."""
+    total = F.length(col)
+    bad = F.regexp_count(F.lower(col), F.lit(X.NOT_RO_CLASS))
+    # empty text never reaches cer in the reference (validate_text guards it,
+    # ocr_evaluation.py:88); NULL here keeps ANSI mode happy when cer is
+    # projected standalone
+    return F.when(total == 0, F.lit(None).cast("double")).otherwise(
+        (total - bad) / total
+    )
+
+
+def _counted_tokens(col: Column) -> Column:
+    """array<struct<tok,norm>> of tokens that the reference's wer loop counts
+    (normalized form non-empty and containing at least one a-z)."""
+    toks = X.tokens(col)
+    pairs = F.transform(
+        toks, lambda t: F.struct(t.alias("tok"), X.normalize_word(t).alias("norm"))
+    )
+    return F.filter(
+        pairs,
+        lambda p: (p["norm"] != "") & p["norm"].rlike("[a-z]"),
+    )
+
+
+def wer(col: Column, vocab: list[str]) -> Column:
+    """Vocabulary hit-rate with an inline literal vocab (ocr_evaluation.py:60-82).
+
+    ``correct / (counted + 1)`` — the +1 replicates ``all_words = 1``.
+    """
+    vlit = F.lit(list(vocab))
+    counted = _counted_tokens(col)
+    correct = F.size(
+        F.filter(
+            counted,
+            lambda p: F.array_contains(vlit, p["norm"])
+            | F.array_contains(vlit, p["tok"]),
+        )
+    )
+    return correct / (F.size(counted) + 1)
+
+
+def estimate_quality(col: Column, vocab: list[str]) -> Column:
+    """ocr_evaluation.py:85-90; bround = HALF_EVEN = Python round."""
+    q = F.bround((cer(col) + wer(col, vocab)) / 2 * 100, 2)
+    return F.when(~validate_text(col), F.lit(100.0)).otherwise(q)
+
+
+def with_quality(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "clean_text",
+    out_col: str = "quality",
+) -> DataFrame:
+    return df.withColumn(out_col, estimate_quality(F.col(text_col), vocab))
+
+
+# ---------------------------------------------------------------------------
+# Broadcast semi-join variant for large vocabularies (reference J1,
+# ocr_evaluation.py:72 — SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+def wer_join(
+    df: DataFrame,
+    vocab_df: DataFrame,
+    key_cols: list[str],
+    text_col: str = "clean_text",
+    out_col: str = "wer",
+) -> DataFrame:
+    """wer via explode → broadcast hash join vs a vocab dim table.
+
+    Use when the vocabulary is too large to inline (millions of words):
+    tokens explode, join broadcast(vocab) on both raw and normalized forms,
+    then re-aggregate per key. One shuffle (the re-aggregation).
+    ``vocab_df`` must have a single column ``word``.
+    """
+    base = df.select(*key_cols, F.col(text_col).alias("_t"))
+    toks = base.select(
+        *key_cols, F.explode(_counted_tokens(F.col("_t"))).alias("p")
+    ).select(*key_cols, F.col("p.tok").alias("tok"), F.col("p.norm").alias("norm"))
+    v = F.broadcast(vocab_df.select(F.col("word")).distinct())
+    # a token counts once even if both forms hit → mark membership with two
+    # broadcast left joins, then OR the marks
+    marked = (
+        toks.join(
+            v.select(F.col("word").alias("norm"), F.lit(1).alias("_hn")),
+            "norm",
+            "left",
+        )
+        .join(
+            v.select(F.col("word").alias("tok"), F.lit(1).alias("_ht")),
+            "tok",
+            "left",
+        )
+        .withColumn("_hit", (F.col("_hn").isNotNull() | F.col("_ht").isNotNull()).cast("int"))
+    )
+    agg = marked.groupBy(*key_cols).agg(
+        F.sum("_hit").alias("_correct"), F.count("*").alias("_counted")
+    )
+    return (
+        df.join(agg, key_cols, "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("_correct"), F.lit(0))
+            / (F.coalesce(F.col("_counted"), F.lit(0)) + 1),
+        )
+        .drop("_correct", "_counted")
+    )

@@ -1,0 +1,191 @@
+"""End-to-end extraction plan — the reference's ``process()``
+(ocr_worker.py:183-249) as one declarative DataFrame dataflow:
+
+    parse (Arrow batch) → clean (native) → score (native)
+      → quality-gated second pass (filter + re-parse + unionByName)
+      → status → extracted table + metrics sidecar
+
+Scale properties:
+  * parse/clean/score are row-local — NO shuffle anywhere in the hot path;
+  * the second pass re-processes only the low-quality slice
+    (ocr_worker.py:214-222 analog) — its cost is proportional to the bad
+    fraction, like AQE skew-split;
+  * per-conversation rollups (the only keyed operation) use a two-stage
+    salted ordered aggregation so a 500-turn conversation cannot straggle
+    a partition (SURVEY.md §6 skew note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import cleaning
+from ocr_spark.operators import parse as parse_op
+from ocr_spark.operators import quality as quality_op
+
+MIN_QUALITY = quality_op.MIN_QUALITY  # 77.0, reference app/config.py:17
+
+_PARSE_COLS = parse_op.ParseCols
+_DERIVED = _PARSE_COLS + ["clean_text", "clean_stats", "quality", "passes"]
+
+
+def _one_pass(df: DataFrame, vocab: list[str], second_pass: bool) -> DataFrame:
+    parsed = parse_op.with_parsed(df, text_col="text", second_pass=second_pass)
+    cleaned = cleaning.with_clean_text(parsed, text_col="extracted")
+    scored = quality_op.with_quality(cleaned, vocab, text_col="clean_text")
+    return scored.withColumn("passes", F.lit(2 if second_pass else 1))
+
+
+def extract(df: DataFrame, vocab: list[str]) -> DataFrame:
+    """Transcripts → extracted rows (keeps all input columns and adds
+    kind/parse flags, clean_text, clean_stats, quality, passes, status)."""
+    first = _one_pass(df, vocab, second_pass=False)
+    # quality-gated selective second pass (ocr_worker.py:214-222): only
+    # parse-ok rows under the gate are redone, from the raw payload
+    needs_redo = F.col("parse_ok") & (F.col("quality") < MIN_QUALITY)
+    good = first.filter(~needs_redo)
+    redo_input = first.filter(needs_redo).drop(*_DERIVED)
+    redone = _one_pass(redo_input, vocab, second_pass=True)
+    merged = good.unionByName(redone)
+    status = (
+        F.when(~F.col("parse_ok"), "parse_failed")
+        .when(F.col("parse_warn"), "extracted_warn")
+        .otherwise("extracted")
+    )
+    return merged.withColumn("status", status)
+
+
+# ---------------------------------------------------------------------------
+# Metrics / lineage sidecar (S9/A1 — FIXTURES.md §5)
+# ---------------------------------------------------------------------------
+
+
+def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+    """One lineage row per task partition — the JSONL perf-log analog
+    (tests/test_performance.py:59-80), written as a table instead of a file."""
+    s = F.col("clean_stats")
+    return (
+        extracted.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.col("blocks_kept")).alias("blocks_kept"),
+            F.sum(F.col("blocks_dropped")).alias("blocks_dropped"),
+            F.sum((~F.col("parse_ok")).cast("long")).alias("parse_failures"),
+            F.sum(F.col("parse_warn").cast("long")).alias("parse_warnings"),
+            F.sum((F.col("passes") == 2).cast("long")).alias("second_pass_turns"),
+            F.sum(s["skipped_because_min_length"][0]).alias("skipped_min_length_lines"),
+            F.sum(s["skipped_because_min_length"][1]).alias("skipped_min_length_chars"),
+            F.sum(s["skipped_alpha_count"][0]).alias("skipped_alpha_lines"),
+            F.sum(s["skipped_alpha_count"][1]).alias("skipped_alpha_chars"),
+            F.sum(s["skipped_because_max_numeric"][0]).alias("skipped_numeric_lines"),
+            F.sum(s["skipped_because_max_numeric"][1]).alias("skipped_numeric_chars"),
+            F.sum(s["skipped_because_max_non_ascii"][0]).alias("skipped_non_ascii_lines"),
+            F.sum(s["skipped_because_max_non_ascii"][1]).alias("skipped_non_ascii_chars"),
+            F.sum(s["skipped_because_forbidden_chars"][0]).alias("skipped_forbidden_lines"),
+            F.sum(s["skipped_because_forbidden_chars"][1]).alias("skipped_forbidden_chars"),
+            F.sum(s["total_original_length"]).alias("total_original_length"),
+            F.sum(s["total_clean_length"]).alias("total_clean_length"),
+        )
+        .withColumnRenamed("_pid", "partition_id")
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted per-conversation rollup (W1 + skew handling)
+# ---------------------------------------------------------------------------
+
+
+def conversation_rollup(
+    extracted: DataFrame, bucket_turns: int = 64
+) -> DataFrame:
+    """Ordered concat of per-turn clean text into one document per
+    conversation, via a TWO-STAGE aggregation:
+
+    stage 1 groups on (conv_id, turn_idx div bucket_turns) — the salt —
+    so a 500-turn conversation is built by ~8 tasks, not one; stage 2
+    merges the (few) ordered partials. Order is explicit (sort_array on
+    struct keys), never iteration order — the W1 rule (SURVEY.md §2.7).
+    """
+    b = (F.col("turn_idx") / bucket_turns).cast("int")
+    stage1 = (
+        extracted.withColumn("_b", b)
+        .groupBy("conv_id", "_b")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("turn_idx", "clean_text"))
+                    ),
+                    lambda s: s["clean_text"],
+                ),
+                "",
+            ).alias("_part"),
+            F.count("*").alias("_n"),
+        )
+    )
+    return (
+        stage1.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_b", "_part"))),
+                    lambda s: s["_part"],
+                ),
+                "",
+            ).alias("conv_clean_text"),
+            F.sum("_n").cast("int").alias("n_turns"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-checkpoint resume (C6 — ocr_worker redelivery analog)
+# ---------------------------------------------------------------------------
+
+
+def unprocessed(input_df: DataFrame, results_df: DataFrame | None) -> DataFrame:
+    """Idempotent resume: anti-join the input against already-committed
+    results on (conv_id, turn_idx). With a committed-snapshot watermark this
+    is O(new data); here (parquet) it is one broadcast-able anti-join."""
+    if results_df is None:
+        return input_df
+    done = results_df.select("conv_id", "turn_idx").distinct()
+    return input_df.join(done, ["conv_id", "turn_idx"], "left_anti")
+
+
+def run_incremental(
+    spark,
+    input_path: str,
+    results_path: str,
+    vocab: list[str],
+    run_id: str,
+    metrics_path: str | None = None,
+) -> int:
+    """One availableNow-style incremental batch (C1-C3 analog): process only
+    turns absent from the results table, append, return rows written.
+    Re-running after a crash (or a duplicate run) writes nothing new."""
+    import os
+
+    inp = spark.read.parquet(input_path)
+    existing = None
+    if os.path.exists(results_path):
+        try:
+            existing = spark.read.parquet(results_path)
+        except Exception:
+            existing = None
+    todo = unprocessed(inp, existing)
+    out = extract(todo, vocab).withColumn("run_id", F.lit(run_id)).persist()
+    try:
+        n = out.count()
+        if n:
+            out.write.mode("append").parquet(results_path)
+            if metrics_path:
+                partition_metrics(out, run_id).write.mode("append").parquet(
+                    metrics_path
+                )
+    finally:
+        out.unpersist()
+    return n

@@ -1,0 +1,278 @@
+"""Reference-faithful single-process oracle for the extraction semantics.
+
+This module is the *specification* that the Spark-native operators are
+tested against (per-turn text equality, FIXTURES.md §3). It is a
+from-scratch reimplementation of the observable behavior of the
+reference worker's text pipeline:
+
+  * ``clean_text``  — line filter bank + ordered regex bank, semantics of
+    ``Cleaner.clean`` (reference ``app/services/text_processing.py:76-213``):
+    same filter order (min-length → forbidden chars → alpha-ratio →
+    max-numeric → non-ascii → ascii-table), same regex order r1–r9, same
+    literal replacements, same double min-length check, same
+    ``[lines, chars]`` pair counters.
+  * ``cer`` / ``wer`` / ``estimate_quality`` — semantics of
+    ``app/services/ocr_evaluation.py:41-90`` with ONE deliberate, frozen
+    deviation (SURVEY.md §7.3): the reference's tokenizer/stemmer are
+    nltk/snowball model artifacts; we freeze a deterministic tokenizer
+    (runs of word chars) and a deterministic longest-suffix stemmer so the
+    distributed engine and this oracle agree byte-for-byte without pulling
+    non-reproducible model dependencies.
+
+NO code is copied from the reference; constants (forbidden chars, RO_CHARS,
+thresholds, regex patterns) are behavioral facts of the system being
+re-implemented, cited by file:line.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# --------------------------------------------------------------------------
+# Constants (behavioral facts of the reference)
+# --------------------------------------------------------------------------
+
+#: reference text_processing.py:74 — lines containing any of these are dropped
+FORBIDDEN_CHARS = "ºþÈ™ÓÑÄÈÃ®ƒ"
+
+#: reference nlp/resources/constants.py:5-7 — the CER whitelist. The source
+#: string contains literal backslashes (``\\.`` etc. in a non-raw string),
+#: so the set includes ``\\`` ``.`` ``,`` ``/`` `````` ``(`` ``)`` ``[`` ``]``
+#: ``:`` ``;`` ``-`` as characters.
+RO_CHARS = set(
+    "aăâbcdefghiîjklmnopqrsșştțţuvxz0123456789 \n\t”„«»—“'!\"?\\.,\\\\/`\\(\\)\\[\\]:;\\-"
+)
+
+#: reference text_processing.py:35-38 — every char of the r3 dash class
+DASH_CLASS_CHARS = (
+    "■•~­֊־᐀᠆"
+    "‐‑‒–—―⁓⁻₋−"
+    "⸗⸺⸻〜〰゠︱︲﹣－"
+)
+
+MIN_LINE_LENGTH = 10  # text_processing.py:81
+PERCENT_MAX_NUMERIC = 0.7  # text_processing.py:79
+PERCENT_MAX_NON_ASCII = 0.40  # text_processing.py:80
+MIN_QUALITY = 77.0  # reference app/config.py:17
+
+# r1..r9 + space collapse — reference text_processing.py:23-69, exact
+# patterns, applied in the exact order of text_processing.py:171-191.
+_R1 = re.compile(r"([\w]+-)[\s]([\w]+)", re.IGNORECASE)
+_R2 = re.compile(r"([\w]+/)\s([\w]+)", re.IGNORECASE)
+_R3 = re.compile("([" + re.escape(DASH_CLASS_CHARS) + "]+)", re.UNICODE)
+_R4 = re.compile(r"([\d]+,)\s([\d]+)", re.IGNORECASE)
+_R5 = re.compile("[­]")
+_R6 = re.compile(r"(?:www|http)\S+|<\S+|\w+\/*>")
+_R7 = re.compile(r"([^@]+@[^@]+\.[^@]+)")
+_R8 = re.compile("[─]+")
+_R9 = re.compile(r"[\-]+")
+_SPACE = re.compile(" +")
+
+STATS_KEYS = (
+    "skipped_because_min_length",
+    "skipped_alpha_count",
+    "skipped_because_max_numeric",
+    "skipped_because_max_non_ascii",
+    "skipped_because_forbidden_chars",
+)
+
+
+def remove_diacritics(token: str) -> str:
+    """NFKD-normalize then drop non-ascii (reference text_processing.py:11-14)."""
+    return unicodedata.normalize("NFKD", token).encode("ascii", "ignore").decode("ascii")
+
+
+def _clean_one_line(line: str) -> str:
+    """Regex bank r1–r9 + literal replaces + space collapse, in reference order
+    (text_processing.py:171-191)."""
+    line = _R1.sub(r"\1\2", line)
+    line = _R2.sub(r"\1\2", line)
+    line = _R3.sub("-", line)
+    line = _R4.sub(r"\1\2", line)
+    line = _R5.sub("", line)
+    line = _R6.sub("", line)
+    line = _R7.sub("", line)
+    line = _R8.sub("", line)
+    line = _R9.sub("", line)
+    # literal replacements — text_processing.py:182-187
+    line = line.replace("( ă)", "(ă)")
+    line = line.replace("ţ", "ț")
+    line = line.replace("ş", "ș")
+    line = line.replace("Ţ", "Ț")
+    line = line.replace("Ş", "Ș")
+    line = line.replace("Ã¢", "â")
+    line = _SPACE.sub(" ", line).strip()
+    return line
+
+
+def clean_text(text: str) -> tuple[str, dict]:
+    """Reference-faithful ``Cleaner.clean`` (text_processing.py:76-213).
+
+    Returns (cleaned_text, stats). ``stats`` carries the five
+    ``[lines, chars]`` pair counters plus the two char totals; merging two
+    stats dicts by element-wise addition is the ``add_stats`` law
+    (text_processing.py:215-243) — in Spark this is just ``sum()``.
+    """
+    stats = {k: [0, 0] for k in STATS_KEYS}
+    total_original_length = 0
+    total_clean_length = 0
+    out: list[str] = []
+    for line in text.split("\n"):
+        line = line.strip()
+        length = len(line)
+        total_original_length += length
+
+        if length < MIN_LINE_LENGTH:
+            stats["skipped_because_min_length"][0] += 1
+            stats["skipped_because_min_length"][1] += length
+            continue
+
+        # the reference's utf-8 round-trip (text_processing.py:104-106) is a
+        # no-op for well-formed str except lone surrogates; replicate it
+        line = bytes(line, "utf-8", "ignore").decode("utf-8", "ignore")
+
+        digit_count = 0
+        alpha_count = 0
+        ascii_count = 0
+        forbidden = False
+        for ch in line:
+            if ch in FORBIDDEN_CHARS:
+                forbidden = True
+                break
+            if ch.isnumeric():
+                digit_count += 1
+            if ch.isalpha():
+                alpha_count += 1
+            if ch.isascii():
+                ascii_count += 1
+
+        if forbidden:
+            stats["skipped_because_forbidden_chars"][0] += 1
+            stats["skipped_because_forbidden_chars"][1] += length
+            continue
+        if alpha_count == 0 or alpha_count / length < 0.5:
+            stats["skipped_alpha_count"][0] += 1
+            stats["skipped_alpha_count"][1] += length
+            continue
+        if digit_count / alpha_count >= PERCENT_MAX_NUMERIC and digit_count > 6:
+            stats["skipped_because_max_numeric"][0] += 1
+            stats["skipped_because_max_numeric"][1] += length
+            continue
+        if ascii_count / alpha_count < PERCENT_MAX_NON_ASCII and length > 15:
+            stats["skipped_because_max_non_ascii"][0] += 1
+            stats["skipped_because_max_non_ascii"][1] += length
+            continue
+        # ascii-table lines are charged to the forbidden bucket
+        # (text_processing.py:159-167)
+        if (line[0] == "|" and line.count("|") > 2) or (
+            line[0] == "│" and line.count("│") > 2
+        ):
+            stats["skipped_because_forbidden_chars"][0] += 1
+            stats["skipped_because_forbidden_chars"][1] += length
+            continue
+
+        line = _clean_one_line(line)
+
+        # post-clean re-check charges the ORIGINAL length
+        # (text_processing.py:194-196)
+        if len(line) < MIN_LINE_LENGTH:
+            stats["skipped_because_min_length"][0] += 1
+            stats["skipped_because_min_length"][1] += length
+            continue
+
+        total_clean_length += len(line)
+        out.append(line + "\n")
+
+    stats["total_original_length"] = total_original_length
+    stats["total_clean_length"] = total_clean_length
+    return "".join(out), stats
+
+
+def add_stats(a: dict, b: dict) -> dict:
+    """Associative merge (text_processing.py:215-243)."""
+    merged = {k: [a[k][0] + b[k][0], a[k][1] + b[k][1]] for k in STATS_KEYS}
+    merged["total_original_length"] = a["total_original_length"] + b["total_original_length"]
+    merged["total_clean_length"] = a["total_clean_length"] + b["total_clean_length"]
+    return merged
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (reference ocr_evaluation.py) with the frozen
+# tokenizer/stemmer spec
+# --------------------------------------------------------------------------
+
+#: frozen tokenizer: maximal runs of word characters over the lowered text.
+#: (stands in for nltk.word_tokenize, ocr_evaluation.py:63 — punctuation
+#: tokens are no-ops there because normalize(punct) full-matches [^a-z]+)
+_TOKEN_RE = re.compile(r"[\w]+", re.UNICODE)
+
+#: frozen deterministic Romanian-ish suffix stemmer (stands in for the
+#: snowball stemmer, ocr_evaluation.py:16-21): strip the longest suffix in
+#: this alternation provided ≥3 chars remain. Leftmost-match-at-$ ≡
+#: longest-suffix because nested suffixes share the anchor.
+_STEM_RE = re.compile(
+    r"(?<=...)(urilor|urile|iilor|easca|ului|elor|ilor|iile|ilar|easca"
+    r"|uri|ele|ile|ati|ata|ul|ii|le|ea|ie|ia|a|e|i|u)$"
+)
+
+#: diacritic fold used by normalize_word — explicit map (applied before the
+#: generic non-ascii strip) so the JVM translate() and this oracle agree.
+_FOLD_MAP = str.maketrans(
+    "ăâîșşțţáàäéèëíìïóòöúùüñçœ",
+    "aaissttaaaeeeiiiooouuunco",
+)
+
+
+def normalize_word(token: str) -> str:
+    """Frozen normalize: lower → fold diacritics → drop non-ascii → stem.
+
+    Deterministic stand-in for ``normalize_word`` (ocr_evaluation.py:19-21 =
+    snowball stem + NFKD fold); same shape, reproducible everywhere.
+    """
+    t = token.lower().translate(_FOLD_MAP)
+    t = re.sub(r"[^\x00-\x7f]", "", t)
+    return _STEM_RE.sub("", t)
+
+
+_NON_AZ = re.compile(r"[^a-z]+")
+
+
+def cer(text: str) -> float:
+    """Fraction of chars (of the lowered text) in RO_CHARS
+    (ocr_evaluation.py:50-57)."""
+    total = len(text)
+    correct = sum(1 for c in text.lower() if c in RO_CHARS)
+    return correct / total
+
+
+def wer(text: str, vocabulary: set[str]) -> float:
+    """Vocabulary hit-rate (ocr_evaluation.py:60-82), including the
+    reference's off-by-one ``all_words = 1`` initialization."""
+    correct = 0
+    all_words = 1
+    for word in _TOKEN_RE.findall(text.lower()):
+        normalized = normalize_word(word)
+        if not normalized or _NON_AZ.fullmatch(normalized):
+            continue
+        if normalized in vocabulary or word in vocabulary:
+            correct += 1
+        all_words += 1
+    return correct / all_words
+
+
+def validate_text(text: str) -> bool:
+    """ocr_evaluation.py:41-47."""
+    if text.startswith("[OCR skipped on page(s)"):
+        return False
+    if len(text.strip()) == 0:
+        return False
+    return True
+
+
+def estimate_quality(text: str, vocabulary: set[str]) -> float:
+    """round((cer+wer)/2*100, 2); invalid text scores 100
+    (ocr_evaluation.py:85-90). Python round = half-even ≡ Spark bround."""
+    if not validate_text(text):
+        return 100.0
+    return round((cer(text) + wer(text, vocabulary)) / 2 * 100, 2)

@@ -1,0 +1,47 @@
+"""Single-process oracle for the full per-turn pipeline — the reference's
+``process()`` control flow (ocr_worker.py:183-249): parse → clean → score →
+quality-gated second pass. Used by tests to assert per-turn equality of the
+distributed plan (plans/pipeline.extract)."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from ocr_spark import pyclean, pyparse
+
+MIN_QUALITY = 77.0  # reference app/config.py:17
+
+
+class TurnResult(NamedTuple):
+    kind: str
+    parse_ok: bool
+    parse_warn: bool
+    blocks_kept: int
+    blocks_dropped: int
+    clean_text: str
+    stats: dict
+    quality: float
+    passes: int
+    status: str
+
+
+def extract_turn(text: str | None, vocabulary: set[str]) -> TurnResult:
+    r = pyparse.parse_payload(text)
+    clean, stats = pyclean.clean_text(r.extracted)
+    q = pyclean.estimate_quality(clean, vocabulary)
+    passes = 1
+    if r.parse_ok and q < MIN_QUALITY:
+        # selective re-processing, ocr_worker.py:214-222
+        r = pyparse.parse_payload(text, second_pass=True)
+        clean, stats = pyclean.clean_text(r.extracted)
+        q = pyclean.estimate_quality(clean, vocabulary)
+        passes = 2
+    status = (
+        "parse_failed"
+        if not r.parse_ok
+        else ("extracted_warn" if r.parse_warn else "extracted")
+    )
+    return TurnResult(
+        r.kind, r.parse_ok, r.parse_warn, r.blocks_kept, r.blocks_dropped,
+        clean, stats, q, passes, status,
+    )

@@ -1,0 +1,223 @@
+"""Payload parse spec — the H2 stage (reference ``call_ocr`` +
+``get_ocrized_text_from_blocks``, ocr_service.py:112-145) re-imagined for
+text payloads: HTML DOM tokenization with Boilerpipe/Readability-style
+block scoring, PDF-layout markup parse with reading-order reconstruction,
+and tool-output markup cleanup.
+
+This module is pure Python and deliberately dependency-free; it is the
+single frozen spec, executed *batched* inside the Arrow ``mapInPandas``
+stage (ocr_spark.operators.parse) and directly by the test oracle. All
+functions are deterministic.
+
+Output contract per payload:
+``(kind, parse_ok, parse_warn, blocks_kept, blocks_dropped, extracted)``
+where ``extracted`` mirrors the reference's block assembly
+(ocr_service.py:137-145): per page, block texts joined with "\\n" with
+intra-block newlines flattened to spaces, pages concatenated in order,
+each page contributing a trailing "\\n".
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+#: block-level container tags that delimit DOM blocks
+BLOCK_TAGS = (
+    "p",
+    "div",
+    "h1",
+    "h2",
+    "h3",
+    "li",
+    "nav",
+    "footer",
+    "aside",
+    "header",
+    "ul",
+    "ol",
+    "table",
+    "article",
+    "section",
+)
+#: containers dropped outright (boilerplate by position)
+BOILERPLATE_TAGS = {"nav", "footer", "aside", "header"}
+#: link-density threshold: blocks whose anchor-text share exceeds this are
+#: boilerplate (Boilerpipe-style heuristic, rebuilt natively)
+MAX_LINK_DENSITY = 0.33
+#: text-density floor: blocks shorter than this are noise
+MIN_BLOCK_CHARS = 20
+
+#: glyphs injected by noisy sources; stripped only in the second pass
+#: (the force-rotate analog of the reference's quality-gated retry,
+#: ocr_worker.py:214-222)
+NOISE_CLASS = re.compile(r"[¤§¶]")
+
+_BLOCK_SPLIT = re.compile(
+    r"(?=<(?:" + "|".join(BLOCK_TAGS) + r")\b)", re.IGNORECASE
+)
+_LEAD_TAG = re.compile(r"^<([a-zA-Z][a-zA-Z0-9]*)")
+_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a>", re.IGNORECASE)
+_TAG = re.compile(r"<[^>]*>")
+_SPACES = re.compile(r" +")
+_PAGE_MARK = re.compile(r"^\[page (\d+)\]$")
+_BLOCK_MARK = re.compile(r"^\[block (\d+) @ (\d+),(\d+)\]$")
+_LOG_DROP = re.compile(r"^\[(?:TRACE|DEBUG)\] ")
+_LOG_KEEP = re.compile(r"^\[(?:INFO|WARN|ERROR)\] ")
+
+WRAP_HEAD = "BEGIN-WRAP v1\n"
+WRAP_TAIL = "\nEND-WRAP"
+
+
+class ParseResult(NamedTuple):
+    kind: str
+    parse_ok: bool
+    parse_warn: bool
+    blocks_kept: int
+    blocks_dropped: int
+    extracted: str
+
+
+def detect_kind(text: str | None) -> str:
+    if text is None or text.strip() == "":
+        return "empty"
+    if "\x00" in text or text.startswith("%BIN!"):
+        return "undecodable"
+    if text.startswith(WRAP_HEAD):
+        return "wrapped"
+    if text.startswith("%PDF-SIM"):
+        return "pdfish"
+    head = text[:200].lower()
+    if "<html" in head or ("<" in head and "</" in text):
+        return "html"
+    if text.startswith("```tool:"):
+        return "tool"
+    return "plain"
+
+
+def _strip_tags(seg: str) -> str:
+    return _SPACES.sub(" ", _TAG.sub(" ", seg)).strip()
+
+
+def parse_html(text: str) -> ParseResult:
+    flat = text.replace("\n", " ")
+    # malformed-markup detection: unbalanced angle brackets → warn, recover
+    warn = flat.count("<") != flat.count(">")
+    kept: list[str] = []
+    dropped = 0
+    for seg in _BLOCK_SPLIT.split(flat):
+        m = _LEAD_TAG.match(seg)
+        tag = m.group(1).lower() if m else ""
+        visible = _strip_tags(seg)
+        if not visible:
+            continue
+        if tag in BOILERPLATE_TAGS:
+            dropped += 1
+            continue
+        if len(visible) < MIN_BLOCK_CHARS:
+            dropped += 1
+            continue
+        anchor_chars = sum(len(_strip_tags(a)) for a in _ANCHOR.findall(seg))
+        if anchor_chars / len(visible) > MAX_LINK_DENSITY:
+            dropped += 1
+            continue
+        kept.append(visible)
+    extracted = "\n".join(kept) + "\n" if kept else ""
+    return ParseResult("html", True, warn, len(kept), dropped, extracted)
+
+
+def parse_pdfish(text: str) -> ParseResult:
+    lines = text.split("\n")[1:]  # drop the %PDF-SIM header
+    # (page, y, x, block_idx) → [content lines]
+    blocks: list[tuple[int, int, int, int, list[str]]] = []
+    page = 0
+    warn = False
+    cur: list[str] | None = None
+    for ln in lines:
+        pm = _PAGE_MARK.match(ln)
+        if pm:
+            page = int(pm.group(1))
+            cur = None
+            continue
+        bm = _BLOCK_MARK.match(ln)
+        if bm:
+            b, x, y = (int(bm.group(i)) for i in (1, 2, 3))
+            cur = []
+            blocks.append((page, y, x, b, cur))
+            continue
+        if cur is None:
+            # content before any block marker → recoverable, warn
+            warn = True
+            cur = []
+            blocks.append((page, 0, 0, -1, cur))
+        cur.append(ln)
+    if page == 0:
+        warn = True
+    kept = 0
+    dropped = 0
+    pages: dict[int, list[str]] = {}
+    # reading order: (y, x, block_idx) within page — column/reading-order
+    # reconstruction per the north star
+    for pg, y, x, b, content in sorted(blocks, key=lambda t: (t[0], t[1], t[2], t[3])):
+        body = "\n".join(content).replace("\n", " ").strip()
+        if not body:
+            dropped += 1
+            continue
+        kept += 1
+        pages.setdefault(pg, []).append(body)
+    extracted = "".join(
+        "\n".join(pages[pg]) + "\n" for pg in sorted(pages)
+    )
+    return ParseResult("pdfish", True, warn, kept, dropped, extracted)
+
+
+def parse_tool(text: str) -> ParseResult:
+    kept: list[str] = []
+    dropped = 0
+    warn = not text.rstrip().endswith("```")
+    for ln in text.split("\n"):
+        if ln.startswith("```"):
+            continue
+        if _LOG_DROP.match(ln):
+            dropped += 1
+            continue
+        ln = _LOG_KEEP.sub("", ln)
+        if ln.strip():
+            kept.append(ln)
+        else:
+            dropped += 1
+    extracted = "\n".join(kept) + "\n" if kept else ""
+    return ParseResult("tool", True, warn, len(kept), dropped, extracted)
+
+
+def parse_plain(text: str) -> ParseResult:
+    paras = [p for p in text.split("\n") if p.strip()]
+    return ParseResult("plain", True, False, len(paras), 0, text)
+
+
+def parse_payload(text: str | None, second_pass: bool = False) -> ParseResult:
+    """Full dispatch. ``second_pass`` strips the noise glyph class first —
+    the analog of the reference's force-rotate re-OCR (ocr_worker.py:214-222,
+    ocr_service.py:48)."""
+    kind = detect_kind(text)
+    if kind == "empty":
+        return ParseResult("empty", False, False, 0, 0, "")
+    if kind == "undecodable":
+        return ParseResult("undecodable", False, False, 0, 0, "")
+    assert text is not None
+    if kind == "wrapped":
+        tail = text.rfind(WRAP_TAIL)
+        inner = text[len(WRAP_HEAD) : tail if tail >= 0 else len(text)]
+        r = parse_payload(inner, second_pass)
+        # unwrap keeps the inner kind but notes the envelope
+        return ParseResult("wrapped:" + r.kind, r.parse_ok, r.parse_warn or tail < 0,
+                           r.blocks_kept, r.blocks_dropped, r.extracted)
+    if second_pass:
+        text = NOISE_CLASS.sub("", text)
+    if kind == "pdfish":
+        return parse_pdfish(text)
+    if kind == "html":
+        return parse_html(text)
+    if kind == "tool":
+        return parse_tool(text)
+    return parse_plain(text)

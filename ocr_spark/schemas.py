@@ -1,0 +1,66 @@
+"""Fixed StructTypes end-to-end (vs the reference's duck-typed dicts,
+SURVEY.md §1.2-1.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: BASELINE.json input_hint — the transcripts table
+TRANSCRIPTS = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+#: parse-stage output struct (H2 analog — errors become data, not exceptions;
+#: reference F2 pattern, ocr_service.py:54-62)
+PARSE_RESULT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("parse_ok", T.BooleanType(), False),
+        T.StructField("parse_warn", T.BooleanType(), False),
+        T.StructField("blocks_kept", T.IntegerType(), False),
+        T.StructField("blocks_dropped", T.IntegerType(), False),
+        T.StructField("extracted", T.StringType(), False),
+    ]
+)
+
+#: [lines, chars] pair counters (text_processing.py:85-91)
+_PAIR = T.ArrayType(T.LongType(), False)
+CLEAN_STATS = T.StructType(
+    [
+        T.StructField("skipped_because_min_length", _PAIR, False),
+        T.StructField("skipped_alpha_count", _PAIR, False),
+        T.StructField("skipped_because_max_numeric", _PAIR, False),
+        T.StructField("skipped_because_max_non_ascii", _PAIR, False),
+        T.StructField("skipped_because_forbidden_chars", _PAIR, False),
+        T.StructField("total_original_length", T.LongType(), False),
+        T.StructField("total_clean_length", T.LongType(), False),
+    ]
+)
+
+#: char-span offsets per turn — the PDF-bbox analog for text payloads
+#: (SURVEY.md §1.3; reference highlight_metadata doc_analysis.py:298-307)
+SPAN = T.StructType(
+    [
+        T.StructField("keyword", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+    ]
+)
+
+EXTRACTED = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("clean_text", T.StringType(), True),
+        T.StructField("spans", T.ArrayType(SPAN), True),
+        T.StructField("quality", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local-mode knobs mirror what we would set on a real cluster:
+AQE on (skew-join splitting + partition coalescing), Arrow on
+(all heavy Python stages are pandas/Arrow-batched), shuffle
+partitions sized to cores (not the 200 default), and a bounded
+Arrow batch size so a single giant turn payload cannot blow an
+executor (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "ocr_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("OCR_SPARK_MASTER", "local[*]")
+    # local[N] → N threads; size shuffle partitions to match.
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = os.cpu_count() or 8 if inner == "*" else int(inner)
+        else:
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batches: one batch of huge turn payloads must fit in RAM
+        # (analog of the reference's per-page timeout straggler bound,
+        #  ocr_service.py:40-41 — here the bound is memory, not time)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ocr_spark import datagen
+from ocr_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("local[4]", app_name="ocr_spark_tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def vocab() -> list[str]:
+    return datagen.vocabulary()
+
+
+@pytest.fixture(scope="session")
+def transcripts_pdf():
+    """Small deterministic transcripts table (pandas)."""
+    return datagen.generate(n_conversations=30, seed=42)
+
+
+@pytest.fixture(scope="session")
+def transcripts_df(spark, transcripts_pdf):
+    from ocr_spark.schemas import TRANSCRIPTS
+
+    return spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS)
+
+
+#: shared fuzz pool exercising every filter and regex of the cleaner
+FUZZ_POOL = [
+    "ana", "are", "mere", "și", "decizie", "legală", "www.example.com/x",
+    "foo@bar.com", "S-", "ar", "putea", "să-", "l", "recitiţi", "şcoală",
+    "Ţară", "Şedinţă", "1,", "4%", "100", "12345678", "9999999", "Ã¢nd",
+    "│x│y│z│", "|a|b|c|", "─────", "----", "text•cu•bull", "soft­hyphen",
+    "em—dash", "minus−sign", "<div>", "html/>", "date/ time", "LL/ AAAA",
+    "ºvrajit", "™brand", "®mark", "ƒunc", "Ówn", "Ñino", "Äpfel",
+    "日本語テキスト", "ελληνικά", "русский", "café", "naïve", "tab\there",
+    "  padded  ", "ţţţţ", "aaaaaaaaaaa", "( ă)", "x~y", "a⸺b",
+]
+
+
+def fuzz_texts(n: int, seed: int = 42, max_lines: int = 8) -> list[str]:
+    rng = random.Random(seed)
+
+    def line():
+        return " ".join(
+            rng.choice(FUZZ_POOL) for _ in range(rng.randint(0, 14))
+        )
+
+    return [
+        "\n".join(line() for _ in range(rng.randint(1, max_lines)))
+        for _ in range(n)
+    ]

@@ -1,0 +1,137 @@
+"""Per-turn text equality of the native Catalyst cleaner vs (a) the
+reference-faithful Python oracle and (b) the actual reference ``Cleaner``
+when importable (behavioral cross-check, no code reuse)."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark import pyclean
+from ocr_spark.operators import cleaning
+from tests.conftest import fuzz_texts
+
+# ---------------------------------------------------------------------------
+# micro-fixtures: one case per filter / rewrite (FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+MICRO = [
+    # (input line, expected cleaned output or None if dropped, reason)
+    ("short", None, "min_length"),  # F6 text_processing.py:100-101
+    ("ºvrajit dar suficient de lung", None, "forbidden"),  # F7 :112-127
+    ("™brand si text destul de lung", None, "forbidden"),
+    ("1234567890 !!!", None, "alpha"),  # F8 :131-135 (alpha ratio < .5)
+    ("!!!!!!!!!!!!", None, "alpha"),  # alpha == 0
+    ("a1 b2 c3 d4 e5 f6 g7 h8", None, "numeric"),  # F9 :138-146
+    ("日本語テキストですねえ長い文章ですよ感じ", None, "non_ascii"),  # F10 :148-156 (len>15)
+    ("|a|b|c| restul liniei aici x", None, "table"),  # F11 :159-167
+    ("│x│y│z│ restul liniei aici x", None, "table"),
+    # r1 de-hyphenation :23  (note r9 then strips the joined hyphen)
+    ("S- ar putea să- l recitiți aici", "Sar putea săl recitiți aici", None),
+    # r2 slash rejoin :29
+    ("Humalog Mix50 100 U/ ml aici da", "Humalog Mix50 100 U/ml aici da", None),
+    # r3 unicode dashes → '-' :35-38, then r9 strips them
+    ("text•cu•bull em—dash minus−sign x", "textcubull emdash minussign x", None),
+    # r4 number-comma :43
+    ("valoare de 1, 4% din total da", "valoare de 1,4% din total da", None),
+    # r5 soft hyphen :48
+    ("soft­hyphen rand suficient de lung", "softhyphen rand suficient de lung", None),
+    # r6 URLs :53
+    ("vezi www.example.com/x aici mai mult text", "vezi aici mai mult text", None),
+    ("vezi http://a.b/c aici mai mult text", "vezi aici mai mult text", None),
+    # r7 emails :58 (greedy — the whole line is one match)
+    ("foo@bar.com scrie si alt text lung", None, "min_length"),
+    # r8/r9 separators :63-64
+    ("text ───── inainte si dupa aici", "text inainte si dupa aici", None),
+    ("text ----- inainte si dupa aici", "text inainte si dupa aici", None),
+    # literal diacritic fixes :182-187
+    ("recitiţi şcoala Ţara Şedinţa acum", "recitiți școala Țara Ședința acum", None),
+    # space collapse :191
+    ("mult     spatiu      aici   da x", "mult spatiu aici da x", None),
+    # post-clean min-length re-check :194-196
+    ("<div></div> abc html/>", None, "min_length"),
+]
+
+
+def test_micro_fixtures_oracle():
+    for line, expected, _reason in MICRO:
+        out, _ = pyclean.clean_text(line)
+        want = (expected + "\n") if expected is not None else ""
+        assert out == want, f"{line!r}: {out!r} != {want!r}"
+
+
+def test_micro_fixtures_spark(spark):
+    df = spark.createDataFrame(
+        [(i, line) for i, (line, _, _) in enumerate(MICRO)], "id long, text string"
+    )
+    rows = cleaning.with_clean_text(df).select("id", "clean_text").collect()
+    got = {r["id"]: r["clean_text"] for r in rows}
+    for i, (line, expected, _) in enumerate(MICRO):
+        want = (expected + "\n") if expected is not None else ""
+        assert got[i] == want, f"{line!r}: {got[i]!r} != {want!r}"
+
+
+# ---------------------------------------------------------------------------
+# fuzz equality: Spark == oracle (text AND stats)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_equality_spark_vs_oracle(spark):
+    texts = fuzz_texts(400, seed=7)
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    rows = cleaning.with_clean_text(df).select("id", "clean_text", "clean_stats").collect()
+    for r in rows:
+        exp_text, exp_stats = pyclean.clean_text(texts[r["id"]])
+        assert r["clean_text"] == exp_text
+        s = r["clean_stats"].asDict()
+        for k in pyclean.STATS_KEYS:
+            assert list(s[k]) == exp_stats[k], (k, texts[r["id"]])
+        assert s["total_original_length"] == exp_stats["total_original_length"]
+        assert s["total_clean_length"] == exp_stats["total_clean_length"]
+
+
+# ---------------------------------------------------------------------------
+# behavioral cross-check against the actual reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _load_reference_cleaner():
+    try:
+        import tqdm  # noqa: F401
+    except ImportError:
+        m = types.ModuleType("tqdm")
+        m.tqdm = lambda it, disable=True: it
+        sys.modules["tqdm"] = m
+    sys.path.insert(0, "/root/reference")
+    try:
+        from app.services.text_processing import Cleaner
+
+        return Cleaner
+    except Exception:
+        return None
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def test_oracle_matches_reference_cleaner():
+    Cleaner = _load_reference_cleaner()
+    if Cleaner is None:
+        pytest.skip("reference not importable")
+    c = Cleaner()
+    for text in fuzz_texts(300, seed=11):
+        assert c.clean(text) == pyclean.clean_text(text)[0]
+
+
+def test_add_stats_merge_law():
+    """Partition-wise merge == single-pass totals (text_processing.py:215-243)."""
+    texts = fuzz_texts(50, seed=3)
+    whole_text = "\n".join(texts)
+    _, whole = pyclean.clean_text(whole_text)
+    parts = [pyclean.clean_text(t)[1] for t in texts]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = pyclean.add_stats(merged, p)
+    assert merged == whole

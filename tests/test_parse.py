@@ -1,0 +1,80 @@
+"""Unit tests for the payload parse spec (pyparse) — one per fixture
+category (FIXTURES.md §1), mirroring the reference's fixture-PDF test style
+(tests/test_ocr_worker.py:38-110)."""
+
+from __future__ import annotations
+
+from ocr_spark import pyparse
+
+
+def test_empty_payload_is_data_not_exception():
+    for t in (None, "", "   \n  "):
+        r = pyparse.parse_payload(t)
+        assert r.kind == "empty" and not r.parse_ok and r.extracted == ""
+
+
+def test_undecodable():
+    r = pyparse.parse_payload("%BIN!ȴȵxx")
+    assert r.kind == "undecodable" and not r.parse_ok
+    r = pyparse.parse_payload("abc\x00def")
+    assert not r.parse_ok
+
+
+def test_html_strips_boilerplate_and_links():
+    html = (
+        "<html><body><nav><a href=/h>acasa</a></nav>"
+        "<div id=main><p>acesta este continutul principal al documentului</p></div>"
+        "<div><a href=/x>click aici</a> <a href=/y>si aici</a> mai</div>"
+        "<footer>copyright tribunalul municipal</footer></body></html>"
+    )
+    r = pyparse.parse_payload(html)
+    assert r.kind == "html" and r.parse_ok and not r.parse_warn
+    assert r.extracted == "acesta este continutul principal al documentului\n"
+    assert r.blocks_kept == 1
+    assert r.blocks_dropped >= 3  # nav, linky div, footer
+
+
+def test_malformed_html_recovers_with_warning():
+    html = "<html><body><div><p>text recuperabil suficient de lung aici<p>si inca o propozitie buna</body"
+    r = pyparse.parse_payload(html)
+    assert r.kind == "html" and r.parse_ok and r.parse_warn
+    assert len(r.extracted) > 10
+
+
+def test_pdfish_reading_order():
+    text = (
+        "%PDF-SIM\n"
+        "[page 1]\n"
+        "[block 0 @ 10,200]\nal doilea bloc pe\npagina unu\n"
+        "[block 1 @ 10,100]\nprimul bloc\n"
+        "[page 2]\n"
+        "[block 0 @ 5,50]\npagina doi\n"
+    )
+    r = pyparse.parse_payload(text)
+    assert r.kind == "pdfish" and r.parse_ok and not r.parse_warn
+    # y=100 before y=200; intra-block newlines flattened to spaces
+    # (reference ocr_service.py:143); one trailing \n per page (:143)
+    assert r.extracted == "primul bloc\nal doilea bloc pe pagina unu\npagina doi\n"
+    assert r.blocks_kept == 3
+
+
+def test_tool_markup():
+    text = "```tool:search\n[TRACE] noise here\n[INFO] result one found\nplain line\n```"
+    r = pyparse.parse_payload(text)
+    assert r.kind == "tool" and r.parse_ok and not r.parse_warn
+    assert r.extracted == "result one found\nplain line\n"
+    assert r.blocks_dropped == 1
+
+
+def test_wrapped_unwraps():
+    inner = "linie de text suficient de lunga\nsi inca una la fel de buna"
+    r = pyparse.parse_payload("BEGIN-WRAP v1\n" + inner + "\nEND-WRAP")
+    assert r.kind == "wrapped:plain" and r.parse_ok
+    assert r.extracted == inner
+
+
+def test_second_pass_strips_noise():
+    noisy = "text¤ cu§ zgomot¶ destul de lung aici"
+    r1 = pyparse.parse_payload(noisy)
+    r2 = pyparse.parse_payload(noisy, second_pass=True)
+    assert "¤" in r1.extracted and "¤" not in r2.extracted

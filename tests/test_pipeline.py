@@ -1,0 +1,116 @@
+"""End-to-end per-turn equality of the distributed plan vs the
+single-process oracle, plus determinism, resume idempotency, skew-safe
+rollup, and the metrics merge law."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ocr_spark import pyoracle
+from ocr_spark.operators import cleaning
+from ocr_spark.plans import pipeline
+from ocr_spark.schemas import TRANSCRIPTS
+
+
+def _expected(transcripts_pdf, vocab):
+    vset = set(vocab)
+    exp = {}
+    for r in transcripts_pdf.itertuples():
+        exp[(r.conv_id, r.turn_idx)] = pyoracle.extract_turn(r.text, vset)
+    return exp
+
+
+def test_per_turn_equality(spark, transcripts_pdf, transcripts_df, vocab):
+    out = pipeline.extract(transcripts_df, vocab).select(
+        "conv_id", "turn_idx", "kind", "parse_ok", "parse_warn",
+        "blocks_kept", "blocks_dropped", "clean_text", "quality",
+        "passes", "status",
+    ).collect()
+    exp = _expected(transcripts_pdf, vocab)
+    assert len(out) == len(exp)
+    for r in out:
+        e = exp[(r["conv_id"], r["turn_idx"])]
+        assert r["clean_text"] == e.clean_text, (r["conv_id"], r["turn_idx"])
+        assert r["status"] == e.status
+        assert r["passes"] == e.passes
+        assert r["kind"] == e.kind
+        assert (r["blocks_kept"], r["blocks_dropped"]) == (e.blocks_kept, e.blocks_dropped)
+        assert abs(r["quality"] - e.quality) < 1e-9
+
+
+def test_second_pass_fires(spark, transcripts_pdf, transcripts_df, vocab):
+    exp = _expected(transcripts_pdf, vocab)
+    assert any(e.passes == 2 for e in exp.values()), "fixture must exercise H6"
+    n2 = (
+        pipeline.extract(transcripts_df, vocab)
+        .filter(F.col("passes") == 2)
+        .count()
+    )
+    assert n2 == sum(1 for e in exp.values() if e.passes == 2)
+
+
+def test_determinism_across_partitioning(spark, transcripts_df, vocab):
+    """Same input at different partition counts ⇒ identical output
+    (the ordering/determinism proof, SURVEY.md §5)."""
+    a = pipeline.extract(transcripts_df.repartition(1), vocab)
+    b = pipeline.extract(transcripts_df.repartition(16), vocab)
+    cols = ["conv_id", "turn_idx", "clean_text", "quality", "status", "passes"]
+    ra = sorted(map(tuple, a.select(*cols).collect()))
+    rb = sorted(map(tuple, b.select(*cols).collect()))
+    assert ra == rb
+
+
+def test_conversation_rollup_ordered(spark, transcripts_pdf, transcripts_df, vocab):
+    ext = pipeline.extract(transcripts_df, vocab)
+    roll = {
+        r["conv_id"]: (r["conv_clean_text"], r["n_turns"])
+        for r in pipeline.conversation_rollup(ext, bucket_turns=4).collect()
+    }
+    exp = _expected(transcripts_pdf, vocab)
+    by_conv: dict[str, list] = {}
+    for (cid, ti), e in exp.items():
+        by_conv.setdefault(cid, []).append((ti, e.clean_text))
+    for cid, items in by_conv.items():
+        want = "".join(t for _, t in sorted(items))
+        assert roll[cid][0] == want
+        assert roll[cid][1] == len(items)
+
+
+def test_metrics_merge_law(spark, transcripts_pdf, transcripts_df, vocab):
+    """Partition-sums equal the single-process oracle totals — the
+    add_stats law (text_processing.py:215-243) distributed."""
+    ext = pipeline.extract(transcripts_df, vocab)
+    m = pipeline.partition_metrics(ext, run_id="t").agg(
+        F.sum("total_original_length").alias("o"),
+        F.sum("total_clean_length").alias("c"),
+        F.sum("skipped_min_length_lines").alias("ml"),
+        F.sum("parse_failures").alias("pf"),
+        F.sum("turns").alias("n"),
+    ).collect()[0]
+    exp = _expected(transcripts_pdf, vocab)
+    assert m["o"] == sum(e.stats["total_original_length"] for e in exp.values())
+    assert m["c"] == sum(e.stats["total_clean_length"] for e in exp.values())
+    assert m["ml"] == sum(e.stats["skipped_because_min_length"][0] for e in exp.values())
+    assert m["pf"] == sum(1 for e in exp.values() if not e.parse_ok)
+    assert m["n"] == len(exp)
+
+
+def test_resume_idempotent(spark, transcripts_pdf, vocab, tmp_path):
+    inp = str(tmp_path / "transcripts.parquet")
+    spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPTS).write.parquet(inp)
+    results = str(tmp_path / "extracted")
+    metrics = str(tmp_path / "metrics")
+    n1 = pipeline.run_incremental(
+        spark, inp, results, vocab, run_id=str(uuid.uuid4()), metrics_path=metrics
+    )
+    assert n1 == len(transcripts_pdf)
+    # crash-rerun: nothing new to do
+    n2 = pipeline.run_incremental(
+        spark, inp, results, vocab, run_id=str(uuid.uuid4()), metrics_path=metrics
+    )
+    assert n2 == 0
+    got = spark.read.parquet(results)
+    assert got.count() == len(transcripts_pdf)
+    assert got.select("conv_id", "turn_idx").distinct().count() == len(transcripts_pdf)

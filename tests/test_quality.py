@@ -1,0 +1,70 @@
+"""Native cer/wer/estimate_quality vs the oracle (ocr_evaluation.py:41-90
+semantics with the frozen tokenizer/stemmer)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from ocr_spark import pyclean
+from ocr_spark.functions import text as X
+from ocr_spark.operators import quality
+from tests.conftest import fuzz_texts
+
+
+def test_validate_text_cases(spark):
+    cases = [
+        ("[OCR skipped on page(s) 1,2]", False),
+        ("", False),
+        ("   \n ", False),
+        ("text valid", True),
+    ]
+    df = spark.createDataFrame(cases, "t string, want boolean")
+    rows = df.select("want", quality.validate_text(F.col("t")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"]
+    for t, want in cases:
+        assert pyclean.validate_text(t) == want
+
+
+def test_normalize_word_parity(spark, vocab):
+    words = sorted({w for t in fuzz_texts(100, seed=5) for w in t.lower().split()}) + vocab
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["n"]
+        for r in df.select("w", X.normalize_word(F.col("w")).alias("n")).collect()
+    }
+    for w in words:
+        assert got[w] == pyclean.normalize_word(w), w
+
+
+def test_quality_parity(spark, vocab):
+    rng = random.Random(9)
+    pool = fuzz_texts(150, seed=13) + [
+        "", "   ", "[OCR skipped on page(s) 3]",
+        "ana are mere și decizie legală",
+        "tribunal dosar contract hotarare sentinta",
+        "xqzw vvkp zzzzz qqqq wwww",
+    ]
+    rows = [(i, pool[rng.randrange(len(pool))]) for i in range(250)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    vset = set(vocab)
+    got = df.select(
+        "id", quality.estimate_quality(F.col("text"), vocab).alias("q")
+    ).collect()
+    texts = dict(rows)
+    for r in got:
+        exp = pyclean.estimate_quality(texts[r["id"]], vset)
+        assert r["q"] is not None and abs(r["q"] - exp) < 1e-9, texts[r["id"]]
+
+
+def test_wer_join_matches_inline(spark, vocab):
+    texts = fuzz_texts(120, seed=21)
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    vdf = spark.createDataFrame([(w,) for w in vocab], "word string")
+    joined = quality.wer_join(df, vdf, ["id"], text_col="text", out_col="wj")
+    inline = df.select("id", quality.wer(F.col("text"), vocab).alias("wi"))
+    rows = joined.join(inline, "id").select("wj", "wi").collect()
+    for r in rows:
+        assert abs(r["wj"] - r["wi"]) < 1e-12
