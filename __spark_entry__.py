@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline (parse → clean → score →
+quality-gated second pass) over adversarial payloads derived from the
+sf0.001 ``documents`` table. ``queries``/``oracle_sql`` expose one entry per
+implemented SURVEY.md §2 operator, verified against DuckDB at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction plan (plans/pipeline.extract) at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark import payloads
+    from ocr_spark.plans.pipeline import extract
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = [
+        r.word
+        for r in docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+        .collect()
+    ]
+    turns = docs.select(
+        F.col("doc_id"),
+        payloads.payload_col(F.col("text")).alias("text"),
+    )
+    out = extract(turns, vocab)
+    return out.select(
+        "doc_id", "kind", "parse_ok", "status", "quality", "clean_text"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_spark.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,192 @@
+"""DuckDB oracle-SQL builders for the driver contract (``__spark_entry__``).
+
+Each builder emits an ANSI-ish SQL *expression string* that recomputes, in
+DuckDB's RE2/list dialect, exactly what the Spark-native operators compute
+JVM-side — same filter order, same regex bank order, same arithmetic shape
+(so doubles are bit-identical and integer-scaled outputs hash-match).
+
+The cleaner expressions mirror :mod:`ocr_spark.operators.cleaning`
+structure-for-structure (list_transform chains = Catalyst ``transform``
+chains); constants come from :mod:`ocr_spark.pyclean` (behavioral facts of
+the reference, cited there by file:line).
+"""
+
+from __future__ import annotations
+
+from ocr_spark import pyclean
+
+# --- regex fragments (RE2 dialect; single backslashes — DuckDB strings do
+# not process escapes) -----------------------------------------------------
+
+STRIP = r"^\s+|\s+$"
+FORBIDDEN_CLASS = "[" + "".join(sorted(set(pyclean.FORBIDDEN_CHARS))) + "]"
+R3_CLASS = "([" + pyclean.DASH_CLASS_CHARS + "]+)"
+
+_META = set("\\^]-[&")
+NOT_RO_CLASS = (
+    "[^"
+    + "".join(("\\" + c) if c in _META else c for c in sorted(pyclean.RO_CHARS))
+    + "]"
+)
+
+#: frozen stemmer as a non-greedy anchored group — equivalent to the
+#: lookbehind form in pyclean (leftmost start ⇒ longest suffix; at a fixed
+#: position only the alternative whose length reaches ``$`` can match).
+STEM_SQL = (
+    r"^(.{3,}?)(urilor|urile|iilor|easca|ului|elor|ilor|iile|ilar"
+    r"|uri|ele|ile|ati|ata|ul|ii|le|ea|ie|ia|a|e|i|u)$"
+)
+
+FOLD_SRC = "ăâîșşțţáàäéèëíìïóòöúùüñçœ"
+FOLD_DST = "aaissttaaaeeeiiiooouuunco"
+
+TOKEN_RE = r"[\p{L}\p{N}_]+"
+
+
+def q(s: str) -> str:
+    """SQL-quote a literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _cnt(expr: str, pattern: str) -> str:
+    """Count regex matches (single chars) by deletion."""
+    return f"(length({expr}) - length(regexp_replace({expr}, {q(pattern)}, '', 'g')))"
+
+
+def clean_line_sql(x: str) -> str:
+    """Regex bank r1-r9 + literal replaces + space collapse + strip, in the
+    reference order (text_processing.py:171-191) — the RE2 twin of
+    ``ocr_spark.functions.text.clean_line``."""
+    c = x
+    c = rf"regexp_replace({c}, '([\w]+-)[\s]([\w]+)', '\1\2', 'g')"
+    c = rf"regexp_replace({c}, '([\w]+/)\s([\w]+)', '\1\2', 'g')"
+    c = f"regexp_replace({c}, {q(R3_CLASS)}, '-', 'g')"
+    c = rf"regexp_replace({c}, '([\d]+,)\s([\d]+)', '\1\2', 'g')"
+    c = f"regexp_replace({c}, {q(chr(0xAD))}, '', 'g')"
+    c = rf"regexp_replace({c}, '(?:www|http)\S+|<\S+|\w+/*>', '', 'g')"
+    c = rf"regexp_replace({c}, '([^@]+@[^@]+\.[^@]+)', '', 'g')"
+    c = f"regexp_replace({c}, '─+', '', 'g')"
+    c = f"regexp_replace({c}, '-+', '', 'g')"
+    c = f"replace({c}, '( ă)', '(ă)')"
+    c = f"replace({c}, 'ţ', 'ț')"
+    c = f"replace({c}, 'ş', 'ș')"
+    c = f"replace({c}, 'Ţ', 'Ț')"
+    c = f"replace({c}, 'Ş', 'Ș')"
+    c = f"replace({c}, 'Ã¢', 'â')"
+    c = f"regexp_replace({c}, ' +', ' ', 'g')"
+    c = f"regexp_replace({c}, {q(STRIP)}, '', 'g')"
+    return c
+
+
+def verdicts_sql(payload: str) -> str:
+    """list<struct{orig_len,reason,cleaned}> — twin of
+    ``cleaning.line_verdicts``."""
+    stripped = (
+        f"list_transform(string_split({payload}, chr(10)), "
+        f"l -> regexp_replace(l, {q(STRIP)}, '', 'g'))"
+    )
+    alpha_c = _cnt("s", r"\p{L}")
+    digit_c = _cnt("s", r"\p{N}")
+    ascii_c = _cnt("s", r"[\x00-\x7F]")
+    measured = (
+        f"list_transform({stripped}, s -> {{"
+        f"'s': s, 'len': length(s), "
+        f"'alpha': {alpha_c}, "
+        f"'digit': {digit_c}, "
+        f"'ascii': {ascii_c}, "
+        f"'forb': regexp_matches(s, {q(FORBIDDEN_CLASS)})}})"
+    )
+    pipe_cnt = "(m['len'] - length(replace(m['s'], '|', '')))"
+    bar_cnt = "(m['len'] - length(replace(m['s'], '│', '')))"
+    reason = (
+        "case "
+        "when m['len'] < 10 then 'min_length' "
+        "when m['forb'] then 'forbidden' "
+        "when m['alpha'] = 0 or m['alpha'] / m['len'] < 0.5 then 'alpha' "
+        "when m['digit'] / m['alpha'] >= 0.7 and m['digit'] > 6 then 'numeric' "
+        "when m['ascii'] / m['alpha'] < 0.40 and m['len'] > 15 then 'non_ascii' "
+        f"when (substr(m['s'], 1, 1) = '|' and {pipe_cnt} > 2) "
+        f"  or (substr(m['s'], 1, 1) = '│' and {bar_cnt} > 2) then 'table' "
+        "end"
+    )
+    judged = (
+        f"list_transform({measured}, m -> {{"
+        f"'len': m['len'], 'reason': {reason}, "
+        f"'cleaned': case when ({reason}) is null then "
+        + clean_line_sql("m['s']")
+        + " end})"
+    )
+    # post-clean min-length re-check charges the ORIGINAL length
+    # (text_processing.py:194-196)
+    return (
+        f"list_transform({judged}, v -> {{"
+        "'orig_len': v['len'], "
+        "'reason': case when v['reason'] is null and length(v['cleaned']) < 10 "
+        "  then 'min_length' else v['reason'] end, "
+        "'cleaned': case when v['reason'] is null and length(v['cleaned']) >= 10 "
+        "  then v['cleaned'] end})"
+    )
+
+
+def clean_text_sql(verdicts: str) -> str:
+    """Twin of ``cleaning.clean_text_from_verdicts``."""
+    kept = f"list_filter({verdicts}, v -> v['reason'] is null)"
+    return (
+        f"coalesce(list_aggregate(list_transform({kept}, "
+        f"v -> v['cleaned'] || chr(10)), 'string_agg', ''), '')"
+    )
+
+
+def reason_lines_sql(verdicts: str, *codes: str) -> str:
+    inlist = ", ".join(q(c) for c in codes)
+    return f"len(list_filter({verdicts}, v -> v['reason'] in ({inlist})))"
+
+
+def reason_chars_sql(verdicts: str, *codes: str) -> str:
+    inlist = ", ".join(q(c) for c in codes)
+    return (
+        f"coalesce(list_sum(list_transform(list_filter({verdicts}, "
+        f"v -> v['reason'] in ({inlist})), v -> v['orig_len'])), 0)"
+    )
+
+
+def total_orig_sql(verdicts: str) -> str:
+    return (
+        f"coalesce(list_sum(list_transform({verdicts}, v -> v['orig_len'])), 0)"
+    )
+
+
+def total_clean_sql(verdicts: str) -> str:
+    return (
+        f"coalesce(list_sum(list_transform(list_filter({verdicts}, "
+        f"v -> v['reason'] is null), v -> length(v['cleaned']))), 0)"
+    )
+
+
+# --- quality (cer / wer / estimate_quality twins) --------------------------
+
+
+def cer_sql(ct: str) -> str:
+    """(chars in RO_CHARS)/total — same single division as the engine."""
+    kept = f"length(regexp_replace(lower({ct}), {q(NOT_RO_CLASS)}, '', 'g'))"
+    return f"({kept} / length({ct}))"
+
+
+def norm_word_sql(t: str) -> str:
+    folded = f"translate(lower({t}), {q(FOLD_SRC)}, {q(FOLD_DST)})"
+    ascii_only = rf"regexp_replace({folded}, '[^\x00-\x7f]', '', 'g')"
+    return f"regexp_replace({ascii_only}, {q(STEM_SQL)}, '\\1')"
+
+
+def counted_tokens_sql(ct: str) -> str:
+    """list<struct{tok,norm}> of wer-counted tokens — twin of
+    ``quality._counted_tokens``."""
+    toks = f"regexp_extract_all(lower({ct}), {q(TOKEN_RE)})"
+    pairs = (
+        f"list_transform({toks}, t -> "
+        f"{{'tok': t, 'norm': {norm_word_sql('t')}}})"
+    )
+    return (
+        f"list_filter({pairs}, p -> p['norm'] <> '' "
+        f"and regexp_matches(p['norm'], '[a-z]'))"
+    )

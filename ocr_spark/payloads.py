@@ -1,0 +1,58 @@
+"""Deterministic payload construction shared by the driver-contract queries
+and their DuckDB oracles.
+
+The `documents` testdata table is single-line lowercase-ASCII word soup, so
+on its own it barely exercises the cleaner (SURVEY.md §2.2-2.3 filter/regex
+banks). Each query therefore derives a multi-line *payload* from every
+document row by appending a fixed set of adversarial lines — one per filter
+F6-F11 and regex r1-r9 — built with the SAME literal constants on the Spark
+side (``payload_col``) and the DuckDB side (``payload_sql``). Both engines
+transform identical inputs, so the driver's value-hash compare verifies the
+cleaning semantics end-to-end, not just on easy text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: fixed adversarial lines. Each is annotated with the cleaner rule it must
+#: trigger (reasons per ocr_spark.operators.cleaning.REASONS; regex bank per
+#: reference text_processing.py:171-191).
+EXTRA_LINES = [
+    # r6 URL strip fires; line survives ("vezi acum da")
+    "vezi www.exemplu.ro/dosar acum da",
+    # r7 email strip consumes the whole line -> post-clean min_length drop
+    # (the double min-length check, reference text_processing.py:194-196)
+    "contact office@exemplu.ro va rog frumos acum",
+    # ascii-table filter F11: first char '|', >2 pipes
+    "|ab|ab|ab|ab|",
+    # max-numeric filter F9: alpha 10, digit 7, 7/10 >= 0.7 and 7 > 6
+    "abcdefghij 1234567",
+    # forbidden-chars filter F7 (char º, reference text_processing.py:74)
+    "acest rand contine º interzis",
+    # non-ascii filter F10: ascii/alpha = 4/16 < 0.40, len 17 > 15
+    "ααααααααααααα abc",
+    # regex bank: r1 hyphen rejoin, r3 unicode dash, r4 number-comma,
+    # r5 soft hyphen, r8 box-drawing rule, r9 hyphen runs, plus the
+    # cedilla->comma literal replacements (text_processing.py:182-187)
+    "recitiţi şedinţa Ţării Şcolii s- ar fi 1, 4% "
+    "em—dash x─────y ----- soft­hyphen gata",
+    # r2 slash rejoin
+    "LL/ AAAA pe prima pagina",
+]
+
+#: prefix that trips F5 validate_text (reference ocr_evaluation.py:43)
+OCR_SKIPPED_PREFIX = "[OCR skipped on page(s)"
+
+
+def payload_col(text: Column) -> Column:
+    """text + substr(text,1,8) (min-length drop) + the adversarial lines."""
+    parts = [text, F.substring(text, 1, 8)] + [F.lit(s) for s in EXTRA_LINES]
+    return F.concat_ws("\n", *parts)
+
+
+def payload_sql(text_expr: str = "text") -> str:
+    """Identical construction as a DuckDB SQL expression."""
+    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in EXTRA_LINES)
+    return f"concat_ws(chr(10), {text_expr}, substr({text_expr}, 1, 8), {lits})"

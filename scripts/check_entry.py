@@ -1,0 +1,133 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark at sf0.01, runs the
+matching ``oracle_sql()`` in DuckDB over the same parquet tables, and
+compares row count, schema (column names sorted), and an order-insensitive
+value hash. Use while iterating so CORRECTNESS_r{N}.json holds no surprises.
+
+    python scripts/check_entry.py [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # tolerate last-bit double drift between engines
+        return f"{v:.9g}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = "/root/testdata/sf0.01"
+    only = set(sys.argv[1:])
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("local[8]", app_name="check_entry", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    print(f"{len(qs)} queries, {len(oracles)} oracles")
+
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(rows)} rows  [{dt:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(rows) != len(orows):
+            problems.append(f"rowcount {len(rows)} vs {len(orows)}")
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"schema {sorted(cols)} vs {sorted(ocols)}")
+        if not problems:
+            h1, h2 = value_hash(cols, rows), value_hash(ocols, orows)
+            if h1 != h2:
+                problems.append(f"value-hash {h1} vs {h2}")
+                order = sorted(range(len(cols)), key=lambda i: cols[i])
+                oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                a = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+                b = sorted(
+                    "|".join(_norm_cell(r[i]) for i in oorder) for r in orows
+                )
+                for x, y in zip(a, b):
+                    if x != y:
+                        problems.append(f"  first diff:\n  spark:  {x[:300]}\n  duckdb: {y[:300]}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"ok {name}: {len(rows)} rows hash-match  [{dt:.1f}s]")
+
+    spark.stop()
+    print("FAILURES:" if n_fail else "ALL GREEN", n_fail)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
