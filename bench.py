@@ -1,0 +1,189 @@
+"""Benchmark harness (driver contract).
+
+Headline metric: **turns extracted/sec** — the full extraction plan
+(Arrow parse → native clean → native score → linear quality-gated second
+pass, ``plans/pipeline.extract``) over a deterministic synthetic
+transcripts table sized to the scale factor (BASELINE.json north rule).
+
+Two-cluster-size evidence (north rule: N vs 4N executors, efficiency
+≥ 0.8): the same job runs in fresh subprocesses pinned with
+``sched_setaffinity`` to N and 4N cores — pinning the whole process tree
+(JVM task threads, GC/JIT threads, Python workers) is the faithful
+local-mode emulation of an N-core cluster slice; without it the small run
+silently borrows the idle cores and the comparison is meaningless.
+
+Because this sandbox is a shared-host VM whose effective parallel capacity
+saturates below 32 hardware threads, the harness also runs a pure-JVM
+calibration workload (sha2 over a range) at both widths and reports
+``efficiency_normalized = efficiency / calibration_efficiency`` — the
+pipeline's scaling relative to what the machine itself can scale.
+
+Prints ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def log(*a: object) -> None:
+    print(*a, file=sys.stderr, flush=True)
+
+
+#: conversations per scale factor (heavy-tailed ⇒ ~8.7 turns/conv)
+N_CONV = {"0.001": 60, "0.01": 600, "0.1": 20000}
+CALIB_ROWS = 96_000_000
+
+
+def _transcripts_path(sf: str) -> str:
+    from ocr_spark import datagen
+
+    n = N_CONV.get(sf, 600)
+    path = f"/tmp/ocr_spark_bench/transcripts_sf{sf}_n{n}.parquet"
+    return datagen.write_parquet(path, n)
+
+
+def _pin(cpus: int) -> None:
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))
+    except (AttributeError, OSError) as e:  # non-linux fallback
+        log(f"[bench] affinity unavailable: {e}")
+
+
+def _new_spark(cpus: int):
+    from ocr_spark.session import get_spark
+
+    return get_spark(
+        f"local[{cpus}]",
+        app_name=f"ocr_spark_bench_{cpus}",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+
+def worker_extract(cpus: int, inp: str) -> None:
+    """Subprocess body: pinned extract run; prints {'turns','sec'}."""
+    _pin(cpus)
+    from ocr_spark import datagen
+    from ocr_spark.plans.pipeline import extract
+
+    vocab = datagen.vocabulary()
+    spark = _new_spark(cpus)
+    df = spark.read.parquet(inp)
+    n_turns = df.count()
+    # spread payloads evenly: turns-per-conversation is heavy-tailed (500×
+    # skew), so partition on (conv_id, turn_idx), not conv_id alone
+    df = df.repartition(cpus * 4, "conv_id", "turn_idx")
+    best = float("inf")
+    for _ in range(2):  # iter0 = warmup (JIT, codegen, Arrow init)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        extract(df, vocab).write.format("noop").mode("overwrite").save()
+        best = time.time() - t0
+    spark.stop()
+    print(json.dumps({"turns": n_turns, "sec": round(best, 3)}))
+
+
+def worker_calib(cpus: int) -> None:
+    """Subprocess body: pinned pure-JVM yardstick; prints {'sec'}."""
+    _pin(cpus)
+    from pyspark.sql import functions as F
+
+    spark = _new_spark(cpus)
+    df = spark.range(0, CALIB_ROWS, 1, cpus * 4).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("h")
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = time.time() - t0
+    spark.stop()
+    print(json.dumps({"sec": round(best, 3)}))
+
+
+def _sub(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    scaling = "--no-scaling" not in sys.argv
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ocr_spark.queries import QUERIES
+
+    inp = _transcripts_path(sf)
+
+    small = max(1, cpus // 4)
+    log(f"[bench] extract at local[{cpus}] (pinned) over {inp}")
+    big = _sub(["--worker", str(cpus), inp])
+    n_turns, dt_big = big["turns"], big["sec"]
+    tput_big = n_turns / dt_big
+    log(f"[bench] local[{cpus}]: {n_turns} turns / {dt_big:.1f}s = {tput_big:.0f} turns/s")
+
+    result = {
+        "metric": "turns_extracted_per_sec",
+        "value": round(tput_big, 1),
+        "unit": "turns/sec",
+        "queries": {},
+        "sf": float(sf),
+        "turns": n_turns,
+        "elapsed_sec": round(dt_big, 2),
+        "cpus": cpus,
+    }
+
+    if scaling:
+        log(f"[bench] extract at local[{small}] (pinned)")
+        sm = _sub(["--worker", str(small), inp])
+        tput_small = n_turns / sm["sec"]
+        eff = (tput_big / tput_small) / (cpus / small)
+        log(f"[bench] local[{small}]: {sm['sec']:.1f}s = {tput_small:.0f} turns/s; raw eff {eff:.2f}")
+        log("[bench] calibration (pure-JVM sha2, pinned)")
+        cb = _sub(["--calib", str(cpus)])
+        cs = _sub(["--calib", str(small)])
+        calib_eff = (cs["sec"] / cb["sec"]) / (cpus / small)
+        result["scaling"] = {
+            "cpus_n": small,
+            "tput_n": round(tput_small, 1),
+            "cpus_4n": cpus,
+            "tput_4n": round(tput_big, 1),
+            "efficiency": round(eff, 3),
+            "calibration_efficiency": round(calib_eff, 3),
+            "efficiency_normalized": round(eff / calib_eff, 3),
+        }
+        log(f"[bench] calib eff {calib_eff:.2f} → normalized {eff/calib_eff:.2f}")
+
+    spark = _new_spark(cpus)
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            result["queries"][name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            log(f"[bench] query {name} FAILED: {e}")
+            result["queries"][name] = -1.0
+    spark.stop()
+
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        worker_extract(int(sys.argv[i + 1]), sys.argv[i + 2])
+    elif "--calib" in sys.argv:
+        worker_calib(int(sys.argv[sys.argv.index("--calib") + 1]))
+    else:
+        raise SystemExit(main())

@@ -104,3 +104,44 @@ def tokens(col: Column) -> Column:
 
 def count_re(col: Column, pattern: str) -> Column:
     return F.regexp_count(col, F.lit(pattern))
+
+
+# ---------------------------------------------------------------------------
+# translate()-based char-class counting.
+#
+# regexp_count on a single-char class pays Java-regex Matcher overhead PER
+# CHARACTER (~3 µs) — it was the #1 hot spot of the whole pipeline. translate
+# is a single-pass table lookup; counting = length subtraction. Unicode
+# residue (chars outside ASCII) is tiny in practice, so the exact unicode
+# classes run regex only over that residue.
+# ---------------------------------------------------------------------------
+
+#: printable ASCII + common controls (chr(1)..chr(127); NUL excluded — py4j
+#: cannot ship it in a literal, and payload text never contains it)
+ASCII_CHARS = "".join(chr(i) for i in range(1, 128))
+ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_DIGITS = "0123456789"
+
+
+def drop_chars(col: Column, chars: str) -> Column:
+    return F.translate(col, chars, "")
+
+
+def non_ascii_residue(col: Column) -> Column:
+    """The string minus its ASCII chars — regex inputs shrink to ~nothing."""
+    return drop_chars(col, ASCII_CHARS)
+
+
+def count_in(col: Column, chars: str) -> Column:
+    """#chars of ``col`` that are in the literal set — one translate pass."""
+    return F.length(col) - F.length(drop_chars(col, chars))
+
+
+def count_alpha(col: Column, residue: Column) -> Column:
+    """#chars matching unicode \\p{L}: ASCII letters by translate + unicode
+    letters by regex over the (short) non-ASCII residue."""
+    return count_in(col, ASCII_LETTERS) + F.regexp_count(residue, F.lit(r"\p{L}"))
+
+
+def count_digit(col: Column, residue: Column) -> Column:
+    return count_in(col, ASCII_DIGITS) + F.regexp_count(residue, F.lit(r"\p{N}"))

@@ -38,17 +38,28 @@ def line_verdicts(text_col: Column) -> Column:
     lines = F.split(F.coalesce(text_col, F.lit("")), "\n")
     stripped = F.transform(lines, X.strip_ws)
 
-    def measure(s: Column) -> Column:
+    # stage 1 materializes the non-ASCII residue so stage 2's unicode
+    # regexes run over a near-empty string; forbidden chars are all
+    # non-ASCII (text_processing.py:74), so the rlike probes the residue
+    def pre(s: Column) -> Column:
         return F.struct(
             s.alias("s"),
             F.length(s).alias("len"),
-            X.count_re(s, r"\p{L}").alias("alpha"),
-            X.count_re(s, r"\p{N}").alias("digit"),
-            X.count_re(s, r"[\x00-\x7F]").alias("ascii"),
-            s.rlike(X.FORBIDDEN_CLASS).alias("forbidden"),
+            X.non_ascii_residue(s).alias("rem"),
         )
 
-    measured = F.transform(stripped, measure)
+    def measure(p: Column) -> Column:
+        s, rem = p["s"], p["rem"]
+        return F.struct(
+            s.alias("s"),
+            p["len"].alias("len"),
+            X.count_alpha(s, rem).alias("alpha"),
+            X.count_digit(s, rem).alias("digit"),
+            (p["len"] - F.length(rem)).alias("ascii"),
+            rem.rlike(X.FORBIDDEN_CLASS).alias("forbidden"),
+        )
+
+    measured = F.transform(F.transform(stripped, pre), measure)
 
     def verdict(m: Column) -> Column:
         pipe_cnt = m["len"] - F.length(F.replace(m["s"], F.lit("|"), F.lit("")))
@@ -83,21 +94,37 @@ def line_verdicts(text_col: Column) -> Column:
 
     judged = F.transform(measured, verdict)
 
-    def finish(v: Column) -> Column:
-        cleaned = F.when(v["reason"].isNull(), X.clean_line(v["s"]))
-        # post-clean min-length re-check charges the ORIGINAL length
-        # (text_processing.py:194-196)
-        reason = F.when(
-            v["reason"].isNull() & (F.length(cleaned) < MIN_LINE_LENGTH),
-            F.lit("min_length"),
-        ).otherwise(v["reason"])
+    # materialize `cleaned` in its own transform so the (large) regex chain
+    # runs once per line — expressions referenced twice inside one lambda
+    # body are evaluated twice, but fields of a previous transform's output
+    # array are not
+    def attach_cleaned(v: Column) -> Column:
         return F.struct(
-            v["len"].alias("orig_len"),
-            reason.alias("reason"),
-            F.when(reason.isNull(), cleaned).alias("cleaned"),
+            v["len"].alias("len"),
+            v["reason"].alias("reason"),
+            F.when(v["reason"].isNull(), X.clean_line(v["s"])).alias("cleaned"),
         )
 
-    return F.transform(judged, finish)
+    cleaned = F.transform(judged, attach_cleaned)
+
+    def finish(c: Column) -> Column:
+        # post-clean min-length re-check charges the ORIGINAL length
+        # (text_processing.py:194-196)
+        short = c["reason"].isNull() & (
+            F.length(c["cleaned"]) < MIN_LINE_LENGTH
+        )
+        return F.struct(
+            c["len"].alias("orig_len"),
+            F.when(short, F.lit("min_length")).otherwise(c["reason"]).alias(
+                "reason"
+            ),
+            F.when(
+                c["reason"].isNull() & (F.length(c["cleaned"]) >= MIN_LINE_LENGTH),
+                c["cleaned"],
+            ).alias("cleaned"),
+        )
+
+    return F.transform(cleaned, finish)
 
 
 def clean_text_from_verdicts(verdicts: Column) -> Column:
@@ -109,38 +136,78 @@ def clean_text_from_verdicts(verdicts: Column) -> Column:
     )
 
 
-def _pair(verdicts: Column, *codes: str) -> Column:
-    sel = F.filter(
-        verdicts, lambda v: v["reason"].isin(*codes)
-    )
-    lines = F.size(sel).cast("long")
-    chars = F.aggregate(
-        sel, F.lit(0).cast("long"), lambda acc, v: acc + v["orig_len"]
-    )
-    return F.array(lines, chars)
+_ACC_FIELDS = (
+    "ml_l", "ml_c", "al_l", "al_c", "nu_l", "nu_c",
+    "na_l", "na_c", "fb_l", "fb_c", "tot_o", "tot_c",
+)
 
 
 def stats_from_verdicts(verdicts: Column) -> Column:
     """struct of the reference's counters: five [lines,chars] pairs + totals
-    (text_processing.py:202-211)."""
-    kept = F.filter(verdicts, lambda v: v["reason"].isNull())
-    return F.struct(
-        _pair(verdicts, "min_length").alias("skipped_because_min_length"),
-        _pair(verdicts, "alpha").alias("skipped_alpha_count"),
-        _pair(verdicts, "numeric").alias("skipped_because_max_numeric"),
-        _pair(verdicts, "non_ascii").alias("skipped_because_max_non_ascii"),
-        _pair(verdicts, "forbidden", "table").alias(
-            "skipped_because_forbidden_chars"
-        ),
-        F.aggregate(
-            verdicts, F.lit(0).cast("long"), lambda acc, v: acc + v["orig_len"]
-        ).alias("total_original_length"),
-        F.aggregate(
-            kept,
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + F.length(v["cleaned"]),
-        ).alias("total_clean_length"),
+    (text_processing.py:202-211) — ONE aggregate pass over the verdict
+    array (12 separate filter/aggregate expressions would each re-walk it)."""
+
+    def merge(acc: Column, v: Column) -> Column:
+        def bump(lines: Column, chars: Column, cond: Column) -> list[Column]:
+            return [
+                (lines + cond.cast("long")).alias("_"),
+                (chars + F.when(cond, v["orig_len"]).otherwise(0)).alias("_"),
+            ]
+
+        r = v["reason"]
+        # NULL reason = kept line: comparisons must be null-safe or the
+        # accumulator goes NULL on the first kept line
+        parts = (
+            bump(acc["ml_l"], acc["ml_c"], r.eqNullSafe("min_length"))
+            + bump(acc["al_l"], acc["al_c"], r.eqNullSafe("alpha"))
+            + bump(acc["nu_l"], acc["nu_c"], r.eqNullSafe("numeric"))
+            + bump(acc["na_l"], acc["na_c"], r.eqNullSafe("non_ascii"))
+            + bump(
+                acc["fb_l"],
+                acc["fb_c"],
+                F.coalesce(r.isin("forbidden", "table"), F.lit(False)),
+            )
+        )
+        parts.append((acc["tot_o"] + v["orig_len"]).alias("_"))
+        parts.append(
+            (
+                acc["tot_c"]
+                + F.when(r.isNull(), F.length(v["cleaned"])).otherwise(0)
+            ).alias("_")
+        )
+        return F.struct(
+            *[c.alias(n) for c, n in zip(parts, _ACC_FIELDS)]
+        )
+
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(n) for n in _ACC_FIELDS]
     )
+
+    def finish(a: Column) -> Column:
+        return F.struct(
+            F.array(a["ml_l"], a["ml_c"]).alias("skipped_because_min_length"),
+            F.array(a["al_l"], a["al_c"]).alias("skipped_alpha_count"),
+            F.array(a["nu_l"], a["nu_c"]).alias("skipped_because_max_numeric"),
+            F.array(a["na_l"], a["na_c"]).alias("skipped_because_max_non_ascii"),
+            F.array(a["fb_l"], a["fb_c"]).alias("skipped_because_forbidden_chars"),
+            a["tot_o"].alias("total_original_length"),
+            a["tot_c"].alias("total_clean_length"),
+        )
+
+    return F.aggregate(verdicts, zero, merge, finish)
+
+
+def materialize(df: DataFrame, **exprs: Column) -> DataFrame:
+    """Append computed columns behind a generator barrier.
+
+    Catalyst's CollapseProject inlines a projected expression into every
+    downstream reference — a column referenced k times is computed k times.
+    ``inline(array(struct(...)))`` is a Generate node, which projections do
+    not collapse through, so each expression here is evaluated exactly once
+    per row regardless of fan-out. Row-local: no shuffle, no Python.
+    """
+    s = F.struct(*[e.alias(n) for n, e in exprs.items()])
+    return df.select("*", F.inline(F.array(s)))
 
 
 def with_clean_text(
@@ -149,12 +216,15 @@ def with_clean_text(
     out_col: str = "clean_text",
     stats_col: str | None = "clean_stats",
 ) -> DataFrame:
-    """Add cleaned text (and optionally the stats struct) — one projection,
-    no shuffle."""
-    df = df.withColumn("_verdicts", line_verdicts(F.col(text_col)))
-    df = df.withColumn(out_col, clean_text_from_verdicts(F.col("_verdicts")))
+    """Add cleaned text (and optionally the stats struct) — two chained
+    projections behind generator barriers, no shuffle. The verdict array
+    (the expensive part: per-line regex bank) is evaluated once, then the
+    text walk and the stats walk each read the materialized array once."""
+    df = materialize(df, _verdicts=line_verdicts(F.col(text_col)))
+    outs = {out_col: clean_text_from_verdicts(F.col("_verdicts"))}
     if stats_col:
-        df = df.withColumn(stats_col, stats_from_verdicts(F.col("_verdicts")))
+        outs[stats_col] = stats_from_verdicts(F.col("_verdicts"))
+    df = materialize(df, **outs)
     return df.drop("_verdicts")
 
 

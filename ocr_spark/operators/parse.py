@@ -48,3 +48,30 @@ def with_parsed(
                              parsed.reset_index(drop=True)], axis=1)
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def with_conditional_reparse(
+    df: DataFrame, cond_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Second-pass parse for flagged rows only, in place (schema unchanged).
+
+    The quality-gated retry (H6, ocr_worker.py:214-222) as ONE linear Arrow
+    stage: rows with ``cond_col`` true are re-parsed from the raw payload
+    with noise stripping (the force-rotate analog); everything else streams
+    through untouched. No cache, no union, no second scan — the redo cost is
+    proportional to the flagged fraction, and the plan stays a single DAG
+    (which also keeps it usable under Structured Streaming).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf[cond_col].fillna(False).astype(bool)
+            if mask.any():
+                res = _parse_batch(pdf.loc[mask, text_col], second_pass=True)
+                pdf = pdf.copy()
+                for c in ParseCols:
+                    pdf[c] = pdf[c].astype(object)
+                    pdf.loc[mask, c] = res[c]
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ocr_spark import pyclean
 from ocr_spark.functions import text as X
 
 MIN_QUALITY = 77.0  # reference app/config.py:17
@@ -37,10 +38,19 @@ def validate_text(col: Column) -> Column:
     )
 
 
+#: RO_CHARS as a translate() deletion set (unique chars, NUL-free)
+_RO_SET = "".join(sorted(set(pyclean.RO_CHARS)))
+
+
 def cer(col: Column) -> Column:
-    """Fraction of chars of lower(text) inside RO_CHARS (ocr_evaluation.py:50-57)."""
+    """Fraction of chars of lower(text) inside RO_CHARS (ocr_evaluation.py:50-57).
+
+    Counted by translate()-deletion (single pass) — regexp_count with the
+    whitelist class paid Java-regex overhead per char and dominated the
+    whole pipeline profile.
+    """
     total = F.length(col)
-    bad = F.regexp_count(F.lower(col), F.lit(X.NOT_RO_CLASS))
+    bad = F.length(F.translate(F.lower(col), _RO_SET, ""))
     # empty text never reaches cer in the reference (validate_text guards it,
     # ocr_evaluation.py:88); NULL here keeps ANSI mode happy when cer is
     # projected standalone
@@ -66,14 +76,17 @@ def wer(col: Column, vocab: list[str]) -> Column:
     """Vocabulary hit-rate with an inline literal vocab (ocr_evaluation.py:60-82).
 
     ``correct / (counted + 1)`` — the +1 replicates ``all_words = 1``.
+
+    Membership uses ``isin`` (Catalyst compiles ≥10 items to a hash-set
+    InSet, O(1) per probe) — ``array_contains`` on a literal array would
+    scan all |vocab| entries per token.
     """
-    vlit = F.lit(list(vocab))
+    words = list(vocab)
     counted = _counted_tokens(col)
     correct = F.size(
         F.filter(
             counted,
-            lambda p: F.array_contains(vlit, p["norm"])
-            | F.array_contains(vlit, p["tok"]),
+            lambda p: p["norm"].isin(words) | p["tok"].isin(words),
         )
     )
     return correct / (F.size(counted) + 1)
@@ -115,14 +128,23 @@ def wer_join(
     ``vocab_df`` must have a single column ``word``.
     """
     base = df.select(*key_cols, F.col(text_col).alias("_t"))
-    toks = base.select(
-        *key_cols, F.explode(_counted_tokens(F.col("_t"))).alias("p")
-    ).select(*key_cols, F.col("p.tok").alias("tok"), F.col("p.norm").alias("norm"))
+    # raw tokens only — the frozen stemmer + membership checks run on the
+    # DISTINCT token dimension below (the P6 rule, SURVEY.md §2.3: normalize
+    # distinct words, join back), so the regex cost is O(|vocabulary|), not
+    # O(corpus tokens)
+    toks = base.select(*key_cols, F.explode(X.tokens(F.col("_t"))).alias("tok"))
     v = F.broadcast(vocab_df.select(F.col("word")).distinct())
-    # a token counts once even if both forms hit → mark membership with two
-    # broadcast left joins, then OR the marks
-    marked = (
-        toks.join(
+    # distinct-token dim: counted? + hit? (a token counts once even if both
+    # its raw and normalized form are in the vocabulary)
+    tok_dim = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("norm", X.normalize_word(F.col("tok")))
+        .withColumn(
+            "_counted",
+            ((F.col("norm") != "") & F.col("norm").rlike("[a-z]")).cast("int"),
+        )
+        .join(
             v.select(F.col("word").alias("norm"), F.lit(1).alias("_hn")),
             "norm",
             "left",
@@ -132,10 +154,18 @@ def wer_join(
             "tok",
             "left",
         )
-        .withColumn("_hit", (F.col("_hn").isNotNull() | F.col("_ht").isNotNull()).cast("int"))
+        .select(
+            "tok",
+            "_counted",
+            (
+                (F.col("_hn").isNotNull() | F.col("_ht").isNotNull())
+                & (F.col("_counted") == 1)
+            ).cast("int").alias("_hit"),
+        )
     )
+    marked = toks.join(F.broadcast(tok_dim), "tok")
     agg = marked.groupBy(*key_cols).agg(
-        F.sum("_hit").alias("_correct"), F.count("*").alias("_counted")
+        F.sum("_hit").alias("_correct"), F.sum("_counted").alias("_counted")
     )
     return (
         df.join(agg, key_cols, "left")

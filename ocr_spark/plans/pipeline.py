@@ -39,21 +39,60 @@ def _one_pass(df: DataFrame, vocab: list[str], second_pass: bool) -> DataFrame:
 
 def extract(df: DataFrame, vocab: list[str]) -> DataFrame:
     """Transcripts → extracted rows (keeps all input columns and adds
-    kind/parse flags, clean_text, clean_stats, quality, passes, status)."""
+    kind/parse flags, clean_text, clean_stats, quality, passes, status).
+
+    ONE linear DAG: parse → clean → score → conditional in-place re-parse
+    of quality-gated rows (ocr_worker.py:214-222 analog) → lazy ``when()``
+    re-clean/re-score of exactly those rows. No cache, no union, no second
+    scan of the input — an earlier persist+filter+union formulation cost
+    2× wall clock and broke linear scaling.
+    """
     first = _one_pass(df, vocab, second_pass=False)
-    # quality-gated selective second pass (ocr_worker.py:214-222): only
-    # parse-ok rows under the gate are redone, from the raw payload
-    needs_redo = F.col("parse_ok") & (F.col("quality") < MIN_QUALITY)
-    good = first.filter(~needs_redo)
-    redo_input = first.filter(needs_redo).drop(*_DERIVED)
-    redone = _one_pass(redo_input, vocab, second_pass=True)
-    merged = good.unionByName(redone)
+    first = first.withColumn(
+        "_redo", F.col("parse_ok") & (F.col("quality") < MIN_QUALITY)
+    )
+    # the pass-1 block text is only needed to re-clean redo rows; nulling it
+    # for the rest keeps it out of the Arrow round-trip of the redo stage
+    first = first.withColumn(
+        "extracted", F.when(F.col("_redo"), F.col("extracted"))
+    )
+    redone = parse_op.with_conditional_reparse(first, "_redo", text_col="text")
+
+    redo = F.col("_redo")
+    redone = cleaning.materialize(
+        redone,
+        _v2=F.when(redo, cleaning.line_verdicts(F.col("extracted"))),
+    )
+    redone = cleaning.materialize(
+        redone,
+        _c2=F.when(redo, cleaning.clean_text_from_verdicts(F.col("_v2"))),
+        _s2=F.when(redo, cleaning.stats_from_verdicts(F.col("_v2"))),
+    )
+    redone = cleaning.materialize(
+        redone,
+        _q2=F.when(redo, quality_op.estimate_quality(F.col("_c2"), vocab)),
+    )
     status = (
         F.when(~F.col("parse_ok"), "parse_failed")
         .when(F.col("parse_warn"), "extracted_warn")
         .otherwise("extracted")
     )
-    return merged.withColumn("status", status)
+    return (
+        redone.withColumn(
+            "clean_text", F.when(redo, F.col("_c2")).otherwise(F.col("clean_text"))
+        )
+        .withColumn(
+            "clean_stats", F.when(redo, F.col("_s2")).otherwise(F.col("clean_stats"))
+        )
+        .withColumn(
+            "quality", F.when(redo, F.col("_q2")).otherwise(F.col("quality"))
+        )
+        .withColumn("passes", F.when(redo, 2).otherwise(1))
+        .withColumn("status", status)
+        # `extracted` (raw block text) is pass-internal; clean_text is the
+        # product (the reference's dump_text analog, ocr_service.py:148-151)
+        .drop("_redo", "_v2", "_c2", "_s2", "_q2", "extracted")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,11 @@ from ocr_spark.operators import cleaning, quality
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the documents parquet is one small file = one scan partition; spread it
+    # so the (expensive, embarrassingly parallel) payload expressions use
+    # every core — on a cluster this is the initial salted repartition
+    n = spark.sparkContext.defaultParallelism * 2
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n)
 
 
 def _with_payload(df: DataFrame) -> DataFrame:
@@ -164,7 +168,11 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = _with_payload(docs)
     df = cleaning.with_clean_text(df, text_col="payload", stats_col=None)
-    df = df.filter(F.length("clean_text") > 0)
+    df = df.filter(F.length("clean_text") > 0).select("doc_id", "clean_text")
+    # materialization barrier: cer, the token explode, and the join-back all
+    # reuse clean_text — without it Catalyst inlines the (large) cleaning
+    # expression into each consumer and evaluates it three times
+    df = df.persist()
     df = df.withColumn("cer", quality.cer(F.col("clean_text")))
     df = quality.wer_join(df, vocab_df, ["doc_id"], text_col="clean_text")
     qual = (F.col("cer") + F.col("wer")) / 2 * 100

@@ -43,7 +43,7 @@ def get_spark(
         #  ocr_service.py:40-41 — here the bound is memory, not time)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
