@@ -1,0 +1,141 @@
+"""Aho-Corasick keyword scan — the large-dimension variant of
+``operators.matching.with_keyword_spans``.
+
+The native path builds one split+aggregate expression per keyword: ideal
+for O(10¹-10²) keywords, linear in dim size. The reference's production
+dim is 365 phrases (nlp/resources/keywords.txt; tests/test_ocr_worker.py:50)
+and real deployments grow far past that — this stage matches ALL keywords
+in ONE pass over the text with an Aho-Corasick automaton executed inside an
+Arrow ``mapInPandas`` batch (the J2 fallback called out in SURVEY.md §2.6).
+
+The automaton is built once per executor process and cached by keyword-set
+hash (the init-once pattern — reference loads its models at module level,
+doc_analysis.py:48); with ``spark.python.worker.reuse`` (default) the build
+cost amortizes over the executor lifetime. Output contract and greedy-dedup
+semantics are identical to the native path (pymatch frozen spec), enforced
+by parity tests.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ocr_spark import pymatch
+from ocr_spark.schemas import SPAN
+
+
+class AhoCorasick:
+    """Classic goto/fail/output automaton over lowercase keyword strings."""
+
+    def __init__(self, keywords: list[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[str]] = [[]]
+        self.fail: list[int] = [0]
+        for kw in keywords:
+            self._insert(kw)
+        self._build_links()
+
+    def _insert(self, kw: str) -> None:
+        s = 0
+        for ch in kw:
+            nxt = self.goto[s].get(ch)
+            if nxt is None:
+                self.goto.append({})
+                self.out.append([])
+                self.fail.append(0)
+                nxt = len(self.goto) - 1
+                self.goto[s][ch] = nxt
+            s = nxt
+        self.out[s].append(kw)
+
+    def _build_links(self) -> None:
+        q: deque[int] = deque()
+        for s in self.goto[0].values():
+            self.fail[s] = 0
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0)
+                self.out[s] = self.out[s] + self.out[self.fail[s]]
+
+    def matches(self, text: str) -> Iterator[tuple[int, int, str]]:
+        """Yield (start, end, keyword) for every occurrence."""
+        s = 0
+        for i, ch in enumerate(text):
+            while s and ch not in self.goto[s]:
+                s = self.fail[s]
+            s = self.goto[s].get(ch, 0)
+            for kw in self.out[s]:
+                yield i + 1 - len(kw), i + 1, kw
+
+
+_WORDCHAR = pymatch._WORD
+
+
+def _is_word(ch: str) -> bool:
+    return bool(_WORDCHAR.fullmatch(ch))
+
+
+_AC_CACHE: dict[tuple[str, ...], AhoCorasick] = {}
+
+
+def _automaton(keywords: tuple[str, ...]) -> AhoCorasick:
+    ac = _AC_CACHE.get(keywords)
+    if ac is None:
+        ac = AhoCorasick(list(keywords))
+        _AC_CACHE[keywords] = ac
+    return ac
+
+
+def scan_text(text: str, keywords: tuple[str, ...]) -> list[pymatch.Span]:
+    """Word-boundary case-insensitive spans via one automaton pass, greedy
+    dedup per the frozen J7 spec. Falls back to the per-keyword regex path
+    for the rare text whose lower() changes length (offset safety)."""
+    if not text:
+        return []
+    low = text.lower()
+    if len(low) != len(text):
+        return pymatch.dedup_spans(pymatch.find_spans(text, list(keywords)))
+    spans = []
+    n = len(low)
+    for st, en, kw in _automaton(keywords).matches(low):
+        if st > 0 and _is_word(low[st - 1]):
+            continue
+        if en < n and _is_word(low[en]):
+            continue
+        spans.append(pymatch.Span(kw, st, en))
+    return pymatch.dedup_spans(spans)
+
+
+def with_keyword_spans_ac(
+    df: DataFrame,
+    keywords: list[str],
+    text_col: str = "clean_text",
+    out_col: str = "spans",
+) -> DataFrame:
+    """Arrow-batched spans column, same contract as the native operator."""
+    kws = tuple(sorted({k.strip().lower() for k in keywords if k.strip()}))
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(SPAN))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                [s._asdict() for s in scan_text(t or "", kws)]
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

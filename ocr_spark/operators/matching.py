@@ -1,0 +1,242 @@
+"""Keyword/span matching — the reference's highlighting stage
+(doc_analysis.py) as native Catalyst dataflow.
+
+* ``with_keyword_spans``: J2 substring matching (PhraseMatcher LOWER analog,
+  doc_analysis.py:168-178) with **char-span offsets** computed natively: the
+  text is split on a word-boundary pattern per keyword and offsets are
+  rebuilt with one ``aggregate`` cumulative-sum pass — no UDF, no shuffle,
+  no regex-with-offsets primitive needed. Char spans are the bbox analog
+  (J6, SURVEY.md §1.3): our tokenizer emits offsets directly, so no
+  token-alignment step exists.
+* ``dedup_spans_col``: J7 greedy longest-first non-overlap selection
+  (doc_analysis.py:177; frozen spec per pymatch.dedup_spans).
+* ``match_token_seq``: J2 LEMMA-attr analog — token-sequence matching on
+  the frozen normalization, as ONE broadcast join + ONE aggregation
+  ("anchor join": token t at position p matching keyword token k at offset
+  j votes for anchor p-j; an anchor with klen votes is a match).
+* ``highlight_rollup`` / ``with_doc_statistics``: A7/A6 rollups
+  (doc_analysis.py:294-307).
+
+Scale: spans/dedup/statistics are row-local projections (zero shuffle);
+token matching shuffles once (the anchor aggregation); the keyword dim
+is broadcast. For dims far beyond ~10² keywords, swap the per-keyword
+split expressions for the Arrow Aho-Corasick stage in
+``ocr_spark.operators.ac_scan`` (same output contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark import pymatch
+from ocr_spark.functions import text as X
+from ocr_spark.schemas import SPAN
+
+_SPAN_ARR = T.ArrayType(SPAN)
+
+_JAVA_META = set("\\.[]{}()*+-?^$|")
+
+
+def _quote(kw: str) -> str:
+    """Escape a literal for Java regex (Pattern.quote without \\Q tricks)."""
+    return "".join(("\\" + c) if c in _JAVA_META else c for c in kw)
+
+
+def spans_for_keyword(text: Column, kw: str) -> Column:
+    """array<struct<keyword,start,end>> of word-boundary case-insensitive
+    matches, 0-based [start,end) char offsets.
+
+    split() drops the matches; the aggregate rebuilds each match position
+    as (cumulative part lengths) + (#prior matches × keyword length) —
+    valid because a case-insensitive literal match has the keyword's exact
+    char length.
+    """
+    pat = r"(?iU)\b" + _quote(kw) + r"\b"
+    L = len(kw)
+    parts = F.split(text, pat, -1)
+    heads = F.slice(parts, 1, F.size(parts) - 1)
+    zero = F.struct(
+        F.lit(0).alias("pos"),
+        F.array().cast("array<int>").alias("starts"),
+    )
+
+    def merge(acc: Column, p: Column) -> Column:
+        st = acc["pos"] + F.length(p)
+        return F.struct(
+            (st + L).alias("pos"), F.array_append(acc["starts"], st).alias("starts")
+        )
+
+    starts = F.aggregate(heads, zero, merge, lambda a: a["starts"])
+    return F.transform(
+        starts,
+        lambda st: F.struct(
+            F.lit(kw).alias("keyword"),
+            st.alias("start"),
+            (st + L).alias("end"),
+        ),
+    )
+
+
+def all_keyword_spans(text: Column, keywords: list[str]) -> Column:
+    """Concatenated span arrays over the keyword dim (blank-stripped +
+    deduped, doc_analysis.py:152-156)."""
+    kws = sorted({k.strip().lower() for k in keywords if k.strip()})
+    if not kws:
+        return F.array().cast(_SPAN_ARR)
+    return F.concat(*[spans_for_keyword(text, k) for k in kws])
+
+
+def dedup_spans_col(spans: Column) -> Column:
+    """Greedy longest-first non-overlap selection (J7) as one aggregate:
+    sort by (length desc, start asc, keyword), scan keeping each span that
+    overlaps nothing already kept, then re-sort by position."""
+    ordered = F.sort_array(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                (s["start"] - s["end"]).alias("nlen"),
+                s["start"].alias("start"),
+                s["keyword"].alias("keyword"),
+                s["end"].alias("end"),
+            ),
+        )
+    )
+    zero = F.array().cast(_SPAN_ARR)
+
+    def merge(acc: Column, s: Column) -> Column:
+        clash = F.exists(
+            acc, lambda k: ~((s["end"] <= k["start"]) | (s["start"] >= k["end"]))
+        )
+        return F.when(clash, acc).otherwise(
+            F.array_append(
+                acc,
+                F.struct(
+                    s["keyword"].alias("keyword"),
+                    s["start"].alias("start"),
+                    s["end"].alias("end"),
+                ),
+            )
+        )
+
+    kept = F.aggregate(ordered, zero, merge)
+    return F.array_sort(
+        kept,
+        lambda a, b: F.when(a["start"] != b["start"], a["start"] - b["start"])
+        .when(a["end"] != b["end"], a["end"] - b["end"])
+        .when(a["keyword"] < b["keyword"], -1)
+        .when(a["keyword"] > b["keyword"], 1)
+        .otherwise(0),
+    )
+
+
+def with_keyword_spans(
+    df: DataFrame,
+    keywords: list[str],
+    text_col: str = "clean_text",
+    out_col: str = "spans",
+    dedup: bool = True,
+) -> DataFrame:
+    from ocr_spark.operators.cleaning import materialize
+
+    raw = all_keyword_spans(F.col(text_col), keywords)
+    df = materialize(df, _raw_spans=raw)
+    out = (
+        dedup_spans_col(F.col("_raw_spans")) if dedup else F.col("_raw_spans")
+    )
+    return materialize(df, **{out_col: out}).drop("_raw_spans")
+
+
+# ---------------------------------------------------------------------------
+# token-sequence matching (J2 LEMMA analog) — anchor join
+# ---------------------------------------------------------------------------
+
+
+def keyword_token_dim(spark, keywords: list[str]) -> DataFrame:
+    """(keyword, kpos, ktok, klen) — normalized token sequences of the
+    (variant-expanded) keyword dim; built driver-side, broadcast at join."""
+    rows = []
+    for kw in sorted({k.strip().lower() for k in keywords if k.strip()}):
+        ktoks = [
+            pymatch.normalize_word(t)
+            for t in pymatch._WORD.findall(kw.lower())
+        ]
+        ktoks = [t for t in ktoks]
+        for i, t in enumerate(ktoks):
+            rows.append((kw, i, t, len(ktoks)))
+    schema = "keyword string, kpos int, ktok string, klen int"
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def match_token_seq(
+    df: DataFrame,
+    keywords: list[str],
+    key_cols: list[str],
+    text_col: str = "clean_text",
+) -> DataFrame:
+    """(key..., keyword, n_matches) via the anchor join: one broadcast hash
+    join tokens×keyword-tokens, one aggregation. Scales as O(corpus tokens);
+    the keyword dim rides broadcast."""
+    spark = df.sparkSession
+    kdim = keyword_token_dim(spark, keywords)
+    toks = df.select(
+        *key_cols, F.posexplode(X.tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    # normalize on the DISTINCT token dim (P6 rule), then map back
+    norm_dim = (
+        toks.select("tok").distinct().withColumn("norm", X.normalize_word(F.col("tok")))
+    )
+    toks = toks.join(F.broadcast(norm_dim), "tok")
+    hits = toks.join(F.broadcast(kdim), toks["norm"] == kdim["ktok"])
+    anchors = (
+        hits.withColumn("anchor", F.col("pos") - F.col("kpos"))
+        .groupBy(*key_cols, "keyword", "klen", "anchor")
+        .agg(F.count_distinct("kpos").alias("nhit"))
+        .filter(F.col("nhit") == F.col("klen"))
+    )
+    return anchors.groupBy(*key_cols, "keyword").agg(
+        F.count("*").alias("n_matches")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollups (A6 / A7)
+# ---------------------------------------------------------------------------
+
+
+def highlight_rollup(
+    df: DataFrame, key_cols: list[str], spans_col: str = "spans"
+) -> DataFrame:
+    """Per-key highlight metadata (doc_analysis.py:298-307):
+    array<struct<keyword, occs:array<struct<start,end>>, total_occs>>."""
+    ex = df.select(*key_cols, F.explode(F.col(spans_col)).alias("s"))
+    per_kw = ex.groupBy(*key_cols, F.col("s.keyword").alias("keyword")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("s.start"), F.col("s.end")))
+        ).alias("occs"),
+        F.count("*").alias("total_occs"),
+    )
+    return per_kw.groupBy(*key_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct("keyword", "occs", "total_occs"))
+        ).alias("highlight_metadata")
+    )
+
+
+def with_doc_statistics(
+    df: DataFrame, text_col: str = "clean_text", spans_col: str = "spans"
+) -> DataFrame:
+    """A6 statistics struct (doc_analysis.py:294-297) — row-local."""
+    spans = F.col(spans_col)
+    return df.withColumn(
+        "statistics",
+        F.struct(
+            F.size(X.tokens(F.col(text_col))).alias("num_wds"),
+            F.length(F.col(text_col)).alias("num_chars"),
+            F.size(spans).alias("num_kwds"),
+            F.size(
+                F.array_distinct(F.transform(spans, lambda s: s["keyword"]))
+            ).alias("num_unq_kwds"),
+        ),
+    )

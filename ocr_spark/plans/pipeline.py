@@ -37,7 +37,9 @@ def _one_pass(df: DataFrame, vocab: list[str], second_pass: bool) -> DataFrame:
     return scored.withColumn("passes", F.lit(2 if second_pass else 1))
 
 
-def extract(df: DataFrame, vocab: list[str]) -> DataFrame:
+def extract(
+    df: DataFrame, vocab: list[str], keywords: list[str] | None = None
+) -> DataFrame:
     """Transcripts → extracted rows (keeps all input columns and adds
     kind/parse flags, clean_text, clean_stats, quality, passes, status).
 
@@ -77,7 +79,7 @@ def extract(df: DataFrame, vocab: list[str]) -> DataFrame:
         .when(F.col("parse_warn"), "extracted_warn")
         .otherwise("extracted")
     )
-    return (
+    out = (
         redone.withColumn(
             "clean_text", F.when(redo, F.col("_c2")).otherwise(F.col("clean_text"))
         )
@@ -93,6 +95,16 @@ def extract(df: DataFrame, vocab: list[str]) -> DataFrame:
         # product (the reference's dump_text analog, ocr_service.py:148-151)
         .drop("_redo", "_v2", "_c2", "_s2", "_q2", "extracted")
     )
+    if keywords:
+        # char-span offsets per turn (the north-star output contract);
+        # row-local: spans + greedy dedup + statistics add no shuffle
+        from ocr_spark.operators import matching
+
+        out = matching.with_keyword_spans(
+            out, keywords, text_col="clean_text", out_col="spans"
+        )
+        out = matching.with_doc_statistics(out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +214,7 @@ def run_incremental(
     vocab: list[str],
     run_id: str,
     metrics_path: str | None = None,
+    keywords: list[str] | None = None,
 ) -> int:
     """One availableNow-style incremental batch (C1-C3 analog): process only
     turns absent from the results table, append, return rows written.
@@ -216,7 +229,11 @@ def run_incremental(
         except Exception:
             existing = None
     todo = unprocessed(inp, existing)
-    out = extract(todo, vocab).withColumn("run_id", F.lit(run_id)).persist()
+    out = (
+        extract(todo, vocab, keywords=keywords)
+        .withColumn("run_id", F.lit(run_id))
+        .persist()
+    )
     try:
         n = out.count()
         if n:

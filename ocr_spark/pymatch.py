@@ -1,0 +1,98 @@
+"""Single-process spec for keyword/span matching — the reference's
+keyword-highlighting stage (doc_analysis.py) re-specified for text spans.
+
+Covers, with frozen deterministic semantics:
+
+* variant expansion (J3/J4/U3 — doc_analysis.py:100-110,113-134): keyword →
+  {raw, diacritic-folded, normalized} variant strings (synonym lookup via
+  RoWordNet is model data we do not ship; the variant *mechanism* is what
+  is re-built);
+* substring span matching with word boundaries (J2 MVP — the PhraseMatcher
+  LOWER-attr analog, doc_analysis.py:168-178), emitting char-span offsets
+  (the bbox analog per SURVEY.md §1.3 / J6);
+* token-sequence matching on normalized tokens (J2 LEMMA-attr analog,
+  via the frozen stemmer of pyclean.normalize_word);
+* greedy span dedup (J7 — doc_analysis.py:177). Frozen spec: sort by
+  (length desc, start asc), keep a span iff it overlaps NO already-kept
+  span (full interval check; spaCy's filter_spans only tests endpoints —
+  we freeze the stricter, order-independent behavior, SURVEY.md §7.3);
+* highlight rollup + doc statistics (A6/A7 — doc_analysis.py:294-307).
+
+This module is the test oracle; the distributed twins live in
+``ocr_spark.operators.matching``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+from ocr_spark.pyclean import normalize_word, remove_diacritics
+
+
+class Span(NamedTuple):
+    keyword: str
+    start: int
+    end: int
+
+
+def expand_variants(keyword: str) -> list[str]:
+    """Ordered distinct variants: raw (lowered), diacritic-folded, normalized
+    per-token (doc_analysis.py:100-110 mechanism)."""
+    kw = keyword.strip().lower()
+    out: list[str] = []
+    for v in (
+        kw,
+        remove_diacritics(kw),
+        " ".join(normalize_word(t) for t in kw.split()),
+    ):
+        if v and v not in out:
+            out.append(v)
+    return out
+
+
+_WORD = re.compile(r"[\w]+", re.UNICODE)
+
+
+def find_spans(text: str, keywords: list[str]) -> list[Span]:
+    """All word-boundary case-insensitive occurrences of each keyword, as
+    0-based [start, end) char offsets into ``text``."""
+    spans: list[Span] = []
+    for kw in keywords:
+        if not kw:
+            continue
+        pat = re.compile(r"\b" + re.escape(kw) + r"\b", re.IGNORECASE)
+        for m in pat.finditer(text):
+            spans.append(Span(kw, m.start(), m.end()))
+    return spans
+
+
+def dedup_spans(spans: list[Span]) -> list[Span]:
+    """Greedy longest-first non-overlapping selection (frozen J7 spec)."""
+    kept: list[Span] = []
+    for s in sorted(spans, key=lambda s: (-(s.end - s.start), s.start, s.keyword)):
+        if all(s.end <= k.start or s.start >= k.end for k in kept):
+            kept.append(s)
+    return sorted(kept, key=lambda s: (s.start, s.end, s.keyword))
+
+
+def match_token_seq(text: str, keyword: str) -> int:
+    """#occurrences of the keyword's normalized token sequence inside the
+    text's normalized token stream (J2 LEMMA analog)."""
+    toks = [normalize_word(t) for t in _WORD.findall(text.lower())]
+    ktoks = [normalize_word(t) for t in _WORD.findall(keyword.lower())]
+    if not ktoks:
+        return 0
+    n, k = len(toks), len(ktoks)
+    return sum(1 for i in range(n - k + 1) if toks[i : i + k] == ktoks)
+
+
+def doc_statistics(text: str, spans: list[Span]) -> dict:
+    """A6 counters (doc_analysis.py:294-297): words, chars, keyword matches,
+    distinct keywords."""
+    return {
+        "num_wds": len(_WORD.findall(text)),
+        "num_chars": len(text),
+        "num_kwds": len(spans),
+        "num_unq_kwds": len({s.keyword for s in spans}),
+    }

@@ -338,6 +338,176 @@ from g group by user_id
 
 
 # --------------------------------------------------------------------------
+# M4 — keyword/span matching (J2/J3/J7, A6/A7)
+# --------------------------------------------------------------------------
+
+#: keyword dim in the documents-table vocabulary (single- and multi-token,
+#: overlapping pairs so greedy dedup has work to do)
+DOC_KEYWORDS = ["table", "window", "scan", "hash", "table scan", "hash join"]
+
+
+def _kw_list_sql() -> str:
+    items = ", ".join(O.q(k) for k in sorted(DOC_KEYWORDS))
+    return f"(select unnest([{items}]) as keyword)"
+
+
+def q_kw_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-keyword corpus stats via broadcast keyword dim × native
+    word-boundary regexp_count (J2 counts; A7 global rollup)."""
+    docs = _docs(spark, sf_dir)
+    kdim = spark.createDataFrame(
+        [(k,) for k in sorted(DOC_KEYWORDS)], "keyword string"
+    )
+    from ocr_spark.operators.matching import _quote
+
+    cnt = F.regexp_count(
+        F.col("text"),
+        F.concat(F.lit(r"\b"), F.regexp_replace(F.col("keyword"), r"([\\.\[\]{}()*+?^$|-])", r"\\$1"), F.lit(r"\b")),
+    )
+    _ = _quote  # keywords here are word chars + space; dynamic escape above
+    hits = docs.crossJoin(F.broadcast(kdim)).withColumn("cnt", cnt)
+    return hits.groupBy("keyword").agg(
+        F.sum((F.col("cnt") > 0).cast("long")).alias("n_docs"),
+        F.sum("cnt").cast("long").alias("n_occs"),
+    )
+
+
+SQL_KW_COUNTS = f"""
+select keyword,
+  cast(sum(case when cnt > 0 then 1 else 0 end) as bigint) as n_docs,
+  cast(sum(cnt) as bigint) as n_occs
+from (
+  select keyword, len(regexp_extract_all(text, '\\b' || keyword || '\\b')) as cnt
+  from documents, {_kw_list_sql()}
+) group by keyword
+"""
+
+
+def q_kw_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-span offsets per occurrence — the split+aggregate cumulative-sum
+    offset reconstruction (no regex-with-offsets primitive needed)."""
+    from ocr_spark.operators.matching import with_keyword_spans
+
+    docs = _docs(spark, sf_dir)
+    out = with_keyword_spans(docs, DOC_KEYWORDS, text_col="text", dedup=False)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.keyword", "s.start", "s.end"
+    )
+
+
+SQL_KW_SPANS = f"""
+select doc_id, keyword, i - 1 as start, i - 1 + length(keyword) as "end"
+from documents, {_kw_list_sql()},
+     unnest(range(1, length(text) - length(keyword) + 2)) as g(i)
+where substr(text, i, length(keyword)) = keyword
+  and (i = 1 or not regexp_matches(substr(text, i - 1, 1), '[a-z0-9_]'))
+  and (i + length(keyword) > length(text)
+       or not regexp_matches(substr(text, i + length(keyword), 1), '[a-z0-9_]'))
+"""
+
+
+def q_kw_spans_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-first non-overlap selection (J7). Not SQL-expressible
+    (iterative greedy scan) → rows-only check; parity vs the frozen pymatch
+    spec is enforced by tests/test_matching.py."""
+    from ocr_spark.operators.matching import with_keyword_spans
+
+    docs = _docs(spark, sf_dir)
+    out = with_keyword_spans(docs, DOC_KEYWORDS, text_col="text", dedup=True)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.keyword", "s.start", "s.end"
+    )
+
+
+def q_kw_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sequence matching on normalized tokens (J2 LEMMA analog) via
+    the anchor join: broadcast keyword-token dim, one aggregation."""
+    from ocr_spark.operators.matching import match_token_seq
+
+    docs = _docs(spark, sf_dir)
+    return match_token_seq(docs, DOC_KEYWORDS, ["doc_id"], text_col="text")
+
+
+def _sql_kw_token_match() -> str:
+    from ocr_spark import pymatch
+
+    toks_expr = (
+        "list_transform(regexp_extract_all(lower(text), "
+        f"{O.q(O.TOKEN_RE)}), t -> {O.norm_word_sql('t')})"
+    )
+    parts = []
+    for kw in sorted({k.strip().lower() for k in DOC_KEYWORDS if k.strip()}):
+        ktoks = [
+            pymatch.normalize_word(t) for t in pymatch._WORD.findall(kw)
+        ]
+        m = len(ktoks)
+        cond = " and ".join(
+            f"toks[i + {j}] = {O.q(t)}" for j, t in enumerate(ktoks)
+        )
+        parts.append(
+            f"select doc_id, {O.q(kw)} as keyword, "
+            f"cast(len(list_filter(range(1, len(toks) - {m} + 2), "
+            f"i -> {cond})) as bigint) as n_matches from t"
+        )
+    body = " union all ".join(parts)
+    return (
+        f"with t as (select doc_id, {toks_expr} as toks from documents) "
+        f"select * from ({body}) where n_matches > 0"
+    )
+
+
+def q_kw_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened highlight rollup (A7): per (doc, keyword) occurrence count
+    + first offset."""
+    s = q_kw_spans(spark, sf_dir)
+    return s.groupBy("doc_id", "keyword").agg(
+        F.count("*").alias("total_occs"),
+        F.min("start").cast("long").alias("first_start"),
+    )
+
+
+SQL_KW_ROLLUP = f"""
+with s as ({SQL_KW_SPANS})
+select doc_id, keyword, count(*) as total_occs,
+  cast(min(start) as bigint) as first_start
+from s group by doc_id, keyword
+"""
+
+
+def q_kw_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 statistics counters per document (doc_analysis.py:294-297)."""
+    from ocr_spark.operators.matching import (
+        with_doc_statistics,
+        with_keyword_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = with_keyword_spans(docs, DOC_KEYWORDS, text_col="text", dedup=False)
+    out = with_doc_statistics(out, text_col="text", spans_col="spans")
+    return out.select(
+        "doc_id",
+        F.col("statistics.num_wds").cast("long").alias("num_wds"),
+        F.col("statistics.num_chars").cast("long").alias("num_chars"),
+        F.col("statistics.num_kwds").cast("long").alias("num_kwds"),
+        F.col("statistics.num_unq_kwds").cast("long").alias("num_unq_kwds"),
+    )
+
+
+SQL_KW_STATISTICS = f"""
+with s as ({SQL_KW_SPANS})
+select d.doc_id,
+  cast(len(regexp_extract_all(lower(d.text), {O.q(O.TOKEN_RE)})) as bigint) as num_wds,
+  cast(length(d.text) as bigint) as num_chars,
+  cast(coalesce(k.n, 0) as bigint) as num_kwds,
+  cast(coalesce(k.u, 0) as bigint) as num_unq_kwds
+from documents d
+left join (
+  select doc_id, count(*) as n, count(distinct keyword) as u from s group by doc_id
+) k using (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -351,6 +521,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_describe": q_source_describe,
     "conv_rollup": q_conv_rollup,
     "event_sessions": q_event_sessions,
+    "kw_counts": q_kw_counts,
+    "kw_spans": q_kw_spans,
+    "kw_spans_dedup": q_kw_spans_dedup,
+    "kw_token_match": q_kw_token_match,
+    "kw_rollup": q_kw_rollup,
+    "kw_statistics": q_kw_statistics,
 }
 
 
@@ -365,4 +541,9 @@ def oracle_sql() -> dict[str, str]:
         "source_describe": SQL_SOURCE_DESCRIBE,
         "conv_rollup": SQL_CONV_ROLLUP,
         "event_sessions": SQL_EVENT_SESSIONS,
+        "kw_counts": SQL_KW_COUNTS,
+        "kw_spans": SQL_KW_SPANS,
+        "kw_token_match": _sql_kw_token_match(),
+        "kw_rollup": SQL_KW_ROLLUP,
+        "kw_statistics": SQL_KW_STATISTICS,
     }
