@@ -1,0 +1,289 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed so the expensive part is a *bucketed* join —
+never an all-pairs comparison — because at 10⁹-document scale candidate
+generation is the whole game:
+
+* ``exact_dedup`` — full-text fingerprint groupBy (one shuffle on a 32-char
+  key, combiner-friendly).
+* ``minhash_lsh`` — word-shingle MinHash signatures + banded LSH: documents
+  sharing any band bucket become candidate pairs; candidates are verified
+  with exact Jaccard over the shingle sets. Signature/band hashing uses
+  ``md5(seed | shingle)`` string-min — deterministic, engine-portable
+  (the DuckDB oracle reproduces it bit-for-bit).
+* ``simhash`` — 64-bit sign-hash over distinct tokens, carried as 4×16-bit
+  chunks; pigeonhole banding on chunks guarantees every pair within
+  Hamming distance 3 shares a bucket.
+* ``ngram_jaccard`` — exact token-n-gram Jaccard verification over
+  bottom-k-sketch candidate buckets (MinHash with 1-row bands).
+
+All hashing is md5-based and seeded by position — no engine-specific hash
+functions, so the same algorithm runs under Spark and any SQL oracle.
+Scale notes: every family shuffles once for buckets and once for the
+verify join; hot buckets (boilerplate-heavy corpora) are the skew risk —
+cap bucket width with ``max_bucket`` (drops pathological buckets, logged
+as data, the same errors-as-data rule as parse F2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """(fingerprint, canonical_key, n_copies) — hash-groupBy exact dedup.
+    Canonical row = min key (deterministic)."""
+    return (
+        df.select(F.col(key), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(key).alias("canonical_" + key),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = X.tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _minhash_i(shingles: Column, i: int) -> Column:
+    # NB: the seed must be captured via this enclosing scope — a
+    # `lambda s, i=i:` would make transform() treat it as an
+    # (element, index) lambda and bind i to the index column
+    seed = f"{i}|"
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(seed), s)))
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 12) -> Column:
+    """array<string> of k min-hashes: min over shingles of md5('<i>|'+s).
+    md5 hex is uniform, so string-min ≡ numeric-min — and portable."""
+    return F.array(*[_minhash_i(shingles, i) for i in range(k)])
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """array<struct<band:int, bh:string>> — banded signature hashes."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[sig[b * rows + r] for r in range(rows)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(key_a, key_b, jaccard) near-duplicate pairs, key_a < key_b.
+
+    Plan shape: shingle+sign projection (row-local) → explode bands →
+    self-join on (band, bh) = the bucketed candidate join → exact Jaccard
+    verify over shingle sets → threshold filter. Buckets wider than
+    ``max_bucket`` are dropped (boilerplate black holes at web scale)."""
+    from ocr_spark.operators.cleaning import materialize
+
+    base = df.select(F.col(key).alias("k"), F.col(text_col).alias("t"))
+    base = materialize(base, sh=word_shingles(F.col("t"), shingle_n)).drop("t")
+    # shingle-less rows (too short) have no signature and an undefined
+    # Jaccard — exact dedup handles them; drop here
+    base = base.filter(F.size("sh") > 0)
+    base = materialize(
+        base, bands_arr=lsh_bands(minhash_signature(F.col("sh"), bands * rows), bands, rows)
+    )
+    bt = base.select("k", F.explode("bands_arr").alias("b")).select(
+        "k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    # cap pathological buckets
+    sizes = bt.groupBy("band", "bh").agg(F.count("*").alias("_n"))
+    bt = bt.join(sizes.filter(F.col("_n") <= max_bucket), ["band", "bh"]).drop("_n")
+    a, b = bt.alias("a"), bt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .distinct()
+    )
+    sh = base.select("k", "sh")
+    verified = (
+        pairs.join(sh.withColumnRenamed("k", "ka").withColumnRenamed("sh", "sha"), "ka")
+        .join(sh.withColumnRenamed("k", "kb").withColumnRenamed("sh", "shb"), "kb")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        F.col("ka").alias("key_a"), F.col("kb").alias("key_b"), "jaccard"
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+N_CHUNKS = 4  # 4 × 16-bit chunks = 64-bit simhash
+
+
+def simhash_chunks(text: Column) -> Column:
+    """array<int> of 4 16-bit simhash chunks over distinct tokens.
+
+    chunk c bit j = sign of Σ_tokens (bit_j(md5(tok)[4c:4c+4]) ? +1 : −1).
+    """
+    toks = F.array_distinct(X.tokens(text))
+    pow2 = F.lit([1 << j for j in range(16)])
+
+    def chunk_vals(ts: Column, c: int) -> Column:
+        # enclosing-scope capture of c — a `lambda t, c=c:` would become an
+        # (element, index) lambda with c bound to the index column
+        start = 4 * c + 1
+        return F.transform(
+            ts,
+            lambda t: F.conv(F.substring(F.md5(t), start, 4), 16, 10).cast("int"),
+        )
+
+    out = []
+    for c in range(N_CHUNKS):
+        vals = chunk_vals(toks, c)
+
+        # ONE aggregate pass per chunk: the accumulator is the vector of 16
+        # bit-counters (±1 votes); 16 separate aggregates would re-evaluate
+        # the md5 transform 16×
+        def bits(v: Column) -> Column:
+            return F.transform(
+                pow2, lambda p: ((v / p).cast("int") % 2) * 2 - 1
+            )
+
+        counters = F.aggregate(
+            vals,
+            F.array_repeat(F.lit(0), 16),
+            lambda acc, v: F.zip_with(acc, bits(v), lambda a, b: a + b),
+        )
+        chunk = F.aggregate(
+            F.zip_with(
+                counters, pow2, lambda cnt, p: F.when(cnt > 0, p).otherwise(0)
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        out.append(chunk.alias(f"c{c}"))
+    return F.array(*out)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(key_a, key_b, hamming) pairs with 64-bit simhash Hamming distance
+    ≤ ``max_hamming``. Pigeonhole: with 4 chunks, any pair at distance ≤ 3
+    agrees on ≥1 whole chunk → bucket join on (chunk_idx, chunk_value)."""
+    from ocr_spark.operators.cleaning import materialize
+
+    base = df.select(F.col(key).alias("k"), F.col(text_col).alias("t"))
+    base = materialize(base, ch=simhash_chunks(F.col("t"))).drop("t")
+    bt = base.select("k", F.posexplode("ch").alias("ci", "cv"))
+    sizes = bt.groupBy("ci", "cv").agg(F.count("*").alias("_n"))
+    bt = bt.join(sizes.filter(F.col("_n") <= max_bucket), ["ci", "cv"]).drop("_n")
+    a, b = bt.alias("a"), bt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .distinct()
+    )
+    ch = base.select("k", "ch")
+    hamming = F.aggregate(
+        F.zip_with(F.col("cha"), F.col("chb"), lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, h: acc + h,
+    )
+    return (
+        pairs.join(ch.withColumnRenamed("k", "ka").withColumnRenamed("ch", "cha"), "ka")
+        .join(ch.withColumnRenamed("k", "kb").withColumnRenamed("ch", "chb"), "kb")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("ka").alias("key_a"),
+            F.col("kb").alias("key_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard over bottom-k sketch buckets
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    shingle_n: int = 2,
+    sketch_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(key_a, key_b, jaccard) — exact n-gram Jaccard, candidates from a
+    bottom-k MinHash sketch (k 1-row bands): any pair sharing one of the k
+    minimum shingle hashes is verified. Equivalent to minhash_lsh with
+    rows=1 — kept as its own operator because the verify set (raw n-grams,
+    not signature) and the typical n (2) differ."""
+    return minhash_lsh(
+        df,
+        key,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        bands=sketch_k,
+        rows=1,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )

@@ -1,0 +1,179 @@
+"""Vector similarity search over embedding columns (``array<float>``).
+
+* ``ann_brute`` — exact cosine top-k: broadcast the (small) query set,
+  score everything, per-query window top-k. The correctness baseline and
+  the right plan whenever |queries| is small (one broadcast, one shuffle
+  for the window).
+* ``sign_lsh_bucket`` / ``ann_lsh`` — random-hyperplane LSH: bucket =
+  sign-bit string of P pseudo-random ±1 hyperplanes (derived
+  deterministically from md5, generated driver-side, shipped as literals —
+  engine-portable, reproducible). Candidates = same bucket; exact cosine
+  re-rank inside. This is the scale path: the scan partitions by bucket,
+  each query probes one bucket (multi-probe = flip low-margin bits, noted
+  below). An IVF variant would replace the hash with k-means centroids —
+  same plan shape (bucket join + in-bucket re-rank).
+* ``embedding_neardup`` — near-duplicate pairs by cosine ≥ τ within LSH
+  buckets (the embedding leg of the dedup suite).
+
+All dot products cast to double per element BEFORE multiply/sum and fold
+sequentially — bit-identical across engines, so the DuckDB oracles
+hash-match. The reference's vector stage (vector_searcher.py:20-48,
+OneClassSVM over n-gram vectors) is model-artifact ML; what we rebuild is
+its *dataflow*: broadcast small model/queries, score vector batches,
+keep positives (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic double arithmetic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(vec: Column) -> Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+def hyperplanes(n_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 bits — reproducible on any
+    engine/machine, broadcast as plan literals."""
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        row: list[float] = []
+        d = 0
+        ctr = 0
+        while d < dim:
+            h = hashlib.md5(f"{seed}|{p}|{ctr}".encode()).digest()
+            for byte in h:
+                for bit in range(8):
+                    if d >= dim:
+                        break
+                    row.append(1.0 if (byte >> bit) & 1 else -1.0)
+                    d += 1
+            ctr += 1
+        planes.append(row)
+    return planes
+
+
+def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = concatenated sign bits of the hyperplane projections."""
+    bits = [
+        F.when(dot(vec, F.lit(p)) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def _scored(
+    items: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    join_on: list[str] | None,
+) -> DataFrame:
+    extra = join_on or []
+    it = items.select(
+        F.col(key).alias("item_id"), as_double(F.col(vec_col)).alias("iv"), *extra
+    ).withColumn("inorm", norm(F.col("iv")))
+    qr = queries.select(
+        F.col(key).alias("query_id"), as_double(F.col(vec_col)).alias("qv"), *extra
+    ).withColumn("qnorm", norm(F.col("qv")))
+    if join_on:
+        joined = it.join(F.broadcast(qr), join_on)
+    else:
+        joined = it.crossJoin(F.broadcast(qr))
+    return joined.filter(F.col("item_id") != F.col("query_id")).withColumn(
+        "cos", cosine(F.col("qv"), F.col("iv"), F.col("qnorm"), F.col("inorm"))
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("item_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cos")
+    )
+
+
+def ann_brute(
+    items: DataFrame, queries: DataFrame, key: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """(query_id, rank, item_id, cos) exact top-k by cosine."""
+    return _topk(_scored(items, queries, key, vec_col, None), k)
+
+
+def ann_lsh(
+    items: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Multi-probe note: recall rises by also probing buckets at Hamming
+    distance 1 from the query bucket (flip each bit) — an explode over
+    P+1 bucket ids with the same join; omitted here to keep the oracle
+    1:1 with the plan."""
+    planes = hyperplanes(n_planes, dim)
+    it = items.withColumn("bucket", sign_lsh_bucket(as_double(F.col(vec_col)), planes))
+    qr = queries.withColumn("bucket", sign_lsh_bucket(as_double(F.col(vec_col)), planes))
+    return _topk(_scored(it, qr, key, vec_col, ["bucket"]), k)
+
+
+def embedding_neardup(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """(key_a, key_b, cos) pairs with cosine ≥ τ, candidates from shared
+    LSH bucket (key_a < key_b)."""
+    planes = hyperplanes(n_planes, dim)
+    base = df.select(
+        F.col(key).alias("k"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", sign_lsh_bucket(F.col("v"), planes))
+    base = base.withColumn("n", norm(F.col("v")))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .withColumn(
+            "cos",
+            cosine(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            "cos",
+        )
+    )

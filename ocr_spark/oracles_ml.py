@@ -1,0 +1,188 @@
+"""DuckDB oracle-SQL builders for the dedup / similarity operator suite.
+
+Mirrors ``ocr_spark.operators.dedup`` and ``operators.similarity``
+expression-for-expression: md5-seeded MinHash signatures, banded LSH
+buckets, simhash ±1 bit votes, hyperplane sign buckets, and sequential
+double folds for dot products (DuckDB ``list_reduce`` left-fold ==
+Spark ``aggregate`` left-fold; ``0.0 + x == x`` exactly in IEEE, so the
+initial-value difference is immaterial).
+"""
+
+from __future__ import annotations
+
+from ocr_spark import oracles as O  # noqa: N812
+from ocr_spark.operators.similarity import hyperplanes
+
+TOKS = f"regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)})"
+
+#: corpus with injected duplicates: +200000 exact copies (doc_id%5=0),
+#: +100000 near copies (doc_id%7=0, every 10th token dropped)
+CORPUS = f"""
+corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 200000 as doc_id, text from documents where doc_id % 5 = 0
+  union all
+  select doc_id + 100000 as doc_id,
+         array_to_string(list_filter({TOKS}, (t, i) -> i % 10 != 0), ' ') as text
+  from documents where doc_id % 7 = 0
+)
+"""
+
+
+def _shingles(n: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(toks[i:i + {n - 1}], ' ')))"
+    )
+
+
+def _sig(i: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+
+
+def minhash_pairs_sql(
+    shingle_n: int, bands: int, rows: int, threshold: float
+) -> str:
+    sig_cols = ", ".join(f"{_sig(i)} as s{i}" for i in range(bands * rows))
+    band_rows = " union all ".join(
+        "select doc_id, {b} as band, md5(concat_ws('|', {cols})) as bh from sig".format(
+            b=b, cols=", ".join(f"s{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+with {CORPUS},
+tok as (select doc_id, {TOKS} as toks from corpus),
+shing as (select doc_id, {_shingles(shingle_n)} as sh from tok),
+nz as (select * from shing where len(sh) > 0),
+sig as (select doc_id, sh, {sig_cols} from nz),
+bandt as ({band_rows}),
+cand as (
+  select distinct a.doc_id as ka, b.doc_id as kb
+  from bandt a join bandt b on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+),
+ver as (
+  select ka, kb,
+    (len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh)))) as jac
+  from cand join nz x on x.doc_id = ka join nz y on y.doc_id = kb
+)
+select ka as key_a, kb as key_b,
+  cast(floor(jac * 10000 + 0.5) as bigint) as jac_c
+from ver where jac >= {threshold}
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    chunk_exprs = []
+    for c in range(4):
+        v = f"cast(concat('0x', substr(md5(t), {4 * c + 1}, 4)) as int)"
+        bits = " + ".join(
+            f"(case when list_sum(list_transform(toksd, t -> (({v} // {1 << j}) % 2) * 2 - 1)) > 0 then {1 << j} else 0 end)"
+            for j in range(16)
+        )
+        chunk_exprs.append(f"({bits}) as c{c}")
+    cands = " union all ".join(
+        f"select a.doc_id as ka, b.doc_id as kb from chunks a "
+        f"join chunks b on a.c{c} = b.c{c} and a.doc_id < b.doc_id"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(x.c{c}, y.c{c}))" for c in range(4))
+    return f"""
+with {CORPUS},
+tok as (select doc_id, list_distinct({TOKS}) as toksd from corpus),
+chunks as (select doc_id, {", ".join(chunk_exprs)} from tok),
+cand as (select distinct ka, kb from ({cands})),
+ver as (
+  select ka, kb, ({ham}) as hamming
+  from cand join chunks x on x.doc_id = ka join chunks y on y.doc_id = kb
+)
+select ka as key_a, kb as key_b, cast(hamming as bigint) as hamming
+from ver where hamming <= {max_hamming}
+"""
+
+
+# --------------------------------------------------------------------------
+# vectors
+# --------------------------------------------------------------------------
+
+#: perturbed-copy embedding corpus: +10000 ids, +0.05 on every 7th dim
+ECORPUS = """
+ecorpus as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+  union all
+  select vec_id + 10000 as vec_id,
+    list_transform(embedding, (x, i) ->
+      cast(x as double) + case when (i - 1) % 7 = 0 then 0.05 else 0.0 end) as v
+  from embeddings where vec_id % 3 = 0
+)
+"""
+
+
+def _dot(a: str, b: str) -> str:
+    return f"list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (p, q) -> p + q)"
+
+
+def _plane_lits(n_planes: int, dim: int) -> list[str]:
+    return [
+        "[" + ", ".join(f"{w:.1f}" for w in p) + "]"
+        for p in hyperplanes(n_planes, dim)
+    ]
+
+
+def bucket_sql(vec: str, n_planes: int, dim: int) -> str:
+    bits = " || ".join(
+        f"(case when {_dot(vec, pl)} > 0 then '1' else '0' end)"
+        for pl in _plane_lits(n_planes, dim)
+    )
+    return f"({bits})"
+
+
+def embed_neardup_sql(threshold: float, n_planes: int = 6, dim: int = 64) -> str:
+    return f"""
+with {ECORPUS},
+base as (
+  select vec_id, v, {bucket_sql('v', n_planes, dim)} as bucket,
+         sqrt({_dot('v', 'v')}) as n
+  from ecorpus
+),
+pairs as (
+  select a.vec_id as ka, b.vec_id as kb,
+    ({_dot('a.v', 'b.v')} / (a.n * b.n)) as cos
+  from base a join base b on a.bucket = b.bucket and a.vec_id < b.vec_id
+)
+select ka as key_a, kb as key_b,
+  cast(floor(cos * 1000000 + 0.5) as bigint) as cos_c
+from pairs where cos >= {threshold}
+"""
+
+
+def ann_sql(k: int, n_planes: int | None, dim: int = 64, max_query: int = 8) -> str:
+    """Brute-force (n_planes None) or LSH-bucketed top-k oracle."""
+    bexpr = (
+        bucket_sql("v", n_planes, dim) if n_planes is not None else "'-'"
+    )
+    return f"""
+with base as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+),
+bb as (
+  select vec_id, v, {bexpr} as bucket, sqrt({_dot('v', 'v')}) as n from base
+),
+q as (select * from bb where vec_id < {max_query}),
+scored as (
+  select q.vec_id as query_id, i.vec_id as item_id,
+    ({_dot('q.v', 'i.v')} / (q.n * i.n)) as cos
+  from bb i join q on i.bucket = q.bucket and i.vec_id != q.vec_id
+),
+ranked as (
+  select query_id, item_id, cos,
+    row_number() over (partition by query_id order by cos desc, item_id asc) as rank
+  from scored
+)
+select query_id, cast(rank as int) as rank, item_id,
+  cast(floor(cos * 1000000 + 0.5) as bigint) as cos_c
+from ranked where rank <= {k}
+"""

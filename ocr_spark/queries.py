@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark import oracles as O  # noqa: N812
+from ocr_spark import oracles_ml as OM  # noqa: N812
 from ocr_spark import payloads
 from ocr_spark.functions import text as X
 from ocr_spark.operators import cleaning, quality
@@ -508,6 +509,131 @@ left join (
 
 
 # --------------------------------------------------------------------------
+# Training-data pipeline: dedup suite (exact / MinHash-LSH / SimHash /
+# n-gram Jaccard / embedding near-dup) + ANN similarity search
+# --------------------------------------------------------------------------
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id%5=0 → +200000) ∪ near copies
+    (doc_id%7=0 → +100000, every 10th token dropped) — deterministic,
+    mirrored by oracles_ml.CORPUS."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.filter(X.tokens(F.col("text")), lambda t, i: (i + 1) % 10 != 0),
+            " ",
+        ).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: full-text md5 fingerprint hash-groupBy."""
+    from ocr_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = None  # filled below (needs oracles_ml)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle→signature→band→bucket-join→verify."""
+    from ocr_spark.operators.dedup import minhash_lsh
+
+    out = minhash_lsh(
+        _dup_corpus(spark, sf_dir), "doc_id",
+        shingle_n=3, bands=4, rows=3, threshold=0.5,
+    )
+    return out.select(
+        "key_a", "key_b", _scale(F.col("jaccard"), 10000).alias("jac_c")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit sign hash, chunk-bucket candidates,
+    Hamming ≤ 3."""
+    from ocr_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_dup_corpus(spark, sf_dir), "doc_id")
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard over bottom-k sketch candidate buckets."""
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _dup_corpus(spark, sf_dir), "doc_id",
+        shingle_n=2, sketch_k=5, threshold=0.5,
+    )
+    return out.select(
+        "key_a", "key_b", _scale(F.col("jaccard"), 10000).alias("jac_c")
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism * 2
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(n)
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies (vec_id%3=0 → +10000, +0.05 on every
+    7th dim) as double vectors — mirrors oracles_ml.ECORPUS."""
+    from ocr_spark.operators.similarity import as_double
+
+    emb = _emb(spark, sf_dir)
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    pert = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.when(i % 7 == 0, 0.05).otherwise(0.0),
+        ).alias("v"),
+    )
+    return base.unionByName(pert)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within sign-LSH buckets."""
+    from ocr_spark.operators.similarity import embedding_neardup
+
+    out = embedding_neardup(
+        _emb_corpus(spark, sf_dir), "vec_id", "v", threshold=0.9
+    )
+    return out.select(
+        "key_a", "key_b", _scale(F.col("cos"), 1_000_000).alias("cos_c")
+    )
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 8)."""
+    from ocr_spark.operators.similarity import ann_brute
+
+    emb = _emb(spark, sf_dir)
+    out = ann_brute(emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "rank", "item_id", _scale(F.col("cos"), 1_000_000).alias("cos_c")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (random-hyperplane sign buckets)."""
+    from ocr_spark.operators.similarity import ann_lsh
+
+    emb = _emb(spark, sf_dir)
+    out = ann_lsh(emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "rank", "item_id", _scale(F.col("cos"), 1_000_000).alias("cos_c")
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -527,6 +653,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kw_token_match": q_kw_token_match,
     "kw_rollup": q_kw_rollup,
     "kw_statistics": q_kw_statistics,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "embed_neardup": q_embed_neardup,
+    "ann_brute": q_ann_brute,
+    "ann_lsh": q_ann_lsh,
 }
 
 
@@ -546,4 +679,16 @@ def oracle_sql() -> dict[str, str]:
         "kw_token_match": _sql_kw_token_match(),
         "kw_rollup": SQL_KW_ROLLUP,
         "kw_statistics": SQL_KW_STATISTICS,
+        "dedup_exact": f"""
+with {OM.CORPUS}
+select md5(text) as fingerprint, min(doc_id) as canonical_doc_id,
+  cast(count(*) as bigint) as n_copies
+from corpus group by 1
+""",
+        "dedup_minhash": OM.minhash_pairs_sql(3, 4, 3, 0.5),
+        "dedup_simhash": OM.simhash_pairs_sql(3),
+        "dedup_ngram": OM.minhash_pairs_sql(2, 5, 1, 0.5),
+        "embed_neardup": OM.embed_neardup_sql(0.9),
+        "ann_brute": OM.ann_sql(5, None),
+        "ann_lsh": OM.ann_sql(5, 6),
     }

@@ -1,0 +1,112 @@
+"""Dedup + similarity operator semantics (beyond the DuckDB oracle gate):
+injected duplicates must actually be found, LSH candidates must be sound."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+
+    rng = random.Random(11)
+    pool = "ana are mere pere lege dosar plata factura termen contract".split()
+    rows = []
+    for i in range(60):
+        toks = [rng.choice(pool) for _ in range(30)]
+        rows.append((i, " ".join(toks)))
+        if i % 4 == 0:  # exact duplicate
+            rows.append((1000 + i, " ".join(toks)))
+        if i % 5 == 0:  # near duplicate: drop 3 tokens
+            rows.append((2000 + i, " ".join(toks[:14] + toks[17:])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    out = dedup.exact_dedup(corpus, "doc_id").collect()
+    dup_groups = [r for r in out if r["n_copies"] > 1]
+    # every i%4==0 original + copy collapses into one fingerprint group
+    assert len(dup_groups) == 15
+    for g in dup_groups:
+        assert g["canonical_doc_id"] < 1000
+
+
+def test_minhash_finds_injected_pairs(corpus):
+    out = dedup.minhash_lsh(corpus, "doc_id", threshold=0.5).collect()
+    pairs = {(r["key_a"], r["key_b"]) for r in out}
+    # all exact pairs present with jaccard 1.0
+    exact = {(i, 1000 + i) for i in range(0, 60, 4)}
+    assert exact <= pairs
+    for r in out:
+        assert 0.5 <= r["jaccard"] <= 1.0
+        if (r["key_a"], r["key_b"]) in exact:
+            assert r["jaccard"] == 1.0
+    # most near pairs (27/30 tokens kept) survive banding
+    near = {(i, 2000 + i) for i in range(0, 60, 5)}
+    assert len(near & pairs) >= len(near) * 2 // 3
+
+
+def test_simhash_exact_pairs_at_distance_zero(corpus):
+    out = dedup.simhash_pairs(corpus, "doc_id", max_hamming=3).collect()
+    got = {(r["key_a"], r["key_b"]): r["hamming"] for r in out}
+    for i in range(0, 60, 4):
+        assert got.get((i, 1000 + i)) == 0
+
+
+def test_ngram_jaccard(corpus):
+    out = dedup.ngram_jaccard_pairs(corpus, "doc_id", threshold=0.9).collect()
+    pairs = {(r["key_a"], r["key_b"]) for r in out}
+    assert {(i, 1000 + i) for i in range(0, 60, 4)} <= pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i % 8 == 0:  # tight near-duplicate
+            rows.append((100 + i, [x + 0.01 for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_brute_topk(vectors):
+    q = vectors.filter(F.col("vec_id") < 3)
+    out = similarity.ann_brute(vectors, q, "vec_id", "embedding", k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+        cs = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_embedding_neardup_finds_perturbed(vectors):
+    out = similarity.embedding_neardup(
+        vectors, "vec_id", "embedding", threshold=0.99, dim=16
+    ).collect()
+    pairs = {(r["key_a"], r["key_b"]) for r in out}
+    assert {(i, 100 + i) for i in range(0, 40, 8)} <= pairs
+
+
+def test_ann_lsh_recall(vectors):
+    q = vectors.filter(F.col("vec_id") < 8)
+    brute = similarity.ann_brute(vectors, q, "vec_id", "embedding", k=1).collect()
+    lsh = similarity.ann_lsh(
+        vectors, q, "vec_id", "embedding", k=1, n_planes=2, dim=16
+    ).collect()
+    b1 = {r["query_id"]: r["item_id"] for r in brute}
+    l1 = {r["query_id"]: r["item_id"] for r in lsh}
+    hits = sum(1 for k, v in l1.items() if b1.get(k) == v)
+    # recall scales with bucket coarseness: 2 planes = 4 buckets over 45
+    # vectors must recover the brute top-1 for at least half the queries
+    assert hits >= len(l1) // 2
+    assert len(l1) >= 4
