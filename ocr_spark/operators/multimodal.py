@@ -1,0 +1,110 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata struct
+(MEDIA_META) — the Spark-side contract for a multimodal training-data
+pipeline: schema, partitioning, Arrow batch shape, and UDF signatures are
+real and tested; the actual codec work is stubbed because no image/audio
+libraries exist in this environment.
+
+* ``decode_media`` — the real-decode entry point: raises
+  ``NotImplementedError`` (clearly marked stub; wire Pillow/torchaudio/
+  PyAV here on a real cluster).
+* ``fake_decode_features`` — deterministic stand-in used by tests and the
+  driver oracle: "features" derived from the payload's md5 so every engine
+  reproduces them bit-for-bit.
+* ``with_media_features`` — the ``mapInPandas`` feature-extraction stage:
+  Arrow-batched, bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (a single giant video cannot blow an executor), output schema fixed.
+* ``frame_sample_plan`` — native frame-sampling *plan* (which timestamps to
+  decode) computed from metadata only: sampling decisions don't need bytes,
+  so the expensive decode fan-out is pruned to the sampled frames.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+
+N_FEATURES = 8
+
+
+def decode_media(payload: bytes, media_type: str) -> object:
+    """REAL decode entry point — STUB. On a production cluster this calls
+    the codec library (Pillow / torchaudio / PyAV) inside the Arrow stage;
+    none are available in this environment."""
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this "
+        "environment; use fake_decode_features for the deterministic test path"
+    )
+
+
+def fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic fake 'embedding': first N_FEATURES md5 bytes / 255."""
+    h = hashlib.md5(payload or b"").digest()
+    return [h[i] / 255.0 for i in range(N_FEATURES)]
+
+
+def with_media_features(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "features"
+) -> DataFrame:
+    """Arrow feature-extraction stage. Real pipelines swap
+    ``fake_decode_features`` for a batched model/codec call — the stage
+    shape (schema, batching, pass-through columns) is what's under test."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType(), False))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                fake_decode_features(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(
+    meta: Column, fps: float = 0.5, max_frames: int = 16
+) -> Column:
+    """array<double> of frame timestamps to decode — metadata-only, native.
+    Videos sample at ``fps`` capped at ``max_frames`` (evenly re-spaced when
+    over the cap); images yield [0.0]; audio yields []."""
+    dur = F.coalesce(meta["duration_s"], F.lit(0.0))
+    n_raw = F.floor(dur * fps) + 1
+    n = F.least(n_raw, F.lit(max_frames))
+    step = F.when(n > 1, dur / (n - 1)).otherwise(F.lit(0.0))
+    ts = F.transform(
+        F.sequence(F.lit(0), (n - 1).cast("int")),
+        lambda i: i * step,
+    )
+    return (
+        F.when(meta["media_type"] == "video", ts)
+        .when(meta["media_type"] == "image", F.array(F.lit(0.0)))
+        .otherwise(F.array().cast("array<double>"))
+    )
+
+
+def resize_stub(payload: Column, width: int, height: int) -> Column:
+    """Image resize — STUB shape: passes bytes through with a marker prefix
+    so plans type-check; real impl is a Pillow call in the Arrow stage."""
+    marker = F.encode(F.lit(f"resized:{width}x{height}:"), "utf-8")
+    return F.concat(marker, payload)

@@ -1,0 +1,144 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality features, token counting, document fingerprinting.
+
+All native Catalyst — char-class work uses the translate()-counting
+pattern (see functions.text), membership tests compile to InSet. Each
+operator is a row-local projection: zero shuffle, embarrassingly parallel
+at 10¹²-row scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+
+# --------------------------------------------------------------------------
+# language ID — stopword-profile heuristic
+# --------------------------------------------------------------------------
+
+#: frozen per-language stopword profiles (tiny, order = tie-break order)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "ein", "von", "nicht", "mit"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "it", "on"),
+    "es": ("el", "la", "de", "los", "es", "un", "una", "y", "que", "en"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
+    "ro": ("și", "în", "la", "cu", "de", "pe", "un", "o", "este", "care"),
+}
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    # enclosing-scope capture — a `lambda t, ws=ws:` default-arg closure
+    # would be treated as an (element, index) lambda by filter()
+    ws = list(words)
+    return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+
+def lang_scores(text: Column) -> Column:
+    """struct<lang:score> of stopword hit counts."""
+    toks = X.tokens(text)
+    return F.struct(
+        *[_hits(toks, ws).alias(lang) for lang, ws in STOPWORDS.items()]
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax stopword hits; ties break to the
+    lexicographically smallest code; all-zero scores → 'und' (undetermined)."""
+    toks = X.tokens(text)
+    entries = []
+    for lang in sorted(STOPWORDS):
+        score = _hits(toks, STOPWORDS[lang])
+        entries.append(F.struct((-score).alias("ns"), F.lit(lang).alias("l")))
+    best = F.sort_array(F.array(*entries))[0]
+    return F.when(best["ns"] < 0, best["l"]).otherwise(F.lit("und"))
+
+
+# --------------------------------------------------------------------------
+# quality features (the generic cousin of the cer/wer scorer)
+# --------------------------------------------------------------------------
+
+PUNCT_CHARS = ".,;:!?()[]{}'\"-/\\"
+
+
+def quality_features(text: Column) -> Column:
+    """struct of length/token/ratio features used for corpus filtering."""
+    toks = X.tokens(text)
+    n_chars = F.length(text)
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    en = list(STOPWORDS["en"])
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*en)))
+    safe_toks = F.greatest(n_toks, F.lit(1))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        (tok_chars / safe_toks).alias("avg_token_len"),
+        (stop_hits / safe_toks).alias("stopword_ratio"),
+        (X.count_in(text, PUNCT_CHARS) / F.greatest(n_chars, F.lit(1))).alias(
+            "punct_ratio"
+        ),
+        (X.count_in(text, X.ASCII_DIGITS) / F.greatest(n_chars, F.lit(1))).alias(
+            "digit_ratio"
+        ),
+    )
+
+
+def quality_class(feat: Column) -> Column:
+    """good / mediocre / junk by frozen thresholds (the MIN_QUALITY-gate
+    analog for generic corpora)."""
+    return (
+        F.when(
+            (feat["n_tokens"] >= 20)
+            & (feat["avg_token_len"] >= 3)
+            & (feat["avg_token_len"] <= 12)
+            & (feat["digit_ratio"] < 0.3),
+            "good",
+        )
+        .when((feat["n_tokens"] >= 5), "mediocre")
+        .otherwise("junk")
+    )
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+
+#: BPE-ish pre-tokenizer (GPT-2 style shape, contractions + letter runs +
+#: digit runs + punct runs + whitespace runs), RE2/Java portable
+BPEISH = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts(text: Column) -> Column:
+    """struct: whitespace tokens, word tokens, BPE-ish subword count, and
+    the chars/4 heuristic estimate."""
+    return F.struct(
+        F.size(F.filter(F.split(text, " "), lambda t: t != "")).alias("ws_tokens"),
+        F.size(X.tokens(text)).alias("word_tokens"),
+        F.regexp_count(text, F.lit(BPEISH)).alias("bpeish_tokens"),
+        F.ceil(F.length(text) / 4).cast("int").alias("est_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting
+# --------------------------------------------------------------------------
+
+
+def fingerprint_exact(text: Column) -> Column:
+    return F.md5(text)
+
+
+def fingerprint_winnow(text: Column, k: int = 8, sketch: int = 8) -> Column:
+    """Winnowing-style robust fingerprint: md5 over the sorted bottom-N
+    char-k-gram hashes — stable under local edits, portable (md5-only).
+    One transform + sort per row; O(len) hashes."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: F.md5(text.substr(i, F.lit(k))),
+    )
+    bottom = F.slice(F.array_sort(grams), 1, sketch)
+    return F.md5(F.array_join(bottom, "|"))

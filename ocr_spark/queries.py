@@ -634,6 +634,214 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Text analysis: language ID, quality features, token counting, fingerprints
+# --------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID vs the table's lang label."""
+    from ocr_spark.operators.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    from ocr_spark.operators.textstats import STOPWORDS
+
+    toks = f"regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)})"
+    entries = []
+    for lang in sorted(STOPWORDS):
+        inlist = ", ".join(O.q(w) for w in STOPWORDS[lang])
+        entries.append(
+            f"{{'ns': -len(list_filter(toks, t -> t in ({inlist}))), 'l': {O.q(lang)}}}"
+        )
+    arr = "[" + ", ".join(entries) + "]"
+    return f"""
+select doc_id, lang,
+  case when best['ns'] < 0 then best['l'] else 'und' end as lang_pred
+from (
+  select doc_id, lang, list_sort({arr})[1] as best
+  from (select doc_id, lang, {toks} as toks from documents)
+)
+"""
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic corpus-quality features + frozen classification."""
+    from ocr_spark.operators.cleaning import materialize
+    from ocr_spark.operators.textstats import quality_class, quality_features
+
+    docs = _docs(spark, sf_dir)
+    docs = materialize(docs, feat=quality_features(F.col("text")))
+    f = F.col("feat")
+    return docs.select(
+        "doc_id",
+        f["n_chars"].cast("long").alias("n_chars"),
+        f["n_tokens"].cast("long").alias("n_tokens"),
+        _scale(f["avg_token_len"], 10000).alias("avg_token_len_c"),
+        _scale(f["stopword_ratio"], 10000).alias("stopword_ratio_c"),
+        _scale(f["punct_ratio"], 10000).alias("punct_ratio_c"),
+        _scale(f["digit_ratio"], 10000).alias("digit_ratio_c"),
+        quality_class(f).alias("quality_class"),
+    )
+
+
+def _sql_quality_features() -> str:
+    from ocr_spark.operators.textstats import PUNCT_CHARS, STOPWORDS
+
+    toks = f"regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)})"
+    en = ", ".join(O.q(w) for w in STOPWORDS["en"])
+    punct = O.q(PUNCT_CHARS)
+    return f"""
+with f as (
+  select doc_id,
+    length(text) as n_chars,
+    len(toks) as n_tokens,
+    (list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1)) as avg_token_len,
+    (len(list_filter(toks, t -> t in ({en}))) / greatest(len(toks), 1)) as stopword_ratio,
+    ((length(text) - length(translate(text, {punct}, ''))) / greatest(length(text), 1)) as punct_ratio,
+    ((length(text) - length(translate(text, '0123456789', ''))) / greatest(length(text), 1)) as digit_ratio
+  from (select doc_id, text, {toks} as toks from documents)
+)
+select doc_id,
+  cast(n_chars as bigint) as n_chars,
+  cast(n_tokens as bigint) as n_tokens,
+  {_scale_sql('avg_token_len', 10000)} as avg_token_len_c,
+  {_scale_sql('stopword_ratio', 10000)} as stopword_ratio_c,
+  {_scale_sql('punct_ratio', 10000)} as punct_ratio_c,
+  {_scale_sql('digit_ratio', 10000)} as digit_ratio_c,
+  case when n_tokens >= 20 and avg_token_len >= 3 and avg_token_len <= 12
+            and digit_ratio < 0.3 then 'good'
+       when n_tokens >= 5 then 'mediocre'
+       else 'junk' end as quality_class
+from f
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace / word / BPE-ish / heuristic token counts per doc."""
+    from ocr_spark.operators.textstats import token_counts
+
+    docs = _docs(spark, sf_dir)
+    t = token_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        t["ws_tokens"].cast("long").alias("ws_tokens"),
+        t["word_tokens"].cast("long").alias("word_tokens"),
+        t["bpeish_tokens"].cast("long").alias("bpeish_tokens"),
+        t["est_tokens"].cast("long").alias("est_tokens"),
+    )
+
+
+def _sql_token_counts() -> str:
+    from ocr_spark.operators.textstats import BPEISH
+
+    toks = f"regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)})"
+    return f"""
+select doc_id,
+  cast(len(list_filter(string_split(text, ' '), t -> t <> '')) as bigint) as ws_tokens,
+  cast(len({toks}) as bigint) as word_tokens,
+  cast(len(regexp_extract_all(text, {O.q(BPEISH)})) as bigint) as bpeish_tokens,
+  cast(ceil(length(text) / 4) as bigint) as est_tokens
+from documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact md5 + winnowing-style bottom-k char-gram fingerprints."""
+    from ocr_spark.operators.textstats import fingerprint_exact, fingerprint_winnow
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        fingerprint_exact(F.col("text")).alias("fp_exact"),
+        fingerprint_winnow(F.col("text")).alias("fp_winnow"),
+    )
+
+
+SQL_FINGERPRINT = """
+select doc_id, md5(text) as fp_exact,
+  md5(array_to_string(
+    list_sort(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                             i -> md5(substr(text, i, 8))))[1:8], '|')) as fp_winnow
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary payloads + typed metadata; Arrow feature stage
+# --------------------------------------------------------------------------
+
+
+def _media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table from documents: payload = utf-8 bytes,
+    media_type/dims/duration derived from doc_id (mirrored in SQL)."""
+    docs = _docs(spark, sf_dir)
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        mt.alias("media_type"),
+        F.when(mt == "image", (F.col("doc_id") % 640 + 64).cast("int")).alias("width"),
+        F.when(mt == "image", (F.col("doc_id") % 480 + 48).cast("int")).alias("height"),
+        F.when(mt != "image", (F.col("doc_id") % 50).cast("double")).alias("duration_s"),
+        F.lit("fake").alias("codec"),
+    )
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), meta.alias("meta")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow feature-extraction stage over binary payloads (deterministic
+    fake decode) + native frame-sampling plan from metadata."""
+    from ocr_spark.operators.multimodal import frame_sample_plan, with_media_features
+
+    m = _media_corpus(spark, sf_dir)
+    m = with_media_features(m)
+    m = m.withColumn("n_frames", F.size(frame_sample_plan(F.col("meta"))))
+    cols = [
+        _scale(F.element_at(F.col("features"), i + 1), 1_000_000).alias(f"f{i}_c")
+        for i in range(4)
+    ]
+    return m.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        *cols,
+    )
+
+
+def _sql_media_features() -> str:
+    feats = ", ".join(
+        _scale_sql(
+            f"(cast(concat('0x', substr(md5(text), {2 * i + 1}, 2)) as int) / 255.0)",
+            1_000_000,
+        )
+        + f" as f{i}_c"
+        for i in range(4)
+    )
+    return f"""
+with m as (
+  select doc_id, text,
+    case when doc_id % 3 = 0 then 'image'
+         when doc_id % 3 = 1 then 'audio' else 'video' end as media_type,
+    case when doc_id % 3 != 0 then cast(doc_id % 50 as double) end as duration_s
+  from documents
+)
+select doc_id, media_type,
+  cast(case when media_type = 'video'
+            then least(floor(duration_s * 0.5) + 1, 16)
+       when media_type = 'image' then 1 else 0 end as bigint) as n_frames,
+  {feats}
+from m
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -660,6 +868,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup": q_embed_neardup,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality_features": q_quality_features,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "media_features": q_media_features,
 }
 
 
@@ -691,4 +904,9 @@ from corpus group by 1
         "embed_neardup": OM.embed_neardup_sql(0.9),
         "ann_brute": OM.ann_sql(5, None),
         "ann_lsh": OM.ann_sql(5, 6),
+        "lang_id": _sql_lang_id(),
+        "quality_features": _sql_quality_features(),
+        "token_counts": _sql_token_counts(),
+        "fingerprint": SQL_FINGERPRINT,
+        "media_features": _sql_media_features(),
     }

@@ -1,0 +1,102 @@
+"""Text-analysis + multimodal operator semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import multimodal, textstats
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "el perro es un animal y la casa es grande"),
+        (2, "der hund ist ein tier und das haus ist nicht klein"),
+        (3, "le chien est un animal et la maison est dans le village"),
+        (4, "zzz qqq xxx"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: r["p"]
+        for r in df.select("id", textstats.lang_id(F.col("text")).alias("p")).collect()
+    }
+    assert got[0] == "en" and got[1] == "es" and got[2] == "de" and got[3] == "fr"
+    assert got[4] == "und" and got[5] == "und"
+
+
+def test_quality_class(spark):
+    rows = [
+        (0, " ".join(["word"] * 30)),           # good
+        (1, "short text with six tokens here"),  # mediocre (6 tokens)
+        (2, "two tokens"),                       # junk
+        (3, " ".join(["1234"] * 30)),            # digit-heavy -> mediocre
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    feat = textstats.quality_features(F.col("text"))
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", textstats.quality_class(feat).alias("c")
+        ).collect()
+    }
+    assert got == {0: "good", 1: "mediocre", 2: "junk", 3: "mediocre"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "ana are 12 mere, nu-i asa?")], "id int, text string")
+    r = df.select(textstats.token_counts(F.col("text")).alias("t")).collect()[0]["t"]
+    assert r["ws_tokens"] == 6
+    assert r["word_tokens"] == 7  # ana are 12 mere nu i asa
+    assert r["est_tokens"] == (len("ana are 12 mere, nu-i asa?") + 3) // 4
+
+
+def test_fingerprint_robustness(spark):
+    base = "ana are mere si pere in cosul cel mare de la tara " * 4
+    edited = base.replace("cosul", "cosub", 1)  # one local edit
+    df = spark.createDataFrame(
+        [(0, base), (1, edited), (2, "complet alt text fara legatura cu primul")],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: (r["fe"], r["fw"])
+        for r in df.select(
+            "id",
+            textstats.fingerprint_exact(F.col("text")).alias("fe"),
+            textstats.fingerprint_winnow(F.col("text")).alias("fw"),
+        ).collect()
+    }
+    assert out[0][0] != out[1][0]  # exact fingerprint changes
+    assert out[0][1] == out[1][1]  # winnow sketch survives a local edit
+    assert out[0][1] != out[2][1]
+
+
+def test_media_stage_schema_and_determinism(spark):
+    rows = [(i, f"payload {i}".encode(), ("video" if i % 2 else "image", None, None, float(i * 10), "c")) for i in range(6)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id int, payload binary, meta struct<media_type:string,width:int,height:int,duration_s:double,codec:string>",
+    )
+    out = multimodal.with_media_features(df)
+    got = {r["doc_id"]: r["features"] for r in out.collect()}
+    for i in range(6):
+        h = hashlib.md5(f"payload {i}".encode()).digest()
+        assert got[i] == pytest.approx([h[j] / 255.0 for j in range(8)])
+    plan = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", multimodal.frame_sample_plan(F.col("meta")).alias("p")
+        ).collect()
+    }
+    assert plan[0] == [0.0]                 # image
+    assert len(plan[1]) == 6                # video 10s @ 0.5fps -> 6 stamps
+    assert plan[1][0] == 0.0 and plan[1][-1] == pytest.approx(10.0)
+    assert len(plan[5]) == 16               # 50s capped at 16 frames
+
+
+def test_decode_media_is_a_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"x", "image")
