@@ -1,0 +1,82 @@
+"""Extractive summarization + payload shrinking (P9/P10).
+
+The reference summarizes with PyTextRank (biasedtextrank over the first
+2^18 chars, app/services/summarization.py:17-29) — a model-artifact graph
+ranker. The *frozen* re-specification keeps its role (shrink an oversized
+payload to its most central content, ocr_worker.py:99-115) with a
+deterministic, engine-portable scorer:
+
+  units      = the text's lines (the cleaner emits line-oriented text);
+  significant= tokens occurring ≥ 2 times in the document;
+  score(line)= #significant tokens in the line;
+  summary    = top-K lines by (score desc, position asc), re-joined in
+               original order.
+
+Pure Catalyst higher-order functions — row-local, no shuffle, no model.
+``shorten_payload`` is the P10 projection: swap text for its summary and
+blank the highlight metadata when the row exceeds a size limit
+(the HTTP-413 shrink-retry analog, ocr_worker.py:144-156).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+
+MAX_LEN = 1 << 18  # summarization input guard (summarization.py:10,23)
+
+
+def summarize(text: Column, k: int = 3) -> Column:
+    """Top-k central lines of the (truncated) text, original order."""
+    t = F.substring(text, 1, MAX_LEN)
+    toks = X.tokens(t)
+    sig = F.filter(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda x: x == w)) >= 2,
+    )
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), X.strip_ws), lambda s: s != ""
+    )
+    scored = F.transform(
+        lines,
+        lambda s, i: F.struct(
+            (-F.size(
+                F.filter(X.tokens(s), lambda w: F.array_contains(sig, w))
+            )).alias("nscore"),
+            i.alias("pos"),
+            s.alias("line"),
+        ),
+    )
+    top = F.slice(F.sort_array(scored), 1, k)
+    ordered = F.sort_array(
+        F.transform(top, lambda e: F.struct(e["pos"].alias("pos"), e["line"].alias("line")))
+    )
+    return F.array_join(F.transform(ordered, lambda e: e["line"]), "\n")
+
+
+def shorten_payload(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    meta_col: str | None = "highlight_metadata",
+    limit: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """P10: rows over ``limit`` chars get summarized text and emptied
+    highlight metadata (ocr_worker.py:99-115)."""
+    from ocr_spark.operators.cleaning import materialize
+
+    too_big = F.length(F.col(text_col)) > limit
+    df = materialize(
+        df, _short=F.when(too_big, summarize(F.col(text_col), k))
+    )
+    df = df.withColumn(
+        text_col, F.coalesce(F.col("_short"), F.col(text_col))
+    ).withColumn("was_shortened", F.col("_short").isNotNull())
+    if meta_col and meta_col in df.columns:
+        empty = F.array().cast(df.schema[meta_col].dataType)
+        df = df.withColumn(
+            meta_col, F.when(F.col("was_shortened"), empty).otherwise(F.col(meta_col))
+        )
+    return df.drop("_short")

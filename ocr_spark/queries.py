@@ -769,6 +769,53 @@ from documents
 """
 
 
+def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 extractive summarization (frozen spec) over multi-line payloads."""
+    from ocr_spark.operators.cleaning import materialize
+    from ocr_spark.operators.summarize import summarize
+
+    df = _with_payload(_docs(spark, sf_dir))
+    df = materialize(df, summary=summarize(F.col("payload"), k=3))
+    return df.select("doc_id", "summary")
+
+
+def _sql_summarize(k: int = 3) -> str:
+    payload = payloads.payload_sql("text")
+    t = f"substr({payload}, 1, 262144)"
+    toks = f"regexp_extract_all(lower({t}), {O.q(O.TOKEN_RE)})"
+    strip = O.q(O.STRIP)
+    return f"""
+with base as (
+  select doc_id, {toks} as toks,
+    list_filter(list_transform(string_split({t}, chr(10)),
+                               l -> regexp_replace(l, {strip}, '', 'g')),
+                s -> s <> '') as lines
+  from documents
+),
+sig as (
+  select doc_id, lines,
+    list_filter(list_distinct(toks),
+                w -> len(list_filter(toks, x -> x = w)) >= 2) as sg
+  from base
+),
+scored as (
+  select doc_id,
+    list_transform(lines, (s, i) -> {{
+      'nscore': -len(list_filter(regexp_extract_all(lower(s), {O.q(O.TOKEN_RE)}),
+                                 w -> list_contains(sg, w))),
+      'pos': i, 'line': s}}) as sc
+  from sig
+)
+select doc_id,
+  array_to_string(
+    list_transform(
+      list_sort(list_transform(list_sort(sc)[1:{k}],
+                               e -> {{'pos': e['pos'], 'line': e['line']}})),
+      e -> e['line']), chr(10)) as summary
+from scored
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal: binary payloads + typed metadata; Arrow feature stage
 # --------------------------------------------------------------------------
@@ -873,6 +920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
+    "summarize": q_summarize,
 }
 
 
@@ -909,4 +957,5 @@ from corpus group by 1
         "token_counts": _sql_token_counts(),
         "fingerprint": SQL_FINGERPRINT,
         "media_features": _sql_media_features(),
+        "summarize": _sql_summarize(),
     }

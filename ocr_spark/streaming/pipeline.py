@@ -1,0 +1,92 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference's outer loop is a hand-rolled work-queue consumer: poll →
+lock → process → mark done, with crash-redelivery (ocr_worker.py:277-330,
+SURVEY.md §2.10). Its Spark-native equivalent is an incremental file/table
+stream with **availableNow** trigger + checkpoint:
+
+* C1 poll loop        → ``readStream`` + ``trigger(availableNow=True)``
+  (process everything new, then stop; schedule reruns externally)
+* C2 status lock      → unnecessary — Spark owns parallelism; a turn's
+  "status" is membership in the committed output
+* C3 failure capture  → per-row ``status='parse_failed'`` data (F2 rule)
+* C5 retry            → task retries + idempotent sink writes
+* C6 crash resume     → the streaming checkpoint: re-running after a kill
+  reprocesses only unread input files, exactly once per micro-batch
+  (the batch-mode twin is plans.pipeline.unprocessed's anti-join)
+* C4 keyword rebroadcast → keyword dim is captured at query start; a
+  changed dim (the keywordsHash invalidation, doc_analysis.py:28,321-329)
+  requires a stream restart, which the checkpoint makes cheap.
+
+The whole extract plan is stateless row-local transforms (parse/clean/
+score/spans), so no watermarks or state store are involved; ``foreachBatch``
+writes results + the per-partition metrics sidecar transactionally per
+micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.plans.pipeline import extract, partition_metrics
+from ocr_spark.schemas import TRANSCRIPTS
+
+
+def streaming_extract(
+    spark: SparkSession,
+    input_path: str,
+    vocab: list[str],
+    keywords: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded extraction DataFrame over a growing parquet directory."""
+    reader = spark.readStream.schema(TRANSCRIPTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    return extract(stream, vocab, keywords=keywords)
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_path: str,
+    results_path: str,
+    checkpoint_path: str,
+    vocab: list[str],
+    run_id: str,
+    keywords: list[str] | None = None,
+    metrics_path: str | None = None,
+    timeout_s: int = 600,
+) -> int:
+    """One availableNow cycle: process every not-yet-seen input file,
+    append results (+ metrics sidecar) per micro-batch, stop. Returns rows
+    written this cycle. Re-running with the same checkpoint after a crash
+    or on a schedule is idempotent — the C6 contract."""
+    out = streaming_extract(spark, input_path, vocab, keywords=keywords)
+    written = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.withColumn("run_id", F.lit(run_id)).persist()
+        try:
+            n = batch_df.count()
+            if n:
+                batch_df.write.mode("append").parquet(results_path)
+                if metrics_path:
+                    partition_metrics(
+                        batch_df, f"{run_id}/batch{batch_id}"
+                    ).write.mode("append").parquet(metrics_path)
+            written["n"] += n
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return written["n"]

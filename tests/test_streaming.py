@@ -1,0 +1,87 @@
+"""Structured Streaming pipeline: incremental processing + checkpoint
+resume (the C1/C6 contract, SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import os
+
+from ocr_spark import datagen
+from ocr_spark.streaming.pipeline import run_available_now
+
+
+def _write_slice(pdf, path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(path, index=False)
+
+
+def test_available_now_incremental(spark, vocab, transcripts_pdf, tmp_path):
+    inp = str(tmp_path / "in")
+    results = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    metrics = str(tmp_path / "metrics")
+
+    convs = sorted(transcripts_pdf["conv_id"].unique())
+    first = transcripts_pdf[transcripts_pdf.conv_id.isin(convs[:20])]
+    second = transcripts_pdf[transcripts_pdf.conv_id.isin(convs[20:])]
+
+    _write_slice(first, inp + "/part1.parquet")
+    n1 = run_available_now(
+        spark, inp, results, ckpt, vocab, "r1",
+        keywords=datagen.KEYWORDS, metrics_path=metrics,
+    )
+    assert n1 == len(first)
+
+    # cycle with no new files: nothing reprocessed
+    n_idle = run_available_now(
+        spark, inp, results, ckpt, vocab, "r2",
+        keywords=datagen.KEYWORDS, metrics_path=metrics,
+    )
+    assert n_idle == 0
+
+    # new file arrives: only its rows are processed
+    _write_slice(second, inp + "/part2.parquet")
+    n2 = run_available_now(
+        spark, inp, results, ckpt, vocab, "r3",
+        keywords=datagen.KEYWORDS, metrics_path=metrics,
+    )
+    assert n2 == len(second)
+
+    out = spark.read.parquet(results)
+    assert out.count() == len(transcripts_pdf)
+    assert out.select("conv_id", "turn_idx").distinct().count() == len(transcripts_pdf)
+    statuses = {r["status"] for r in out.select("status").distinct().collect()}
+    assert "extracted" in statuses
+    m = spark.read.parquet(metrics)
+    assert m.count() >= 2
+
+
+def test_streaming_matches_batch(spark, vocab, transcripts_pdf, tmp_path):
+    """Same input ⇒ streaming output == batch output per turn."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.pipeline import extract
+    from ocr_spark.schemas import TRANSCRIPTS
+
+    inp = str(tmp_path / "in2")
+    sub = transcripts_pdf.head(300)
+    _write_slice(sub, inp + "/all.parquet")
+    results = str(tmp_path / "out2")
+    n = run_available_now(
+        spark, inp, results, str(tmp_path / "ck2"), vocab, "rX",
+        keywords=datagen.KEYWORDS,
+    )
+    assert n == len(sub)
+    stream_out = spark.read.parquet(results).drop("run_id")
+    batch_out = extract(
+        spark.createDataFrame(sub, schema=TRANSCRIPTS), vocab,
+        keywords=datagen.KEYWORDS,
+    )
+    key = ["conv_id", "turn_idx"]
+    a = {tuple(r[k] for k in key): (r["clean_text"], r["quality"], r["status"])
+         for r in stream_out.collect()}
+    b = {tuple(r[k] for k in key): (r["clean_text"], r["quality"], r["status"])
+         for r in batch_out.collect()}
+    assert a == b
+    _ = F  # imported for parity with other tests

@@ -1,0 +1,45 @@
+"""P9/P10 summarization + payload shrink semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.summarize import shorten_payload, summarize
+
+
+def test_summarize_picks_central_lines(spark):
+    text = "\n".join(
+        [
+            "unic rar niciodata",                       # no repeated tokens
+            "lege dosar lege dosar lege",               # heavy repeats
+            "alt rand fara repetitii deloc x",
+            "dosar lege tribunal dosar",                # repeats
+            "lege si iar lege aici",                    # repeats
+        ]
+    )
+    df = spark.createDataFrame([(0, text)], "id int, t string")
+    s = df.select(summarize(F.col("t"), k=2).alias("s")).collect()[0]["s"]
+    # the two highest-scoring lines, in original order
+    assert s == "lege dosar lege dosar lege\ndosar lege tribunal dosar"
+
+
+def test_summarize_keeps_order_and_k(spark):
+    text = "\n".join(f"linie {i} comun comun" for i in range(6))
+    df = spark.createDataFrame([(0, text)], "id int, t string")
+    s = df.select(summarize(F.col("t"), k=3).alias("s")).collect()[0]["s"]
+    lines = s.split("\n")
+    assert len(lines) == 3
+    assert lines == sorted(lines, key=lambda x: int(x.split()[1]))
+
+
+def test_shorten_payload(spark):
+    long_text = "\n".join(["rand cu lege lege lege"] * 50)
+    short_text = "rand scurt"
+    df = spark.createDataFrame(
+        [(0, long_text), (1, short_text)], "id int, clean_text string"
+    )
+    out = shorten_payload(df, meta_col=None, limit=100, k=2)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[0]["was_shortened"] and len(rows[0]["clean_text"]) < 100
+    assert not rows[1]["was_shortened"]
+    assert rows[1]["clean_text"] == short_text
