@@ -36,7 +36,7 @@ def log(*a: object) -> None:
 
 #: conversations per scale factor (heavy-tailed ⇒ ~8.7 turns/conv)
 N_CONV = {"0.001": 60, "0.01": 600, "0.1": 20000}
-CALIB_ROWS = 96_000_000
+CALIB_ROWS = 48_000_000
 
 
 def _transcripts_path(sf: str) -> str:
@@ -78,11 +78,14 @@ def worker_extract(cpus: int, inp: str) -> None:
     # skew), so partition on (conv_id, turn_idx), not conv_id alone
     df = df.repartition(cpus * 4, "conv_id", "turn_idx")
     best = float("inf")
-    for _ in range(2):  # iter0 = warmup (JIT, codegen, Arrow init)
+    # iter0 = warmup (JIT, codegen, Arrow init); best-of-rest guards
+    # against shared-host noise bursts
+    for i in range(3):
         spark.catalog.clearCache()
         t0 = time.time()
         extract(df, vocab).write.format("noop").mode("overwrite").save()
-        best = time.time() - t0
+        if i > 0:
+            best = min(best, time.time() - t0)
     spark.stop()
     print(json.dumps({"turns": n_turns, "sec": round(best, 3)}))
 
@@ -97,10 +100,11 @@ def worker_calib(cpus: int) -> None:
         F.sha2(F.col("id").cast("string"), 256).alias("h")
     )
     best = float("inf")
-    for _ in range(2):
+    for i in range(3):
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        best = time.time() - t0
+        if i > 0:
+            best = min(best, time.time() - t0)
     spark.stop()
     print(json.dumps({"sec": round(best, 3)}))
 
@@ -153,6 +157,9 @@ def main() -> int:
         cb = _sub(["--calib", str(cpus)])
         cs = _sub(["--calib", str(small)])
         calib_eff = (cs["sec"] / cb["sec"]) / (cpus / small)
+        # normalized > 1 means the ceiling measurement itself was noise-hit;
+        # cap at 1 — we never claim to out-scale the machine
+        norm = min(eff / calib_eff, 1.0)
         result["scaling"] = {
             "cpus_n": small,
             "tput_n": round(tput_small, 1),
@@ -160,9 +167,9 @@ def main() -> int:
             "tput_4n": round(tput_big, 1),
             "efficiency": round(eff, 3),
             "calibration_efficiency": round(calib_eff, 3),
-            "efficiency_normalized": round(eff / calib_eff, 3),
+            "efficiency_normalized": round(norm, 3),
         }
-        log(f"[bench] calib eff {calib_eff:.2f} → normalized {eff/calib_eff:.2f}")
+        log(f"[bench] calib eff {calib_eff:.2f} → normalized {norm:.2f}")
 
     spark = _new_spark(cpus)
     for name, fn in QUERIES.items():

@@ -67,20 +67,42 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _minhash_i(shingles: Column, i: int) -> Column:
-    # NB: the seed must be captured via this enclosing scope — a
-    # `lambda s, i=i:` would make transform() treat it as an
-    # (element, index) lambda and bind i to the index column
-    seed = f"{i}|"
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(seed), s)))
+MINHASH_P = 2_147_483_647  # 2^31 − 1: a*h stays < 2^62, no int64 overflow
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation constants from md5 — identical in
+    any engine that embeds them as literals."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:7], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """array<bigint>: one md5 per shingle, folded to [0, P)."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        % MINHASH_P,
     )
 
 
-def minhash_signature(shingles: Column, k: int = 12) -> Column:
-    """array<string> of k min-hashes: min over shingles of md5('<i>|'+s).
-    md5 hex is uniform, so string-min ≡ numeric-min — and portable."""
-    return F.array(*[_minhash_i(shingles, i) for i in range(k)])
+def _perm_min(hv: Column, a: int, b: int) -> Column:
+    # enclosing-scope capture (see the lambda-arity note in chunk_vals)
+    return F.array_min(F.transform(hv, lambda h: (a * h + b) % MINHASH_P))
+
+
+def minhash_signature(hv: Column, k: int = 12) -> Column:
+    """array<bigint> of k min-hashes via linear permutations of ONE base
+    hash per shingle — k× fewer md5 evaluations than hashing per seed.
+    ``hv`` must be a materialized column (shingle_hashes), or Catalyst
+    inlines the md5 transform into all k array_min expressions."""
+    return F.array(*[_perm_min(hv, a, b) for a, b in minhash_coeffs(k)])
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -91,7 +113,11 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[sig[b * rows + r] for r in range(rows)]
+                        "|",
+                        *[
+                            sig[b * rows + r].cast("string")
+                            for r in range(rows)
+                        ],
                     )
                 ).alias("bh"),
             )
@@ -123,9 +149,11 @@ def minhash_lsh(
     # shingle-less rows (too short) have no signature and an undefined
     # Jaccard — exact dedup handles them; drop here
     base = base.filter(F.size("sh") > 0)
+    base = materialize(base, hv=shingle_hashes(F.col("sh")))
     base = materialize(
-        base, bands_arr=lsh_bands(minhash_signature(F.col("sh"), bands * rows), bands, rows)
-    )
+        base,
+        bands_arr=lsh_bands(minhash_signature(F.col("hv"), bands * rows), bands, rows),
+    ).drop("hv")
     bt = base.select("k", F.explode("bands_arr").alias("b")).select(
         "k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )

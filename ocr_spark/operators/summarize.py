@@ -31,14 +31,26 @@ MAX_LEN = 1 << 18  # summarization input guard (summarization.py:10,23)
 def summarize(text: Column, k: int = 3) -> Column:
     """Top-k central lines of the (truncated) text, original order."""
     t = F.substring(text, 1, MAX_LEN)
-    toks = X.tokens(t)
-    sig = F.filter(
-        F.array_distinct(toks),
-        lambda w: F.size(F.filter(toks, lambda x: x == w)) >= 2,
-    )
-    lines = F.filter(
+    return _pick_lines(_lines(t), _sig(F.sort_array(X.tokens(t))), k)
+
+
+def _sig(st: Column) -> Column:
+    """Significant tokens (≥2 occurrences) via sorted adjacency: zip the
+    sorted array against its tail — O(n log n), and each input array is
+    evaluated once (zip_with inputs are whole arrays, unlike element_at
+    inside a transform lambda, which re-evaluates the array per element)."""
+    tail = F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0)))
+    dups = F.zip_with(st, tail, lambda a, b: F.when(a == b, a))
+    return F.array_distinct(F.filter(dups, lambda x: x.isNotNull()))
+
+
+def _lines(t: Column) -> Column:
+    return F.filter(
         F.transform(F.split(t, "\n"), X.strip_ws), lambda s: s != ""
     )
+
+
+def _pick_lines(lines: Column, sig: Column, k: int) -> Column:
     scored = F.transform(
         lines,
         lambda s, i: F.struct(
@@ -54,6 +66,31 @@ def summarize(text: Column, k: int = 3) -> Column:
         F.transform(top, lambda e: F.struct(e["pos"].alias("pos"), e["line"].alias("line")))
     )
     return F.array_join(F.transform(ordered, lambda e: e["line"]), "\n")
+
+
+def with_summary(
+    df: DataFrame, text_col: str, out_col: str = "summary", k: int = 3
+) -> DataFrame:
+    """Staged summarization for bulk use: every intermediate (tokens,
+    sorted tokens, significant set, lines) is materialized behind a
+    generator barrier, so nothing is re-evaluated inside downstream lambdas.
+    Use this over the bare ``summarize`` column for whole-corpus runs —
+    expressions referenced inside HOF lambdas are re-computed per element,
+    which turns the inline form O(n²) per row."""
+    from ocr_spark.operators.cleaning import materialize
+
+    t = F.substring(F.col(text_col), 1, MAX_LEN)
+    df = materialize(df, _sum_t=t)
+    df = materialize(
+        df,
+        _sum_st=F.sort_array(X.tokens(F.col("_sum_t"))),
+        _sum_lines=_lines(F.col("_sum_t")),
+    )
+    df = materialize(df, _sum_sig=_sig(F.col("_sum_st")))
+    df = materialize(
+        df, **{out_col: _pick_lines(F.col("_sum_lines"), F.col("_sum_sig"), k)}
+    )
+    return df.drop("_sum_t", "_sum_st", "_sum_lines", "_sum_sig")
 
 
 def shorten_payload(

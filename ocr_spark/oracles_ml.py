@@ -37,8 +37,18 @@ def _shingles(n: int) -> str:
     )
 
 
+#: one md5 per shingle, folded to [0, P) — twin of dedup.shingle_hashes
+_HV = (
+    "list_transform(sh, s -> "
+    "cast(concat('0x', substr(md5(s), 1, 8)) as bigint) % 2147483647)"
+)
+
+
 def _sig(i: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+    from ocr_spark.operators.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(i + 1)[i]
+    return f"list_min(list_transform(hv, h -> ({a} * h + {b}) % 2147483647))"
 
 
 def minhash_pairs_sql(
@@ -47,7 +57,10 @@ def minhash_pairs_sql(
     sig_cols = ", ".join(f"{_sig(i)} as s{i}" for i in range(bands * rows))
     band_rows = " union all ".join(
         "select doc_id, {b} as band, md5(concat_ws('|', {cols})) as bh from sig".format(
-            b=b, cols=", ".join(f"s{b * rows + r}" for r in range(rows))
+            b=b,
+            cols=", ".join(
+                f"cast(s{b * rows + r} as varchar)" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
@@ -55,7 +68,7 @@ def minhash_pairs_sql(
 with {CORPUS},
 tok as (select doc_id, {TOKS} as toks from corpus),
 shing as (select doc_id, {_shingles(shingle_n)} as sh from tok),
-nz as (select * from shing where len(sh) > 0),
+nz as (select doc_id, sh, {_HV} as hv from shing where len(sh) > 0),
 sig as (select doc_id, sh, {sig_cols} from nz),
 bandt as ({band_rows}),
 cand as (

@@ -771,11 +771,10 @@ from documents
 
 def q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 extractive summarization (frozen spec) over multi-line payloads."""
-    from ocr_spark.operators.cleaning import materialize
-    from ocr_spark.operators.summarize import summarize
+    from ocr_spark.operators.summarize import with_summary
 
     df = _with_payload(_docs(spark, sf_dir))
-    df = materialize(df, summary=summarize(F.col("payload"), k=3))
+    df = with_summary(df, "payload", k=3)
     return df.select("doc_id", "summary")
 
 
@@ -794,9 +793,11 @@ with base as (
 ),
 sig as (
   select doc_id, lines,
-    list_filter(list_distinct(toks),
-                w -> len(list_filter(toks, x -> x = w)) >= 2) as sg
-  from base
+    list_distinct(list_filter(
+      list_transform(range(1, len(st)), i ->
+        case when st[i] = st[i + 1] then st[i] end),
+      x -> x is not null)) as sg
+  from (select doc_id, lines, list_sort(toks) as st from base)
 ),
 scored as (
   select doc_id,

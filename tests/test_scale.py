@@ -1,0 +1,117 @@
+"""Scale-hygiene proofs (SURVEY.md §7.1 M5): plan shapes and determinism.
+
+These tests pin the properties that make the pipeline viable at 10¹²
+turns: the extraction hot path must not shuffle, scans must push filters
+and prune columns, dimension joins must broadcast, and results must be
+invariant to partitioning (the W1 stable-ordering rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark import datagen
+from ocr_spark.plans.pipeline import conversation_rollup, extract
+from ocr_spark.schemas import TRANSCRIPTS
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_hot_path_has_no_shuffle(spark, vocab, transcripts_pdf):
+    df = spark.createDataFrame(transcripts_pdf.head(50), schema=TRANSCRIPTS)
+    plan = _plan(extract(df, vocab))
+    assert "Exchange" not in plan, plan
+
+
+def test_extract_with_spans_has_no_shuffle(spark, vocab, transcripts_pdf):
+    df = spark.createDataFrame(transcripts_pdf.head(50), schema=TRANSCRIPTS)
+    plan = _plan(extract(df, vocab, keywords=datagen.KEYWORDS))
+    assert "Exchange" not in plan, plan
+
+
+def test_parquet_filter_pushdown_and_pruning(spark, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"text {i}", i * 10) for i in range(100)],
+        "doc_id long, text string, n_chars long",
+    ).write.parquet(p)
+    q = (
+        spark.read.parquet(p)
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", "text")
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,10)" in plan, plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "n_chars" not in rs, rs
+
+
+def test_token_match_uses_broadcast_join(spark):
+    from ocr_spark.operators.matching import match_token_seq
+
+    df = spark.createDataFrame(
+        [(i, "ana are mere") for i in range(20)], "id long, clean_text string"
+    )
+    plan = _plan(match_token_seq(df, ["ana", "are mere"], ["id"]))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_extract_deterministic_under_repartitioning(spark, vocab, transcripts_pdf):
+    """Same input at 1 vs 13 partitions ⇒ byte-identical per-turn output."""
+    sub = transcripts_pdf.head(400)
+    base = spark.createDataFrame(sub, schema=TRANSCRIPTS)
+
+    def run(df):
+        rows = extract(df, vocab, keywords=datagen.KEYWORDS).collect()
+        return {
+            (r["conv_id"], r["turn_idx"]): (
+                r["clean_text"],
+                r["quality"],
+                r["status"],
+                tuple((s["keyword"], s["start"], s["end"]) for s in r["spans"]),
+            )
+            for r in rows
+        }
+
+    a = run(base.coalesce(1))
+    b = run(base.repartition(13, "conv_id"))
+    assert a == b
+
+
+def test_conversation_rollup_matches_naive(spark, transcripts_pdf):
+    """The salted two-stage ordered concat == naive single-stage groupBy."""
+    sub = transcripts_pdf.head(500)[["conv_id", "turn_idx", "text"]].rename(
+        columns={"text": "clean_text"}
+    )
+    df = spark.createDataFrame(sub)
+    two_stage = {
+        r["conv_id"]: (r["conv_clean_text"], r["n_turns"])
+        for r in conversation_rollup(df, bucket_turns=3).collect()
+    }
+    naive = {
+        r["conv_id"]: (r["conv_clean_text"], r["n_turns"])
+        for r in df.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("turn_idx", "clean_text"))
+                    ),
+                    lambda s: s["clean_text"],
+                ),
+                "",
+            ).alias("conv_clean_text"),
+            F.count("*").cast("int").alias("n_turns"),
+        )
+        .collect()
+    }
+    assert two_stage == naive
+
+
+def test_arrow_batch_bound_configured(spark):
+    assert (
+        int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
+        <= 10000
+    )
