@@ -224,6 +224,58 @@ def highlight_rollup(
     )
 
 
+#: F12 — the reference keeps only these entity labels
+#: (doc_analysis.py:257-265)
+ALLOWED_ENTITY_LABELS = ("LEGAL", "PERSON", "NAT_REL_POL", "GPE", "ORGANIZATION")
+
+
+def entity_spans(
+    df: DataFrame,
+    gazetteer: dict[str, list[str]],
+    text_col: str = "clean_text",
+    out_col: str = "entities",
+    allowed: tuple[str, ...] = ALLOWED_ENTITY_LABELS,
+) -> DataFrame:
+    """V3 stand-in: gazetteer (dictionary-rule) entity recognition.
+
+    The reference's NER is a spaCy model, DISABLED by default
+    (ENABLE_NER, doc_analysis.py:36-39); model weights are not a
+    reproducible dependency, so the frozen spec is rule-based: each label
+    owns a phrase list, matches reuse the span machinery, the F12 label
+    filter keeps only ``allowed`` labels, and overlaps dedup greedily (J7).
+    Output: array<struct<label,keyword,start,end>> per row.
+    """
+    from ocr_spark.operators.cleaning import materialize
+
+    label_of = {}
+    phrases = []
+    for label, words in gazetteer.items():
+        for w in words:
+            wl = w.strip().lower()
+            if wl:
+                label_of[wl] = label
+                phrases.append(wl)
+    df = with_keyword_spans(
+        df, phrases, text_col=text_col, out_col="_esp", dedup=True
+    )
+    lab = F.create_map(
+        *[x for kv in label_of.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    ents = F.filter(
+        F.transform(
+            F.col("_esp"),
+            lambda s: F.struct(
+                lab[s["keyword"]].alias("label"),
+                s["keyword"].alias("keyword"),
+                s["start"].alias("start"),
+                s["end"].alias("end"),
+            ),
+        ),
+        lambda e: e["label"].isin(*allowed),
+    )
+    return materialize(df, **{out_col: ents}).drop("_esp")
+
+
 def with_doc_statistics(
     df: DataFrame, text_col: str = "clean_text", spans_col: str = "spans"
 ) -> DataFrame:

@@ -1,0 +1,62 @@
+"""Vector search stage — the reference's ``VectorSearcher`` dataflow
+(vector_searcher.py:20-48, SURVEY.md §2.9 V1/V2) rebuilt Spark-first.
+
+The reference fits a OneClassSVM over the keyword phrases' doc vectors
+(driver-side, tiny dim) and predicts over every 2-5-gram span vector,
+keeping positives. The model artifact (sklearn rbf SVM) is not a
+reproducible dependency; the frozen stand-in keeps the *dataflow* and a
+deterministic decision rule:
+
+  fit      = elementwise mean of the keyword vectors (vec_id order,
+             sequential fold — portable bit-for-bit), driver-side on the
+             broadcastable dim (V1);
+  predict  = cosine(vector, centroid) ≥ τ, evaluated natively per row —
+             the model rides the plan as a literal, the scan stays
+             JVM-side (V2). Optional stage, off the hot path
+             (VECTOR_SEARCH flag analog, app/config.py:37).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.similarity import as_double, cosine, norm
+
+
+def fit_centroid(dim_df: DataFrame, key: str, vec_col: str) -> list[float]:
+    """V1: driver-side fit on the small keyword-vector dim. Deterministic:
+    rows folded in ``key`` order, elements cast to double first."""
+    rows = sorted(
+        dim_df.select(key, vec_col).collect(), key=lambda r: r[key]
+    )
+    if not rows:
+        raise ValueError("empty model dim")
+    acc = [float(x) for x in rows[0][vec_col]]
+    for r in rows[1:]:
+        v = r[vec_col]
+        acc = [a + float(x) for a, x in zip(acc, v)]
+    n = len(rows)
+    return [a / n for a in acc]
+
+
+def score(vec: Column, centroid: list[float]) -> Column:
+    """Cosine of a vector column against the broadcast centroid literal."""
+    c = F.lit(centroid)
+    v = as_double(vec)
+    return cosine(v, c, norm(v), norm(c))
+
+
+def vector_search(
+    items: DataFrame,
+    model_dim: DataFrame,
+    key: str,
+    vec_col: str,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """V2: score every item against the fitted centroid; ``positive`` marks
+    in-distribution vectors (the SVM-predict analog). Keep the score so
+    downstream overlap-dedup / ranking (J7/W5) can reuse it."""
+    centroid = fit_centroid(model_dim, key, vec_col)
+    out = items.withColumn("cos", score(F.col(vec_col), centroid))
+    return out.withColumn("positive", (F.col("cos") >= threshold).cast("int"))

@@ -817,6 +817,90 @@ from scored
 """
 
 
+def q_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V2: fit a centroid 'model' on the small vector dim (vec_id < 20),
+    score the whole table natively, mark in-distribution positives."""
+    from ocr_spark.operators.vectorsearch import vector_search
+
+    emb = _emb(spark, sf_dir)
+    out = vector_search(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        threshold=0.05,
+    )
+    return out.select(
+        "vec_id",
+        _scale(F.col("cos"), 1_000_000).alias("cos_c"),
+        F.col("positive").cast("long").alias("positive"),
+    )
+
+
+SQL_VECTOR_SEARCH = f"""
+with m as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings where vec_id < 20
+),
+cf as (
+  select list_reduce(list(v order by vec_id),
+           (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])) as s,
+         count(*) as n
+  from m
+),
+cen as (select list_transform(s, x -> x / n) as c from cf),
+base as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+),
+scored as (
+  select vec_id,
+    ({OM._dot('v', 'c')} / (sqrt({OM._dot('v', 'v')}) * sqrt({OM._dot('c', 'c')}))) as cos
+  from base, cen
+)
+select vec_id, {_scale_sql('cos', 1_000_000)} as cos_c,
+  cast(case when cos >= 0.05 then 1 else 0 end as bigint) as positive
+from scored
+"""
+
+#: gazetteer whose phrases cannot overlap each other in text (no shared
+#: words), so greedy dedup is a no-op and the SQL oracle needs no
+#: iterative selection; MISC exercises the F12 label filter
+ENTITY_GAZ = {
+    "LEGAL": ["hash join", "table scan"],
+    "PERSON": ["customer"],
+    "ORGANIZATION": ["spark"],
+    "MISC": ["window"],
+}
+
+
+def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 gazetteer entity recognition + F12 label filter."""
+    from ocr_spark.operators.matching import entity_spans
+
+    docs = _docs(spark, sf_dir)
+    out = entity_spans(docs, ENTITY_GAZ, text_col="text")
+    return out.select("doc_id", F.explode("entities").alias("e")).select(
+        "doc_id", "e.label", "e.keyword", "e.start", "e.end"
+    )
+
+
+def _sql_entities() -> str:
+    pairs = [
+        (w, label)
+        for label, words in ENTITY_GAZ.items()
+        for w in words
+        if label != "MISC"
+    ]
+    vals = ", ".join(f"({O.q(w)}, {O.q(lb)})" for w, lb in pairs)
+    return f"""
+select doc_id, label, keyword, i - 1 as start, i - 1 + length(keyword) as "end"
+from documents, (values {vals}) as g(keyword, label),
+     unnest(range(1, length(text) - length(keyword) + 2)) as r(i)
+where substr(text, i, length(keyword)) = keyword
+  and (i = 1 or not regexp_matches(substr(text, i - 1, 1), '[a-z0-9_]'))
+  and (i + length(keyword) > length(text)
+       or not regexp_matches(substr(text, i + length(keyword), 1), '[a-z0-9_]'))
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal: binary payloads + typed metadata; Arrow feature stage
 # --------------------------------------------------------------------------
@@ -922,6 +1006,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
     "summarize": q_summarize,
+    "vector_search": q_vector_search,
+    "entities": q_entities,
 }
 
 
@@ -959,4 +1045,6 @@ from corpus group by 1
         "fingerprint": SQL_FINGERPRINT,
         "media_features": _sql_media_features(),
         "summarize": _sql_summarize(),
+        "vector_search": SQL_VECTOR_SEARCH,
+        "entities": _sql_entities(),
     }

@@ -1,0 +1,95 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S9).
+
+The reference's job I/O is an HTTP work queue plus local files
+(ocr_worker.py:74-158, ocr_service.py:148-151); here every exchange is a
+table:
+
+| ref | here |
+|---|---|
+| S1 `get_next_document` poll    | `read_transcripts` scan (+ streaming availableNow) |
+| S2 `get_document` by id        | `point_lookup` — predicate-pushed key filter |
+| S3 `update_document` POST      | `write_results` append (413-shrink → summarize.shorten_payload) |
+| S4 PDF file source             | the `text` payload column / `binaryFile` reader |
+| S5 `dump_text`                 | `write_text` |
+| S6 `dump_json_to_path`         | `write_json` (drops the heavy text column, ocr_worker.py:252-264) |
+| S8 keyword/vocab file sources  | `read_dim` small dims → broadcast |
+| S9 JSONL lineage sink          | `write_metrics` sidecar append |
+
+Iceberg: the target deployment keeps transcripts/results/metrics in
+Iceberg tables (snapshot commits = checkpoints; snapshot-range reads =
+incremental batches). The runtime in this sandbox has no Iceberg catalog
+jars, so ``fmt="iceberg"`` is attempted and falls back to parquet —
+the calling code is identical on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.schemas import TRANSCRIPTS
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.spark.source.SparkTable  # noqa: B018
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def read_transcripts(
+    spark: SparkSession, path: str, fmt: str = "auto"
+) -> DataFrame:
+    """S1: the input scan. `fmt='iceberg'` reads a table identifier;
+    parquet reads a path with the fixed TRANSCRIPTS schema (schema
+    enforced — the reference's duck-typed dicts are the anti-pattern,
+    SURVEY.md §1.2)."""
+    if fmt == "iceberg" or (fmt == "auto" and _has_iceberg(spark)):
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception:  # noqa: BLE001 — fall through to parquet
+            pass
+    return spark.read.schema(TRANSCRIPTS).parquet(path)
+
+
+def point_lookup(df: DataFrame, conv_id: str, turn_idx: int | None = None) -> DataFrame:
+    """S2: key lookup — a pushed-down predicate, not an RPC (retries are
+    Spark task retries, ocr_worker.py:88-96 analog)."""
+    out = df.where(F.col("conv_id") == conv_id)
+    if turn_idx is not None:
+        out = out.where(F.col("turn_idx") == turn_idx)
+    return out
+
+
+def read_dim(spark: SparkSession, values: list[str], name: str = "value") -> DataFrame:
+    """S8: a small reference dim (keywords / vocabulary / stopwords) as a
+    broadcastable single-column table."""
+    return spark.createDataFrame([(v,) for v in values], f"{name} string")
+
+
+def write_results(df: DataFrame, path: str, fmt: str = "auto") -> None:
+    """S3: the results sink — transactional append; Iceberg commit =
+    checkpoint snapshot on a real cluster."""
+    if fmt == "iceberg":
+        df.writeTo(path).append()
+        return
+    df.write.mode("append").parquet(path)
+
+
+def write_text(df: DataFrame, path: str, text_col: str = "clean_text") -> None:
+    """S5: dump extracted text (ocr_service.py:148-151 analog)."""
+    df.select(F.col(text_col)).write.mode("overwrite").text(path)
+
+
+def write_json(df: DataFrame, path: str, drop_cols: tuple[str, ...] = ("text", "clean_text")) -> None:
+    """S6: analysis JSON minus the heavy text payload (ocr_worker.py:252-264)."""
+    df.drop(*[c for c in drop_cols if c in df.columns]).write.mode(
+        "overwrite"
+    ).json(path)
+
+
+def write_metrics(df: DataFrame, path: str) -> None:
+    """S9: lineage/metrics sidecar append (tests/test_performance.py:79-80
+    analog — a table, partitioned like the data, not a local JSONL)."""
+    df.write.mode("append").parquet(path)

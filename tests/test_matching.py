@@ -155,3 +155,37 @@ def test_highlight_rollup(spark, texts):
         assert {e["keyword"]: e["total_occs"] for e in arr} == {
             k: len(v) for k, v in per_kw.items()
         }
+
+
+def test_entity_spans_gazetteer(spark):
+    from ocr_spark.operators.matching import entity_spans
+
+    df = spark.createDataFrame(
+        [(0, "contractul si legea merg la tribunal cu ana acum")],
+        "id int, clean_text string",
+    )
+    gaz = {
+        "LEGAL": ["legea", "tribunal"],
+        "PERSON": ["ana"],
+        "MISC": ["contractul"],  # filtered out by F12
+    }
+    rows = entity_spans(df, gaz).collect()[0]["entities"]
+    got = [(e["label"], e["keyword"], e["start"], e["end"]) for e in rows]
+    assert ("LEGAL", "legea", 14, 19) in got
+    assert ("LEGAL", "tribunal", 28, 36) in got
+    assert ("PERSON", "ana", 40, 43) in got
+    assert all(lbl != "MISC" for lbl, *_ in got)
+
+
+def test_vector_search_centroid(spark):
+    from ocr_spark.operators.vectorsearch import fit_centroid, vector_search
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0]), (3, [2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    dim = df.filter("vec_id < 2")
+    assert fit_centroid(dim, "vec_id", "embedding") == [0.5, 0.5]
+    out = {r["vec_id"]: r["positive"] for r in
+           vector_search(df, dim, "vec_id", "embedding", threshold=0.5).collect()}
+    assert out[3] == 1 and out[2] == 0
