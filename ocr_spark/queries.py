@@ -509,6 +509,115 @@ left join (
 
 
 # --------------------------------------------------------------------------
+# General relational coverage (TPC-H-style): multi-join reordering,
+# broadcast dims, hash aggregate, top-k. Money is summed as integer cents
+# (per-row scaled) so cross-engine aggregation order cannot perturb hashes.
+# --------------------------------------------------------------------------
+
+
+def _cents(col: Column) -> Column:
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-style pricing summary over lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    disc = _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(disc).alias("sum_disc_units"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_PRICING = """
+select l_returnflag, l_linestatus,
+  sum(cast(l_quantity as bigint)) as sum_qty,
+  sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as sum_base_cents,
+  sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+      * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as sum_disc_units,
+  count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-01'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style: customer ⋈ orders ⋈ lineitem revenue top-10 (broadcast the
+    dims, shuffle only the fact aggregation)."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    j = li.join(
+        F.broadcast(od), li["l_orderkey"] == od["o_orderkey"]
+    ).join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).alias("revenue_units"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue_units"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_TOP_CUSTOMERS = """
+select c_custkey, c_name,
+  sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+      * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as revenue_units,
+  count(*) as n_items
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+group by c_custkey, c_name
+order by revenue_units desc, c_custkey asc
+limit 10
+"""
+
+
+def q_tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style 5-way join: region ⋈ nation ⋈ supplier ⋈ lineitem ⋈ orders,
+    revenue per nation — the small dims broadcast, Catalyst reorders."""
+    rg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    j = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(rg), na["n_regionkey"] == rg["r_regionkey"])
+        .join(F.broadcast(od), li["l_orderkey"] == od["o_orderkey"])
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.sum(rev).alias("revenue_units"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+SQL_TPCH_NATION_VOLUME = """
+select r_name, n_name,
+  sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+      * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as revenue_units,
+  cast(count(distinct o_custkey) as bigint) as n_customers
+from lineitem
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+join orders on l_orderkey = o_orderkey
+group by r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # Training-data pipeline: dedup suite (exact / MinHash-LSH / SimHash /
 # n-gram Jaccard / embedding near-dup) + ANN similarity search
 # --------------------------------------------------------------------------
@@ -1008,6 +1117,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summarize": q_summarize,
     "vector_search": q_vector_search,
     "entities": q_entities,
+    "tpch_pricing": q_tpch_pricing,
+    "tpch_top_customers": q_tpch_top_customers,
+    "tpch_nation_volume": q_tpch_nation_volume,
 }
 
 
@@ -1047,4 +1159,7 @@ from corpus group by 1
         "summarize": _sql_summarize(),
         "vector_search": SQL_VECTOR_SEARCH,
         "entities": _sql_entities(),
+        "tpch_pricing": SQL_TPCH_PRICING,
+        "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
+        "tpch_nation_volume": SQL_TPCH_NATION_VOLUME,
     }
