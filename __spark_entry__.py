@@ -34,13 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
         .distinct()
         .collect()
     ]
+    from ocr_spark.queries import DOC_KEYWORDS
+
     turns = docs.select(
         F.col("doc_id"),
         payloads.payload_col(F.col("text")).alias("text"),
     )
-    out = extract(turns, vocab)
+    out = extract(turns, vocab, keywords=DOC_KEYWORDS)
     return out.select(
-        "doc_id", "kind", "parse_ok", "status", "quality", "clean_text"
+        "doc_id", "kind", "parse_ok", "status", "quality",
+        "clean_text", "spans", "statistics",
     )
 
 

@@ -408,9 +408,13 @@ where substr(text, i, length(keyword)) = keyword
 
 
 def q_kw_spans_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy longest-first non-overlap selection (J7). Not SQL-expressible
-    (iterative greedy scan) → rows-only check; parity vs the frozen pymatch
-    spec is enforced by tests/test_matching.py."""
+    """Greedy longest-first non-overlap selection (J7). The general greedy
+    scan is iterative, but THIS dim is two-level (multi-word phrases that
+    cannot overlap each other, single words that cannot overlap each
+    other), so greedy ≡ "all phrase spans + word spans not covered by a
+    phrase span" — which IS SQL-expressible; the oracle encodes that
+    closed form while the Spark side runs the general operator. General-
+    case parity vs the frozen pymatch spec: tests/test_matching.py."""
     from ocr_spark.operators.matching import with_keyword_spans
 
     docs = _docs(spark, sf_dir)
@@ -418,6 +422,22 @@ def q_kw_spans_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.keyword", "s.start", "s.end"
     )
+
+
+SQL_KW_SPANS_DEDUP = f"""
+with s as ({{spans}}),
+p as (select * from s where contains(keyword, ' ')),
+w as (
+  select s.* from s
+  where not contains(s.keyword, ' ')
+    and not exists (
+      select 1 from p
+      where p.doc_id = s.doc_id
+        and not (s."end" <= p.start or s.start >= p."end")
+    )
+)
+select * from p union all select * from w
+""".format(spans=SQL_KW_SPANS)
 
 
 def q_kw_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1136,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": SQL_EVENT_SESSIONS,
         "kw_counts": SQL_KW_COUNTS,
         "kw_spans": SQL_KW_SPANS,
+        "kw_spans_dedup": SQL_KW_SPANS_DEDUP,
         "kw_token_match": _sql_kw_token_match(),
         "kw_rollup": SQL_KW_ROLLUP,
         "kw_statistics": SQL_KW_STATISTICS,
