@@ -35,8 +35,8 @@ def log(*a: object) -> None:
 
 
 #: conversations per scale factor (heavy-tailed ⇒ ~8.7 turns/conv)
-N_CONV = {"0.001": 60, "0.01": 600, "0.1": 20000}
-CALIB_ROWS = 48_000_000
+N_CONV = {"0.001": 60, "0.01": 600, "0.1": 40000}
+CALIB_ROWS = 96_000_000
 
 
 def _transcripts_path(sf: str) -> str:
@@ -65,8 +65,15 @@ def _new_spark(cpus: int):
 
 
 def worker_extract(cpus: int, inp: str) -> None:
-    """Subprocess body: pinned extract run; prints {'turns','sec'}."""
+    """Subprocess body: pinned extract run + in-window calibration.
+
+    The shared host throttles wide runs in unpredictable waves, so the
+    pure-JVM ceiling workload is timed in the SAME process window as the
+    extract — the extract/calibration ratio is then weather-matched.
+    Prints {'turns','sec','calib_sec'}."""
     _pin(cpus)
+    from pyspark.sql import functions as F
+
     from ocr_spark import datagen
     from ocr_spark.plans.pipeline import extract
 
@@ -77,17 +84,27 @@ def worker_extract(cpus: int, inp: str) -> None:
     # spread payloads evenly: turns-per-conversation is heavy-tailed (500×
     # skew), so partition on (conv_id, turn_idx), not conv_id alone
     df = df.repartition(cpus * 4, "conv_id", "turn_idx")
+    calib = spark.range(0, CALIB_ROWS, 1, cpus * 4).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("h")
+    )
     best = float("inf")
+    cbest = float("inf")
     # iter0 = warmup (JIT, codegen, Arrow init); best-of-rest guards
-    # against shared-host noise bursts
+    # against noise bursts; extract and calib interleave per iteration
     for i in range(3):
         spark.catalog.clearCache()
         t0 = time.time()
         extract(df, vocab).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        t0 = time.time()
+        calib.write.format("noop").mode("overwrite").save()
+        cdt = time.time() - t0
         if i > 0:
-            best = min(best, time.time() - t0)
+            best = min(best, dt)
+            cbest = min(cbest, cdt)
     spark.stop()
-    print(json.dumps({"turns": n_turns, "sec": round(best, 3)}))
+    print(json.dumps({"turns": n_turns, "sec": round(best, 3),
+                      "calib_sec": round(cbest, 3)}))
 
 
 def worker_calib(cpus: int) -> None:
@@ -100,7 +117,7 @@ def worker_calib(cpus: int) -> None:
         F.sha2(F.col("id").cast("string"), 256).alias("h")
     )
     best = float("inf")
-    for i in range(3):
+    for i in range(2):
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         if i > 0:
@@ -153,10 +170,7 @@ def main() -> int:
         tput_small = n_turns / sm["sec"]
         eff = (tput_big / tput_small) / (cpus / small)
         log(f"[bench] local[{small}]: {sm['sec']:.1f}s = {tput_small:.0f} turns/s; raw eff {eff:.2f}")
-        log("[bench] calibration (pure-JVM sha2, pinned)")
-        cb = _sub(["--calib", str(cpus)])
-        cs = _sub(["--calib", str(small)])
-        calib_eff = (cs["sec"] / cb["sec"]) / (cpus / small)
+        calib_eff = (sm["calib_sec"] / big["calib_sec"]) / (cpus / small)
         # normalized > 1 means the ceiling measurement itself was noise-hit;
         # cap at 1 — we never claim to out-scale the machine
         norm = min(eff / calib_eff, 1.0)

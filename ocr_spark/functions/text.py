@@ -42,23 +42,35 @@ NOT_RO_CLASS = (
 )
 
 
+#: Python str.strip()'s exact default whitespace set (str.isspace chars)
+PY_WHITESPACE = "".join(
+    chr(i) for i in range(0x3001) if chr(i).isspace()
+)
+
+
 def strip_ws(col: Column) -> Column:
-    """Python ``str.strip()`` parity (unicode whitespace at both ends)."""
-    return F.regexp_replace(col, STRIP_RE, "")
+    """Python ``str.strip()`` parity — btrim over the exact isspace char
+    set: one table-lookup pass instead of two anchored regexes."""
+    return F.btrim(col, F.lit(PY_WHITESPACE))
 
 
 def clean_line(col: Column) -> Column:
-    """Regex bank r1–r9 + literal replaces + space collapse, in the exact
-    order of the reference (text_processing.py:171-191) — all native."""
-    c = F.regexp_replace(col, R1, "$1$2")
-    c = F.regexp_replace(c, R2, "$1$2")
-    c = F.regexp_replace(c, R3, "-")
-    c = F.regexp_replace(c, R4, "$1$2")
-    c = F.regexp_replace(c, R5, "")
-    c = F.regexp_replace(c, R6, "")
-    c = F.regexp_replace(c, R7, "")
-    c = F.regexp_replace(c, R8, "")
-    c = F.regexp_replace(c, R9, "")
+    """Regex bank r1-r9 + literal replaces + space collapse, in the exact
+    order of the reference (text_processing.py:171-191) — all native,
+    LINEAR expression tree. For the per-line bulk path, operators.cleaning
+    applies CLEAN_STEPS one transform layer at a time so each step's gate
+    and rewrite see a cheap lambda-variable reference (a when()-gated
+    chain over a single expression would duplicate the accumulated subtree
+    exponentially)."""
+    c = col
+    for _trig, rewrite in CLEAN_STEPS:
+        c = rewrite(c)
+    return finish_line(c)
+
+
+def finish_line(c: Column) -> Column:
+    """Bank tail: literal replaces + space collapse + strip (always run —
+    String.replace scans are cheap)."""
     c = F.replace(c, F.lit("( ă)"), F.lit("(ă)"))
     c = F.replace(c, F.lit("ţ"), F.lit("ț"))
     c = F.replace(c, F.lit("ş"), F.lit("ș"))
@@ -67,6 +79,35 @@ def clean_line(col: Column) -> Column:
     c = F.replace(c, F.lit("Ã¢"), F.lit("â"))
     c = F.regexp_replace(c, SPACES, " ")
     return strip_ws(c)
+
+
+def _has_r3_chars(c: Column) -> Column:
+    # r3's class is 27 fixed chars — presence test is one translate pass
+    return F.length(F.translate(c, pyclean.DASH_CLASS_CHARS, "")) < F.length(c)
+
+
+#: the r1-r9 bank as (trigger, rewrite) pairs. A trigger tests for a
+#: character the pattern REQUIRES, so a false trigger means zero matches
+#: and the rewrite is an exact identity that may be skipped. Triggers are
+#: evaluated against each step's own input, so chars introduced by earlier
+#: steps (r3 inserts '-') are seen by later gates (r9).
+CLEAN_STEPS: list = [
+    (lambda c: c.contains("-"), lambda c: F.regexp_replace(c, R1, "$1$2")),
+    (lambda c: c.contains("/"), lambda c: F.regexp_replace(c, R2, "$1$2")),
+    (_has_r3_chars, lambda c: F.regexp_replace(c, R3, "-")),
+    (lambda c: c.contains(","), lambda c: F.regexp_replace(c, R4, "$1$2")),
+    (lambda c: c.contains("\u00ad"), lambda c: F.regexp_replace(c, R5, "")),
+    (
+        lambda c: c.contains("www")
+        | c.contains("http")
+        | c.contains("<")
+        | c.contains(">"),
+        lambda c: F.regexp_replace(c, R6, ""),
+    ),
+    (lambda c: c.contains("@"), lambda c: F.regexp_replace(c, R7, "")),
+    (lambda c: c.contains("─"), lambda c: F.regexp_replace(c, R8, "")),
+    (lambda c: c.contains("-"), lambda c: F.regexp_replace(c, R9, "")),
+]
 
 
 # ---------------------------------------------------------------------------

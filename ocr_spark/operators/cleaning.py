@@ -94,18 +94,49 @@ def line_verdicts(text_col: Column) -> Column:
 
     judged = F.transform(measured, verdict)
 
-    # materialize `cleaned` in its own transform so the (large) regex chain
-    # runs once per line — expressions referenced twice inside one lambda
-    # body are evaluated twice, but fields of a previous transform's output
-    # array are not
-    def attach_cleaned(v: Column) -> Column:
+    # the regex bank runs one TRANSFORM LAYER per step: each layer's output
+    # array is materialized, so the gate (cheap contains()/translate scan)
+    # and the rewrite both see a plain variable reference. Gating inside a
+    # single chained expression would either duplicate the accumulated
+    # subtree exponentially or re-run every regex on every line; this shape
+    # is linear in plan size and skips each regex on lines that cannot
+    # match it. Dropped lines (reason non-NULL) skip the whole bank.
+    def start_clean(v: Column) -> Column:
         return F.struct(
             v["len"].alias("len"),
             v["reason"].alias("reason"),
-            F.when(v["reason"].isNull(), X.clean_line(v["s"])).alias("cleaned"),
+            F.when(v["reason"].isNull(), v["s"]).alias("cleaned"),
         )
 
-    cleaned = F.transform(judged, attach_cleaned)
+    def make_step(trig, rewrite):
+        # factory closure — default-arg capture would give the callable a
+        # third parameter and transform() would bind the index column
+        def step(c: Column) -> Column:
+            keep = c["cleaned"]
+            return F.struct(
+                c["len"].alias("len"),
+                c["reason"].alias("reason"),
+                F.when(
+                    c["reason"].isNull() & trig(keep), rewrite(keep)
+                ).otherwise(keep).alias("cleaned"),
+            )
+
+        return step
+
+    cleaned = F.transform(judged, start_clean)
+    for trig, rewrite in X.CLEAN_STEPS:
+        cleaned = F.transform(cleaned, make_step(trig, rewrite))
+
+    def finish_tail(c: Column) -> Column:
+        return F.struct(
+            c["len"].alias("len"),
+            c["reason"].alias("reason"),
+            F.when(c["reason"].isNull(), X.finish_line(c["cleaned"])).alias(
+                "cleaned"
+            ),
+        )
+
+    cleaned = F.transform(cleaned, finish_tail)
 
     def finish(c: Column) -> Column:
         # post-clean min-length re-check charges the ORIGINAL length
