@@ -181,10 +181,17 @@ def make_payload(rs: np.random.RandomState, category: str) -> str:
         pages = []
         for pg in range(1, rs.randint(1, 4) + 1):
             pages.append(f"[page {pg}]")
-            n_blocks = rs.randint(1, 5)
+            two_col = rs.rand() < 0.4
+            n_blocks = rs.randint(2, 6) if two_col else rs.randint(1, 5)
             ys = rs.permutation(n_blocks) * 100
             for b in range(n_blocks):
-                pages.append(f"[block {b} @ {rs.randint(0, 500)},{ys[b]}]")
+                if two_col:
+                    # two columns ~300 units apart (> parser COLUMN_GAP);
+                    # jitter within a column stays well under the gap
+                    x = (40 if b % 2 == 0 else 350) + rs.randint(0, 60)
+                else:
+                    x = rs.randint(0, 140)
+                pages.append(f"[block {b} @ {x},{ys[b]}]")
                 for ln in _lines(rs, rs.randint(1, 3)):
                     pages.append(ln)
         return "%PDF-SIM\n" + "\n".join(pages)

@@ -45,8 +45,12 @@ BOILERPLATE_TAGS = {"nav", "footer", "aside", "header"}
 #: link-density threshold: blocks whose anchor-text share exceeds this are
 #: boilerplate (Boilerpipe-style heuristic, rebuilt natively)
 MAX_LINK_DENSITY = 0.33
-#: text-density floor: blocks shorter than this are noise
+#: block length floor: blocks shorter than this are noise
 MIN_BLOCK_CHARS = 20
+#: text-density floor (Readability-style): visible chars per markup tag —
+#: tag-heavy blocks (menus, widgets, button farms) are boilerplate even
+#: when long enough
+MIN_TEXT_DENSITY = 8.0
 
 #: glyphs injected by noisy sources; stripped only in the second pass
 #: (the force-rotate analog of the reference's quality-gated retry,
@@ -117,6 +121,11 @@ def parse_html(text: str) -> ParseResult:
         if len(visible) < MIN_BLOCK_CHARS:
             dropped += 1
             continue
+        # text density: visible chars per tag (Readability-style block score)
+        n_tags = seg.count("<")
+        if len(visible) / (1 + n_tags) < MIN_TEXT_DENSITY:
+            dropped += 1
+            continue
         anchor_chars = sum(len(_strip_tags(a)) for a in _ANCHOR.findall(seg))
         if anchor_chars / len(visible) > MAX_LINK_DENSITY:
             dropped += 1
@@ -126,9 +135,27 @@ def parse_html(text: str) -> ParseResult:
     return ParseResult("html", True, warn, len(kept), dropped, extracted)
 
 
+#: minimum horizontal gap (layout units) separating two text columns
+COLUMN_GAP = 150
+
+
+def _column_of(xs: list[int]) -> dict[int, int]:
+    """1-D gap clustering of block x-coordinates into column indexes:
+    sorted x values split wherever the jump exceeds COLUMN_GAP."""
+    col: dict[int, int] = {}
+    c = 0
+    prev: int | None = None
+    for x in sorted(set(xs)):
+        if prev is not None and x - prev > COLUMN_GAP:
+            c += 1
+        col[x] = c
+        prev = x
+    return col
+
+
 def parse_pdfish(text: str) -> ParseResult:
     lines = text.split("\n")[1:]  # drop the %PDF-SIM header
-    # (page, y, x, block_idx) → [content lines]
+    # (page, x, y, block_idx) → [content lines]
     blocks: list[tuple[int, int, int, int, list[str]]] = []
     page = 0
     warn = False
@@ -143,7 +170,7 @@ def parse_pdfish(text: str) -> ParseResult:
         if bm:
             b, x, y = (int(bm.group(i)) for i in (1, 2, 3))
             cur = []
-            blocks.append((page, y, x, b, cur))
+            blocks.append((page, x, y, b, cur))
             continue
         if cur is None:
             # content before any block marker → recoverable, warn
@@ -153,18 +180,28 @@ def parse_pdfish(text: str) -> ParseResult:
         cur.append(ln)
     if page == 0:
         warn = True
+    # column/reading-order reconstruction (north star): per page, cluster
+    # block x-coordinates into columns (gap heuristic), then read
+    # column-major — left column top-to-bottom, then the next column —
+    # so a two-column layout does not interleave horizontally
+    per_page: dict[int, list[tuple[int, int, int, int, list[str]]]] = {}
+    for pg, x, y, b, content in blocks:
+        per_page.setdefault(pg, []).append((pg, x, y, b, content))
     kept = 0
     dropped = 0
     pages: dict[int, list[str]] = {}
-    # reading order: (y, x, block_idx) within page — column/reading-order
-    # reconstruction per the north star
-    for pg, y, x, b, content in sorted(blocks, key=lambda t: (t[0], t[1], t[2], t[3])):
-        body = "\n".join(content).replace("\n", " ").strip()
-        if not body:
-            dropped += 1
-            continue
-        kept += 1
-        pages.setdefault(pg, []).append(body)
+    for pg in sorted(per_page):
+        col = _column_of([x for _, x, _, _, _ in per_page[pg]])
+        ordered = sorted(
+            per_page[pg], key=lambda t: (col[t[1]], t[2], t[1], t[3])
+        )
+        for _, _x, _y, _b, content in ordered:
+            body = "\n".join(content).replace("\n", " ").strip()
+            if not body:
+                dropped += 1
+                continue
+            kept += 1
+            pages.setdefault(pg, []).append(body)
     extracted = "".join(
         "\n".join(pages[pg]) + "\n" for pg in sorted(pages)
     )

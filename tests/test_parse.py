@@ -78,3 +78,58 @@ def test_second_pass_strips_noise():
     r1 = pyparse.parse_payload(noisy)
     r2 = pyparse.parse_payload(noisy, second_pass=True)
     assert "¤" in r1.extracted and "¤" not in r2.extracted
+
+
+def test_pdfish_two_column_reading_order():
+    """Column reconstruction (north star): a two-column page must read
+    column-major — left column top-down, then right — not row-major."""
+    from ocr_spark import pyparse
+
+    payload = "\n".join(
+        [
+            "%PDF-SIM",
+            "[page 1]",
+            "[block 0 @ 350,0]",
+            "RIGHT-TOP content line",
+            "[block 1 @ 50,10]",
+            "LEFT-TOP content line",
+            "[block 2 @ 60,200]",
+            "LEFT-BOTTOM content line",
+            "[block 3 @ 360,150]",
+            "RIGHT-BOTTOM content line",
+        ]
+    )
+    r = pyparse.parse_payload(payload)
+    order = [ln.split()[0] for ln in r.extracted.strip().split("\n")]
+    assert order == ["LEFT-TOP", "LEFT-BOTTOM", "RIGHT-TOP", "RIGHT-BOTTOM"]
+    assert r.parse_ok and not r.parse_warn and r.blocks_kept == 4
+
+
+def test_pdfish_single_column_stays_row_major():
+    from ocr_spark import pyparse
+
+    payload = "\n".join(
+        [
+            "%PDF-SIM",
+            "[page 1]",
+            "[block 0 @ 100,50]",
+            "SECOND line here",
+            "[block 1 @ 0,0]",
+            "FIRST line here",
+        ]
+    )
+    r = pyparse.parse_payload(payload)
+    order = [ln.split()[0] for ln in r.extracted.strip().split("\n")]
+    assert order == ["FIRST", "SECOND"]
+
+
+def test_html_text_density_drops_tag_heavy_blocks():
+    from ocr_spark import pyparse
+
+    # long enough, low link density, but 1.6 chars per tag -> boilerplate
+    widget = "<div>" + "<span>abc</span>" * 20 + "</div>"
+    article = "<p>" + "continut principal cu multe cuvinte bune aici" + "</p>"
+    r = pyparse.parse_html(f"<html><body>{widget}{article}</body></html>")
+    assert r.blocks_kept == 1
+    assert "continut principal" in r.extracted
+    assert r.blocks_dropped >= 1
