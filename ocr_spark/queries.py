@@ -392,7 +392,10 @@ def q_kw_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = with_keyword_spans(docs, DOC_KEYWORDS, text_col="text", dedup=False)
     return out.select("doc_id", F.explode("spans").alias("s")).select(
-        "doc_id", "s.keyword", "s.start", "s.end"
+        "doc_id",
+        F.col("s.keyword").alias("keyword"),
+        F.col("s.start").cast("long").alias("start"),
+        F.col("s.end").cast("long").alias("end"),
     )
 
 
@@ -420,7 +423,10 @@ def q_kw_spans_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = with_keyword_spans(docs, DOC_KEYWORDS, text_col="text", dedup=True)
     return out.select("doc_id", F.explode("spans").alias("s")).select(
-        "doc_id", "s.keyword", "s.start", "s.end"
+        "doc_id",
+        F.col("s.keyword").alias("keyword"),
+        F.col("s.start").cast("long").alias("start"),
+        F.col("s.end").cast("long").alias("end"),
     )
 
 
@@ -559,10 +565,10 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_PRICING = """
 select l_returnflag, l_linestatus,
-  sum(cast(l_quantity as bigint)) as sum_qty,
-  sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as sum_base_cents,
-  sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
-      * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as sum_disc_units,
+  cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+  cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as bigint) as sum_base_cents,
+  cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+      * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as bigint) as sum_disc_units,
   count(*) as count_order
 from lineitem
 where l_shipdate <= timestamp '1998-09-01'
@@ -590,8 +596,8 @@ def q_tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_TOP_CUSTOMERS = """
 select c_custkey, c_name,
-  sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
-      * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as revenue_units,
+  cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+      * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as bigint) as revenue_units,
   count(*) as n_items
 from lineitem
 join orders on l_orderkey = o_orderkey
@@ -625,8 +631,8 @@ def q_tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_NATION_VOLUME = """
 select r_name, n_name,
-  sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
-      * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as revenue_units,
+  cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)
+      * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as bigint) as revenue_units,
   cast(count(distinct o_custkey) as bigint) as n_customers
 from lineitem
 join supplier on l_suppkey = s_suppkey
@@ -1007,7 +1013,11 @@ def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = entity_spans(docs, ENTITY_GAZ, text_col="text")
     return out.select("doc_id", F.explode("entities").alias("e")).select(
-        "doc_id", "e.label", "e.keyword", "e.start", "e.end"
+        "doc_id",
+        F.col("e.label").alias("label"),
+        F.col("e.keyword").alias("keyword"),
+        F.col("e.start").cast("long").alias("start"),
+        F.col("e.end").cast("long").alias("end"),
     )
 
 
