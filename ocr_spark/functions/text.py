@@ -20,12 +20,17 @@ from ocr_spark import pyclean
 # ---------------------------------------------------------------------------
 
 STRIP_RE = r"(?U)^\s+|\s+$"
-R1 = r"(?iU)([\w]+-)[\s]([\w]+)"
-R2 = r"(?iU)([\w]+/)\s([\w]+)"
+#: Python's \w = [a-zA-Z0-9_] + str.isalnum chars = L* ∪ N* ∪ '_'.
+#: Java's (?U)\w excludes No/Nl numerics (③, Ⅻ), so the bank uses this
+#: explicit class for exact reference parity (verified by the unicode
+#: fuzz pool in tests/conftest.py)
+W = r"\p{L}\p{N}_"
+R1 = rf"(?iU)([{W}]+-)[\s]([{W}]+)"
+R2 = rf"(?iU)([{W}]+/)\s([{W}]+)"
 R3 = "([" + pyclean.DASH_CLASS_CHARS + "]+)"
-R4 = r"(?iU)([\d]+,)\s([\d]+)"
+R4 = r"(?iU)([\p{Nd}]+,)\s([\p{Nd}]+)"
 R5 = "­"
-R6 = r"(?U)(?:www|http)\S+|<\S+|\w+/*>"
+R6 = rf"(?U)(?:www|http)\S+|<\S+|[{W}]+/*>"
 R7 = r"([^@]+@[^@]+\.[^@]+)"
 R8 = "─+"
 R9 = "-+"
@@ -120,7 +125,7 @@ STEM_RE = (
     r"(?<=...)(urilor|urile|iilor|easca|ului|elor|ilor|iile|ilar|easca"
     r"|uri|ele|ile|ati|ata|ul|ii|le|ea|ie|ia|a|e|i|u)$"
 )
-TOKEN_SPLIT_RE = r"(?U)[^\w]+"
+TOKEN_SPLIT_RE = rf"(?U)[^{W}]+"
 
 
 def fold_diacritics(col: Column) -> Column:

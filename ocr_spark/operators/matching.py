@@ -53,7 +53,11 @@ def spans_for_keyword(text: Column, kw: str) -> Column:
     valid because a case-insensitive literal match has the keyword's exact
     char length.
     """
-    pat = r"(?iU)\b" + _quote(kw) + r"\b"
+    # word boundary via explicit lookaround on Python's \w class — Java's
+    # \b is defined over Java \w, which excludes No/Nl numerics
+    pat = (
+        r"(?iU)(?<![\p{L}\p{N}_])" + _quote(kw) + r"(?![\p{L}\p{N}_])"
+    )
     L = len(kw)
     parts = F.split(text, pat, -1)
     heads = F.slice(parts, 1, F.size(parts) - 1)

@@ -58,12 +58,13 @@ def clean_line_sql(x: str) -> str:
     reference order (text_processing.py:171-191) — the RE2 twin of
     ``ocr_spark.functions.text.clean_line``."""
     c = x
-    c = rf"regexp_replace({c}, '([\w]+-)[\s]([\w]+)', '\1\2', 'g')"
-    c = rf"regexp_replace({c}, '([\w]+/)\s([\w]+)', '\1\2', 'g')"
+    w = r"\p{L}\p{N}_"
+    c = rf"regexp_replace({c}, '([{w}]+-)[\s]([{w}]+)', '\1\2', 'g')"
+    c = rf"regexp_replace({c}, '([{w}]+/)\s([{w}]+)', '\1\2', 'g')"
     c = f"regexp_replace({c}, {q(R3_CLASS)}, '-', 'g')"
-    c = rf"regexp_replace({c}, '([\d]+,)\s([\d]+)', '\1\2', 'g')"
+    c = rf"regexp_replace({c}, '([\p{{Nd}}]+,)\s([\p{{Nd}}]+)', '\1\2', 'g')"
     c = f"regexp_replace({c}, {q(chr(0xAD))}, '', 'g')"
-    c = rf"regexp_replace({c}, '(?:www|http)\S+|<\S+|\w+/*>', '', 'g')"
+    c = rf"regexp_replace({c}, '(?:www|http)\S+|<\S+|[{w}]+/*>', '', 'g')"
     c = rf"regexp_replace({c}, '([^@]+@[^@]+\.[^@]+)', '', 'g')"
     c = f"regexp_replace({c}, '─+', '', 'g')"
     c = f"regexp_replace({c}, '-+', '', 'g')"

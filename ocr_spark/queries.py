@@ -548,7 +548,9 @@ def _cents(col: Column) -> Column:
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-style pricing summary over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    # epoch-based cutoff: string→timestamp casts depend on session TZ,
+    # unix_timestamp of a TimestampType does not
+    li = li.filter(F.unix_timestamp(F.col("l_shipdate")) <= 904608000)
     disc = _cents(F.col("l_extendedprice")) * (
         100 - _cents(F.col("l_discount"))
     )
@@ -571,7 +573,7 @@ select l_returnflag, l_linestatus,
       * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))) as bigint) as sum_disc_units,
   count(*) as count_order
 from lineitem
-where l_shipdate <= timestamp '1998-09-01'
+where epoch(l_shipdate) <= 904608000
 group by l_returnflag, l_linestatus
 """
 

@@ -43,6 +43,9 @@ FUZZ_POOL = [
     "ºvrajit", "™brand", "®mark", "ƒunc", "Ówn", "Ñino", "Äpfel",
     "日本語テキスト", "ελληνικά", "русский", "café", "naïve", "tab\there",
     "  padded  ", "ţţţţ", "aaaaaaaaaaa", "( ă)", "x~y", "a⸺b",
+    # unicode category edge cases: No/Nl numerics (isnumeric but not
+    # digits), ligatures, halfwidth kana, RTL, zero-width, combining
+    "½", "²", "③", "Ⅻ", "Ⅰ Ⅱ Ⅲ", "ﬁne", "ｶﾀｶﾅ", "éé", "א", "ß", "ʼn", "a​b",
 ]
 
 
