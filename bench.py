@@ -35,8 +35,8 @@ def log(*a: object) -> None:
 
 
 #: conversations per scale factor (heavy-tailed ⇒ ~8.7 turns/conv)
-N_CONV = {"0.001": 60, "0.01": 600, "0.1": 40000}
-CALIB_ROWS = 96_000_000
+N_CONV = {"0.001": 60, "0.01": 600, "0.1": 20000}
+CALIB_ROWS = 48_000_000
 
 
 def _transcripts_path(sf: str) -> str:
@@ -117,7 +117,7 @@ def worker_calib(cpus: int) -> None:
         F.sha2(F.col("id").cast("string"), 256).alias("h")
     )
     best = float("inf")
-    for i in range(2):
+    for i in range(3):
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         if i > 0:

@@ -115,3 +115,27 @@ def test_arrow_batch_bound_configured(spark):
         int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
         <= 10000
     )
+
+
+def test_skewed_conversation_spreads_across_partitions(spark, vocab):
+    """A 2,000-turn conversation (4× the datagen cap) must not straggle:
+    partitioning on (conv_id, turn_idx) spreads it evenly, so the widest
+    partition carries no more than 2× the mean."""
+    import pandas as pd
+
+    rows = [("whale", i, "user", f"rand cu lege dosar numarul {i} aici", None)
+            for i in range(2000)]
+    rows += [(f"c{j}", 0, "user", "un singur rand de text aici", None)
+             for j in range(100)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    df = spark.createDataFrame(pdf)
+    df = df.repartition(8, "conv_id", "turn_idx")
+    counts = [
+        r["count"]
+        for r in df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) <= 2 * (sum(counts) / len(counts))
+    # and the pipeline completes with per-turn rows intact
+    out = extract(df.withColumn("ts", F.current_timestamp()), vocab)
+    assert out.count() == 2100
