@@ -1,0 +1,74 @@
+"""Cluster entry point for the extraction pipeline.
+
+    spark-submit --master <...> --py-files pkg.zip scripts/run_pipeline.py \
+        --input  /path/transcripts_parquet_or_iceberg_table \
+        --output /path/extracted \
+        [--metrics /path/metrics] [--mode batch|streaming]
+        [--checkpoint /path/ckpt] [--keywords kw1,kw2,...]
+        [--vocab-file words.txt] [--run-id my-run]
+
+Batch mode runs one idempotent incremental pass (anti-join resume);
+streaming mode runs one availableNow cycle against a checkpoint (the
+scalable resume path). Both write the extracted table and the
+per-partition metrics sidecar. Re-running either after a crash is safe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--mode", choices=["batch", "streaming"], default="batch")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--keywords", default=None, help="comma-separated phrases")
+    ap.add_argument("--vocab-file", default=None, help="one word per line")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ocr_spark import datagen
+
+    spark = SparkSession.builder.getOrCreate()
+    run_id = args.run_id or f"run-{int(time.time())}"
+
+    if args.vocab_file:
+        with open(args.vocab_file, encoding="utf-8") as f:
+            vocab = sorted({w.strip() for w in f if w.strip()})
+    else:
+        vocab = datagen.vocabulary()
+    keywords = (
+        [k.strip() for k in args.keywords.split(",") if k.strip()]
+        if args.keywords
+        else datagen.KEYWORDS
+    )
+
+    if args.mode == "streaming":
+        if not args.checkpoint:
+            ap.error("--checkpoint is required in streaming mode")
+        from ocr_spark.streaming.pipeline import run_available_now
+
+        n = run_available_now(
+            spark, args.input, args.output, args.checkpoint, vocab,
+            run_id=run_id, keywords=keywords, metrics_path=args.metrics,
+        )
+    else:
+        from ocr_spark.plans.pipeline import run_incremental
+
+        n = run_incremental(
+            spark, args.input, args.output, vocab,
+            run_id=run_id, metrics_path=args.metrics, keywords=keywords,
+        )
+    print(f"[run_pipeline] {run_id}: {n} turns written", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
