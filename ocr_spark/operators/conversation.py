@@ -1,0 +1,90 @@
+"""Conversation-level operators over (conv_id, turn_idx) windows.
+
+The stable-turn-ordering window (W1 — the north rule's
+``Window over (conv_id, turn_idx)``) applied to real training-data needs:
+
+* ``conversation_segments`` — topical segmentation: a new segment starts
+  where the token-set Jaccard similarity between consecutive turns drops
+  below a threshold. One shuffle (the conversation window); everything
+  else is row-local array math. Long conversations cannot straggle the
+  window partitions beyond their own length because per-turn work is
+  O(tokens) — the 500× conversation-length skew shows up only as row
+  count, which the window handles streaming-fashion.
+* ``segment_rollup`` — per-segment ordered text concat + stats via the
+  salted two-stage aggregation (same machinery as
+  plans.pipeline.conversation_rollup).
+
+Typical use: chunking multi-turn transcripts into topically coherent
+training examples instead of fixed-size windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+
+
+def conversation_segments(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Add ``segment_id`` (0-based per conversation): boundaries where
+    Jaccard(tokens(prev turn), tokens(turn)) < ``threshold``; the first
+    turn of a conversation always opens segment 0."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = F.array_distinct(X.tokens(F.col(text_col)))
+    df = df.withColumn("_tk", toks)
+    prev = F.lag("_tk").over(w)
+    inter = F.size(F.array_intersect(F.col("_tk"), prev))
+    union = F.size(F.array_union(F.col("_tk"), prev))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    boundary = F.when(prev.isNull(), F.lit(1)).otherwise(
+        (jac < threshold).cast("int")
+    )
+    df = df.withColumn("_b", boundary)
+    seg = F.sum("_b").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) - 1
+    return df.withColumn("segment_id", seg.cast("int")).drop("_tk", "_b")
+
+
+def segment_rollup(
+    segmented: DataFrame, text_col: str = "clean_text", bucket_turns: int = 64
+) -> DataFrame:
+    """(conv_id, segment_id, segment_text, n_turns, first_turn) — ordered
+    concat per segment via the salted two-stage aggregation."""
+    b = (F.col("turn_idx") / bucket_turns).cast("int")
+    stage1 = (
+        segmented.withColumn("_bk", b)
+        .groupBy("conv_id", "segment_id", "_bk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("turn_idx", text_col))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                "\n",
+            ).alias("_part"),
+            F.count("*").alias("_n"),
+            F.min("turn_idx").alias("_ft"),
+        )
+    )
+    return (
+        stage1.groupBy("conv_id", "segment_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_bk", "_part"))),
+                    lambda s: s["_part"],
+                ),
+                "\n",
+            ).alias("segment_text"),
+            F.sum("_n").cast("long").alias("n_turns"),
+            F.min("_ft").cast("long").alias("first_turn"),
+        )
+    )

@@ -309,6 +309,91 @@ from documents group by 1
 """
 
 
+def _as_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.col("text").alias("clean_text"),
+    )
+
+
+def q_conv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topical conversation segmentation: new segment where consecutive-turn
+    token Jaccard < τ (W1 window over (conv_id, turn_idx))."""
+    from ocr_spark.operators.conversation import conversation_segments
+
+    out = conversation_segments(
+        _as_conversations(spark, sf_dir), threshold=0.8
+    )
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("segment_id").cast("long").alias("segment_id"),
+    )
+
+
+def _sql_conv_segments(threshold: float = 0.8) -> str:
+    toks = f"list_distinct(regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)}))"
+    return f"""
+with t as (
+  select cast(doc_id % 50 as varchar) as conv_id,
+         doc_id // 50 as turn_idx, {toks} as tk
+  from documents
+),
+l as (
+  select conv_id, turn_idx, tk,
+    lag(tk) over (partition by conv_id order by turn_idx) as pv
+  from t
+),
+b as (
+  select conv_id, turn_idx,
+    case when pv is null then 1
+         when (case when len(list_distinct(list_concat(tk, pv))) > 0
+                    then len(list_intersect(tk, pv))
+                         / len(list_distinct(list_concat(tk, pv)))
+                    else 0.0 end) < {threshold} then 1 else 0 end as bd
+  from l
+)
+select conv_id, cast(turn_idx as bigint) as turn_idx,
+  cast(sum(bd) over (partition by conv_id order by turn_idx
+                     rows unbounded preceding) - 1 as bigint) as segment_id
+from b
+"""
+
+
+def q_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ordered text concat + stats (salted two-stage agg)."""
+    from ocr_spark.operators.conversation import (
+        conversation_segments,
+        segment_rollup,
+    )
+
+    seg = conversation_segments(_as_conversations(spark, sf_dir), threshold=0.8)
+    out = segment_rollup(seg, bucket_turns=4)
+    return out.select(
+        "conv_id",
+        F.col("segment_id").cast("long").alias("segment_id"),
+        "segment_text",
+        "n_turns",
+        "first_turn",
+    )
+
+
+def _sql_segment_rollup(threshold: float = 0.8) -> str:
+    segs = _sql_conv_segments(threshold)
+    return f"""
+with segs as ({segs}),
+t as (select cast(doc_id % 50 as varchar) as conv_id,
+             doc_id // 50 as turn_idx, text from documents)
+select s.conv_id, cast(s.segment_id as bigint) as segment_id,
+  string_agg(t.text, chr(10) order by t.turn_idx) as segment_text,
+  cast(count(*) as bigint) as n_turns,
+  cast(min(t.turn_idx) as bigint) as first_turn
+from segs s join t on s.conv_id = t.conv_id and s.turn_idx = t.turn_idx
+group by s.conv_id, s.segment_id
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag window (W2 token-context analog): a new session
     starts after a >30-minute gap."""
@@ -1127,6 +1212,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_longest": q_topk_longest,
     "source_describe": q_source_describe,
     "conv_rollup": q_conv_rollup,
+    "conv_segments": q_conv_segments,
+    "segment_rollup": q_segment_rollup,
     "event_sessions": q_event_sessions,
     "kw_counts": q_kw_counts,
     "kw_spans": q_kw_spans,
@@ -1165,6 +1252,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_longest": SQL_TOPK_LONGEST,
         "source_describe": SQL_SOURCE_DESCRIBE,
         "conv_rollup": SQL_CONV_ROLLUP,
+        "conv_segments": _sql_conv_segments(),
+        "segment_rollup": _sql_segment_rollup(),
         "event_sessions": SQL_EVENT_SESSIONS,
         "kw_counts": SQL_KW_COUNTS,
         "kw_spans": SQL_KW_SPANS,

@@ -139,3 +139,32 @@ def test_skewed_conversation_spreads_across_partitions(spark, vocab):
     # and the pipeline completes with per-turn rows intact
     out = extract(df.withColumn("ts", F.current_timestamp()), vocab)
     assert out.count() == 2100
+
+
+def test_conversation_segmentation(spark):
+    """Topic shift between consecutive turns opens a new segment."""
+    from ocr_spark.operators.conversation import (
+        conversation_segments,
+        segment_rollup,
+    )
+
+    rows = [
+        ("c1", 0, "mere pere fructe prune mere pere"),
+        ("c1", 1, "pere mere prune fructe pere gustoase"),   # same topic
+        ("c1", 2, "lege dosar tribunal sentinta recurs apel"),  # shift
+        ("c1", 3, "dosar lege recurs tribunal apel nou"),     # same topic
+        ("c2", 0, "un singur rand aici"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, clean_text string")
+    seg = conversation_segments(df, threshold=0.2)
+    got = {(r["conv_id"], r["turn_idx"]): r["segment_id"] for r in seg.collect()}
+    assert got == {
+        ("c1", 0): 0, ("c1", 1): 0, ("c1", 2): 1, ("c1", 3): 1, ("c2", 0): 0,
+    }
+    roll = {
+        (r["conv_id"], r["segment_id"]): (r["n_turns"], r["first_turn"])
+        for r in segment_rollup(seg, bucket_turns=2).collect()
+    }
+    assert roll[("c1", 0)] == (2, 0)
+    assert roll[("c1", 1)] == (2, 2)
+    assert roll[("c2", 0)] == (1, 0)
