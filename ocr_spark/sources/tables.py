@@ -68,6 +68,35 @@ def read_dim(spark: SparkSession, values: list[str], name: str = "value") -> Dat
     return spark.createDataFrame([(v,) for v in values], f"{name} string")
 
 
+def read_binary_payloads(spark: SparkSession, path: str) -> DataFrame:
+    """S4 (file leg): `binaryFile` reader → transcript-shaped rows.
+
+    Each file becomes one payload-bearing turn: conv_id = file path,
+    turn_idx = 0, text = UTF-8 decode of the bytes. Mostly-binary files
+    (replacement-char ratio > 20% after lenient decode) are rewritten to
+    the ``%BIN!`` sentinel the parse stage classifies as ``undecodable``
+    (errors-as-data, F2 rule) — decoding happens natively; no Python
+    touches the scan. Requires the lenient decode mode (ANSI decode
+    throws on malformed bytes — set here, session-wide)."""
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    raw = spark.read.format("binaryFile").load(path)
+    decoded = F.decode(F.col("content"), "UTF-8")
+    bad = F.length(decoded) - F.length(F.translate(decoded, "�", ""))
+    text = F.when(
+        decoded.isNull()
+        | ((F.length(decoded) > 0) & (bad / F.length(decoded) > 0.2)),
+        F.lit("%BIN!"),
+    ).otherwise(decoded)
+    return raw.select(
+        F.col("path").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("modificationTime").alias("ts"),
+    )
+
+
 def write_results(df: DataFrame, path: str, fmt: str = "auto") -> None:
     """S3: the results sink — transactional append; Iceberg commit =
     checkpoint snapshot on a real cluster."""

@@ -85,3 +85,30 @@ def test_streaming_matches_batch(spark, vocab, transcripts_pdf, tmp_path):
          for r in batch_out.collect()}
     assert a == b
     _ = F  # imported for parity with other tests
+
+
+def test_binary_file_source(spark, vocab, tmp_path):
+    """S4 file leg: binaryFile scan → transcript rows → pipeline; binary
+    junk becomes a parse_failed row, never an exception."""
+    from ocr_spark.plans.pipeline import extract
+    from ocr_spark.sources.tables import read_binary_payloads
+
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.html").write_text(
+        "<html><body><p>continut principal cu multe cuvinte relevante aici"
+        "</p></body></html>"
+    )
+    (d / "b.txt").write_text("ana are mere si pere in fiecare zi de lucru")
+    (d / "c.bin").write_bytes(bytes([0xFF, 0xFE, 0x80, 0x81] * 10))
+
+    df = read_binary_payloads(spark, str(d) + "/*")
+    out = {
+        r["conv_id"].split("/")[-1]: r
+        for r in extract(df, vocab).collect()
+    }
+    assert out["a.html"]["kind"] == "html"
+    assert "continut principal" in out["a.html"]["clean_text"]
+    assert out["b.txt"]["status"] == "extracted"
+    assert out["c.bin"]["kind"] == "undecodable"
+    assert out["c.bin"]["status"] == "parse_failed"
