@@ -8,12 +8,15 @@
   sign-bit string of P pseudo-random ±1 hyperplanes (derived
   deterministically from md5, generated driver-side, shipped as literals —
   engine-portable, reproducible). Candidates = same bucket; exact cosine
-  re-rank inside. This is the scale path: the scan partitions by bucket,
-  each query probes one bucket (multi-probe = flip low-margin bits, noted
-  below). An IVF variant would replace the hash with k-means centroids —
-  same plan shape (bucket join + in-bucket re-rank).
+  re-rank inside. This is the scale path: the scan partitions by bucket;
+  ``multi_probe`` also probes every Hamming-distance-1 bucket
+  (``probe_buckets``) to recover boundary-straddling neighbors, and
+  ``auto_planes`` sizes the bucket space to the corpus. An IVF variant
+  would replace the hash with k-means centroids — same plan shape
+  (bucket join + in-bucket re-rank).
 * ``embedding_neardup`` — near-duplicate pairs by cosine ≥ τ within LSH
-  buckets (the embedding leg of the dedup suite).
+  buckets (the embedding leg of the dedup suite); hot buckets capped by
+  ``max_bucket`` like the text-dedup family.
 
 All dot products cast to double per element BEFORE multiply/sum and fold
 sequentially — bit-identical across engines, so the DuckDB oracles
@@ -49,7 +52,13 @@ def norm(vec: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    return dot(a, b) / (norm_a * norm_b)
+    """NULL for zero-norm vectors (errors-as-data, the F2 rule): a plain
+    division would throw DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
+    and kill the job on one all-zero embedding; with ANSI off it would
+    yield NaN, which sorts ABOVE all doubles in a desc top-k window and
+    satisfies ``cos >= τ`` filters. ``try_divide``'s NULL sorts last and
+    fails every threshold — one bad vector degrades one row, not the job."""
+    return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
 def hyperplanes(n_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
@@ -82,6 +91,45 @@ def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def auto_planes(
+    n_rows: int, target_bucket: int = 256, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count scaled to corpus size: 2^planes ≈ n/target_bucket, so
+    expected bucket occupancy stays ~constant as the corpus grows. A fixed
+    plane count is a scale bug — 6 planes = 64 buckets turns a 10⁹-vector
+    corpus into 1.6×10⁷-row buckets and the within-bucket work explodes
+    quadratically (near-dup) or linearly per query (ANN)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def probe_buckets(bucket: Column, n_planes: int, multi_probe: int) -> Column:
+    """array<string> of bucket ids to probe for a query: the exact bucket
+    plus, at ``multi_probe>=1``, every bucket at Hamming distance 1 (each
+    sign bit flipped). Sign-LSH loses recall exactly at hyperplane
+    boundaries — a query near a boundary lands one bit away from its
+    neighbors; probing the P flipped buckets recovers them for (P+1)×
+    candidate cost, far cheaper than halving P (which doubles bucket
+    width for everyone)."""
+    if multi_probe <= 0:
+        return F.array(bucket)
+    flips = []
+    for i in range(n_planes):
+        bit = F.substring(bucket, i + 1, 1)
+        flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+        flips.append(
+            F.concat(
+                F.substring(bucket, 1, i),
+                flipped,
+                F.substring(bucket, i + 2, n_planes - i - 1),
+            )
+        )
+    return F.array(bucket, *flips)
+
+
 def _scored(
     items: DataFrame,
     queries: DataFrame,
@@ -100,8 +148,15 @@ def _scored(
         joined = it.join(F.broadcast(qr), join_on)
     else:
         joined = it.crossJoin(F.broadcast(qr))
-    return joined.filter(F.col("item_id") != F.col("query_id")).withColumn(
-        "cos", cosine(F.col("qv"), F.col("iv"), F.col("qnorm"), F.col("inorm"))
+    return (
+        joined.filter(F.col("item_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            cosine(F.col("qv"), F.col("iv"), F.col("qnorm"), F.col("inorm")),
+        )
+        # zero-norm vectors score NULL (see cosine) — they can never rank,
+        # so drop them before the top-k window rather than emit null rows
+        .filter(F.col("cos").isNotNull())
     )
 
 
@@ -129,18 +184,29 @@ def ann_lsh(
     key: str,
     vec_col: str,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    plus (``multi_probe>=1``) the Hamming-distance-1 buckets — the recall
+    lever for queries that land near a hyperplane boundary.
 
-    Multi-probe note: recall rises by also probing buckets at Hamming
-    distance 1 from the query bucket (flip each bit) — an explode over
-    P+1 bucket ids with the same join; omitted here to keep the oracle
-    1:1 with the plan."""
+    ``n_planes=None`` auto-scales the bucket space to the item count
+    (``auto_planes``) — the one driver-side ``count()`` is a metadata-cheap
+    scan, paid once per build, and keeps candidate sets ~constant-size as
+    the corpus grows."""
+    if n_planes is None:
+        n_planes = auto_planes(items.count())
     planes = hyperplanes(n_planes, dim)
     it = items.withColumn("bucket", sign_lsh_bucket(as_double(F.col(vec_col)), planes))
     qr = queries.withColumn("bucket", sign_lsh_bucket(as_double(F.col(vec_col)), planes))
+    if multi_probe > 0:
+        # explode the (small) query side only; each item has exactly one
+        # bucket and probe ids are distinct, so no (query,item) dup arises
+        qr = qr.withColumn(
+            "bucket", F.explode(probe_buckets(F.col("bucket"), n_planes, multi_probe))
+        )
     return _topk(_scored(it, qr, key, vec_col, ["bucket"]), k)
 
 
@@ -149,16 +215,28 @@ def embedding_neardup(
     key: str,
     vec_col: str,
     threshold: float = 0.9,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """(key_a, key_b, cos) pairs with cosine ≥ τ, candidates from shared
-    LSH bucket (key_a < key_b)."""
+    LSH bucket (key_a < key_b).
+
+    Scale guards (same contract as the text-dedup family, dedup.py):
+    buckets wider than ``max_bucket`` are dropped before the self-join —
+    embeddings cluster hard in practice, and one hot bucket makes the
+    within-bucket join O(width²); ``n_planes=None`` auto-scales the bucket
+    space to the corpus size so expected width stays bounded in the first
+    place. Dropped-bucket members simply emit no pairs (errors-as-data)."""
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
     planes = hyperplanes(n_planes, dim)
     base = df.select(
         F.col(key).alias("k"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", sign_lsh_bucket(F.col("v"), planes))
     base = base.withColumn("n", norm(F.col("v")))
+    sizes = base.groupBy("bucket").agg(F.count("*").alias("_n"))
+    base = base.join(sizes.filter(F.col("_n") <= max_bucket), "bucket").drop("_n")
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(

@@ -162,7 +162,7 @@ base as (
 ),
 pairs as (
   select a.vec_id as ka, b.vec_id as kb,
-    ({_dot('a.v', 'b.v')} / (a.n * b.n)) as cos
+    (case when a.n * b.n > 0 then {_dot('a.v', 'b.v')} / (a.n * b.n) end) as cos
   from base a join base b on a.bucket = b.bucket and a.vec_id < b.vec_id
 )
 select ka as key_a, kb as key_b,
@@ -171,11 +171,32 @@ from pairs where cos >= {threshold}
 """
 
 
-def ann_sql(k: int, n_planes: int | None, dim: int = 64, max_query: int = 8) -> str:
-    """Brute-force (n_planes None) or LSH-bucketed top-k oracle."""
+def ann_sql(
+    k: int,
+    n_planes: int | None,
+    dim: int = 64,
+    max_query: int = 8,
+    multi_probe: int = 0,
+) -> str:
+    """Brute-force (n_planes None) or LSH-bucketed top-k oracle; with
+    ``multi_probe>=1`` each query also probes every Hamming-distance-1
+    bucket (twin of similarity.probe_buckets)."""
     bexpr = (
         bucket_sql("v", n_planes, dim) if n_planes is not None else "'-'"
     )
+    if multi_probe > 0 and n_planes:
+        flips = ", ".join(
+            f"substr(bucket, 1, {i}) || "
+            f"(case when substr(bucket, {i + 1}, 1) = '1' then '0' else '1' end)"
+            f" || substr(bucket, {i + 2})"
+            for i in range(n_planes)
+        )
+        q_cte = (
+            f"select vec_id, v, n, unnest([bucket, {flips}]) as bucket "
+            f"from bb where vec_id < {max_query}"
+        )
+    else:
+        q_cte = f"select * from bb where vec_id < {max_query}"
     return f"""
 with base as (
   select vec_id, list_transform(embedding, x -> cast(x as double)) as v
@@ -184,16 +205,16 @@ with base as (
 bb as (
   select vec_id, v, {bexpr} as bucket, sqrt({_dot('v', 'v')}) as n from base
 ),
-q as (select * from bb where vec_id < {max_query}),
+q as ({q_cte}),
 scored as (
   select q.vec_id as query_id, i.vec_id as item_id,
-    ({_dot('q.v', 'i.v')} / (q.n * i.n)) as cos
+    (case when q.n * i.n > 0 then {_dot('q.v', 'i.v')} / (q.n * i.n) end) as cos
   from bb i join q on i.bucket = q.bucket and i.vec_id != q.vec_id
 ),
 ranked as (
   select query_id, item_id, cos,
     row_number() over (partition by query_id order by cos desc, item_id asc) as rank
-  from scored
+  from scored where cos is not null
 )
 select query_id, cast(rank as int) as rank, item_id,
   cast(floor(cos * 1000000 + 0.5) as bigint) as cos_c

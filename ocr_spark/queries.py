@@ -826,7 +826,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.similarity import embedding_neardup
 
     out = embedding_neardup(
-        _emb_corpus(spark, sf_dir), "vec_id", "v", threshold=0.9
+        _emb_corpus(spark, sf_dir), "vec_id", "v", threshold=0.9, n_planes=6
     )
     return out.select(
         "key_a", "key_b", _scale(F.col("cos"), 1_000_000).alias("cos_c")
@@ -849,7 +849,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.similarity import ann_lsh
 
     emb = _emb(spark, sf_dir)
-    out = ann_lsh(emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5)
+    out = ann_lsh(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=5, n_planes=6,
+    )
+    return out.select(
+        "query_id", "rank", "item_id", _scale(F.col("cos"), 1_000_000).alias("cos_c")
+    )
+
+
+def q_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: exact bucket + all Hamming-distance-1 buckets
+    (the recall lever for boundary-straddling queries)."""
+    from ocr_spark.operators.similarity import ann_lsh
+
+    emb = _emb(spark, sf_dir)
+    out = ann_lsh(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=5, n_planes=6, multi_probe=1,
+    )
     return out.select(
         "query_id", "rank", "item_id", _scale(F.col("cos"), 1_000_000).alias("cos_c")
     )
@@ -1074,7 +1092,9 @@ base as (
 ),
 scored as (
   select vec_id,
-    ({OM._dot('v', 'c')} / (sqrt({OM._dot('v', 'v')}) * sqrt({OM._dot('c', 'c')}))) as cos
+    (case when sqrt({OM._dot('v', 'v')}) * sqrt({OM._dot('c', 'c')}) > 0
+          then {OM._dot('v', 'c')}
+               / (sqrt({OM._dot('v', 'v')}) * sqrt({OM._dot('c', 'c')})) end) as cos
   from base, cen
 )
 select vec_id, {_scale_sql('cos', 1_000_000)} as cos_c,
@@ -1228,6 +1248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup": q_embed_neardup,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_mp": q_ann_lsh_mp,
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
     "token_counts": q_token_counts,
@@ -1273,6 +1294,7 @@ from corpus group by 1
         "embed_neardup": OM.embed_neardup_sql(0.9),
         "ann_brute": OM.ann_sql(5, None),
         "ann_lsh": OM.ann_sql(5, 6),
+        "ann_lsh_mp": OM.ann_sql(5, 6, multi_probe=1),
         "lang_id": _sql_lang_id(),
         "quality_features": _sql_quality_features(),
         "token_counts": _sql_token_counts(),

@@ -42,6 +42,12 @@ def get_spark(
         # (analog of the reference's per-page timeout straggler bound,
         #  ocr_service.py:40-41 — here the bound is memory, not time)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # lenient decode(): malformed bytes → U+FFFD instead of an ANSI
+        # throw; the binaryFile source (sources.tables.read_binary_payloads)
+        # classifies mostly-binary payloads as undecodable from the
+        # replacement-char ratio. Session-wide so decode() semantics never
+        # depend on which reader ran first.
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "32g"))
     )

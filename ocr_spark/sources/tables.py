@@ -31,8 +31,13 @@ from ocr_spark.schemas import TRANSCRIPTS
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
+    # py4j returns a JavaPackage (no exception) for unknown class *paths*,
+    # so probing the attribute is always-true; Class.forName actually loads
+    # the class and raises when the Iceberg jars are absent
     try:
-        spark._jvm.org.apache.iceberg.spark.source.SparkTable  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
         return True
     except Exception:  # noqa: BLE001
         return False
@@ -76,9 +81,10 @@ def read_binary_payloads(spark: SparkSession, path: str) -> DataFrame:
     (replacement-char ratio > 20% after lenient decode) are rewritten to
     the ``%BIN!`` sentinel the parse stage classifies as ``undecodable``
     (errors-as-data, F2 rule) — decoding happens natively; no Python
-    touches the scan. Requires the lenient decode mode (ANSI decode
-    throws on malformed bytes — set here, session-wide)."""
-    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    touches the scan. Requires lenient decode (ANSI decode throws on
+    malformed bytes) — set once at session build (session.get_spark),
+    never mutated here: a reader must not change decode() semantics for
+    the rest of the session as a side effect."""
     raw = spark.read.format("binaryFile").load(path)
     decoded = F.decode(F.col("content"), "UTF-8")
     bad = F.length(decoded) - F.length(F.translate(decoded, "�", ""))

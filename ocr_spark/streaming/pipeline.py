@@ -12,7 +12,10 @@ stream with **availableNow** trigger + checkpoint:
 * C3 failure capture  → per-row ``status='parse_failed'`` data (F2 rule)
 * C5 retry            → task retries + idempotent sink writes
 * C6 crash resume     → the streaming checkpoint: re-running after a kill
-  reprocesses only unread input files, exactly once per micro-batch
+  reprocesses only unread input files. Delivery is at-least-once
+  (foreachBatch can replay a batch whose data write landed but whose
+  checkpoint commit did not); writes are idempotent because each batch
+  overwrites its deterministic ``batch_id=<id>`` partition directory
   (the batch-mode twin is plans.pipeline.unprocessed's anti-join)
 * C4 keyword rebroadcast → keyword dim is captured at query start; a
   changed dim (the keywordsHash invalidation, doc_analysis.py:28,321-329)
@@ -60,9 +63,17 @@ def run_available_now(
     timeout_s: int = 600,
 ) -> int:
     """One availableNow cycle: process every not-yet-seen input file,
-    append results (+ metrics sidecar) per micro-batch, stop. Returns rows
+    write results (+ metrics sidecar) per micro-batch, stop. Returns rows
     written this cycle. Re-running with the same checkpoint after a crash
-    or on a schedule is idempotent — the C6 contract."""
+    or on a schedule is idempotent — the C6 contract.
+
+    Idempotency mechanics: ``foreachBatch`` is at-least-once — a crash
+    after the data write but before the checkpoint commit re-delivers the
+    batch on restart. Each batch therefore writes to its deterministic
+    partition directory ``batch_id=<id>`` in OVERWRITE mode (batch ids are
+    stable across checkpoint replays), so a replay rewrites the same files
+    instead of appending duplicates. Readers see ``batch_id`` as a normal
+    partition column of ``results_path``."""
     out = streaming_extract(spark, input_path, vocab, keywords=keywords)
     written = {"n": 0}
 
@@ -71,11 +82,15 @@ def run_available_now(
         try:
             n = batch_df.count()
             if n:
-                batch_df.write.mode("append").parquet(results_path)
+                batch_df.write.mode("overwrite").parquet(
+                    f"{results_path}/batch_id={batch_id}"
+                )
                 if metrics_path:
                     partition_metrics(
                         batch_df, f"{run_id}/batch{batch_id}"
-                    ).write.mode("append").parquet(metrics_path)
+                    ).write.mode("overwrite").parquet(
+                        f"{metrics_path}/batch_id={batch_id}"
+                    )
             written["n"] += n
         finally:
             batch_df.unpersist()

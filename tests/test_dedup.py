@@ -97,6 +97,89 @@ def test_embedding_neardup_finds_perturbed(vectors):
     assert {(i, 100 + i) for i in range(0, 40, 8)} <= pairs
 
 
+def test_zero_vector_is_excluded_not_fatal(spark):
+    """ANSI-safe cosine: an all-zero embedding must degrade one row (NULL
+    score, excluded), never throw DIVIDE_BY_ZERO or rank first as NaN."""
+    rows = [(0, [1.0] * 8), (1, [0.0] * 8), (2, [0.5] * 8), (3, [-1.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = sorted(
+        similarity.ann_brute(df, q, "vec_id", "embedding", k=3).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["item_id"] for r in out] == [2, 3]  # zero vector absent
+    nd = similarity.embedding_neardup(
+        df, "vec_id", "embedding", threshold=0.5, n_planes=4, dim=8
+    ).collect()
+    pairs = {(r["key_a"], r["key_b"]) for r in nd}
+    assert (0, 2) in pairs
+    assert all(1 not in p for p in pairs)
+    # vectorsearch inherits the same guard
+    from ocr_spark.operators.vectorsearch import vector_search
+
+    vs = {
+        r["vec_id"]: r["positive"]
+        for r in vector_search(
+            df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding"
+        ).collect()
+    }
+    assert vs[0] == 1 and vs[1] is None
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """A hot LSH bucket (30 identical vectors) wider than max_bucket is
+    dropped — the O(width²) self-join guard, mirroring the text dedup caps."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    rows += [(100, [9.0, -3.0, 1.0, 0.5]), (101, [9.0, -3.0, 1.0, 0.51])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = similarity.embedding_neardup(
+        df, "vec_id", "embedding", threshold=0.9, n_planes=4, dim=4,
+        max_bucket=10,
+    ).collect()
+    pairs = {(r["key_a"], r["key_b"]) for r in capped}
+    assert all(a >= 100 for a, _ in pairs)  # hot bucket suppressed
+    assert (100, 101) in pairs  # small buckets still verified
+    full = similarity.embedding_neardup(
+        df, "vec_id", "embedding", threshold=0.9, n_planes=4, dim=4,
+    ).collect()
+    assert len(full) == 30 * 29 // 2 + 1  # uncapped finds everything
+
+
+def test_auto_planes_scales_with_corpus():
+    assert similarity.auto_planes(100) == 4  # floor
+    assert similarity.auto_planes(256 * 64) == 6
+    assert similarity.auto_planes(10**9) == 22
+    assert similarity.auto_planes(10**12) == 24  # ceiling
+
+
+def test_ann_lsh_multi_probe_dominates_single(vectors):
+    """Multi-probe candidates are a superset of single-probe candidates:
+    per query, the probed top-1 similarity can only improve."""
+    q = vectors.filter(F.col("vec_id") < 8)
+    single = similarity.ann_lsh(
+        vectors, q, "vec_id", "embedding", k=1, n_planes=4, dim=16
+    ).collect()
+    multi = similarity.ann_lsh(
+        vectors, q, "vec_id", "embedding", k=1, n_planes=4, dim=16,
+        multi_probe=1,
+    ).collect()
+    s1 = {r["query_id"]: r["cos"] for r in single}
+    m1 = {r["query_id"]: r["cos"] for r in multi}
+    assert set(s1) <= set(m1)
+    for qid, c in s1.items():
+        assert m1[qid] >= c - 1e-12
+    # and multi-probe closes on the exact answer for the near-dup queries
+    brute = similarity.ann_brute(vectors, q, "vec_id", "embedding", k=1).collect()
+    b1 = {r["query_id"]: r["item_id"] for r in brute}
+    m_items = {
+        r["query_id"]: r["item_id"] for r in multi
+    }
+    hits_multi = sum(1 for k, v in m_items.items() if b1.get(k) == v)
+    s_items = {r["query_id"]: r["item_id"] for r in single}
+    hits_single = sum(1 for k, v in s_items.items() if b1.get(k) == v)
+    assert hits_multi >= hits_single
+
+
 def test_ann_lsh_recall(vectors):
     q = vectors.filter(F.col("vec_id") < 8)
     brute = similarity.ann_brute(vectors, q, "vec_id", "embedding", k=1).collect()

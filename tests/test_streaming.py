@@ -87,6 +87,38 @@ def test_streaming_matches_batch(spark, vocab, transcripts_pdf, tmp_path):
     _ = F  # imported for parity with other tests
 
 
+def test_batch_replay_is_idempotent(spark, vocab, transcripts_pdf, tmp_path):
+    """foreachBatch is at-least-once: a crash after the data write but
+    before the checkpoint commit re-delivers the batch on restart. The
+    deterministic ``batch_id=<id>`` overwrite makes the replay rewrite the
+    same files instead of appending duplicates. Simulated by deleting the
+    commit marker (keeping the offsets) and re-running."""
+    import glob
+    import os
+
+    inp = str(tmp_path / "in3")
+    results = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ck3")
+    sub = transcripts_pdf.head(100)
+    _write_slice(sub, inp + "/a.parquet")
+    n1 = run_available_now(spark, inp, results, ckpt, vocab, "rA")
+    assert n1 == len(sub)
+
+    # the crash window: batch data landed, checkpoint commit lost
+    removed = 0
+    for c in glob.glob(ckpt + "/commits/*") + glob.glob(ckpt + "/commits/.*.crc"):
+        if os.path.basename(c).lstrip(".").rstrip(".crc").isdigit():
+            os.remove(c)
+            removed += 1
+    assert removed >= 1
+
+    n2 = run_available_now(spark, inp, results, ckpt, vocab, "rB")
+    assert n2 == len(sub)  # the batch really replayed
+    out = spark.read.parquet(results)
+    assert out.count() == len(sub)  # overwritten in place — no duplicates
+    assert out.select("conv_id", "turn_idx").distinct().count() == len(sub)
+
+
 def test_binary_file_source(spark, vocab, tmp_path):
     """S4 file leg: binaryFile scan → transcript rows → pipeline; binary
     junk becomes a parse_failed row, never an exception."""
