@@ -18,29 +18,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full extraction plan (plans/pipeline.extract) at sf0.001."""
+    """Flagship: full extraction plan (plans/pipeline.extract) at sf0.001.
+
+    The WER vocabulary is corpus-derived, so it stays a DataFrame dim and
+    scores through the wer_join broadcast path — it never transits the
+    driver (an exploded ``collect()`` vocabulary is unbounded and a driver
+    OOM at 10⁹-document scale; plan-shape pinned by tests/test_scale.py)."""
     from pyspark.sql import functions as F
 
     from ocr_spark import payloads
     from ocr_spark.plans.pipeline import extract
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    vocab = [
-        r.word
-        for r in docs.select(
-            F.explode(F.split(F.col("text"), " ")).alias("word")
-        )
-        .filter(F.col("word") != "")
-        .distinct()
-        .collect()
-    ]
     from ocr_spark.queries import DOC_KEYWORDS
 
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab_df = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
     turns = docs.select(
         F.col("doc_id"),
         payloads.payload_col(F.col("text")).alias("text"),
     )
-    out = extract(turns, vocab, keywords=DOC_KEYWORDS)
+    out = extract(
+        turns, keywords=DOC_KEYWORDS, vocab_df=vocab_df, key_cols=["doc_id"]
+    )
     return out.select(
         "doc_id", "kind", "parse_ok", "status", "quality",
         "clean_text", "spans", "statistics",

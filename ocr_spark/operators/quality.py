@@ -107,6 +107,16 @@ def with_quality(
     return df.withColumn(out_col, estimate_quality(F.col(text_col), vocab))
 
 
+def quality_from_wer(text_col: Column, wer_col: Column) -> Column:
+    """``estimate_quality`` with the wer term supplied as a column (the
+    ``wer_join`` broadcast-dim path) instead of recomputed against an
+    inline literal vocabulary. Same arithmetic, same validate gate — the
+    two paths are value-identical for equal vocabularies (pinned by
+    tests/test_pipeline.py)."""
+    q = F.bround((cer(text_col) + wer_col) / 2 * 100, 2)
+    return F.when(~validate_text(text_col), F.lit(100.0)).otherwise(q)
+
+
 # ---------------------------------------------------------------------------
 # Broadcast semi-join variant for large vocabularies (reference J1,
 # ocr_evaluation.py:72 — SURVEY.md §2.6)

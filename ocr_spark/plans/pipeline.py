@@ -38,7 +38,11 @@ def _one_pass(df: DataFrame, vocab: list[str], second_pass: bool) -> DataFrame:
 
 
 def extract(
-    df: DataFrame, vocab: list[str], keywords: list[str] | None = None
+    df: DataFrame,
+    vocab: list[str] | None = None,
+    keywords: list[str] | None = None,
+    vocab_df: DataFrame | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Transcripts → extracted rows (keeps all input columns and adds
     kind/parse flags, clean_text, clean_stats, quality, passes, status).
@@ -48,32 +52,114 @@ def extract(
     re-clean/re-score of exactly those rows. No cache, no union, no second
     scan of the input — an earlier persist+filter+union formulation cost
     2× wall clock and broke linear scaling.
+
+    Vocabulary: pass ``vocab`` (a python list) ONLY for small static
+    vocabularies — it rides the plan as an InSet literal and keeps the DAG
+    linear (required under Structured Streaming). For large or
+    corpus-derived vocabularies pass ``vocab_df`` (single column ``word``)
+    + ``key_cols``: scoring then goes through ``quality.wer_join`` — the
+    vocabulary broadcasts as a dim table and NEVER transits the driver
+    (an exploded-``collect()`` vocabulary is a driver OOM at corpus
+    scale). The join path adds one token shuffle per scoring pass and
+    re-evaluates the row-local parse/clean on the token branch — linear
+    recompute, deliberately chosen over caching the corpus.
     """
+    if (vocab is None) == (vocab_df is None):
+        raise ValueError("pass exactly one of vocab / vocab_df")
+    if vocab_df is not None:
+        if not key_cols:
+            raise ValueError("vocab_df scoring needs key_cols")
+        return _extract_vocab_join(df, vocab_df, key_cols, keywords)
     first = _one_pass(df, vocab, second_pass=False)
     first = first.withColumn(
         "_redo", F.col("parse_ok") & (F.col("quality") < MIN_QUALITY)
     )
+    redone = _second_pass_columns(first)
+    redone = cleaning.materialize(
+        redone,
+        _q2=F.when(
+            F.col("_redo"), quality_op.estimate_quality(F.col("_c2"), vocab)
+        ),
+    )
+    return _finish(redone, keywords)
+
+
+def _second_pass_columns(first: DataFrame) -> DataFrame:
+    """Shared H6 tail: in-place conditional re-parse of ``_redo`` rows,
+    lazy re-clean behind generator barriers. Leaves ``_v2/_c2/_s2`` set
+    for redo rows, null elsewhere."""
     # the pass-1 block text is only needed to re-clean redo rows; nulling it
     # for the rest keeps it out of the Arrow round-trip of the redo stage
     first = first.withColumn(
         "extracted", F.when(F.col("_redo"), F.col("extracted"))
     )
     redone = parse_op.with_conditional_reparse(first, "_redo", text_col="text")
-
     redo = F.col("_redo")
     redone = cleaning.materialize(
         redone,
         _v2=F.when(redo, cleaning.line_verdicts(F.col("extracted"))),
     )
-    redone = cleaning.materialize(
+    return cleaning.materialize(
         redone,
         _c2=F.when(redo, cleaning.clean_text_from_verdicts(F.col("_v2"))),
         _s2=F.when(redo, cleaning.stats_from_verdicts(F.col("_v2"))),
     )
-    redone = cleaning.materialize(
-        redone,
-        _q2=F.when(redo, quality_op.estimate_quality(F.col("_c2"), vocab)),
+
+
+def _extract_vocab_join(
+    df: DataFrame,
+    vocab_df: DataFrame,
+    key_cols: list[str],
+    keywords: list[str] | None,
+) -> DataFrame:
+    """The broadcast-vocabulary-dim variant of ``extract`` (J1,
+    ocr_evaluation.py:72): both scoring passes go through
+    ``quality.wer_join``; the vocabulary never leaves the executors. The
+    second pass re-scores ONLY the redo slice (one wer_join over the
+    filtered rows, left-joined back on ``key_cols``) — its token work is
+    proportional to the flagged fraction, like the reference's selective
+    re-OCR. Batch-only: wer_join aggregates, which availableNow streaming
+    cannot nest."""
+    parsed = parse_op.with_parsed(df, text_col="text", second_pass=False)
+    cleaned = cleaning.with_clean_text(parsed, text_col="extracted")
+    scored = quality_op.wer_join(
+        cleaned, vocab_df, key_cols, text_col="clean_text", out_col="_wer1"
     )
+    first = (
+        scored.withColumn(
+            "quality",
+            quality_op.quality_from_wer(F.col("clean_text"), F.col("_wer1")),
+        )
+        .drop("_wer1")
+        .withColumn("passes", F.lit(1))
+        .withColumn(
+            "_redo", F.col("parse_ok") & (F.col("quality") < MIN_QUALITY)
+        )
+    )
+    redone = _second_pass_columns(first)
+    redo = F.col("_redo")
+    rescored = quality_op.wer_join(
+        redone.filter(redo).select(*key_cols, "_c2"),
+        vocab_df,
+        key_cols,
+        text_col="_c2",
+        out_col="_wer2",
+    ).select(*key_cols, "_wer2")
+    redone = (
+        redone.join(rescored, key_cols, "left")
+        .withColumn(
+            "_q2",
+            F.when(
+                redo, quality_op.quality_from_wer(F.col("_c2"), F.col("_wer2"))
+            ),
+        )
+        .drop("_wer2")
+    )
+    return _finish(redone, keywords)
+
+
+def _finish(redone: DataFrame, keywords: list[str] | None) -> DataFrame:
+    redo = F.col("_redo")
     status = (
         F.when(~F.col("parse_ok"), "parse_failed")
         .when(F.col("parse_warn"), "extracted_warn")

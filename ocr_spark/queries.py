@@ -170,10 +170,11 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _with_payload(docs)
     df = cleaning.with_clean_text(df, text_col="payload", stats_col=None)
     df = df.filter(F.length("clean_text") > 0).select("doc_id", "clean_text")
-    # materialization barrier: cer, the token explode, and the join-back all
-    # reuse clean_text — without it Catalyst inlines the (large) cleaning
-    # expression into each consumer and evaluates it three times
-    df = df.persist()
+    # NO cache: wer_join's token branch recomputes the (row-local) cleaning
+    # — measured same-or-faster than persist() at sf0.1, and at corpus
+    # scale linear recompute beats materializing the cleaned corpus in
+    # executor memory. The generator barrier inside with_clean_text already
+    # stops CollapseProject from inlining the expression per consumer.
     df = df.withColumn("cer", quality.cer(F.col("clean_text")))
     df = quality.wer_join(df, vocab_df, ["doc_id"], text_col="clean_text")
     qual = (F.col("cer") + F.col("wer")) / 2 * 100

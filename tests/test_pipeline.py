@@ -114,3 +114,29 @@ def test_resume_idempotent(spark, transcripts_pdf, vocab, tmp_path):
     got = spark.read.parquet(results)
     assert got.count() == len(transcripts_pdf)
     assert got.select("conv_id", "turn_idx").distinct().count() == len(transcripts_pdf)
+
+
+def test_vocab_join_path_matches_literal_path(spark, transcripts_df, vocab):
+    """extract(vocab=list) and extract(vocab_df=dim) are value-identical
+    for equal vocabularies — quality, clean_text, status, passes all match
+    per turn (the J1 broadcast path is a plan change, not a semantics
+    change)."""
+    sub = transcripts_df.limit(200)
+    vocab_df = spark.createDataFrame([(w,) for w in vocab], "word string")
+    key = ["conv_id", "turn_idx"]
+    lit_rows = {
+        tuple(r[k] for k in key): (
+            r["clean_text"], r["quality"], r["status"], r["passes"]
+        )
+        for r in pipeline.extract(sub, vocab).collect()
+    }
+    join_rows = {
+        tuple(r[k] for k in key): (
+            r["clean_text"], r["quality"], r["status"], r["passes"]
+        )
+        for r in pipeline.extract(
+            sub, vocab_df=vocab_df, key_cols=key
+        ).collect()
+    }
+    assert lit_rows == join_rows
+    assert any(v[3] == 2 for v in join_rows.values())  # second pass exercised

@@ -168,3 +168,21 @@ def test_conversation_segmentation(spark):
     assert roll[("c1", 0)] == (2, 0)
     assert roll[("c1", 1)] == (2, 2)
     assert roll[("c2", 0)] == (1, 0)
+
+
+def test_entry_vocabulary_never_transits_the_driver(spark):
+    """The flagship entry() must score WER via the broadcast vocab dim
+    (wer_join), not a collect()ed InSet literal: a corpus-derived distinct
+    vocabulary is unbounded, and inlining it is a driver OOM + giant-plan
+    anti-pattern at scale."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    plan = _plan(df)
+    # the vocabulary arrives as a broadcast dim join ...
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # ... and no InSet literal membership remains anywhere in the plan
+    assert "INSET" not in plan.upper(), plan[:4000]
