@@ -97,15 +97,24 @@ def _automaton(keywords: tuple[str, ...]) -> AhoCorasick:
     return ac
 
 
-def scan_text(text: str, keywords: tuple[str, ...]) -> list[pymatch.Span]:
-    """Word-boundary case-insensitive spans via one automaton pass, greedy
-    dedup per the frozen J7 spec. Falls back to the per-keyword regex path
-    for the rare text whose lower() changes length (offset safety)."""
+def scan_text(
+    text: str, keywords: tuple[str, ...], dedup: bool = True
+) -> list[pymatch.Span]:
+    """Word-boundary case-insensitive spans via one automaton pass; greedy
+    dedup per the frozen J7 spec unless ``dedup=False`` (all raw
+    occurrences, sorted by position — the ``with_keyword_spans``
+    dedup=False twin). Falls back to the per-keyword regex path for the
+    rare text whose lower() changes length (offset safety)."""
     if not text:
         return []
     low = text.lower()
     if len(low) != len(text):
-        return pymatch.dedup_spans(pymatch.find_spans(text, list(keywords)))
+        raw = pymatch.find_spans(text, list(keywords))
+        return (
+            pymatch.dedup_spans(raw)
+            if dedup
+            else sorted(raw, key=lambda s: (s.start, s.end, s.keyword))
+        )
     spans = []
     n = len(low)
     for st, en, kw in _automaton(keywords).matches(low):
@@ -114,7 +123,11 @@ def scan_text(text: str, keywords: tuple[str, ...]) -> list[pymatch.Span]:
         if en < n and _is_word(low[en]):
             continue
         spans.append(pymatch.Span(kw, st, en))
-    return pymatch.dedup_spans(spans)
+    return (
+        pymatch.dedup_spans(spans)
+        if dedup
+        else sorted(spans, key=lambda s: (s.start, s.end, s.keyword))
+    )
 
 
 def with_keyword_spans_ac(
@@ -122,6 +135,7 @@ def with_keyword_spans_ac(
     keywords: list[str],
     text_col: str = "clean_text",
     out_col: str = "spans",
+    dedup: bool = True,
 ) -> DataFrame:
     """Arrow-batched spans column, same contract as the native operator."""
     kws = tuple(sorted({k.strip().lower() for k in keywords if k.strip()}))
@@ -133,7 +147,7 @@ def with_keyword_spans_ac(
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out_col] = [
-                [s._asdict() for s in scan_text(t or "", kws)]
+                [s._asdict() for s in scan_text(t or "", kws, dedup)]
                 for t in pdf[text_col]
             ]
             yield pdf

@@ -56,3 +56,82 @@ def payload_sql(text_expr: str = "text") -> str:
     """Identical construction as a DuckDB SQL expression."""
     lits = ", ".join("'" + s.replace("'", "''") + "'" for s in EXTRA_LINES)
     return f"concat_ws(chr(10), {text_expr}, substr({text_expr}, 1, 8), {lits})"
+
+
+# --------------------------------------------------------------------------
+# Multi-kind payloads for the H2 parse-stage oracles: mode = doc_id % 8
+# wraps every document's text as each payload family the parse stage
+# classifies (pyparse.detect_kind), built identically in Spark
+# (``parse_payload_col``) and DuckDB (``parse_payload_sql``).
+#
+# mode 0 plain | 1 html | 2 pdfish (two columns + second page) | 3 tool
+# | 4 empty | 5 undecodable | 6 wrapped plain | 7 malformed html (warn)
+# --------------------------------------------------------------------------
+
+HTML_PRE = "<html><nav>menu home login</nav><p>"
+HTML_MID = "</p><div>"
+HTML_POST = " extra tail content for density</div><footer>fin</footer></html>"
+PDFISH_P1B0 = "%PDF-SIM\n[page 1]\n[block 0 @ 400,10]\n"
+PDFISH_P1B1 = "\n[block 1 @ 10,12]\n"
+PDFISH_P2 = "\n[page 2]\n[block 0 @ 10,5]\n"
+TOOL_PRE = "```tool:bash\n[INFO] "
+TOOL_MID = "\n[DEBUG] trace detail\n[TRACE] deeper\n"
+TOOL_POST = "\nresult line ok\n\n```"
+BADHTML_PRE = "<p>"
+BADHTML_POST = "</p> data <"
+UNDEC_PRE = "%BIN!"
+
+WRAP_HEAD = "BEGIN-WRAP v1\n"  # pyparse.WRAP_HEAD (frozen constant)
+WRAP_TAIL = "\nEND-WRAP"
+
+
+def parse_payload_col(doc_id: Column, text: Column) -> Column:
+    m = doc_id % 8
+    s1 = F.substring(text, 1, 30)
+    s3 = F.substring(text, 61, 1 << 20)
+    html = F.concat(
+        F.lit(HTML_PRE), text, F.lit(HTML_MID), s1, F.lit(HTML_POST)
+    )
+    pdfish = F.concat(
+        F.lit(PDFISH_P1B0), s1,
+        F.lit(PDFISH_P1B1), F.substring(text, 31, 30),
+        F.lit(PDFISH_P2), s3,
+    )
+    tool = F.concat(
+        F.lit(TOOL_PRE), s1, F.lit(TOOL_MID), s3, F.lit(TOOL_POST)
+    )
+    return (
+        F.when(m == 1, html)
+        .when(m == 2, pdfish)
+        .when(m == 3, tool)
+        .when(m == 4, F.lit(""))
+        .when(m == 5, F.concat(F.lit(UNDEC_PRE), s1))
+        .when(m == 6, F.concat(F.lit(WRAP_HEAD), text, F.lit(WRAP_TAIL)))
+        .when(m == 7, F.concat(F.lit(BADHTML_PRE), text, F.lit(BADHTML_POST)))
+        .otherwise(text)
+    )
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+
+def parse_payload_sql(text_expr: str = "text") -> str:
+    t = text_expr
+    s1 = f"substr({t}, 1, 30)"
+    s3 = f"substr({t}, 61)"
+    html = f"{_q(HTML_PRE)} || {t} || {_q(HTML_MID)} || {s1} || {_q(HTML_POST)}"
+    pdfish = (
+        f"{_q(PDFISH_P1B0)} || {s1} || {_q(PDFISH_P1B1)} || "
+        f"substr({t}, 31, 30) || {_q(PDFISH_P2)} || {s3}"
+    )
+    tool = f"{_q(TOOL_PRE)} || {s1} || {_q(TOOL_MID)} || {s3} || {_q(TOOL_POST)}"
+    return f"""case doc_id % 8
+  when 1 then {html}
+  when 2 then {pdfish}
+  when 3 then {tool}
+  when 4 then ''
+  when 5 then {_q(UNDEC_PRE)} || {s1}
+  when 6 then {_q(WRAP_HEAD)} || {t} || {_q(WRAP_TAIL)}
+  when 7 then {_q(BADHTML_PRE)} || {t} || {_q(BADHTML_POST)}
+  else {t} end"""

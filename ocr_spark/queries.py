@@ -243,6 +243,141 @@ from (select doc_id,
 
 
 # --------------------------------------------------------------------------
+# M3 — the H2 Arrow parse stage (reference call_ocr +
+# get_ocrized_text_from_blocks, ocr_service.py:112-145). The Spark side
+# runs the REAL mapInPandas stage over multi-kind payloads
+# (payloads.parse_payload_col: every document wrapped as each payload
+# family by doc_id % 8); the oracles recompute kind classification, the
+# tool-markup line filters, and the pdfish column/reading-order
+# reconstruction in SQL.
+# --------------------------------------------------------------------------
+
+
+def _parsed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators import parse as parse_op
+
+    df = _docs(spark, sf_dir).withColumn(
+        "p", payloads.parse_payload_col(F.col("doc_id"), F.col("text"))
+    )
+    return parse_op.with_parsed(df, text_col="p")
+
+
+def q_parse_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind classification + ok/warn flags of the Arrow parse stage
+    (detect_kind, pyparse.py; F2/F3 errors-as-data) across all 8 payload
+    families — the Arrow output verified against a pure-SQL recomputation."""
+    out = _parsed_docs(spark, sf_dir)
+    return out.select(
+        "doc_id",
+        "kind",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        F.col("parse_warn").cast("int").alias("parse_warn"),
+    )
+
+
+SQL_PARSE_KIND = """
+select doc_id,
+  case doc_id % 8
+    when 1 then 'html'    when 2 then 'pdfish'
+    when 3 then 'tool'    when 4 then 'empty'
+    when 5 then 'undecodable'
+    when 6 then 'wrapped:plain'
+    when 7 then 'html'    else 'plain' end as kind,
+  cast(case when doc_id % 8 in (4, 5) then 0 else 1 end as int) as parse_ok,
+  cast(case when doc_id % 8 = 7 then 1 else 0 end as int) as parse_warn
+from documents
+"""
+
+
+def q_parse_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-markup parse leg: fence/log-line filters + prefix strip
+    (pyparse.parse_tool) — blocks kept/dropped and the extracted text,
+    vs a generic SQL twin of the same line rules."""
+    out = _parsed_docs(spark, sf_dir).filter(F.col("kind") == "tool")
+    return out.select(
+        "doc_id",
+        F.col("blocks_kept").cast("int").alias("blocks_kept"),
+        F.col("blocks_dropped").cast("int").alias("blocks_dropped"),
+        "extracted",
+    )
+
+
+def _sql_parse_tool_stats() -> str:
+    p = payloads.parse_payload_sql("text")
+    body = "list_filter(string_split(p, chr(10)), x -> not starts_with(x, '```'))"
+    proc = (
+        f"list_transform({body}, x -> "
+        "case when regexp_matches(x, '^\\[(TRACE|DEBUG)\\] ') then null "
+        "else regexp_replace(x, '^\\[(INFO|WARN|ERROR)\\] ', '') end)"
+    )
+    kept = "list_filter(pl, x -> x is not null and trim(x) <> '')"
+    return f"""
+with t as (select doc_id, {p} as p from documents where doc_id % 8 = 3),
+l as (select doc_id, {proc} as pl from t)
+select doc_id,
+  cast(len({kept}) as int) as blocks_kept,
+  cast(len(list_filter(pl, x -> x is null or trim(x) = '')) as int) as blocks_dropped,
+  case when len({kept}) > 0
+       then array_to_string({kept}, chr(10)) || chr(10) else '' end as extracted
+from l
+"""
+
+
+def q_parse_pdfish_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-layout parse leg: column clustering + column-major reading
+    order (pyparse.parse_pdfish — the north-star two-column
+    reconstruction). The constructed payload puts block 0 in a RIGHT
+    column (x=400) above block 1 in a LEFT column (x=10): correct output
+    reads left column first, then right, then page 2."""
+    out = _parsed_docs(spark, sf_dir).filter(F.col("kind") == "pdfish")
+    return out.select(
+        "doc_id",
+        F.col("blocks_kept").cast("int").alias("blocks_kept"),
+        F.col("blocks_dropped").cast("int").alias("blocks_dropped"),
+        "extracted",
+    )
+
+
+SQL_PARSE_PDFISH_ORDER = """
+with t as (
+  select doc_id,
+    trim(substr(text, 1, 30)) as s1,   -- page1 right column (x=400)
+    trim(substr(text, 31, 30)) as s2,  -- page1 left column (x=10)
+    trim(substr(text, 61)) as s3       -- page2
+  from documents where doc_id % 8 = 2
+),
+p as (
+  select doc_id,
+    list_filter([s2, s1], x -> x <> '') as p1,
+    list_filter([s3], x -> x <> '') as p2
+  from t
+)
+select doc_id,
+  cast(len(p1) + len(p2) as int) as blocks_kept,
+  cast(3 - len(p1) - len(p2) as int) as blocks_dropped,
+  (case when len(p1) > 0 then array_to_string(p1, chr(10)) || chr(10) else '' end)
+  || (case when len(p2) > 0 then array_to_string(p2, chr(10)) || chr(10) else '' end)
+  as extracted
+from p
+"""
+
+
+def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Arrow parse path (all kinds incl. the HTML boilerplate
+    scorer) — rows-only driver check; semantics pinned vs the frozen
+    pyparse spec in tests/test_parse.py."""
+    out = _parsed_docs(spark, sf_dir)
+    return out.select(
+        "doc_id", "kind",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        F.col("parse_warn").cast("int").alias("parse_warn"),
+        F.col("blocks_kept").cast("int").alias("blocks_kept"),
+        F.col("blocks_dropped").cast("int").alias("blocks_dropped"),
+        "extracted",
+    )
+
+
+# --------------------------------------------------------------------------
 # W4 / A8 / W1 — relational operators over the testdata tables
 # --------------------------------------------------------------------------
 
@@ -567,6 +702,64 @@ def _sql_kw_token_match() -> str:
         f"with t as (select doc_id, {toks_expr} as toks from documents) "
         f"select * from ({body}) where n_matches > 0"
     )
+
+
+def _ac_dim() -> list[str]:
+    """365-phrase keyword dim — the reference's production dim size
+    (nlp/resources/keywords.txt, 365 entries asserted at
+    tests/test_ocr_worker.py:50): 10 corpus words + their 100 two-word
+    phrases + 255 never-matching fillers (realistic: most of a large dim
+    misses most documents)."""
+    singles = [
+        "table", "window", "scan", "hash", "data",
+        "key", "column", "batch", "slow", "big",
+    ]
+    pairs = [f"{a} {b}" for a in singles for b in singles]
+    miss = [f"zzmiss{i:03d}" for i in range(255)]
+    return singles + pairs + miss
+
+
+def q_kw_ac_365(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 at production dim size via the Arrow Aho-Corasick stage
+    (operators/ac_scan): ALL 365 phrases matched in ONE automaton pass per
+    text — the scale path once the per-keyword native expressions stop
+    paying (crossover measured in BENCH.md). dedup=False so the oracle is
+    the plain word-boundary occurrence count."""
+    from ocr_spark.operators.ac_scan import with_keyword_spans_ac
+
+    docs = _docs(spark, sf_dir)
+    out = with_keyword_spans_ac(docs, _ac_dim(), text_col="text", dedup=False)
+    s = out.select("doc_id", F.explode("spans").alias("s"))
+    return s.groupBy(F.col("s.keyword").alias("keyword")).agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occs"),
+    )
+
+
+def _sql_kw_ac_365() -> str:
+    """Occurrence counting by token adjacency (documents text is strictly
+    single-spaced [a-z ] word soup, so char-level word-boundary matches ==
+    token matches). Counts OVERLAPPING phrase occurrences, like the AC
+    automaton (regexp_extract_all is non-overlapping and undercounts
+    'column column' in a triple)."""
+    items = ", ".join(O.q(k) for k in sorted(_ac_dim()))
+    return f"""
+with t as (select doc_id, string_split(text, ' ') as toks from documents),
+occ as (
+  select doc_id, unnest(toks) as phrase from t
+  union all
+  select doc_id,
+    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+    as phrase
+  from t
+),
+dim as (select unnest([{items}]) as keyword)
+select keyword,
+  cast(count(distinct doc_id) as bigint) as n_docs,
+  cast(count(*) as bigint) as n_occs
+from occ join dim on occ.phrase = dim.keyword
+group by keyword
+"""
 
 
 def q_kw_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,6 +1423,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_stats_global": q_clean_stats_global,
     "quality": q_quality,
     "validate": q_validate,
+    "parse_kind": q_parse_kind,
+    "parse_tool_stats": q_parse_tool_stats,
+    "parse_pdfish_order": q_parse_pdfish_order,
+    "parse_extract": q_parse_extract,
     "topk_longest": q_topk_longest,
     "source_describe": q_source_describe,
     "conv_rollup": q_conv_rollup,
@@ -1240,6 +1437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kw_spans": q_kw_spans,
     "kw_spans_dedup": q_kw_spans_dedup,
     "kw_token_match": q_kw_token_match,
+    "kw_ac_365": q_kw_ac_365,
     "kw_rollup": q_kw_rollup,
     "kw_statistics": q_kw_statistics,
     "dedup_exact": q_dedup_exact,
@@ -1271,6 +1469,11 @@ def oracle_sql() -> dict[str, str]:
         "clean_stats_global": SQL_CLEAN_STATS_GLOBAL,
         "quality": _sql_quality(),
         "validate": SQL_VALIDATE,
+        "parse_kind": SQL_PARSE_KIND,
+        "parse_tool_stats": _sql_parse_tool_stats(),
+        "parse_pdfish_order": SQL_PARSE_PDFISH_ORDER,
+        # parse_extract: deliberately no oracle — the full Arrow path
+        # (HTML block scoring) is rows-only here, pytest-pinned vs pyparse
         "topk_longest": SQL_TOPK_LONGEST,
         "source_describe": SQL_SOURCE_DESCRIBE,
         "conv_rollup": SQL_CONV_ROLLUP,
@@ -1281,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         "kw_spans": SQL_KW_SPANS,
         "kw_spans_dedup": SQL_KW_SPANS_DEDUP,
         "kw_token_match": _sql_kw_token_match(),
+        "kw_ac_365": _sql_kw_ac_365(),
         "kw_rollup": SQL_KW_ROLLUP,
         "kw_statistics": SQL_KW_STATISTICS,
         "dedup_exact": f"""
