@@ -93,6 +93,48 @@ def with_summary(
     return df.drop("_sum_t", "_sum_st", "_sum_lines", "_sum_sig")
 
 
+def shorten_payload_staged(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    meta_col: str | None = "highlight_metadata",
+    limit: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """P10 as the reference actually escalates it (ocr_worker.py:144-156):
+    a 413 is retried TWICE with progressively smaller payloads —
+
+      level 0: payload fits (≤ ``limit``) — untouched;
+      level 1: first retry — text replaced by its summary, highlight
+               metadata kept;
+      level 2: second retry — the summary STILL exceeds ``limit``, so the
+               highlight metadata is emptied too.
+
+    Emits ``shrink_level`` (0/1/2). Row-local (one staged summarize +
+    projections), no shuffle."""
+    from ocr_spark.operators.cleaning import materialize
+
+    too_big = F.length(F.col(text_col)) > limit
+    df = materialize(
+        df, _short=F.when(too_big, summarize(F.col(text_col), k))
+    )
+    level = (
+        F.when(~too_big, F.lit(0))
+        .when(F.length(F.col("_short")) <= limit, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    df = df.withColumn("shrink_level", level)
+    df = df.withColumn(
+        text_col, F.coalesce(F.col("_short"), F.col(text_col))
+    )
+    if meta_col and meta_col in df.columns:
+        empty = F.array().cast(df.schema[meta_col].dataType)
+        df = df.withColumn(
+            meta_col,
+            F.when(F.col("shrink_level") == 2, empty).otherwise(F.col(meta_col)),
+        )
+    return df.drop("_short")
+
+
 def shorten_payload(
     df: DataFrame,
     text_col: str = "clean_text",
@@ -100,8 +142,9 @@ def shorten_payload(
     limit: int = 4096,
     k: int = 3,
 ) -> DataFrame:
-    """P10: rows over ``limit`` chars get summarized text and emptied
-    highlight metadata (ocr_worker.py:99-115)."""
+    """P10, single-step variant: rows over ``limit`` chars get summarized
+    text and emptied highlight metadata in one go (ocr_worker.py:99-115);
+    ``shorten_payload_staged`` models the two-stage 413 escalation."""
     from ocr_spark.operators.cleaning import materialize
 
     too_big = F.length(F.col(text_col)) > limit

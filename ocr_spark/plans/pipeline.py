@@ -190,7 +190,22 @@ def _finish(redone: DataFrame, keywords: list[str] | None) -> DataFrame:
             out, keywords, text_col="clean_text", out_col="spans"
         )
         out = matching.with_doc_statistics(out)
+        # C4 lineage: every row records the hash of the keyword dim it was
+        # matched against (the reference's keywordsHash contract,
+        # doc_analysis.py:28,321-335) — a dim swap between incremental
+        # batches is observable per row, and already-committed rows are
+        # provably untouched (tests/test_streaming.py).
+        out = out.withColumn("keywords_hash", F.lit(keywords_hash(keywords)))
     return out
+
+
+def keywords_hash(keywords: list[str]) -> str:
+    """Deterministic dim fingerprint (order/dup/blank-insensitive — the
+    same normalization the matchers apply)."""
+    import hashlib
+
+    norm = sorted({k.strip().lower() for k in keywords if k.strip()})
+    return hashlib.md5("|".join(norm).encode()).hexdigest()
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +242,29 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
         )
         .withColumnRenamed("_pid", "partition_id")
         .withColumn("run_id", F.lit(run_id))
+    )
+
+
+def with_metric_ratios(metrics: DataFrame) -> DataFrame:
+    """A3 derived ratios (``print_stats``, reference
+    text_processing.py:245-285): percent-kept and per-category skip
+    percentages over the raw counter sums. A projection — apply to the
+    sidecar rows or to any aggregate of them (the percentages recompute
+    correctly after re-aggregation because the raw sums are additive;
+    never sum the percentages themselves). try_divide: an all-empty
+    partition has 0 original chars."""
+    tot = F.col("total_original_length")
+
+    def pct(col: str):
+        return F.round(F.try_divide(F.col(col) * 100, tot), 2)
+
+    return (
+        metrics.withColumn("pct_chars_kept", pct("total_clean_length"))
+        .withColumn("pct_min_length_chars", pct("skipped_min_length_chars"))
+        .withColumn("pct_alpha_chars", pct("skipped_alpha_chars"))
+        .withColumn("pct_numeric_chars", pct("skipped_numeric_chars"))
+        .withColumn("pct_non_ascii_chars", pct("skipped_non_ascii_chars"))
+        .withColumn("pct_forbidden_chars", pct("skipped_forbidden_chars"))
     )
 
 

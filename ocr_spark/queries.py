@@ -153,6 +153,45 @@ SQL_CLEAN_STATS_GLOBAL = "select " + ", ".join(
 ) + " from documents"
 
 
+def q_clean_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 derived ratios (print_stats, text_processing.py:245-285):
+    percent-kept + per-category skip percentages over the global counter
+    sums — a projection over the A1/A2 aggregate."""
+    df = _with_payload(_docs(spark, sf_dir))
+    out = cleaning.with_clean_text(df, text_col="payload")
+    g = cleaning.aggregate_stats(out)
+    tot = F.col("total_original_length")
+
+    def pct(c: str) -> Column:
+        return _scale(F.col(c) / tot * 100, 10000)
+
+    return g.select(
+        pct("total_clean_length").alias("pct_chars_kept_c"),
+        pct("skipped_because_min_length_chars").alias("pct_min_length_c"),
+        pct("skipped_alpha_count_chars").alias("pct_alpha_c"),
+        pct("skipped_because_max_numeric_chars").alias("pct_numeric_c"),
+        pct("skipped_because_max_non_ascii_chars").alias("pct_non_ascii_c"),
+        pct("skipped_because_forbidden_chars_chars").alias("pct_forbidden_c"),
+    )
+
+
+def _sql_clean_ratios() -> str:
+    def pct(c: str) -> str:
+        return _scale_sql(f"({c} / total_original_length * 100)", 10000)
+
+    return f"""
+with g as ({SQL_CLEAN_STATS_GLOBAL})
+select
+  {pct('total_clean_length')} as pct_chars_kept_c,
+  {pct('skipped_because_min_length_chars')} as pct_min_length_c,
+  {pct('skipped_alpha_count_chars')} as pct_alpha_c,
+  {pct('skipped_because_max_numeric_chars')} as pct_numeric_c,
+  {pct('skipped_because_max_non_ascii_chars')} as pct_non_ascii_c,
+  {pct('skipped_because_forbidden_chars_chars')} as pct_forbidden_c
+from g
+"""
+
+
 # --------------------------------------------------------------------------
 # M2 — quality scoring (A4 cer, A5 wer via J1 broadcast semi-join, P11)
 # --------------------------------------------------------------------------
@@ -1251,6 +1290,50 @@ from scored
 """
 
 
+SHRINK_LIMIT = 450  # chars — chosen so sf0.01 exercises all three levels
+
+
+def q_shrink_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive 413 shrink (ocr_worker.py:144-156): level 0 = payload
+    fits; level 1 = text summarized, metadata kept; level 2 = summary
+    still oversized, metadata emptied too. ``meta`` stands in for the
+    highlight metadata (first 5 tokens)."""
+    from ocr_spark.operators.summarize import shorten_payload_staged
+
+    df = _with_payload(_docs(spark, sf_dir))
+    df = df.withColumn("meta", F.slice(X.tokens(F.col("payload")), 1, 5))
+    df = shorten_payload_staged(
+        df, text_col="payload", meta_col="meta", limit=SHRINK_LIMIT, k=2
+    )
+    return df.select(
+        "doc_id",
+        F.col("shrink_level").cast("long").alias("shrink_level"),
+        F.length("payload").cast("long").alias("final_len"),
+        F.size("meta").cast("long").alias("n_meta"),
+    )
+
+
+def _sql_shrink_levels() -> str:
+    pl = payloads.payload_sql("text")
+    toks = f"regexp_extract_all(lower({pl}), {O.q(O.TOKEN_RE)})"
+    lvl = (
+        f"case when length(pl) <= {SHRINK_LIMIT} then 0 "
+        f"when length(summary) <= {SHRINK_LIMIT} then 1 else 2 end"
+    )
+    return f"""
+with s as ({_sql_summarize(2)}),
+p as (select doc_id, {pl} as pl, least(5, len({toks})) as m from documents),
+j as (
+  select p.doc_id, pl, m, s.summary, {lvl} as lvl
+  from p join s on p.doc_id = s.doc_id
+)
+select doc_id, cast(lvl as bigint) as shrink_level,
+  cast(case when lvl = 0 then length(pl) else length(summary) end as bigint) as final_len,
+  cast(case when lvl = 2 then 0 else m end as bigint) as n_meta
+from j
+"""
+
+
 def q_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1/V2: fit a centroid 'model' on the small vector dim (vec_id < 20),
     score the whole table natively, mark in-distribution positives."""
@@ -1421,6 +1504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_text": q_clean_text,
     "filter_bank": q_filter_bank,
     "clean_stats_global": q_clean_stats_global,
+    "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "validate": q_validate,
     "parse_kind": q_parse_kind,
@@ -1454,6 +1538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
     "summarize": q_summarize,
+    "shrink_levels": q_shrink_levels,
     "vector_search": q_vector_search,
     "entities": q_entities,
     "tpch_pricing": q_tpch_pricing,
@@ -1467,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_text": SQL_CLEAN_TEXT,
         "filter_bank": SQL_FILTER_BANK,
         "clean_stats_global": SQL_CLEAN_STATS_GLOBAL,
+        "clean_ratios": _sql_clean_ratios(),
         "quality": _sql_quality(),
         "validate": SQL_VALIDATE,
         "parse_kind": SQL_PARSE_KIND,
@@ -1506,6 +1592,7 @@ from corpus group by 1
         "fingerprint": SQL_FINGERPRINT,
         "media_features": _sql_media_features(),
         "summarize": _sql_summarize(),
+        "shrink_levels": _sql_shrink_levels(),
         "vector_search": SQL_VECTOR_SEARCH,
         "entities": _sql_entities(),
         "tpch_pricing": SQL_TPCH_PRICING,

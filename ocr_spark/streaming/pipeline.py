@@ -17,9 +17,12 @@ stream with **availableNow** trigger + checkpoint:
   checkpoint commit did not); writes are idempotent because each batch
   overwrites its deterministic ``batch_id=<id>`` partition directory
   (the batch-mode twin is plans.pipeline.unprocessed's anti-join)
-* C4 keyword rebroadcast → keyword dim is captured at query start; a
-  changed dim (the keywordsHash invalidation, doc_analysis.py:28,321-329)
-  requires a stream restart, which the checkpoint makes cheap.
+* C4 keyword rebroadcast → the keyword dim is captured at query start; a
+  changed dim (the keywordsHash invalidation, doc_analysis.py:28,321-335)
+  takes effect at the next availableNow cycle — the checkpoint makes the
+  restart cheap, every row is stamped with the dim's hash
+  (plans.pipeline.keywords_hash), and rows committed under the old dim
+  are untouched (tests/test_streaming.py::test_keyword_dim_swap_…).
 
 The whole extract plan is stateless row-local transforms (parse/clean/
 score/spans), so no watermarks or state store are involved; ``foreachBatch``

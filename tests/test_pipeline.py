@@ -140,3 +140,29 @@ def test_vocab_join_path_matches_literal_path(spark, transcripts_df, vocab):
     }
     assert lit_rows == join_rows
     assert any(v[3] == 2 for v in join_rows.values())  # second pass exercised
+
+
+def test_metric_ratios_projection(spark, transcripts_df, vocab):
+    """A3 print_stats ratios: percentages recompute from the raw sums and
+    agree with a direct global computation after re-aggregation."""
+    ext = pipeline.extract(transcripts_df, vocab)
+    m = pipeline.partition_metrics(ext, run_id="t")
+    g = m.groupBy().agg(
+        *[
+            F.sum(c).alias(c)
+            for c in m.columns
+            if c not in ("partition_id", "run_id")
+        ]
+    )
+    row = pipeline.with_metric_ratios(g).collect()[0]
+    expect = round(
+        row["total_clean_length"] * 100 / row["total_original_length"], 2
+    )
+    assert row["pct_chars_kept"] == expect
+    assert 0 < row["pct_chars_kept"] <= 100
+    skipped = (
+        row["pct_min_length_chars"] + row["pct_alpha_chars"]
+        + row["pct_numeric_chars"] + row["pct_non_ascii_chars"]
+        + row["pct_forbidden_chars"]
+    )
+    assert skipped >= 0

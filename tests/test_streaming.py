@@ -87,6 +87,60 @@ def test_streaming_matches_batch(spark, vocab, transcripts_pdf, tmp_path):
     _ = F  # imported for parity with other tests
 
 
+def test_keyword_dim_swap_across_batches(spark, vocab, transcripts_pdf, tmp_path):
+    """C4 keywordsHash invalidation (reference doc_analysis.py:321-335;
+    tests/test_ocr_worker.py:96-102): the keyword dim changes between two
+    incremental cycles. Batch-2 rows must be matched against the NEW dim
+    (and stamped with its hash); batch-1 rows stay exactly as committed."""
+    from ocr_spark.plans.pipeline import keywords_hash
+
+    inp = str(tmp_path / "in4")
+    results = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ck4")
+    convs = sorted(transcripts_pdf["conv_id"].unique())
+    first = transcripts_pdf[transcripts_pdf.conv_id.isin(convs[:10])]
+    second = transcripts_pdf[transcripts_pdf.conv_id.isin(convs[10:20])]
+
+    k1 = ["lege"]
+    k2 = ["dosar", "tribunal"]
+    _write_slice(first, inp + "/a.parquet")
+    n1 = run_available_now(spark, inp, results, ckpt, vocab, "r1", keywords=k1)
+    assert n1 == len(first)
+    committed = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["keywords_hash"],
+            tuple((s["keyword"], s["start"]) for s in r["spans"]),
+        )
+        for r in spark.read.parquet(results).collect()
+    }
+    assert {v[0] for v in committed.values()} == {keywords_hash(k1)}
+
+    # the dim swap: new cycle, new keyword set — only the new file runs
+    _write_slice(second, inp + "/b.parquet")
+    n2 = run_available_now(spark, inp, results, ckpt, vocab, "r2", keywords=k2)
+    assert n2 == len(second)
+
+    rows = spark.read.parquet(results).collect()
+    assert len(rows) == len(first) + len(second)
+    old = {k: v for k, v in committed.items()}
+    seen_k2_match = False
+    for r in rows:
+        key = (r["conv_id"], r["turn_idx"])
+        got = (
+            r["keywords_hash"],
+            tuple((s["keyword"], s["start"]) for s in r["spans"]),
+        )
+        if key in old:
+            # batch-1 rows byte-identical to what was committed under k1
+            assert got == old[key]
+        else:
+            assert r["keywords_hash"] == keywords_hash(k2)
+            kws = {s["keyword"] for s in r["spans"]}
+            assert kws <= set(k2)
+            seen_k2_match = seen_k2_match or bool(kws)
+    assert seen_k2_match  # the new dim actually matched in batch 2
+
+
 def test_batch_replay_is_idempotent(spark, vocab, transcripts_pdf, tmp_path):
     """foreachBatch is at-least-once: a crash after the data write but
     before the checkpoint commit re-delivers the batch on restart. The

@@ -43,3 +43,30 @@ def test_shorten_payload(spark):
     assert rows[0]["was_shortened"] and len(rows[0]["clean_text"]) < 100
     assert not rows[1]["was_shortened"]
     assert rows[1]["clean_text"] == short_text
+
+
+def test_shorten_payload_staged_levels(spark):
+    """The two-stage 413 escalation (ocr_worker.py:144-156): level 0
+    untouched, level 1 summarizes but keeps metadata, level 2 also empties
+    metadata when the summary itself still exceeds the limit."""
+    from ocr_spark.operators.summarize import shorten_payload_staged
+
+    small = "rand scurt care incape"
+    mid = "\n".join(["prima linie lunga desprea ceva important aici"] * 3)
+    big = "\n".join(["x" * 200 + f" unic{i}" for i in range(10)])
+    rows = [(0, small, ["m0"]), (1, mid, ["m1"]), (2, big, ["m2"])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, clean_text string, highlight_metadata array<string>"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in shorten_payload_staged(df, limit=100, k=2).collect()
+    }
+    assert out[0]["shrink_level"] == 0
+    assert out[0]["clean_text"] == small and out[0]["highlight_metadata"] == ["m0"]
+    assert out[1]["shrink_level"] == 1
+    assert len(out[1]["clean_text"]) <= 100  # summarized
+    assert out[1]["highlight_metadata"] == ["m1"]  # metadata survives level 1
+    assert out[2]["shrink_level"] == 2
+    assert len(out[2]["clean_text"]) > 100  # summary still big ...
+    assert out[2]["highlight_metadata"] == []  # ... so metadata is emptied
