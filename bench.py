@@ -107,6 +107,88 @@ def worker_extract(cpus: int, inp: str) -> None:
                       "calib_sec": round(cbest, 3)}))
 
 
+def worker_queries(cpus: int, sf_dir: str) -> None:
+    """Subprocess body: pinned per-query sweep; prints {name: sec}."""
+    _pin(cpus)
+    from ocr_spark.queries import QUERIES
+
+    spark = _new_spark(cpus)
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            log(f"[bench] query {name} FAILED at local[{cpus}]: {e}")
+            times[name] = -1.0
+    spark.stop()
+    print(json.dumps(times))
+
+
+def _holdout_corpus(spark, inp: str):
+    """~6× the transcripts table with distinct token-transform variants
+    plus injected duplicates (5% exact, 3% near) — a 10⁶-row dedup corpus
+    built entirely Spark-side (no driver materialization)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions import text as X
+
+    base = spark.read.parquet(inp).select(
+        F.concat_ws("#", "conv_id", "turn_idx").alias("k"), "text"
+    )
+    toks = X.tokens(F.col("text"))
+    variants = [
+        F.col("text"),
+        F.array_join(F.reverse(toks), " "),
+        F.array_join(F.sort_array(toks), " "),
+        F.array_join(F.filter(toks, lambda t, i: i % 2 == 0), " "),
+        F.array_join(
+            F.concat(F.slice(toks, 16, 1 << 20), F.slice(toks, 1, 15)), " "
+        ),
+        F.array_join(F.sort_array(toks, asc=False), " "),
+    ]
+    corpus = None
+    for i, e in enumerate(variants):
+        part = base.select(
+            F.concat("k", F.lit(f"#r{i}")).alias("k"), e.alias("text")
+        )
+        corpus = part if corpus is None else corpus.unionByName(part)
+    h = F.abs(F.hash("k"))
+    exact = corpus.filter(h % 20 == 0).select(
+        F.concat("k", F.lit("#dup")).alias("k"), "text"
+    )
+    near = corpus.filter(h % 33 == 0).select(
+        F.concat("k", F.lit("#near")).alias("k"),
+        F.array_join(
+            F.filter(X.tokens(F.col("text")), lambda t, i: (i + 1) % 10 != 0),
+            " ",
+        ).alias("text"),
+    )
+    return corpus.unionByName(exact).unionByName(near)
+
+
+def worker_dedup_holdout(cpus: int, inp: str) -> None:
+    """Subprocess body: MinHash-LSH near-dup over the ~10⁶-row holdout
+    corpus (production config: xxhash64, max_bucket=100 — the transcripts'
+    templated boilerplate produces buckets >10k wide, which the cap
+    drops). Prints {rows, sec, pairs}."""
+    _pin(cpus)
+    from ocr_spark.operators.dedup import minhash_lsh
+
+    spark = _new_spark(cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus * 4))
+    corpus = _holdout_corpus(spark, inp)
+    n = corpus.count()
+    t0 = time.time()
+    pairs = minhash_lsh(
+        corpus, "k", threshold=0.5, max_bucket=100, hash_fn="xxhash64"
+    ).count()
+    dt = time.time() - t0
+    spark.stop()
+    print(json.dumps({"rows": n, "sec": round(dt, 1), "pairs": pairs}))
+
+
 def worker_calib(cpus: int) -> None:
     """Subprocess body: pinned pure-JVM yardstick; prints {'sec'}."""
     _pin(cpus)
@@ -142,7 +224,6 @@ def main() -> int:
     scaling = "--no-scaling" not in sys.argv
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from ocr_spark.queries import QUERIES
 
     inp = _transcripts_path(sf)
 
@@ -185,23 +266,40 @@ def main() -> int:
         }
         log(f"[bench] calib eff {calib_eff:.2f} → normalized {norm:.2f}")
 
-    spark = _new_spark(cpus)
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            result["queries"][name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            log(f"[bench] query {name} FAILED: {e}")
-            result["queries"][name] = -1.0
-    spark.stop()
+    log(f"[bench] per-query sweep at local[{cpus}] (pinned)")
+    result["queries"] = _sub(["--worker-queries", str(cpus), sf_dir])
+
+    if scaling:
+        # per-query times at BOTH cluster sizes (N and 4N — the two-size
+        # scaling evidence at query granularity, not just the headline)
+        log(f"[bench] per-query sweep at local[{small}] (pinned)")
+        result["queries_n"] = _sub(["--worker-queries", str(small), sf_dir])
+        result["queries_cpus_n"] = small
+
+        # dedup scale holdout: ~6× the transcripts table (≈1M rows at
+        # sf0.1) with injected duplicates — evidences the bucket caps
+        # empirically (boilerplate buckets >10⁴ wide get dropped)
+        log(f"[bench] dedup holdout (~1M rows) at local[{cpus}] (pinned)")
+        hd = _sub(["--worker-holdout", str(cpus), inp])
+        hd["rows_per_sec"] = round(hd["rows"] / hd["sec"], 1)
+        result["dedup_holdout"] = hd
+        log(
+            f"[bench] holdout: {hd['rows']} rows / {hd['sec']}s = "
+            f"{hd['rows_per_sec']} rows/s, {hd['pairs']} pairs"
+        )
 
     print(json.dumps(result), flush=True)
     return 0
 
 
 if __name__ == "__main__":
-    if "--worker" in sys.argv:
+    if "--worker-queries" in sys.argv:
+        i = sys.argv.index("--worker-queries")
+        worker_queries(int(sys.argv[i + 1]), sys.argv[i + 2])
+    elif "--worker-holdout" in sys.argv:
+        i = sys.argv.index("--worker-holdout")
+        worker_dedup_holdout(int(sys.argv[i + 1]), sys.argv[i + 2])
+    elif "--worker" in sys.argv:
         i = sys.argv.index("--worker")
         worker_extract(int(sys.argv[i + 1]), sys.argv[i + 2])
     elif "--calib" in sys.argv:
