@@ -210,6 +210,76 @@ def ann_lsh(
     return _topk(_scored(it, qr, key, vec_col, ["bucket"]), k)
 
 
+def fit_ivf_centroids(
+    items: DataFrame, key: str, vec_col: str, n_centroids: int
+) -> list[list[float]]:
+    """IVF coarse quantizer 'fit': the first ``n_centroids`` vectors in
+    key order — a deterministic, engine-portable stand-in for k-means
+    training (the reference's V1 pattern: driver-side fit on a bounded
+    sample, broadcast the model). Real deployments would swap in k-means||
+    centroids; every downstream plan stays identical."""
+    rows = items.select(key, vec_col).orderBy(key).limit(n_centroids).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _centroid_ranks(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<negcos,cid>> sorted best-first: rank of each IVF list
+    for a vector. Zero-norm vectors rank all lists equally last."""
+    vn = norm(vec)
+    entries = [
+        F.struct(
+            F.coalesce(
+                -cosine(vec, F.lit(c), vn, norm(F.lit(c))), F.lit(2.0)
+            ).alias("negcos"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.sort_array(F.array(*entries))
+
+
+def ann_ivf(
+    items: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: items are assigned to their nearest
+    coarse centroid (one inverted list each); each query probes its
+    ``n_probe`` nearest lists and re-ranks exactly inside them.
+
+    The scale shape: the scan partitions by ``cid`` (the inverted lists),
+    centroids ride the plan as literals (broadcast model), per-query cost
+    is ``n_probe/n_centroids`` of the corpus instead of all of it.
+    Recall/cost is tuned by (n_centroids, n_probe) exactly as in IVF-Flat;
+    the LSH variant above trades the trained quantizer for a data-free
+    hash."""
+    centroids = fit_ivf_centroids(items, key, vec_col, n_centroids)
+    it = items.withColumn(
+        "bucket",
+        _centroid_ranks(as_double(F.col(vec_col)), centroids)[0]["cid"].cast(
+            "string"
+        ),
+    )
+    qr = queries.withColumn(
+        "bucket",
+        F.explode(
+            F.transform(
+                F.slice(
+                    _centroid_ranks(as_double(F.col(vec_col)), centroids),
+                    1,
+                    n_probe,
+                ),
+                lambda e: e["cid"].cast("string"),
+            )
+        ),
+    )
+    return _topk(_scored(it, qr, key, vec_col, ["bucket"]), k)
+
+
 def embedding_neardup(
     df: DataFrame,
     key: str,

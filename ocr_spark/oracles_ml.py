@@ -171,6 +171,63 @@ from pairs where cos >= {threshold}
 """
 
 
+def ivf_sql(
+    k: int,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    max_query: int = 8,
+) -> str:
+    """IVF oracle: centroids = first n_centroids vectors by vec_id (twin
+    of similarity.fit_ivf_centroids); per-vector list ranking by
+    (negcos, cid); items keep rank 1, queries probe rank <= n_probe."""
+    dot_bc = _dot("b.v", "c.c")
+    return f"""
+with base as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+),
+cent as (
+  select row_number() over (order by vec_id) - 1 as cid, v as c
+  from (select * from base order by vec_id limit {n_centroids})
+),
+asg as (
+  select b.vec_id, c.cid,
+    coalesce(-(case when sqrt({_dot('b.v', 'b.v')}) * sqrt({_dot('c.c', 'c.c')}) > 0
+      then {dot_bc} / (sqrt({_dot('b.v', 'b.v')}) * sqrt({_dot('c.c', 'c.c')})) end),
+      2.0) as negcos
+  from base b, cent c
+),
+ranked_asg as (
+  select vec_id, cid,
+    row_number() over (partition by vec_id order by negcos, cid) as r
+  from asg
+),
+it as (
+  select b.vec_id, b.v, sqrt({_dot('b.v', 'b.v')}) as n, a.cid
+  from base b join ranked_asg a on b.vec_id = a.vec_id and a.r = 1
+),
+q as (
+  select b.vec_id, b.v, sqrt({_dot('b.v', 'b.v')}) as n, a.cid
+  from base b join ranked_asg a
+    on b.vec_id = a.vec_id and a.r <= {n_probe}
+  where b.vec_id < {max_query}
+),
+scored as (
+  select q.vec_id as query_id, i.vec_id as item_id,
+    (case when q.n * i.n > 0 then {_dot('q.v', 'i.v')} / (q.n * i.n) end) as cos
+  from it i join q on i.cid = q.cid and i.vec_id != q.vec_id
+),
+ranked as (
+  select query_id, item_id, cos,
+    row_number() over (partition by query_id order by cos desc, item_id asc) as rank
+  from scored where cos is not null
+)
+select query_id, cast(rank as int) as rank, item_id,
+  cast(floor(cos * 1000000 + 0.5) as bigint) as cos_c
+from ranked where rank <= {k}
+"""
+
+
 def ann_sql(
     k: int,
     n_planes: int | None,

@@ -1111,6 +1111,22 @@ def q_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantizer inverted lists (deterministic
+    centroid sample), queries probe the 2 nearest lists, exact re-rank
+    inside — the trained-quantizer sibling of ann_lsh."""
+    from ocr_spark.operators.similarity import ann_ivf
+
+    emb = _emb(spark, sf_dir)
+    out = ann_ivf(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=2,
+    )
+    return out.select(
+        "query_id", "rank", "item_id", _scale(F.col("cos"), 1_000_000).alias("cos_c")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID vs the table's lang label."""
     from ocr_spark.operators.textstats import lang_id
@@ -1532,6 +1548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_mp": q_ann_lsh_mp,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality_features": q_quality_features,
     "token_counts": q_token_counts,
@@ -1586,6 +1603,7 @@ from corpus group by 1
         "ann_brute": OM.ann_sql(5, None),
         "ann_lsh": OM.ann_sql(5, 6),
         "ann_lsh_mp": OM.ann_sql(5, 6, multi_probe=1),
+        "ann_ivf": OM.ivf_sql(5, n_centroids=8, n_probe=2),
         "lang_id": _sql_lang_id(),
         "quality_features": _sql_quality_features(),
         "token_counts": _sql_token_counts(),

@@ -193,3 +193,24 @@ def test_ann_lsh_recall(vectors):
     # vectors must recover the brute top-1 for at least half the queries
     assert hits >= len(l1) // 2
     assert len(l1) >= 4
+
+
+def test_ann_ivf_probes_nearest_lists(vectors):
+    """IVF: exact re-rank inside the probed inverted lists; probing more
+    lists monotonically improves the best-found similarity, and with
+    n_probe == n_centroids IVF degrades to exact brute force."""
+    q = vectors.filter(F.col("vec_id") < 8)
+    ivf1 = similarity.ann_ivf(
+        vectors, q, "vec_id", "embedding", k=1, n_centroids=4, n_probe=1
+    ).collect()
+    ivf4 = similarity.ann_ivf(
+        vectors, q, "vec_id", "embedding", k=1, n_centroids=4, n_probe=4
+    ).collect()
+    brute = similarity.ann_brute(vectors, q, "vec_id", "embedding", k=1).collect()
+    c1 = {r["query_id"]: r["cos"] for r in ivf1}
+    c4 = {r["query_id"]: r["cos"] for r in ivf4}
+    cb = {r["query_id"]: r["cos"] for r in brute}
+    for qid in cb:
+        assert c4[qid] == cb[qid]  # full probe == exact
+        if qid in c1:
+            assert c1[qid] <= c4[qid] + 1e-12  # more probes never worse
