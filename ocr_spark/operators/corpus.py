@@ -1,0 +1,296 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The reference pipeline cleans one document at a time; a web-scale corpus
+needs the *cross-document* curation family that sits between extraction
+and training. Everything here is native Catalyst (zero Python in the hot
+path) and shaped so the expensive step is a partial-aggregable shuffle,
+never an all-pairs or driver-side pass:
+
+* :func:`repetition_stats` — Gopher-style within-document repetition
+  signals (Rae et al. 2021, "Scaling Language Models", Table A1): the
+  most-frequent-2-gram fraction and the duplicate-5-gram fraction.
+  Count-fraction variants of the paper's character-fraction rules —
+  frozen spec, thresholds exposed.
+* :func:`boilerplate_grams` — corpus-level duplicated-n-gram detection
+  (the RefinedWeb / CCNet "line dedup" analog for payloads without line
+  structure): n-grams occurring in ≥ ``min_docs`` distinct documents are
+  boilerplate (nav menus, footers, templates); each doc reports its
+  boilerplate-gram fraction.
+* :func:`pii_counts` / :func:`pii_scrub` — regex PII detection and
+  redaction (emails, phone numbers, IPv4) with per-class counters; the
+  patterns are Java-regex / RE2 portable so SQL oracles can replay them.
+* :func:`url_extract` / URL-domain rollup — outlink extraction and
+  per-domain corpus stats (the input to domain-level quality weighting).
+* :func:`sample_bucket` — deterministic md5-bucket stratified sampling
+  (data-mixing by language/source without a random() that no oracle
+  could replay).
+* :func:`pack_bins` — sequential greedy sequence packing: assign docs to
+  fixed-token-budget context windows via a running-sum window function.
+
+Scale notes per operator are on the docstrings; the common theme is that
+every groupBy key here (gram, domain, md5 bucket) is high-cardinality and
+combiner-friendly, so partial aggregation bounds the shuffle, and the one
+medium join (docs ⋈ boilerplate grams) is AQE-broadcastable because the
+boilerplate set is tiny relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import word_ngrams
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals
+# --------------------------------------------------------------------------
+
+#: frozen thresholds (count-fraction analogs of Gopher Table A1)
+TOP_2GRAM_MAX = 0.20
+DUP_5GRAM_MAX = 0.30
+
+
+def _gram_stats(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Per-doc n-gram repetition counters: total instances, max frequency,
+    and instances belonging to grams seen ≥2× in the doc.
+
+    Two hash aggregations — (doc, gram) then (doc) — both keyed by doc id
+    first, so partial aggregation combines map-side and the shuffle carries
+    one row per distinct gram per doc. No skew risk: the key space is
+    per-document."""
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    counts = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias(f"n_{n}grams"),
+        F.max("c").cast("long").alias(f"top_{n}gram"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias(f"dup_{n}grams"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features per document.
+
+    Output grain = one row per input doc: 2-gram totals/top counts,
+    5-gram totals/duplicate counts, the two fractions, and the
+    ``repetitive`` flag at the frozen thresholds. Docs too short to form
+    grams get zero counts and fractions (kept, never dropped — the filter
+    decision is the caller's)."""
+    s2 = _gram_stats(docs, id_col, text_col, 2)
+    s5 = _gram_stats(docs, id_col, text_col, 5)
+    joined = (
+        docs.select(id_col)
+        .join(s2, id_col, "left")
+        .join(s5, id_col, "left")
+    )
+    n2 = F.coalesce(F.col("n_2grams"), F.lit(0))
+    top2 = F.coalesce(F.col("top_2gram"), F.lit(0))
+    n5 = F.coalesce(F.col("n_5grams"), F.lit(0))
+    dup5 = F.coalesce(F.col("dup_5grams"), F.lit(0))
+    top2_frac = F.when(n2 > 0, top2 / n2).otherwise(F.lit(0.0))
+    dup5_frac = F.when(n5 > 0, dup5 / n5).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col(id_col),
+        n2.alias("n_2grams"),
+        top2.alias("top_2gram"),
+        n5.alias("n_5grams"),
+        dup5.alias("dup_5grams"),
+        top2_frac.alias("top_2gram_frac"),
+        dup5_frac.alias("dup_5gram_frac"),
+        (
+            (top2_frac > TOP_2GRAM_MAX) | (dup5_frac > DUP_5GRAM_MAX)
+        ).alias("repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus-level boilerplate n-grams (line-dedup analog)
+# --------------------------------------------------------------------------
+
+
+def boilerplate_grams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Per-doc boilerplate fraction: the share of the doc's distinct
+    n-grams that occur in ≥ ``min_docs`` distinct documents corpus-wide.
+
+    Plan shape: distinct grams are computed row-locally (array_distinct),
+    so the (gram) groupBy counts *documents* directly with plain count —
+    no countDistinct shuffle. The boilerplate set (grams ≥ min_docs) is a
+    tiny fraction of the gram space at any realistic threshold, so the
+    join back to per-doc grams is AQE-broadcastable; at 100 TB the gram
+    count aggregation is the only big shuffle and it is fully map-side
+    combinable."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("g")
+    )
+    per_doc = grams.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
+    hits = (
+        grams.join(boiler, "g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_boiler"))
+    )
+    out = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(hits, id_col, "left")
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        n_boiler.alias("n_boiler"),
+        F.when(n_grams > 0, n_boiler / n_grams)
+        .otherwise(F.lit(0.0))
+        .alias("boiler_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+#: Java-regex / RE2 portable patterns (no lookarounds, no possessives)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: redaction order matters: emails first (their local parts contain dots
+#: and digits that the IP pattern would otherwise chew on), then phones,
+#: then bare IPs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", EMAIL_RE, "<EMAIL>"),
+    ("phones", PHONE_RE, "<PHONE>"),
+    ("ips", IPV4_RE, "<IP>"),
+)
+
+
+def pii_counts(text: Column) -> Column:
+    """struct<emails,phones,ips> match counts (pre-redaction)."""
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(name)
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
+def pii_scrub(text: Column) -> Column:
+    """Text with all PII classes replaced by typed placeholder tokens.
+    Row-local regexp chain — embarrassingly parallel, no shuffle."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# --------------------------------------------------------------------------
+# URL / domain extraction
+# --------------------------------------------------------------------------
+
+URL_RE = r"https?://[^\s]+"
+DOMAIN_RE = r"https?://([^/\s]+)"
+
+
+def url_extract(text: Column) -> Column:
+    """array<string> of URLs in the text (idx 0: whole match — Spark's
+    regexp_extract_all defaults to group 1, which needs a capture group)."""
+    return F.regexp_extract_all(text, F.lit(URL_RE), 0)
+
+
+def url_domain(url: Column) -> Column:
+    return F.regexp_extract(url, DOMAIN_RE, 1)
+
+
+# --------------------------------------------------------------------------
+# stratified sampling (deterministic data mixing)
+# --------------------------------------------------------------------------
+
+
+def sample_bucket(id_col: Column, buckets: int = 1000) -> Column:
+    """Deterministic [0, buckets) assignment: md5 of the id's string form,
+    top 32 bits. Engine-portable (md5-only) and stable across runs /
+    partitionings — the property random() sampling cannot give a resume
+    or an oracle. Keep a doc iff its bucket < rate·buckets."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return (h.cast("bigint") % buckets).alias("bucket")
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Keep each stratum at its configured rate (unknown strata drop).
+    Pure filter over a row-local hash: no shuffle, no RNG state, and the
+    SAME doc set survives any re-run or repartition — the idempotence the
+    C6 resume contract needs from a sampling stage."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = rate_map[F.col(strat_col)]
+    b = sample_bucket(F.col(id_col), buckets)
+    return docs.withColumn("bucket", b).filter(
+        rate.isNotNull() & (F.col("bucket") < rate * buckets)
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+
+def pack_bins(
+    docs: DataFrame,
+    budget: int = 2048,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget context windows (sequential
+    greedy packing): within each partition column value, docs in id order
+    fill bin k = floor(preceding_tokens / budget).
+
+    The oracle-checked form uses one running-sum window per ``part_col``
+    value — deterministic, but a single sort partition per stratum. At
+    corpus scale packing does NOT need globally sequential bins: the
+    production recipe is to repartition by (part_col, range of id) and run
+    the same window per range with a composite bin id
+    (range_id, local_bin) — same code, per-range windows, no global sort.
+    Docs longer than the budget get a bin to themselves (never split
+    here; truncation is a tokenizer-stage decision)."""
+    from pyspark.sql import Window
+
+    est = F.ceil(F.length(F.col(text_col)) / 4).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(est).over(w)
+    return docs.select(
+        F.col(id_col),
+        F.col(part_col),
+        est.alias("est_tokens"),
+        cum.alias("cum_tokens"),
+        F.floor((cum - est) / budget).cast("long").alias("bin_idx"),
+    )

@@ -55,8 +55,8 @@ def exact_dedup(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined).
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """ALL word n-grams in order (space-joined), duplicates kept.
 
     Built as a chain of ``zip_with`` against j-shifted copies of the token
     array — O(tokens) per row. The obvious form (``transform`` over
@@ -79,9 +79,15 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             ),
         )
     grams = F.filter(cur, lambda x: x.isNotNull())
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) — the dedup-signature
+    view of :func:`word_ngrams`."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 MINHASH_P = 2_147_483_647  # 2^31 − 1: a*h stays < 2^62, no int64 overflow

@@ -1513,6 +1513,304 @@ from m
 
 
 # --------------------------------------------------------------------------
+# Corpus curation: repetition, boilerplate grams, PII, URLs, sampling,
+# sequence packing (operators/corpus.py)
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = f"regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)})"
+
+
+def _ngrams_sql(n: int) -> str:
+    """DuckDB twin of dedup.word_ngrams (ALL grams, order kept)."""
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(toks[i:i + {n - 1}], ' '))"
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top-2-gram and duplicate-5-gram
+    fractions per doc (Rae et al. 2021 Table A1, count-fraction variant)."""
+    from ocr_spark.operators import corpus
+
+    r = corpus.repetition_stats(_docs(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        "n_2grams",
+        "top_2gram",
+        "n_5grams",
+        "dup_5grams",
+        _scale(F.col("top_2gram_frac"), 1_000_000).alias("top2_frac_c"),
+        _scale(F.col("dup_5gram_frac"), 1_000_000).alias("dup5_frac_c"),
+        F.col("repetitive").cast("long").alias("repetitive"),
+    )
+
+
+def _sql_repetition_stats() -> str:
+    from ocr_spark.operators.corpus import DUP_5GRAM_MAX, TOP_2GRAM_MAX
+
+    def stats(n: int) -> str:
+        return f"""
+g{n} as (
+  select doc_id, unnest({_ngrams_sql(n)}) as g
+  from (select doc_id, {_TOKS_SQL} as toks from documents)
+),
+c{n} as (select doc_id, g, count(*) as c from g{n} group by 1, 2),
+s{n} as (
+  select doc_id, cast(sum(c) as bigint) as n_{n}grams,
+    cast(max(c) as bigint) as top_{n}gram,
+    cast(sum(case when c >= 2 then c else 0 end) as bigint) as dup_{n}grams
+  from c{n} group by 1
+)"""
+
+    top2 = "case when n2 > 0 then top2 / n2 else 0.0 end"
+    dup5 = "case when n5 > 0 then dup5 / n5 else 0.0 end"
+    return f"""
+with {stats(2)}, {stats(5)},
+j as (
+  select d.doc_id,
+    coalesce(n_2grams, 0) as n2, coalesce(top_2gram, 0) as top2,
+    coalesce(n_5grams, 0) as n5, coalesce(dup_5grams, 0) as dup5
+  from documents d
+  left join s2 using (doc_id) left join s5 using (doc_id)
+)
+select doc_id, n2 as n_2grams, top2 as top_2gram, n5 as n_5grams,
+  dup5 as dup_5grams,
+  {_scale_sql(top2, 1_000_000)} as top2_frac_c,
+  {_scale_sql(dup5, 1_000_000)} as dup5_frac_c,
+  cast(({top2}) > {TOP_2GRAM_MAX} or ({dup5}) > {DUP_5GRAM_MAX}
+       as bigint) as repetitive
+from j
+"""
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-2-gram fraction per doc (line-dedup analog:
+    grams in ≥10 distinct docs are boilerplate)."""
+    from ocr_spark.operators import corpus
+
+    b = corpus.boilerplate_grams(_docs(spark, sf_dir), n=2, min_docs=10)
+    return b.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        _scale(F.col("boiler_frac"), 1_000_000).alias("boiler_frac_c"),
+    )
+
+
+def _sql_boilerplate() -> str:
+    return f"""
+with dg as (
+  select doc_id, unnest(list_distinct({_ngrams_sql(2)})) as g
+  from (select doc_id, {_TOKS_SQL} as toks from documents)
+),
+boiler as (select g from dg group by g having count(*) >= 10),
+per_doc as (select doc_id, cast(count(*) as bigint) as n_grams from dg group by 1),
+hits as (
+  select dg.doc_id, cast(count(*) as bigint) as n_boiler
+  from dg join boiler using (g) group by 1
+)
+select d.doc_id, coalesce(n_grams, 0) as n_grams,
+  coalesce(n_boiler, 0) as n_boiler,
+  {_scale_sql(
+      "case when coalesce(n_grams, 0) > 0 "
+      "then coalesce(n_boiler, 0) / n_grams else 0.0 end",
+      1_000_000,
+  )} as boiler_frac_c
+from documents d
+left join per_doc using (doc_id) left join hits using (doc_id)
+"""
+
+
+def _pii_salted(doc_id: Column, text: Column) -> Column:
+    """Deterministic PII injection (mirrored in SQL): ~1/3 of docs get an
+    email, 1/4 a phone, 1/5 an IPv4 — plus plain controls."""
+    email = F.when(
+        doc_id % 3 == 0,
+        F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        doc_id % 4 == 0,
+        F.concat(
+            F.lit(" call 555-010-"),
+            F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        doc_id % 5 == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (doc_id % 256).cast("string"),
+            F.lit(".0."),
+            ((doc_id * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(text, email, phone, ip)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over deterministically salted text."""
+    from ocr_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    salted = _pii_salted(F.col("doc_id"), F.col("text"))
+    df = docs.select("doc_id", salted.alias("salted"))
+    c = corpus.pii_counts(F.col("salted"))
+    return df.select(
+        "doc_id",
+        c["emails"].alias("n_emails"),
+        c["phones"].alias("n_phones"),
+        c["ips"].alias("n_ips"),
+        corpus.pii_scrub(F.col("salted")).alias("scrubbed"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from ocr_spark.operators.corpus import PII_PATTERNS
+
+    salt = """text
+    || case when doc_id % 3 = 0
+         then ' contact user' || cast(doc_id as varchar) || '@example.com'
+         else '' end
+    || case when doc_id % 4 = 0
+         then ' call 555-010-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+         else '' end
+    || case when doc_id % 5 = 0
+         then ' host 10.' || cast(doc_id % 256 as varchar) || '.0.'
+              || cast((doc_id * 7) % 256 as varchar)
+         else '' end"""
+    counts = ", ".join(
+        f"cast(len(regexp_extract_all(salted, {O.q(pat)})) as bigint) as n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "salted"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, {O.q(pat)}, {O.q(token)}, 'g')"
+    return f"""
+select doc_id, {counts}, {scrub} as scrubbed
+from (select doc_id, {salt} as salted from documents)
+"""
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + per-domain rollup over salted URLs."""
+    from ocr_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    salted = F.concat(
+        F.col("text"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" see http://site"),
+                (d % 37).cast("string"),
+                F.lit(".example.com/p/"),
+                d.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0,
+            F.concat(F.lit(" via https://cdn.example.org/x"), (d % 11).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        "doc_id", F.explode(corpus.url_extract(salted)).alias("url")
+    )
+    return (
+        urls.select("doc_id", corpus.url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _sql_url_domains() -> str:
+    from ocr_spark.operators.corpus import DOMAIN_RE, URL_RE
+
+    salt = """text
+    || case when doc_id % 2 = 0
+         then ' see http://site' || cast(doc_id % 37 as varchar)
+              || '.example.com/p/' || cast(doc_id as varchar)
+         else '' end
+    || case when doc_id % 6 = 0
+         then ' via https://cdn.example.org/x' || cast(doc_id % 11 as varchar)
+         else '' end"""
+    return f"""
+with u as (
+  select doc_id, unnest(regexp_extract_all(salted, {O.q(URL_RE)})) as url
+  from (select doc_id, {salt} as salted from documents)
+)
+select regexp_extract(url, {O.q(DOMAIN_RE)}, 1) as domain,
+  cast(count(*) as bigint) as n_urls,
+  cast(count(distinct doc_id) as bigint) as n_docs
+from u group by 1
+"""
+
+
+#: frozen data-mix rates for the sampling query
+SAMPLE_RATES: dict[str, float] = {
+    "en": 0.5,
+    "de": 0.3,
+    "es": 0.3,
+    "fr": 0.3,
+    "zh": 0.1,
+}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket stratified sample at per-lang rates."""
+    from ocr_spark.operators import corpus
+
+    s = corpus.sample_stratified(_docs(spark, sf_dir), SAMPLE_RATES)
+    return s.select("doc_id", "lang", F.col("bucket").cast("long").alias("bucket"))
+
+
+def _sql_sample_stratified() -> str:
+    whens = " ".join(
+        f"when {O.q(lang)} then {rate}" for lang, rate in SAMPLE_RATES.items()
+    )
+    return f"""
+select doc_id, lang, bucket from (
+  select doc_id, lang,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+      % 1000 as bucket,
+    case lang {whens} end as rate
+  from documents
+)
+where rate is not null and bucket < rate * 1000
+"""
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential greedy sequence packing into 2048-token bins per lang."""
+    from ocr_spark.operators import corpus
+
+    return corpus.pack_bins(_docs(spark, sf_dir), budget=2048)
+
+
+def _sql_pack_bins() -> str:
+    return """
+select doc_id, lang, est_tokens, cum_tokens,
+  cast(floor((cum_tokens - est_tokens) / 2048) as bigint) as bin_idx
+from (
+  select doc_id, lang, est_tokens,
+    cast(sum(est_tokens) over (
+      partition by lang order by doc_id
+      rows between unbounded preceding and current row
+    ) as bigint) as cum_tokens
+  from (
+    select doc_id, lang,
+      cast(ceil(length(text) / 4) as bigint) as est_tokens
+    from documents
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1558,6 +1856,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shrink_levels": q_shrink_levels,
     "vector_search": q_vector_search,
     "entities": q_entities,
+    "repetition_stats": q_repetition_stats,
+    "boilerplate_grams": q_boilerplate,
+    "pii_scrub": q_pii_scrub,
+    "url_domains": q_url_domains,
+    "sample_stratified": q_sample_stratified,
+    "pack_bins": q_pack_bins,
     "tpch_pricing": q_tpch_pricing,
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
@@ -1613,6 +1917,12 @@ from corpus group by 1
         "shrink_levels": _sql_shrink_levels(),
         "vector_search": SQL_VECTOR_SEARCH,
         "entities": _sql_entities(),
+        "repetition_stats": _sql_repetition_stats(),
+        "boilerplate_grams": _sql_boilerplate(),
+        "pii_scrub": _sql_pii_scrub(),
+        "url_domains": _sql_url_domains(),
+        "sample_stratified": _sql_sample_stratified(),
+        "pack_bins": _sql_pack_bins(),
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
         "tpch_nation_volume": SQL_TPCH_NATION_VOLUME,

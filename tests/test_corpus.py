@@ -1,0 +1,135 @@
+"""Corpus-curation operator semantics (operators/corpus.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import corpus
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (0, "spam ham " * 20),            # one 2-gram dominates
+        (1, "a b c d e f g h i j k l"),   # all 2-grams unique
+        (2, "one"),                        # too short for any gram
+        (3, ""),                           # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus.repetition_stats(df).collect()}
+
+    # doc 0: tokens = [spam, ham] * 20 -> 39 2-grams, top is "spam ham" (20)
+    assert got[0]["n_2grams"] == 39
+    assert got[0]["top_2gram"] == 20
+    assert got[0]["repetitive"] is True
+    # every 5-gram of doc 0 repeats -> dup fraction 1.0
+    assert got[0]["dup_5grams"] == got[0]["n_5grams"] > 0
+
+    # doc 1: 11 unique 2-grams, nothing repeats
+    assert got[1]["n_2grams"] == 11
+    assert got[1]["top_2gram"] == 1
+    assert got[1]["dup_5grams"] == 0
+    assert got[1]["repetitive"] is False
+
+    # short/empty docs are kept with zero counters
+    for d in (2, 3):
+        assert got[d]["n_2grams"] == 0
+        assert got[d]["top_2gram_frac"] == 0.0
+        assert got[d]["repetitive"] is False
+
+
+def test_boilerplate_grams(spark):
+    footer = "all rights reserved"
+    rows = [(i, f"unique{i} text body {footer}") for i in range(10)]
+    rows.append((99, "no shared content whatsoever here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in corpus.boilerplate_grams(df, n=2, min_docs=10).collect()
+    }
+    # "text body", "body all", "all rights", "rights reserved" are in all 10
+    for i in range(10):
+        assert got[i]["n_boiler"] == 4
+        assert got[i]["n_grams"] == 5
+        assert abs(got[i]["boiler_frac"] - 0.8) < 1e-12
+    assert got[99]["n_boiler"] == 0 and got[99]["boiler_frac"] == 0.0
+
+
+def test_pii_counts_and_scrub(spark):
+    text = (
+        "mail a.user+x@sub.example.com or b@ex.org, "
+        "call 555-010-1234, host 10.1.2.3 end"
+    )
+    df = spark.createDataFrame([(0, text), (1, "clean text")], "id int, text string")
+    out = df.select(
+        "id",
+        corpus.pii_counts(F.col("text")).alias("c"),
+        corpus.pii_scrub(F.col("text")).alias("s"),
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert dict(got[0]["c"].asDict()) == {"emails": 2, "phones": 1, "ips": 1}
+    assert got[0]["s"] == (
+        "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP> end"
+    )
+    assert dict(got[1]["c"].asDict()) == {"emails": 0, "phones": 0, "ips": 0}
+    assert got[1]["s"] == "clean text"
+
+
+def test_url_extract_domain(spark):
+    text = "see http://a.example.com/p/1 and https://b.org/x?q=2 done"
+    df = spark.createDataFrame([(0, text)], "id int, text string")
+    r = df.select(
+        corpus.url_extract(F.col("text")).alias("u"),
+    ).collect()[0]
+    assert r["u"] == ["http://a.example.com/p/1", "https://b.org/x?q=2"]
+    doms = (
+        df.select(F.explode(corpus.url_extract(F.col("text"))).alias("url"))
+        .select(corpus.url_domain(F.col("url")).alias("d"))
+        .collect()
+    )
+    assert [x["d"] for x in doms] == ["a.example.com", "b.org"]
+
+
+def test_sample_stratified_deterministic(spark):
+    rows = [(i, "en" if i % 2 == 0 else ("zz" if i % 3 == 0 else "de"), "t")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rates = {"en": 0.5, "de": 0.2}
+    kept = corpus.sample_stratified(df, rates)
+
+    got = {(r["doc_id"], r["lang"]) for r in kept.collect()}
+    # unknown stratum fully dropped
+    assert not any(lang == "zz" for _, lang in got)
+    # deterministic: identical under a different partitioning
+    got2 = {
+        (r["doc_id"], r["lang"])
+        for r in corpus.sample_stratified(df.repartition(7), rates).collect()
+    }
+    assert got == got2
+    # rates roughly honored (md5 buckets, 200 docs per stratum)
+    n_en = sum(1 for _, lang in got if lang == "en")
+    n_de = sum(1 for _, lang in got if lang == "de")
+    assert 0.35 * 200 < n_en < 0.65 * 200
+    assert 0.08 * 200 < n_de < 0.35 * 200
+
+
+def test_pack_bins(spark):
+    # est_tokens = ceil(len/4): craft lengths for exact token counts
+    def txt(tokens):
+        return "x" * (tokens * 4)
+
+    rows = [
+        (0, "en", txt(600)),
+        (1, "en", txt(600)),
+        (2, "en", txt(600)),
+        (3, "en", txt(600)),   # 2400 cumulative -> crosses the 1000 budget
+        (4, "en", txt(5000)),  # over-budget doc gets its own bin
+        (5, "de", txt(100)),   # separate stratum restarts at bin 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: r for r in corpus.pack_bins(df, budget=1000).collect()
+    }
+    assert [got[i]["bin_idx"] for i in range(4)] == [0, 0, 1, 1]
+    assert got[4]["bin_idx"] == 2  # starts at cum 2400 -> floor(2400/1000)
+    assert got[4]["est_tokens"] == 5000
+    assert got[5]["lang"] == "de" and got[5]["bin_idx"] == 0
