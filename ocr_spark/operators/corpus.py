@@ -164,6 +164,53 @@ def boilerplate_grams(
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def contamination(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    gram_col: str = "g",
+) -> DataFrame:
+    """Flag documents sharing any n-gram with an evaluation benchmark
+    (the GPT-3 appendix-C / Llama decontamination rule: a training doc
+    containing a long n-gram from an eval set leaks the benchmark).
+
+    ``bench_grams`` is the benchmark's distinct n-gram dim (one string
+    column ``gram_col``). Output grain = one row per input doc with the
+    count of distinct benchmark grams it contains and a binary flag.
+
+    Plan shape: doc grams are made distinct row-locally, then semi-joined
+    against the benchmark dim. Eval suites are tiny next to a training
+    corpus (10⁵–10⁷ grams vs 10¹²), so the dim is explicitly broadcast —
+    the scan side never shuffles; only the per-doc hit count aggregates,
+    keyed by doc id (combiner-friendly, no skew). If a benchmark ever
+    outgrew broadcast, drop the hint and let AQE pick a shuffle join —
+    the code is otherwise unchanged."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    dim = bench_grams.select(F.col(gram_col).alias("g")).distinct()
+    hits = (
+        grams.join(F.broadcast(dim), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_bench_grams"))
+    )
+    out = docs.select(id_col).join(hits, id_col, "left")
+    n_hits = F.coalesce(F.col("n_bench_grams"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_hits.alias("n_bench_grams"),
+        (n_hits > 0).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
 # PII detection / redaction
 # --------------------------------------------------------------------------
 

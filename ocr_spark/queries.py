@@ -1692,6 +1692,39 @@ from (select doc_id, {salt} as salted from documents)
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 8-gram with the frozen
+    'eval set' (every 23rd doc's distinct 8-grams) get flagged."""
+    from ocr_spark.operators import corpus
+    from ocr_spark.operators.dedup import word_ngrams
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 8))).alias("g")
+    )
+    c = corpus.contamination(docs, bench, n=8)
+    return c.select(
+        "doc_id",
+        "n_bench_grams",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
+def _sql_contamination() -> str:
+    return f"""
+with t as (select doc_id, {_TOKS_SQL} as toks from documents),
+dg as (select doc_id, unnest(list_distinct({_ngrams_sql(8)})) as g from t),
+bench as (select distinct g from dg where doc_id % 23 = 0),
+hits as (
+  select dg.doc_id, cast(count(*) as bigint) as n_bench_grams
+  from dg join bench using (g) group by 1
+)
+select d.doc_id, coalesce(n_bench_grams, 0) as n_bench_grams,
+  cast(coalesce(n_bench_grams, 0) > 0 as bigint) as contaminated
+from documents d left join hits using (doc_id)
+"""
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction + per-domain rollup over salted URLs."""
     from ocr_spark.operators import corpus
@@ -1859,6 +1892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "boilerplate_grams": q_boilerplate,
     "pii_scrub": q_pii_scrub,
+    "contamination": q_contamination,
     "url_domains": q_url_domains,
     "sample_stratified": q_sample_stratified,
     "pack_bins": q_pack_bins,
@@ -1920,6 +1954,7 @@ from corpus group by 1
         "repetition_stats": _sql_repetition_stats(),
         "boilerplate_grams": _sql_boilerplate(),
         "pii_scrub": _sql_pii_scrub(),
+        "contamination": _sql_contamination(),
         "url_domains": _sql_url_domains(),
         "sample_stratified": _sql_sample_stratified(),
         "pack_bins": _sql_pack_bins(),

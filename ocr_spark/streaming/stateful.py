@@ -1,0 +1,177 @@
+"""Stateful streaming operators: session rollups + conversation assembly.
+
+The batch pipeline treats a conversation as fully present; a live stream
+never sees that boundary — turns from the same agent session trickle in
+across micro-batches and the operator must decide when a conversation is
+*finished*. Two surfaces, in preference order:
+
+* :func:`session_rollup_stream` — declarative watermark + native
+  ``session_window`` aggregation. Catalyst owns the state store
+  (RocksDB-backed on a real cluster), partial aggregation combines
+  map-side, late turns within the watermark merge into their session,
+  and state for closed sessions is evicted automatically. This is the
+  100-TB path for anything expressible as an aggregate.
+
+* :func:`assemble_conversations` — ``applyInPandasWithState`` custom
+  stateful operator (Arrow-batched per group; the sanctioned Python
+  surface — never per-row ``udf``) for semantics a streaming aggregate
+  cannot express: per-conversation **order-stable assembly**. Streaming
+  aggs give no ordering guarantee for ``collect_list``, but the north
+  rule's per-turn equality contract needs turns folded in ``turn_idx``
+  order; the operator buffers ``(turn_idx, md5(text))`` in the state
+  store and, when the event-time watermark passes the conversation's
+  last activity + gap, emits one finalized row whose ``fingerprint`` is
+  the md5 over per-turn hashes sorted by ``turn_idx`` — equal to the
+  batch pipeline's ordered fold regardless of arrival order.
+
+Scale notes: state is keyed by ``conv_id`` — the same key the batch plan
+shuffles on — and per-key state is O(turns in one conversation) (a
+64-hex hash per turn, ~32 KB for the 99.9th-percentile 500-turn whale),
+never O(stream). Event-time timeout means closed conversations leave the
+state store as the watermark advances; an unbounded-session stream
+cannot accumulate state. Reference behavior being replaced: the
+worker's poll-until-done loop over a mutable queue
+(/root/reference/ocr_worker.py:277-330) which has no notion of late
+data at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: finalized-conversation schema (applyInPandasWithState output)
+ASSEMBLED_SCHEMA = (
+    "conv_id string, n_turns long, first_ts timestamp, last_ts timestamp, "
+    "fingerprint string, closed_by string"
+)
+
+#: per-conversation state: counters + (turn_idx, text-hash) pairs
+_STATE_SCHEMA = (
+    "n long, first_ms long, last_ms long, idxs array<long>, "
+    "hashes array<string>"
+)
+
+
+def session_rollup_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation session statistics via native session windows.
+
+    One row per (conv_id, activity session): a session closes when no
+    turn arrives within ``gap``; rows later than ``watermark`` are
+    dropped by the engine. Emits in append mode once the watermark
+    passes the session end — the declarative twin of
+    :func:`assemble_conversations` for purely aggregative outputs."""
+    est_tokens = F.ceil(F.length("text") / 4).cast("long")
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("conv_id", w.alias("session"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.sum(est_tokens).alias("est_tokens"),
+        )
+        .select(
+            "conv_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_turns",
+            "first_ts",
+            "last_ts",
+            "est_tokens",
+        )
+    )
+
+
+def _ms(ts: pd.Series) -> pd.Series:
+    return ts.astype("datetime64[us]").astype("int64") // 1000
+
+
+def assemble_conversations(
+    stream: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Order-stable conversation finalization (custom stateful operator).
+
+    Buffers every turn's ``(turn_idx, md5(text))`` in per-``conv_id``
+    state; when the event-time watermark passes the conversation's last
+    turn + ``gap_s``, emits one row with the turn count, first/last
+    timestamps, and a ``fingerprint`` = md5 of the per-turn hashes
+    joined in ``turn_idx`` order — identical whatever order or batching
+    the turns arrived in (the streaming form of the W1 stable-ordering
+    contract). ``closed_by`` is always ``'timeout'``; rows arriving
+    later than the watermark for an already-closed conversation are
+    dropped by the engine, matching the session-window semantics."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_s * 1000
+
+    def fn(
+        key: tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, first_ms, last_ms, idxs, hashes = state.get
+            ordered = [h for _, h in sorted(zip(idxs, hashes))]
+            fp = hashlib.md5("|".join(ordered).encode()).hexdigest()
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "first_ts": [pd.Timestamp(first_ms, unit="ms")],
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                    "fingerprint": [fp],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+
+        n, first_ms, last_ms = 0, None, None
+        idxs: list[Any] = []
+        hashes: list[str] = []
+        if state.exists:
+            n, first_ms, last_ms, idxs, hashes = state.get
+            idxs, hashes = list(idxs), list(hashes)
+        for pdf in pdfs:
+            ms = _ms(pdf[ts_col])
+            n += len(pdf)
+            first_ms = min(first_ms, int(ms.min())) if first_ms is not None else int(ms.min())
+            last_ms = max(last_ms, int(ms.max())) if last_ms is not None else int(ms.max())
+            idxs.extend(int(i) for i in pdf["turn_idx"])
+            hashes.extend(
+                hashlib.md5(t.encode()).hexdigest() if isinstance(t, str) else ""
+                for t in pdf["text"]
+            )
+        state.update((n, first_ms, last_ms, idxs, hashes))
+        # event-time timeout must stay ahead of the current watermark
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1000)
+        )
+        yield from ()
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            ASSEMBLED_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

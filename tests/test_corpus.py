@@ -54,6 +54,32 @@ def test_boilerplate_grams(spark):
     assert got[99]["n_boiler"] == 0 and got[99]["boiler_frac"] == 0.0
 
 
+def test_contamination(spark):
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, f"intro words {leak} closing words"),   # contains the eval gram
+        (1, "totally unrelated training text with many boring tokens"),
+        (2, leak),                                   # the eval doc itself
+        (3, "short"),                                # too short for 8-grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(g,) for g in [
+        "the quick brown fox jumps over the lazy",
+        "quick brown fox jumps over the lazy dog",
+    ]], "g string")
+    got = {
+        r["doc_id"]: r for r in corpus.contamination(docs, bench).collect()
+    }
+    assert got[0]["contaminated"] is True and got[0]["n_bench_grams"] == 2
+    assert got[2]["contaminated"] is True
+    assert got[1]["contaminated"] is False and got[1]["n_bench_grams"] == 0
+    assert got[3]["contaminated"] is False
+
+    # the benchmark dim side must broadcast, never shuffle the corpus side
+    plan = corpus.contamination(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_pii_counts_and_scrub(spark):
     text = (
         "mail a.user+x@sub.example.com or b@ex.org, "

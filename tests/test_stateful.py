@@ -1,0 +1,145 @@
+"""Stateful streaming: session windows + applyInPandasWithState assembly
+(streaming/stateful.py). Event-time timeouts are driven by advancing the
+watermark with later files across availableNow cycles — the same
+checkpoint carries the state store between cycles (stateful resume)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from ocr_spark.schemas import TRANSCRIPTS
+from ocr_spark.streaming.stateful import (
+    assemble_conversations,
+    session_rollup_stream,
+)
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _turns(conv_id, rows):
+    """rows: list of (turn_idx, text, minutes_after_t0)."""
+    return pd.DataFrame(
+        {
+            "conv_id": [conv_id] * len(rows),
+            "turn_idx": pd.Series([r[0] for r in rows], dtype="int32"),
+            "role": ["user"] * len(rows),
+            "text": [r[1] for r in rows],
+            "tool": [""] * len(rows),
+            "ts": pd.Series(
+                [T0 + timedelta(minutes=r[2]) for r in rows]
+            ).astype("datetime64[us]"),
+        }
+    )
+
+
+def _write(pdf, path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pdf.to_parquet(path, index=False)
+
+
+def _run_cycle(spark, make_stream, inp, out, ckpt):
+    """One availableNow cycle appending emissions to a parquet dir."""
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(inp)
+    q = (
+        make_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+
+
+def _emitted(spark, out):
+    try:
+        return spark.read.parquet(out)
+    except Exception:  # noqa: BLE001 — no emissions yet
+        return None
+
+
+def test_assemble_conversations_order_stable(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # conv A arrives OUT of turn order, split across two cycles
+    _write(
+        pd.concat(
+            [
+                _turns("A", [(2, "third turn", 4), (0, "first turn", 0)]),
+                _turns("drv", [(0, "driver", 5)]),
+            ]
+        ),
+        inp + "/f1.parquet",
+    )
+    make = lambda s: assemble_conversations(s, gap_s=600, watermark="5 minutes")
+    _run_cycle(spark, make, inp, out, ckpt)
+    got = _emitted(spark, out)
+    assert got is None or got.filter("conv_id = 'A'").count() == 0
+
+    # cycle 2: A's missing middle turn (late but inside watermark window
+    # relative to cycle 1's watermark) + a far-future driver row that
+    # pushes the watermark past A's last-activity + gap
+    _write(
+        pd.concat(
+            [
+                _turns("A", [(1, "second turn", 3)]),
+                _turns("drv", [(1, "driver", 300)]),
+            ]
+        ),
+        inp + "/f2.parquet",
+    )
+    _run_cycle(spark, make, inp, out, ckpt)
+    # a third cycle with an even later row guarantees the timeout batch
+    _write(_turns("drv", [(2, "driver", 600)]), inp + "/f3.parquet")
+    _run_cycle(spark, make, inp, out, ckpt)
+
+    rows = _emitted(spark, out).filter("conv_id = 'A'").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_turns"] == 3
+    assert r["closed_by"] == "timeout"
+    # fingerprint folds per-turn hashes in turn_idx order, not arrival order
+    expect = hashlib.md5(
+        "|".join(
+            hashlib.md5(t.encode()).hexdigest()
+            for t in ["first turn", "second turn", "third turn"]
+        ).encode()
+    ).hexdigest()
+    assert r["fingerprint"] == expect
+    assert r["first_ts"] <= r["last_ts"]
+
+
+def test_session_rollup_stream(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # conv S: two activity bursts separated by > gap  →  two sessions
+    _write(
+        _turns(
+            "S",
+            [(0, "aaaa", 0), (1, "bbbb", 2), (2, "cccc", 60), (3, "dddd", 61)],
+        ),
+        inp + "/f1.parquet",
+    )
+    make = lambda s: session_rollup_stream(s, gap="10 minutes", watermark="5 minutes")
+    _run_cycle(spark, make, inp, out, ckpt)
+    # push the watermark far past both sessions
+    _write(_turns("drv", [(0, "driver", 600)]), inp + "/f2.parquet")
+    _run_cycle(spark, make, inp, out, ckpt)
+    _write(_turns("drv", [(1, "driver", 900)]), inp + "/f3.parquet")
+    _run_cycle(spark, make, inp, out, ckpt)
+
+    got = _emitted(spark, out).filter("conv_id = 'S'").orderBy("session_start")
+    rows = got.collect()
+    assert [r["n_turns"] for r in rows] == [2, 2]
+    assert rows[0]["session_end"] <= rows[1]["session_start"]
+    assert all(r["est_tokens"] == 2 for r in rows)  # ceil(4/4) per turn
