@@ -205,6 +205,45 @@ def match_token_seq(
 
 
 # ---------------------------------------------------------------------------
+# synonym-expanded variant matching (F13/J4/U3) — LOWER-IN token join
+# ---------------------------------------------------------------------------
+
+
+def synonym_variant_dim(spark, keywords: list[str]) -> DataFrame:
+    """(keyword, variant) rows: each keyword's variant set = raw/folded/
+    normalized forms ∪ F13-gated synonyms ∪ their folds (the
+    get_token_variants union, doc_analysis.py:100-110, over the frozen
+    synset data in pymatch.SYNONYM_SETS). Built driver-side — the dim is
+    O(keywords × variants), always tiny — and broadcast at the join."""
+    rows = []
+    for kw in sorted({k.strip().lower() for k in keywords if k.strip()}):
+        for v in pymatch.expand_variants_syn(kw):
+            rows.append((kw, v))
+    return spark.createDataFrame(rows, "keyword string, variant string")
+
+
+def match_variant_tokens(
+    df: DataFrame,
+    keywords: list[str],
+    key_cols: list[str],
+    text_col: str = "clean_text",
+) -> DataFrame:
+    """(key..., keyword, n_matches): occurrences of any variant of each
+    keyword, token-level — the span_ruler ``{"LOWER": {"IN": variants}}``
+    pattern (doc_analysis.py:113-134) as one broadcast hash join over
+    exploded tokens + one combiner-friendly aggregation. O(corpus tokens)
+    with no skew risk (the hot side never shuffles before the keyed agg)."""
+    dim = synonym_variant_dim(df.sparkSession, keywords)
+    toks = df.select(
+        *key_cols, F.explode(X.tokens(F.col(text_col))).alias("tok")
+    )
+    hits = toks.join(F.broadcast(dim), toks["tok"] == dim["variant"])
+    return hits.groupBy(*key_cols, "keyword").agg(
+        F.count("*").cast("long").alias("n_matches")
+    )
+
+
+# ---------------------------------------------------------------------------
 # rollups (A6 / A7)
 # ---------------------------------------------------------------------------
 

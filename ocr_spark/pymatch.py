@@ -51,6 +51,47 @@ def expand_variants(keyword: str) -> list[str]:
     return out
 
 
+#: Frozen synonym synsets (J4 stand-in for RoWordNet, which is model data
+#: we do not ship — /root/reference/app/services/synonyms.py:1-28). Each
+#: tuple is one synset's literal list; lookup hits a set if it contains
+#: the word OR its normalized (lemma) form, mirroring the reference's
+#: lexem + lemma synset union. Underscored literals exist to exercise the
+#: reference's "_"-drop rule.
+SYNONYM_SETS: tuple[tuple[str, ...], ...] = (
+    ("table", "grid", "row"),
+    ("scan", "sweep", "filter", "scan_pass"),
+    ("hash", "digest", "checksum"),
+    ("window", "frame", "stream"),
+    ("join", "merge", "union"),
+)
+
+
+def get_synonyms(word: str) -> list[str]:
+    """F13-gated synonym lookup (synonyms.py:6-28): alpha-only tokens of
+    length ≥ 4 qualify; literals containing the word itself or an
+    underscore are dropped; distinct + sorted (deterministic)."""
+    w = word.strip().lower()
+    if not w.isalpha() or len(w) < 4:
+        return []
+    lemma = normalize_word(w)
+    lits: list[str] = []
+    for s in SYNONYM_SETS:
+        if w in s or lemma in s:
+            lits.extend(s)
+    return sorted({lit for lit in lits if w not in lit and "_" not in lit})
+
+
+def expand_variants_syn(keyword: str) -> list[str]:
+    """Variant set incl. gated synonyms + their diacritic folds — the
+    get_token_variants union (doc_analysis.py:100-110)."""
+    out = expand_variants(keyword)
+    for syn in get_synonyms(keyword):
+        for v in (syn, remove_diacritics(syn)):
+            if v and v not in out:
+                out.append(v)
+    return out
+
+
 _WORD = re.compile(r"[\w]+", re.UNICODE)
 
 

@@ -743,6 +743,36 @@ def _sql_kw_token_match() -> str:
     )
 
 
+def q_kw_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-expanded variant matching (F13/J4/U3): per doc+keyword,
+    token occurrences of ANY variant — raw/folded/normalized ∪ F13-gated
+    synonyms from the frozen synset dim (span_ruler LOWER-IN analog)."""
+    from ocr_spark.operators.matching import match_variant_tokens
+
+    docs = _docs(spark, sf_dir)
+    singles = [k for k in DOC_KEYWORDS if " " not in k]
+    return match_variant_tokens(docs, singles, ["doc_id"], text_col="text")
+
+
+def _sql_kw_synonyms() -> str:
+    from ocr_spark import pymatch
+
+    toks = f"regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)})"
+    parts = []
+    for kw in sorted(k for k in DOC_KEYWORDS if " " not in k):
+        variants = ", ".join(O.q(v) for v in pymatch.expand_variants_syn(kw))
+        parts.append(
+            f"select doc_id, {O.q(kw)} as keyword, "
+            f"cast(len(list_filter(toks, t -> t in ({variants}))) as bigint) "
+            f"as n_matches from t"
+        )
+    body = " union all ".join(parts)
+    return (
+        f"with t as (select doc_id, {toks} as toks from documents) "
+        f"select * from ({body}) where n_matches > 0"
+    )
+
+
 def _ac_dim() -> list[str]:
     """365-phrase keyword dim — the reference's production dim size
     (nlp/resources/keywords.txt, 365 entries asserted at
@@ -1868,6 +1898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kw_spans": q_kw_spans,
     "kw_spans_dedup": q_kw_spans_dedup,
     "kw_token_match": q_kw_token_match,
+    "kw_synonyms": q_kw_synonyms,
     "kw_ac_365": q_kw_ac_365,
     "kw_rollup": q_kw_rollup,
     "kw_statistics": q_kw_statistics,
@@ -1925,6 +1956,7 @@ def oracle_sql() -> dict[str, str]:
         "kw_spans": SQL_KW_SPANS,
         "kw_spans_dedup": SQL_KW_SPANS_DEDUP,
         "kw_token_match": _sql_kw_token_match(),
+        "kw_synonyms": _sql_kw_synonyms(),
         "kw_ac_365": _sql_kw_ac_365(),
         "kw_rollup": SQL_KW_ROLLUP,
         "kw_statistics": SQL_KW_STATISTICS,

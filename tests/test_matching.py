@@ -189,3 +189,40 @@ def test_vector_search_centroid(spark):
     out = {r["vec_id"]: r["positive"] for r in
            vector_search(df, dim, "vec_id", "embedding", threshold=0.5).collect()}
     assert out[3] == 1 and out[2] == 0
+
+
+def test_synonym_gate_and_expansion():
+    """F13 gate + J4 lookup semantics vs the reference's synonyms.py rules."""
+    from ocr_spark import pymatch
+
+    # gate: alpha-only, len >= 4 (synonyms.py:7)
+    assert pymatch.get_synonyms("key") == []
+    assert pymatch.get_synonyms("ha5h") == []
+    # literal containing the word itself and underscored literals drop
+    assert pymatch.get_synonyms("scan") == ["filter", "sweep"]
+    assert "scan_pass" not in pymatch.expand_variants_syn("scan")
+    # variant union keeps order: base variants first, then synonyms
+    v = pymatch.expand_variants_syn("table")
+    assert v[0] == "table" and set(v) >= {"grid", "row"}
+
+
+def test_match_variant_tokens(spark):
+    from ocr_spark.operators.matching import match_variant_tokens
+
+    df = spark.createDataFrame(
+        [
+            (0, "the table has a row and a grid on the window frame"),
+            (1, "no matches here at all"),
+            (2, "scan then filter then sweep"),
+        ],
+        "doc_id long, clean_text string",
+    )
+    out = match_variant_tokens(df, ["table", "scan", "window"], ["doc_id"])
+    got = {(r["doc_id"], r["keyword"]): r["n_matches"] for r in out.collect()}
+    assert got[(0, "table")] == 3  # table + row + grid
+    assert got[(0, "window")] == 2  # window + frame
+    assert got[(2, "scan")] == 3  # scan + filter + sweep
+    assert not any(d == 1 for d, _ in got)
+    # the variant dim must ride broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
