@@ -222,6 +222,70 @@ def fit_ivf_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def fit_kmeans_centroids(
+    items: DataFrame,
+    key: str,
+    vec_col: str,
+    k: int,
+    n_iter: int = 5,
+    sample: int = 100_000,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Seeds = the k vectors with the smallest md5(key) (hash-spread across
+    the corpus — first-k in *key* order would seed one dense region).
+    Each iteration: assign every vector to its nearest centroid with the
+    centroids riding the plan as broadcast literals (no join), then
+    recompute means with ONE combiner-friendly groupBy(cid) — per-dim
+    sums via native column aggs, so the shuffle carries k×dim doubles
+    per map task, not vectors. Driver holds only the k×dim model.
+
+    Training runs on a deterministic md5-bucket sample capped at
+    ``sample`` rows — quantizer quality needs a sample, not the corpus,
+    so fit cost stays flat while the corpus grows. Float summation order
+    over a shuffle is not bit-stable, so k-means is the *production*
+    fit; oracle-checked queries keep the bit-deterministic first-k fit
+    (:func:`fit_ivf_centroids`). Empty clusters keep their previous
+    centroid."""
+    total = items.count()
+    src = items.select(key, vec_col)
+    if total > sample:
+        frac_buckets = max(1, int(total // sample))
+        src = src.filter(
+            F.abs(F.xxhash64(F.col(key).cast("string"))) % frac_buckets == 0
+        )
+    first = src.select(vec_col).head()
+    if first is None:
+        return []
+    dim = len(first[vec_col])
+    seeds = (
+        src.withColumn("_h", F.md5(F.col(key).cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    base = src.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(n_iter):
+        assigned = base.withColumn(
+            "cid", _centroid_ranks(F.col("v"), centroids)[0]["cid"]
+        )
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("v")[d]).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in stats:
+            if r["n"]:
+                new[r["cid"]] = [r[f"s{d}"] / r["n"] for d in range(dim)]
+        centroids = new
+    return centroids
+
+
 def _centroid_ranks(vec: Column, centroids: list[list[float]]) -> Column:
     """array<struct<negcos,cid>> sorted best-first: rank of each IVF list
     for a vector. Zero-norm vectors rank all lists equally last."""
@@ -246,6 +310,7 @@ def ann_ivf(
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: items are assigned to their nearest
     coarse centroid (one inverted list each); each query probes its
@@ -256,8 +321,13 @@ def ann_ivf(
     is ``n_probe/n_centroids`` of the corpus instead of all of it.
     Recall/cost is tuned by (n_centroids, n_probe) exactly as in IVF-Flat;
     the LSH variant above trades the trained quantizer for a data-free
-    hash."""
-    centroids = fit_ivf_centroids(items, key, vec_col, n_centroids)
+    hash.
+
+    Pass ``centroids`` (e.g. from :func:`fit_kmeans_centroids`) to reuse
+    a trained quantizer; the default first-k fit is the bit-deterministic
+    oracle path."""
+    if centroids is None:
+        centroids = fit_ivf_centroids(items, key, vec_col, n_centroids)
     it = items.withColumn(
         "bucket",
         _centroid_ranks(as_double(F.col(vec_col)), centroids)[0]["cid"].cast(

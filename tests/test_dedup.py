@@ -214,3 +214,51 @@ def test_ann_ivf_probes_nearest_lists(vectors):
         assert c4[qid] == cb[qid]  # full probe == exact
         if qid in c1:
             assert c1[qid] <= c4[qid] + 1e-12  # more probes never worse
+
+
+def test_kmeans_ivf_quantizer(spark):
+    """Lloyd's fit recovers planted cluster centers; IVF with the trained
+    quantizer reaches full recall vs brute force at n_probe=1."""
+    import random
+
+    rng = random.Random(7)
+    centers = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0],
+    ]
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    fitted = similarity.fit_kmeans_centroids(df, "vec_id", "embedding", 4, n_iter=4)
+    assert len(fitted) == 4
+    # every planted center has a fitted centroid cosine-close to it
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.dist(a, [0] * 4) * math.dist(b, [0] * 4))
+
+    for c in centers:
+        assert max(cos(c, f) for f in fitted) > 0.99
+
+    q = df.filter("vec_id < 4")
+    brute = {
+        (r["q"], r["k"])
+        for r in similarity.ann_brute(df, q, "vec_id", "embedding", k=5)
+        .selectExpr("query_id as q", "item_id as k")
+        .collect()
+    }
+    ivf = {
+        (r["q"], r["k"])
+        for r in similarity.ann_ivf(
+            df, q, "vec_id", "embedding", k=5, n_probe=1, centroids=fitted
+        )
+        .selectExpr("query_id as q", "item_id as k")
+        .collect()
+    }
+    assert brute == ivf  # clusters are well-separated: recall 1.0
