@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ocr_spark.functions import text as X
 from ocr_spark.operators.dedup import word_ngrams
 
 # --------------------------------------------------------------------------
@@ -246,6 +247,86 @@ def pii_scrub(text: Column) -> Column:
     for _, pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# --------------------------------------------------------------------------
+# unigram-LM quality scoring (CCNet-style)
+# --------------------------------------------------------------------------
+
+
+def lm_dim(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1 << 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-trained unigram LM as a (tok, logp_c) dim: the ``vocab_size``
+    most frequent tokens (ties by token, deterministic) with log-probs in
+    integer micro-nats (``round(ln(count/total)·scale)``).
+
+    Integer-scaling in the DIM is what makes downstream scores
+    engine-portable: each distinct token's log-prob is computed once from
+    a bit-identical long division, so per-doc scores are integer sums —
+    no float-summation-order drift. Capping at ``vocab_size`` keeps the
+    dim broadcastable at any corpus size (CCNet trains its KenLM on a
+    fixed vocab for the same reason); everything rarer scores as OOV.
+
+    The top-K is ``orderBy(...).limit(k)`` — Spark compiles that to
+    TakeOrderedAndProject (per-partition top-k, then merge), never a
+    single-partition global sort."""
+    counts = (
+        docs.select(F.explode(X.tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(vocab_size)
+    total = top.agg(F.sum("n").cast("double").alias("_t"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.log(F.col("n") / F.col("_t")) * scale)
+            .cast("long")
+            .alias("logp_c"),
+        )
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    dim: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_logp_c: int = -20_000_000,
+) -> DataFrame:
+    """Per-doc mean token log-prob under the unigram dim (micro-nats) —
+    the CCNet quality signal: low (very negative) = gibberish/noise,
+    high = fluent in-distribution text. One broadcast join over exploded
+    tokens + one doc-keyed aggregation; OOV tokens take the fixed floor.
+
+    Output: (id, n_tokens, n_oov, lm_score_c) with ``lm_score_c`` the
+    integer-micro-nat mean (deterministic: integer sum / long count)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(X.tokens(F.col(text_col))).alias("tok")
+    )
+    joined = toks.join(F.broadcast(dim.select("tok", "logp_c")), "tok", "left")
+    logp = F.coalesce(F.col("logp_c"), F.lit(oov_logp_c))
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("logp_c").isNull().cast("long")).cast("long").alias("n_oov"),
+        F.floor(F.sum(logp) / F.count("*")).cast("long").alias("lm_score_c"),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.coalesce(F.col("lm_score_c"), F.lit(0)).alias("lm_score_c"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1755,6 +1755,47 @@ from documents d left join hits using (doc_id)
 """
 
 
+#: small vocab so the sf0.01 corpus actually produces OOV tokens
+LM_VOCAB_SIZE = 20
+LM_OOV_C = -20_000_000
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality: per-doc mean token log-prob
+    (integer micro-nats) under a corpus-trained top-K vocab dim."""
+    from ocr_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    dim = corpus.lm_dim(docs, vocab_size=LM_VOCAB_SIZE)
+    return corpus.lm_score(docs, dim, oov_logp_c=LM_OOV_C)
+
+
+def _sql_lm_quality() -> str:
+    return f"""
+with tok as (
+  select doc_id, unnest({_TOKS_SQL}) as tok from documents
+),
+counts as (select tok, count(*) as n from tok group by 1),
+top as (select tok, n from counts order by n desc, tok limit {LM_VOCAB_SIZE}),
+tot as (select cast(sum(n) as double) as t from top),
+dim as (
+  select tok, cast(round(ln(n / t) * 1000000) as bigint) as logp_c
+  from top, tot
+),
+s as (
+  select tok.doc_id, cast(count(*) as bigint) as n_tokens,
+    cast(sum(case when dim.logp_c is null then 1 else 0 end) as bigint)
+      as n_oov,
+    cast(floor(sum(coalesce(dim.logp_c, {LM_OOV_C})) / count(*)) as bigint)
+      as lm_score_c
+  from tok left join dim using (tok) group by 1
+)
+select d.doc_id, coalesce(n_tokens, 0) as n_tokens,
+  coalesce(n_oov, 0) as n_oov, coalesce(lm_score_c, 0) as lm_score_c
+from documents d left join s using (doc_id)
+"""
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction + per-domain rollup over salted URLs."""
     from ocr_spark.operators import corpus
@@ -1924,6 +1965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_grams": q_boilerplate,
     "pii_scrub": q_pii_scrub,
     "contamination": q_contamination,
+    "lm_quality": q_lm_quality,
     "url_domains": q_url_domains,
     "sample_stratified": q_sample_stratified,
     "pack_bins": q_pack_bins,
@@ -1987,6 +2029,7 @@ from corpus group by 1
         "boilerplate_grams": _sql_boilerplate(),
         "pii_scrub": _sql_pii_scrub(),
         "contamination": _sql_contamination(),
+        "lm_quality": _sql_lm_quality(),
         "url_domains": _sql_url_domains(),
         "sample_stratified": _sql_sample_stratified(),
         "pack_bins": _sql_pack_bins(),

@@ -100,6 +100,31 @@ def test_pii_counts_and_scrub(spark):
     assert got[1]["s"] == "clean text"
 
 
+def test_lm_quality(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the the the the"),          # all high-frequency -> best score
+        (2, "zzz yyy xxx"),              # all OOV -> floor score
+        # (n-desc, tok-asc) tie-break puts doc 0's words in the top-5;
+        # x/y/z sort after them and stay out
+        (3, ""),                          # empty -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = corpus.lm_dim(df, vocab_size=5)
+    dim_rows = {r["tok"]: r for r in dim.collect()}
+    assert len(dim_rows) == 5 and "the" in dim_rows
+    # most frequent token has the highest (least negative) log-prob
+    assert dim_rows["the"]["logp_c"] == max(r["logp_c"] for r in dim_rows.values())
+
+    got = {r["doc_id"]: r for r in corpus.lm_score(df, dim).collect()}
+    assert got[1]["lm_score_c"] == dim_rows["the"]["logp_c"]
+    assert got[1]["n_oov"] == 0
+    assert got[2]["n_oov"] == 3 and got[2]["lm_score_c"] == -20_000_000
+    assert got[3]["n_tokens"] == 0 and got[3]["lm_score_c"] == 0
+    # fluent doc scores strictly above the gibberish doc
+    assert got[0]["lm_score_c"] > got[2]["lm_score_c"]
+
+
 def test_url_extract_domain(spark):
     text = "see http://a.example.com/p/1 and https://b.org/x?q=2 done"
     df = spark.createDataFrame([(0, text)], "id int, text string")
