@@ -353,3 +353,88 @@ def ngram_jaccard_pairs(
         max_bucket=max_bucket,
         hash_fn=hash_fn,
     )
+
+
+# --------------------------------------------------------------------------
+# connected components: near-dup pairs → dedup clusters
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "key_a",
+    b_col: str = "key_b",
+    key_col: str = "key",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(key, component): component = min key reachable through the pair
+    graph — the canonicalization step that turns any pair family above
+    into an actionable dedup decision (keep ``key == component``, drop
+    the rest; transitivity matters because A~B and B~C must not keep
+    both A and C).
+
+    Min-label propagation: each round joins current labels across the
+    symmetrized edge list and takes the per-node min of self and
+    neighbor labels, stopping when a round changes nothing. Rounds are
+    bounded by component DIAMETER, not corpus size — near-dup clusters
+    are dense and shallow, so a handful of rounds converge; each round
+    is one shuffle join plus one combiner-friendly min-agg, with labels
+    re-persisted per round so the plan never accumulates lineage.
+    Refinement at extreme scale: alternate large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce", 2014) to
+    shortcut long chains — same join/agg primitives, fewer rounds on
+    pathological chain graphs.
+
+    ``nodes`` (one ``key_col`` column) adds isolated keys as their own
+    component, making the output a total doc → canonical-doc map."""
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        edges.select(F.col("u").alias("key"))
+        .distinct()
+        .withColumn("comp", F.col("key"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("key").alias("v"), "comp"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("comp").alias("nc"))
+        )
+        new = (
+            labels.join(nbr.select(F.col("u").alias("key"), "nc"), "key", "left")
+            .select(
+                "key",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new.join(labels.select("key", F.col("comp").alias("_old")), "key")
+            .filter(F.col("comp") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels.select("key", F.col("comp").alias("component"))
+    if nodes is not None:
+        out = (
+            nodes.select(F.col(key_col).alias("key"))
+            .join(out, "key", "left")
+            .select(
+                "key",
+                F.coalesce(F.col("component"), F.col("key")).alias("component"),
+            )
+        )
+    return out

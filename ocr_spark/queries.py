@@ -1040,6 +1040,43 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive dedup clusters: min-label propagation
+    over the MinHash pair graph; every doc maps to its canonical
+    (min-key) component representative."""
+    from ocr_spark.operators.dedup import connected_components, minhash_lsh
+
+    corpus_df = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh(
+        corpus_df, "doc_id", shingle_n=3, bands=4, rows=3, threshold=0.5
+    )
+    return connected_components(
+        pairs, nodes=corpus_df.select(F.col("doc_id").alias("key"))
+    )
+
+
+def _sql_dedup_components() -> str:
+    inner = OM.minhash_pairs_sql(3, 4, 3, 0.5)
+    return f"""
+with recursive
+pairs as ({inner}),
+e as (
+  select key_a as u, key_b as v from pairs
+  union
+  select key_b as u, key_a as v from pairs
+),
+reach as (
+  select u, v from e
+  union
+  select r.u, e.v from reach r join e on r.v = e.u
+),
+comp as (select u, least(u, min(v)) as c from reach group by u),
+{OM.CORPUS.strip()}
+select corpus.doc_id as key, coalesce(comp.c, corpus.doc_id) as component
+from corpus left join comp on comp.u = corpus.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit sign hash, chunk-bucket candidates,
     Hamming ≤ 3."""
@@ -1945,6 +1982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kw_statistics": q_kw_statistics,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "embed_neardup": q_embed_neardup,
@@ -2009,6 +2047,7 @@ select md5(text) as fingerprint, min(doc_id) as canonical_doc_id,
 from corpus group by 1
 """,
         "dedup_minhash": OM.minhash_pairs_sql(3, 4, 3, 0.5),
+        "dedup_components": _sql_dedup_components(),
         "dedup_simhash": OM.simhash_pairs_sql(3),
         "dedup_ngram": OM.minhash_pairs_sql(2, 5, 1, 0.5),
         "embed_neardup": OM.embed_neardup_sql(0.9),

@@ -262,3 +262,24 @@ def test_kmeans_ivf_quantizer(spark):
         .collect()
     }
     assert brute == ivf  # clusters are well-separated: recall 1.0
+
+
+def test_connected_components(spark):
+    """Transitive closure over a chain + a pair + isolated nodes."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "key_a long, key_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(k,) for k in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], "key long"
+    )
+    got = {
+        r["key"]: r["component"]
+        for r in dedup.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,      # 4-chain collapses to min key
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        99: 99,                      # isolated node = own component
+    }
