@@ -186,3 +186,48 @@ def test_entry_vocabulary_never_transits_the_driver(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     # ... and no InSet literal membership remains anywhere in the plan
     assert "INSET" not in plan.upper(), plan[:4000]
+
+
+def test_corpus_operator_plan_shapes(spark):
+    """The round-2 curation family keeps its scale contracts: sampling is
+    a pure row-local filter (zero exchanges), LM scoring and variant
+    matching broadcast their dims, packing shuffles once per stratum
+    window."""
+    from ocr_spark.operators import corpus
+    from ocr_spark.operators.matching import match_variant_tokens
+
+    df = spark.createDataFrame(
+        [(i, "en", "the quick brown fox " * 5) for i in range(50)],
+        "doc_id long, lang string, text string",
+    )
+
+    sampled = corpus.sample_stratified(df, {"en": 0.5})
+    assert "Exchange" not in _plan(sampled), _plan(sampled)
+
+    dim = corpus.lm_dim(df, vocab_size=10)
+    scored = corpus.lm_score(df, dim)
+    assert "BroadcastHashJoin" in _plan(scored), _plan(scored)
+
+    matched = match_variant_tokens(df, ["table", "scan"], ["doc_id"], "text")
+    assert "BroadcastHashJoin" in _plan(matched), _plan(matched)
+
+    packed = corpus.pack_bins(df, budget=1000)
+    plan = _plan(packed)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_repetition_stats_whale_doc(spark):
+    """A single pathological 200k-token document flows through the
+    repetition counters without error; its gram work is row-local explode
+    + per-(doc,gram)-keyed aggregation, so one whale cannot pin a
+    reducer the way a doc-keyed concat would."""
+    from ocr_spark.operators import corpus
+
+    whale = " ".join(f"w{i % 997}" for i in range(200_000))
+    df = spark.createDataFrame(
+        [(0, whale), (1, "small doc here")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in corpus.repetition_stats(df).collect()}
+    assert got[0]["n_2grams"] == 199_999
+    assert got[0]["repetitive"] is True  # 997-token cycle repeats heavily
+    assert got[1]["n_2grams"] == 2
