@@ -598,6 +598,55 @@ from g group by user_id
 """
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation in batch mode — the exact
+    operator `streaming/stateful.session_rollup_stream` runs under a
+    watermark, so this row gives the stateful-streaming semantics a hard
+    value-hash check (session start = first event, close after a 30-min
+    gap)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "first_event",
+            "last_ts",
+        )
+    )
+
+
+SQL_SESSION_WINDOWS = """
+with g as (
+  select user_id, event_id, ts,
+    case when epoch(ts) - epoch(lag(ts) over w) > 1800
+           or lag(ts) over w is null
+         then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+isl as (
+  select user_id, event_id, ts,
+    sum(new_sess) over (
+      partition by user_id order by ts, event_id
+      rows between unbounded preceding and current row
+    ) as sess_id
+  from g
+)
+select user_id, min(ts) as session_start,
+  cast(count(*) as bigint) as n_events,
+  min(event_id) as first_event, max(ts) as last_ts
+from isl group by user_id, sess_id
+"""
+
+
 # --------------------------------------------------------------------------
 # M4 — keyword/span matching (J2/J3/J7, A6/A7)
 # --------------------------------------------------------------------------
@@ -1972,6 +2021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_segments": q_conv_segments,
     "segment_rollup": q_segment_rollup,
     "event_sessions": q_event_sessions,
+    "session_windows": q_session_windows,
     "kw_counts": q_kw_counts,
     "kw_spans": q_kw_spans,
     "kw_spans_dedup": q_kw_spans_dedup,
@@ -2032,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_segments": _sql_conv_segments(),
         "segment_rollup": _sql_segment_rollup(),
         "event_sessions": SQL_EVENT_SESSIONS,
+        "session_windows": SQL_SESSION_WINDOWS,
         "kw_counts": SQL_KW_COUNTS,
         "kw_spans": SQL_KW_SPANS,
         "kw_spans_dedup": SQL_KW_SPANS_DEDUP,
