@@ -389,9 +389,14 @@ def connected_components(
     ``nodes`` (one ``key_col`` column) adds isolated keys as their own
     component, making the output a total doc → canonical-doc map."""
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    # cache the symmetrized edges ALREADY hash-partitioned on the per-round
+    # join key: every propagation round then shuffles only the (smaller,
+    # changing) label side — the static edge side reuses its partitioning
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("v"))
+        .persist()
+    )
     labels = (
         edges.select(F.col("u").alias("key"))
         .distinct()
