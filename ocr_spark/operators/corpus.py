@@ -383,6 +383,51 @@ def sample_stratified(
 
 
 # --------------------------------------------------------------------------
+# overlapping token-window chunking (embedding / retrieval prep)
+# --------------------------------------------------------------------------
+
+
+def chunk_windows(
+    docs: DataFrame,
+    size: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, start_tok, n_toks, chunk): overlapping token
+    windows — the chunking stage in front of any embedding or retrieval
+    index. Window ``i`` covers tokens ``[i·stride, i·stride + size)``
+    with ``stride = size − overlap``; the final partial window is kept
+    (its tail context is already covered by the overlap). Docs with no
+    tokens emit no chunks.
+
+    Entirely row-local: tokenize, ``sequence`` over window starts,
+    ``posexplode``, ``slice`` — zero shuffles, embarrassingly parallel,
+    output row count ≈ tokens/stride per doc."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    toks = X.tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap, F.lit(1)) - 1, F.lit(stride)
+    )
+    ex = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    ).filter(F.size(F.col("_toks")) > 0)
+    window = F.slice(F.col("_toks"), F.col("start_tok") + 1, size)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(window).cast("long").alias("n_toks"),
+        F.array_join(window, " ").alias("chunk"),
+    )
+
+
+# --------------------------------------------------------------------------
 # sequence packing
 # --------------------------------------------------------------------------
 

@@ -1974,6 +1974,33 @@ where rate is not null and bucket < rate * 1000
 """
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (embedding/retrieval prep):
+    32-token windows with 8-token overlap, row-local."""
+    from ocr_spark.operators import corpus
+
+    return corpus.chunk_windows(_docs(spark, sf_dir), size=32, overlap=8)
+
+
+def _sql_chunk_windows() -> str:
+    size, overlap = 32, 8
+    stride = size - overlap
+    return f"""
+with t as (select doc_id, {_TOKS_SQL} as toks from documents),
+s as (
+  select doc_id, toks,
+    unnest(range(0, greatest(len(toks) - {overlap}, 1), {stride})) as start_tok
+  from t where len(toks) > 0
+)
+select doc_id,
+  cast(start_tok / {stride} as bigint) as chunk_idx,
+  cast(start_tok as bigint) as start_tok,
+  cast(len(toks[start_tok + 1 : start_tok + {size}]) as bigint) as n_toks,
+  array_to_string(toks[start_tok + 1 : start_tok + {size}], ' ') as chunk
+from s
+"""
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential greedy sequence packing into 2048-token bins per lang."""
     from ocr_spark.operators import corpus
@@ -2056,6 +2083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality": q_lm_quality,
     "url_domains": q_url_domains,
     "sample_stratified": q_sample_stratified,
+    "chunk_windows": q_chunk_windows,
     "pack_bins": q_pack_bins,
     "tpch_pricing": q_tpch_pricing,
     "tpch_top_customers": q_tpch_top_customers,
@@ -2122,6 +2150,7 @@ from corpus group by 1
         "lm_quality": _sql_lm_quality(),
         "url_domains": _sql_url_domains(),
         "sample_stratified": _sql_sample_stratified(),
+        "chunk_windows": _sql_chunk_windows(),
         "pack_bins": _sql_pack_bins(),
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,

@@ -184,3 +184,27 @@ def test_pack_bins(spark):
     assert got[4]["bin_idx"] == 2  # starts at cum 2400 -> floor(2400/1000)
     assert got[4]["est_tokens"] == 5000
     assert got[5]["lang"] == "de" and got[5]["bin_idx"] == 0
+
+
+def test_chunk_windows(spark):
+    import pytest as _pytest
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(11))),  # 11 toks: starts 0,4,8
+        (1, "a b c"),                                # shorter than size
+        (2, ""),                                     # empty -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.chunk_windows(df, size=6, overlap=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in out}
+
+    assert {(d, i) for d, i in got} == {(0, 0), (0, 1), (0, 2), (1, 0)}
+    assert got[(0, 0)]["chunk"] == "t0 t1 t2 t3 t4 t5"
+    assert got[(0, 1)]["start_tok"] == 4 and got[(0, 1)]["n_toks"] == 6
+    assert got[(0, 2)]["chunk"] == "t8 t9 t10"  # partial tail kept
+    assert got[(1, 0)]["chunk"] == "a b c"
+    # consecutive windows share exactly `overlap` tokens
+    assert got[(0, 0)]["chunk"].split()[-2:] == got[(0, 1)]["chunk"].split()[:2]
+
+    with _pytest.raises(ValueError):
+        corpus.chunk_windows(df, size=4, overlap=4)
