@@ -204,6 +204,38 @@ def match_token_seq(
     )
 
 
+#: measured crossover (BENCH.md AC table): the native per-keyword span
+#: expressions beat the Arrow Aho-Corasick stage below ~10-30 phrases
+#: (plan cost grows linearly in dim size); above it AC is ~flat. The
+#: reference's production dim is 365 phrases — firmly in AC territory.
+AC_DISPATCH_THRESHOLD = 24
+
+
+def with_keyword_spans_auto(
+    df: DataFrame,
+    keywords: list[str],
+    text_col: str = "clean_text",
+    out_col: str = "spans",
+    dedup: bool = True,
+    threshold: int = AC_DISPATCH_THRESHOLD,
+) -> DataFrame:
+    """Span matching with automatic physical-strategy dispatch: the
+    native Catalyst per-keyword path for small dims (stays inside the
+    shuffle-free hot path), the Arrow AC stage once the dim crosses the
+    measured crossover — same output contract either way (parity pinned
+    in tests/test_matching.py)."""
+    kws = sorted({k.strip().lower() for k in keywords if k.strip()})
+    if len(kws) > threshold:
+        from ocr_spark.operators.ac_scan import with_keyword_spans_ac
+
+        return with_keyword_spans_ac(
+            df, kws, text_col=text_col, out_col=out_col, dedup=dedup
+        )
+    return with_keyword_spans(
+        df, kws, text_col=text_col, out_col=out_col, dedup=dedup
+    )
+
+
 # ---------------------------------------------------------------------------
 # synonym-expanded variant matching (F13/J4/U3) — LOWER-IN token join
 # ---------------------------------------------------------------------------

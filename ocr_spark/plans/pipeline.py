@@ -186,7 +186,7 @@ def _finish(redone: DataFrame, keywords: list[str] | None) -> DataFrame:
         # row-local: spans + greedy dedup + statistics add no shuffle
         from ocr_spark.operators import matching
 
-        out = matching.with_keyword_spans(
+        out = matching.with_keyword_spans_auto(
             out, keywords, text_col="clean_text", out_col="spans"
         )
         out = matching.with_doc_statistics(out)

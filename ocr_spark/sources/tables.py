@@ -112,6 +112,38 @@ def write_results(df: DataFrame, path: str, fmt: str = "auto") -> None:
     df.write.mode("append").parquet(path)
 
 
+def read_results_committed(spark: SparkSession, results_path: str) -> DataFrame:
+    """Snapshot-consistent read over the streaming sink's per-batch
+    partition layout (``results_path/batch_id=N/``): include only batch
+    directories carrying Spark's ``_SUCCESS`` commit marker.
+
+    This is the read-isolation half of the Iceberg-snapshot contract on a
+    plain-parquet sink: the writer overwrites a deterministic per-batch
+    dir (replay-idempotent, streaming/pipeline.py) and the marker lands
+    last, so a crash mid-write leaves an unmarked directory that readers
+    never see — no partial batch is ever visible. Listing goes through
+    the Hadoop FileSystem API, so any scheme (file/hdfs/s3a) works; the
+    listing is one RPC per batch dir, driver-side, O(batches) not O(files).
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(results_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(results_path)
+    committed = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("batch_id=")
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        ):
+            committed.append(st.getPath().toString())
+    if not committed:
+        raise FileNotFoundError(f"no committed batches under {results_path}")
+    return spark.read.option("basePath", results_path).parquet(*committed)
+
+
 def write_text(df: DataFrame, path: str, text_col: str = "clean_text") -> None:
     """S5: dump extracted text (ocr_service.py:148-151 analog)."""
     df.select(F.col(text_col)).write.mode("overwrite").text(path)

@@ -226,3 +226,28 @@ def test_match_variant_tokens(spark):
     # the variant dim must ride broadcast
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_keyword_spans_auto_dispatch(spark):
+    """Dispatcher picks native below the crossover, AC above — identical
+    output either way."""
+    from ocr_spark.operators.matching import (
+        with_keyword_spans,
+        with_keyword_spans_auto,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta alpha"), (1, "no hits")],
+        "id long, clean_text string",
+    )
+    small = ["alpha", "beta"]
+    big = [f"kw{i}" for i in range(30)] + small
+
+    native_plan = with_keyword_spans_auto(df, small)._jdf.queryExecution()
+    assert "ArrowEvalPython" not in native_plan.executedPlan().toString()
+    ac_plan = with_keyword_spans_auto(df, big)._jdf.queryExecution()
+    assert "MapInPandas" in ac_plan.executedPlan().toString()
+
+    a = with_keyword_spans_auto(df, big).select("id", "spans").collect()
+    b = with_keyword_spans(df, big).select("id", "spans").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))

@@ -198,3 +198,28 @@ def test_binary_file_source(spark, vocab, tmp_path):
     assert out["b.txt"]["status"] == "extracted"
     assert out["c.bin"]["kind"] == "undecodable"
     assert out["c.bin"]["status"] == "parse_failed"
+
+
+def test_committed_snapshot_read(spark, vocab, transcripts_pdf, tmp_path):
+    """read_results_committed surfaces only batch dirs whose _SUCCESS
+    marker landed — a simulated crash mid-write stays invisible."""
+    import pandas as pd
+
+    from ocr_spark.sources.tables import read_results_committed
+
+    inp = str(tmp_path / "in")
+    results = str(tmp_path / "out")
+    sub = transcripts_pdf.head(100)
+    _write_slice(sub, inp + "/all.parquet")
+    n = run_available_now(
+        spark, inp, results, str(tmp_path / "ck"), vocab, "rS",
+        keywords=datagen.KEYWORDS,
+    )
+    committed = read_results_committed(spark, results)
+    assert committed.count() == n == len(sub)
+
+    # simulate a crash mid-write: a batch dir with data but no _SUCCESS
+    partial = os.path.join(results, "batch_id=999")
+    os.makedirs(partial)
+    pd.DataFrame({"conv_id": ["junk"]}).to_parquet(partial + "/part-0.parquet")
+    assert read_results_committed(spark, results).count() == n
