@@ -172,9 +172,11 @@ def worker_dedup_holdout(cpus: int, inp: str) -> None:
     """Subprocess body: MinHash-LSH near-dup over the ~10⁶-row holdout
     corpus (production config: xxhash64, max_bucket=100 — the transcripts'
     templated boilerplate produces buckets >10k wide, which the cap
-    drops). Prints {rows, sec, pairs}."""
+    drops), then connected components over the resulting pair graph (the
+    canonicalization step, evidencing label propagation at holdout pair
+    volume). Prints {rows, sec, pairs, components, cc_sec}."""
     _pin(cpus)
-    from ocr_spark.operators.dedup import minhash_lsh
+    from ocr_spark.operators.dedup import connected_components, minhash_lsh
 
     spark = _new_spark(cpus)
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus * 4))
@@ -183,10 +185,26 @@ def worker_dedup_holdout(cpus: int, inp: str) -> None:
     t0 = time.time()
     pairs = minhash_lsh(
         corpus, "k", threshold=0.5, max_bucket=100, hash_fn="xxhash64"
-    ).count()
+    ).persist()
+    n_pairs = pairs.count()
     dt = time.time() - t0
+    t0 = time.time()
+    comp = connected_components(pairs)
+    n_comp = comp.select("component").distinct().count()
+    cc_dt = time.time() - t0
+    pairs.unpersist()
     spark.stop()
-    print(json.dumps({"rows": n, "sec": round(dt, 1), "pairs": pairs}))
+    print(
+        json.dumps(
+            {
+                "rows": n,
+                "sec": round(dt, 1),
+                "pairs": n_pairs,
+                "components": n_comp,
+                "cc_sec": round(cc_dt, 1),
+            }
+        )
+    )
 
 
 def worker_calib(cpus: int) -> None:

@@ -379,8 +379,13 @@ def connected_components(
     neighbor labels, stopping when a round changes nothing. Rounds are
     bounded by component DIAMETER, not corpus size — near-dup clusters
     are dense and shallow, so a handful of rounds converge; each round
-    is one shuffle join plus one combiner-friendly min-agg, with labels
-    re-persisted per round so the plan never accumulates lineage.
+    is one shuffle join plus one combiner-friendly min-agg. Labels are
+    ``localCheckpoint(eager=True)``-ed per round: persist() alone keeps
+    the LOGICAL plan growing (it doubles per round — labels feed both
+    the next join and the convergence check), and by ~20 rounds merely
+    analyzing the plan OOMs the driver; the checkpoint truncates lineage
+    to the materialized RDD. On a fault-tolerant cluster run, swap for a
+    reliable ``checkpoint()`` directory — same call shape.
     Refinement at extreme scale: alternate large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce", 2014) to
     shortcut long chains — same join/agg primitives, fewer rounds on
@@ -420,7 +425,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new.join(labels.select("key", F.col("comp").alias("_old")), "key")

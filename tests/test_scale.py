@@ -231,3 +231,18 @@ def test_repetition_stats_whale_doc(spark):
     assert got[0]["n_2grams"] == 199_999
     assert got[0]["repetitive"] is True  # 997-token cycle repeats heavily
     assert got[1]["n_2grams"] == 2
+
+
+def test_lm_dim_topk_is_distributed(spark):
+    """The LM vocab top-K must compile to TakeOrderedAndProject
+    (per-partition top-k + merge), never a single-partition global
+    Sort — the difference between a broadcastable dim build and a
+    driver-sized bottleneck at corpus scale."""
+    from ocr_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(corpus.lm_dim(df, vocab_size=100))
+    assert "TakeOrderedAndProject" in plan, plan
