@@ -176,7 +176,10 @@ def worker_dedup_holdout(cpus: int, inp: str) -> None:
     canonicalization step, evidencing label propagation at holdout pair
     volume). Prints {rows, sec, pairs, components, cc_sec}."""
     _pin(cpus)
-    from ocr_spark.operators.dedup import connected_components, minhash_lsh
+    from ocr_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh,
+    )
 
     spark = _new_spark(cpus)
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus * 4))
@@ -189,7 +192,7 @@ def worker_dedup_holdout(cpus: int, inp: str) -> None:
     n_pairs = pairs.count()
     dt = time.time() - t0
     t0 = time.time()
-    comp = connected_components(pairs)
+    comp = connected_components_star(pairs)
     n_comp = comp.select("component").distinct().count()
     cc_dt = time.time() - t0
     pairs.unpersist()

@@ -448,3 +448,113 @@ def connected_components(
             )
         )
     return out
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "key_a",
+    b_col: str = "key_b",
+    key_col: str = "key",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014) — same output contract as
+    :func:`connected_components`, O(log n) rounds instead of O(diameter):
+    the right choice when the pair graph has long chains (template-heavy
+    corpora produce them; the 1M-row bench holdout needed ~20
+    propagation rounds but ~6 star rounds).
+
+    Each round is two (agg + join) steps over the edge list, no
+    neighbor-list collection (skew-safe for celebrity nodes):
+
+    * large-star: every node's strictly-larger neighbors re-attach to
+      the minimum of its closed neighborhood;
+    * small-star: every node's ≤ neighbors (and itself) re-attach to
+      that minimum.
+
+    Converges when a round leaves the edge set unchanged; the final
+    edges form stars (node → component min). Per-round
+    ``localCheckpoint`` truncates lineage (same OOM trap as the
+    propagation variant)."""
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        out = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        return out
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # orient every edge large→small, group by the large end
+        o = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = o.join(m, "u")
+        out = nbrs.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        self_edge = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return out.union(self_edge)
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        return (
+            raw.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+        )
+
+    def _sig(ed: DataFrame):
+        # order-insensitive edge-set fingerprint; bit_xor cannot overflow
+        # (a sum of xxhash64 would, under ANSI)
+        r = ed.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        edges = _norm(_small_star(_norm(_large_star(edges)))).localCheckpoint(
+            eager=True
+        )
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: every edge is (component-min, member)
+    members = edges.select(
+        F.col("v").alias("key"), F.col("u").alias("component")
+    )
+    roots = edges.select(F.col("u").alias("key")).distinct().withColumn(
+        "component", F.col("key")
+    )
+    out = members.union(roots).distinct()
+    if nodes is not None:
+        out = (
+            nodes.select(F.col(key_col).alias("key"))
+            .join(out, "key", "left")
+            .select(
+                "key",
+                F.coalesce(F.col("component"), F.col("key")).alias("component"),
+            )
+        )
+    return out

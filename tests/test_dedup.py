@@ -283,3 +283,42 @@ def test_connected_components(spark):
         20: 20, 21: 20, 22: 20,
         99: 99,                      # isolated node = own component
     }
+
+
+def test_connected_components_star_equivalence(spark):
+    """Large-star/small-star contraction computes the same components as
+    min-label propagation on chains, stars, and random graphs."""
+    import random
+
+    def comp(fn, edges, nodes=None):
+        pairs = spark.createDataFrame(edges, "key_a long, key_b long")
+        nd = (
+            spark.createDataFrame([(k,) for k in nodes], "key long")
+            if nodes
+            else None
+        )
+        return {r["key"]: r["component"] for r in fn(pairs, nodes=nd).collect()}
+
+    # a 30-node chain: the worst case for propagation round counts
+    chain = [(i, i + 1) for i in range(30)]
+    got = comp(dedup.connected_components_star, chain)
+    assert got == {i: 0 for i in range(31)}
+
+    # isolated nodes via the node list
+    got = comp(dedup.connected_components_star, [(5, 6)], nodes=[5, 6, 7])
+    assert got == {5: 5, 6: 5, 7: 7}
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        edges = list(
+            {
+                (a, b)
+                for a, b in (
+                    (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+                )
+                if a != b
+            }
+        )
+        a = comp(dedup.connected_components, edges)
+        b = comp(dedup.connected_components_star, edges)
+        assert a == b, f"seed {seed}: mismatch"
