@@ -598,6 +598,36 @@ from g group by user_id
 """
 
 
+def q_source_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact length percentiles (corpus profiling: the stats a
+    mix-weighting or truncation decision reads). Exact ``percentile``
+    with linear interpolation — at true corpus scale swap for
+    ``approx_percentile`` (t-digest, one pass, no per-group sort); the
+    exact form is the oracle-checkable spec of the same contract."""
+    docs = _docs(spark, sf_dir)
+    pcts = F.percentile(F.col("n_chars"), F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99)]))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            _scale(pcts[0], 1000).alias("p50_c"),
+            _scale(pcts[1], 1000).alias("p90_c"),
+            _scale(pcts[2], 1000).alias("p99_c"),
+        )
+    )
+
+
+def _sql_source_percentiles() -> str:
+    cols = ", ".join(
+        f"{_scale_sql(f'quantile_cont(n_chars, {q})', 1000)} as p{n}_c"
+        for q, n in ((0.5, 50), (0.9, 90), (0.99, 99))
+    )
+    return f"""
+select source, cast(count(*) as bigint) as n_docs, {cols}
+from documents group by source
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` aggregation in batch mode — the exact
     operator `streaming/stateful.session_rollup_stream` runs under a
@@ -2049,6 +2079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_rollup": q_segment_rollup,
     "event_sessions": q_event_sessions,
     "session_windows": q_session_windows,
+    "source_percentiles": q_source_percentiles,
     "kw_counts": q_kw_counts,
     "kw_spans": q_kw_spans,
     "kw_spans_dedup": q_kw_spans_dedup,
@@ -2111,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_rollup": _sql_segment_rollup(),
         "event_sessions": SQL_EVENT_SESSIONS,
         "session_windows": SQL_SESSION_WINDOWS,
+        "source_percentiles": _sql_source_percentiles(),
         "kw_counts": SQL_KW_COUNTS,
         "kw_spans": SQL_KW_SPANS,
         "kw_spans_dedup": SQL_KW_SPANS_DEDUP,
