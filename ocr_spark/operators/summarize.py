@@ -68,18 +68,25 @@ def _pick_lines(lines: Column, sig: Column, k: int) -> Column:
     return F.array_join(F.transform(ordered, lambda e: e["line"]), "\n")
 
 
-def with_summary(
-    df: DataFrame, text_col: str, out_col: str = "summary", k: int = 3
+def _staged_summary(
+    df: DataFrame,
+    text_col: str,
+    out_col: str,
+    k: int,
+    gate: Column | None = None,
 ) -> DataFrame:
-    """Staged summarization for bulk use: every intermediate (tokens,
-    sorted tokens, significant set, lines) is materialized behind a
-    generator barrier, so nothing is re-evaluated inside downstream lambdas.
-    Use this over the bare ``summarize`` column for whole-corpus runs —
-    expressions referenced inside HOF lambdas are re-computed per element,
-    which turns the inline form O(n²) per row."""
+    """Shared staged pipeline: every intermediate (truncated text, sorted
+    tokens, significant set, lines) is materialized behind a generator
+    barrier, so nothing is re-evaluated inside downstream lambdas. When
+    ``gate`` is given, ungated rows carry NULL through every stage (split /
+    transform / zip_with / array_join all propagate NULL), so ``out_col``
+    is NULL exactly where ``F.when(gate, summarize(...))`` would be — at
+    zero per-stage cost for the ungated rows."""
     from ocr_spark.operators.cleaning import materialize
 
     t = F.substring(F.col(text_col), 1, MAX_LEN)
+    if gate is not None:
+        t = F.when(gate, t)
     df = materialize(df, _sum_t=t)
     df = materialize(
         df,
@@ -91,6 +98,16 @@ def with_summary(
         df, **{out_col: _pick_lines(F.col("_sum_lines"), F.col("_sum_sig"), k)}
     )
     return df.drop("_sum_t", "_sum_st", "_sum_lines", "_sum_sig")
+
+
+def with_summary(
+    df: DataFrame, text_col: str, out_col: str = "summary", k: int = 3
+) -> DataFrame:
+    """Staged summarization for bulk use. Use this over the bare
+    ``summarize`` column for whole-corpus runs — expressions referenced
+    inside HOF lambdas are re-computed per element, which turns the inline
+    form O(n²) per row."""
+    return _staged_summary(df, text_col, out_col, k)
 
 
 def shorten_payload_staged(
@@ -111,12 +128,8 @@ def shorten_payload_staged(
 
     Emits ``shrink_level`` (0/1/2). Row-local (one staged summarize +
     projections), no shuffle."""
-    from ocr_spark.operators.cleaning import materialize
-
     too_big = F.length(F.col(text_col)) > limit
-    df = materialize(
-        df, _short=F.when(too_big, summarize(F.col(text_col), k))
-    )
+    df = _staged_summary(df, text_col, "_short", k, gate=too_big)
     level = (
         F.when(~too_big, F.lit(0))
         .when(F.length(F.col("_short")) <= limit, F.lit(1))
@@ -145,12 +158,8 @@ def shorten_payload(
     """P10, single-step variant: rows over ``limit`` chars get summarized
     text and emptied highlight metadata in one go (ocr_worker.py:99-115);
     ``shorten_payload_staged`` models the two-stage 413 escalation."""
-    from ocr_spark.operators.cleaning import materialize
-
     too_big = F.length(F.col(text_col)) > limit
-    df = materialize(
-        df, _short=F.when(too_big, summarize(F.col(text_col), k))
-    )
+    df = _staged_summary(df, text_col, "_short", k, gate=too_big)
     df = df.withColumn(
         text_col, F.coalesce(F.col("_short"), F.col(text_col))
     ).withColumn("was_shortened", F.col("_short").isNotNull())
