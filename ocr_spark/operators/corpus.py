@@ -444,11 +444,8 @@ def pack_bins(
     fill bin k = floor(preceding_tokens / budget).
 
     The oracle-checked form uses one running-sum window per ``part_col``
-    value — deterministic, but a single sort partition per stratum. At
-    corpus scale packing does NOT need globally sequential bins: the
-    production recipe is to repartition by (part_col, range of id) and run
-    the same window per range with a composite bin id
-    (range_id, local_bin) — same code, per-range windows, no global sort.
+    value — deterministic, but a single sort partition per stratum; it is
+    the small-scale oracle for ``pack_bins_ranged``, the production form.
     Docs longer than the budget get a bin to themselves (never split
     here; truncation is a tokenizer-stage decision)."""
     from pyspark.sql import Window
@@ -466,4 +463,58 @@ def pack_bins(
         est.alias("est_tokens"),
         cum.alias("cum_tokens"),
         F.floor((cum - est) / budget).cast("long").alias("bin_idx"),
+    )
+
+
+def pack_bins_ranged(
+    docs: DataFrame,
+    budget: int = 2048,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Production sequence packing: greedy running-sum bins inside
+    deterministic id ranges, ``n_ranges`` sort partitions PER stratum.
+
+    ``pack_bins`` sorts each whole stratum in one window partition — 5
+    langs = 5 tasks sorting the corpus, a scale-killer at low stratum
+    cardinality. Packing does not need globally sequential bins, only
+    bins that respect the budget; so split each stratum into ``n_ranges``
+    deterministic md5 ranges of the id space, run the same running-sum
+    window per ``(part_col, range_id)``, and emit the composite bin id
+    ``range_id * 2^32 + local_bin`` (bigint, collision-free for any
+    corpus whose per-range bin count fits 32 bits — 2^32 bins x budget
+    tokens is ~8.8T tokens per range at the default budget).
+
+    Properties preserved from the oracle form: every doc assigned exactly
+    one bin; no bin exceeds ``budget`` unless a single doc does;
+    deterministic and resume-stable (md5 range + id order, no RNG).
+    Parallelism: ``strata x n_ranges`` window partitions; size
+    ``n_ranges`` so a range's docs fit one task comfortably (tune to
+    ~target-partition-bytes / mean-doc-size at the real scale)."""
+    from pyspark.sql import Window
+
+    est = F.ceil(F.length(F.col(text_col)) / 4).cast("long")
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    range_id = (h.cast("bigint") % n_ranges).alias("range_id")
+    base = docs.select(
+        F.col(id_col), F.col(part_col), est.alias("est_tokens"), range_id
+    )
+    w = (
+        Window.partitionBy(part_col, "range_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("est_tokens").over(w)
+    local_bin = F.floor((cum - F.col("est_tokens")) / budget)
+    return base.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.col("est_tokens"),
+        F.col("range_id").cast("long").alias("range_id"),
+        cum.cast("long").alias("cum_tokens"),
+        (F.col("range_id") * F.lit(1 << 32) + local_bin)
+        .cast("long")
+        .alias("bin_idx"),
     )

@@ -2057,6 +2057,37 @@ from (
 """
 
 
+def q_pack_bins_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production packing: per-(lang, md5-range) running-sum windows with
+    composite bin ids — strata x n_ranges sort partitions instead of one
+    per stratum."""
+    from ocr_spark.operators import corpus
+
+    return corpus.pack_bins_ranged(_docs(spark, sf_dir), budget=2048, n_ranges=8)
+
+
+def _sql_pack_bins_ranged() -> str:
+    return """
+select doc_id, lang, est_tokens, range_id, cum_tokens,
+  cast(range_id * 4294967296
+       + floor((cum_tokens - est_tokens) / 2048) as bigint) as bin_idx
+from (
+  select doc_id, lang, est_tokens, range_id,
+    cast(sum(est_tokens) over (
+      partition by lang, range_id order by doc_id
+      rows between unbounded preceding and current row
+    ) as bigint) as cum_tokens
+  from (
+    select doc_id, lang,
+      cast(ceil(length(text) / 4) as bigint) as est_tokens,
+      cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+           as bigint) % 8 as range_id
+    from documents
+  )
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2084,7 +2115,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_rollup": q_segment_rollup,
     "session_windows": q_session_windows,
     "source_percentiles": q_source_percentiles,
-    "kw_counts": q_kw_counts,
     "kw_spans": q_kw_spans,
     "kw_spans_dedup": q_kw_spans_dedup,
     "kw_token_match": q_kw_token_match,
@@ -2117,6 +2147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "chunk_windows": q_chunk_windows,
     "pack_bins": q_pack_bins,
+    "pack_bins_ranged": q_pack_bins_ranged,
     "tpch_pricing": q_tpch_pricing,
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
@@ -2128,6 +2159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ann_brute": q_ann_brute,
     "lang_id": q_lang_id,
+    "kw_counts": q_kw_counts,
 }
 
 
@@ -2193,6 +2225,7 @@ from corpus group by 1
         "sample_stratified": _sql_sample_stratified(),
         "chunk_windows": _sql_chunk_windows(),
         "pack_bins": _sql_pack_bins(),
+        "pack_bins_ranged": _sql_pack_bins_ranged(),
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
         "tpch_nation_volume": SQL_TPCH_NATION_VOLUME,

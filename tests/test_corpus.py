@@ -186,6 +186,48 @@ def test_pack_bins(spark):
     assert got[5]["lang"] == "de" and got[5]["bin_idx"] == 0
 
 
+def test_pack_bins_ranged(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", "x" * (((i % 7) + 1) * 40))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = corpus.pack_bins_ranged(df, budget=200, n_ranges=8).collect()
+
+    # every doc assigned exactly one bin
+    assert sorted(r["doc_id"] for r in out) == list(range(300))
+    # offset-based greedy fill: docs are binned by starting offset, so a
+    # bin holds < budget + its last doc's tokens (same bound as pack_bins)
+    bins = {}
+    for r in out:
+        bins.setdefault((r["lang"], r["bin_idx"]), []).append(r["est_tokens"])
+    for toks in bins.values():
+        assert sum(toks) < 200 + max(toks)
+    # composite id: high 32 bits are the range
+    for r in out:
+        assert r["bin_idx"] >> 32 == r["range_id"]
+    # deterministic under repartitioning (resume-stable)
+    again = corpus.pack_bins_ranged(
+        df.repartition(13), budget=200, n_ranges=8
+    ).collect()
+    assert {(r["doc_id"], r["bin_idx"]) for r in again} == {
+        (r["doc_id"], r["bin_idx"]) for r in out
+    }
+
+
+def test_pack_bins_ranged_plan_has_per_range_sort(spark):
+    """The scale fix over pack_bins: the window partitions by
+    (part_col, range_id), so each stratum sorts in n_ranges tasks, not 1."""
+    df = spark.createDataFrame(
+        [(0, "en", "xxxx")], "doc_id long, lang string, text string"
+    )
+    plan = corpus.pack_bins_ranged(df, n_ranges=64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "hashpartitioning(lang" in plan and "range_id" in plan.split(
+        "hashpartitioning(lang", 1
+    )[1].split(")", 1)[0], plan
+    seq = corpus.pack_bins(df)._jdf.queryExecution().executedPlan().toString()
+    assert "range_id" not in seq  # the oracle form really is per-stratum
+
+
 def test_chunk_windows(spark):
     import pytest as _pytest
 
