@@ -21,7 +21,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction plan (plans/pipeline.extract) at sf0.001.
 
     The WER vocabulary is corpus-derived, so it stays a DataFrame dim and
-    scores through the wer_join broadcast path — it never transits the
+    scores through the wer_join dim-join path (strategy left to AQE — a
+    corpus-derived dim is never hint-broadcast) — it never transits the
     driver (an exploded ``collect()`` vocabulary is unbounded and a driver
     OOM at 10⁹-document scale; plan-shape pinned by tests/test_scale.py)."""
     from pyspark.sql import functions as F

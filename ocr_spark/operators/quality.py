@@ -153,21 +153,35 @@ def wer_join(
     key_cols: list[str],
     text_col: str = "clean_text",
     out_col: str = "wer",
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
-    """wer via explode → broadcast hash join vs a vocab dim table.
+    """wer via explode → hash join vs a vocab dim table.
 
     Use when the vocabulary is too large to inline (millions of words):
-    tokens explode, join broadcast(vocab) on both raw and normalized forms,
-    then re-aggregate per key. One shuffle (the re-aggregation).
-    ``vocab_df`` must have a single column ``word``.
-    """
+    tokens explode, join the vocab dim on both raw and normalized forms,
+    then re-aggregate per key. ``vocab_df`` must have a single column
+    ``word``.
+
+    Join strategy: NOTHING here is hinted ``broadcast()`` by default. Both
+    the vocab dim and the distinct-token dim can be corpus-derived (the
+    flagship derives its vocabulary from the corpus), and at web scale the
+    distinct-token dimension is ~10⁸ rows — an unconditional broadcast
+    hint materializes it on every executor and overflows the broadcast
+    limit. AQE runtime-sizes each join instead: small dims get converted
+    to broadcast joins from their ACTUAL shuffle sizes, large ones stay
+    shuffle hash/sort-merge joins on ``tok``/``word`` (both fine — the
+    skew risk sits on the corpus side keys and AQE skew-split covers it).
+    Pass ``broadcast_vocab=True`` only for a vocabulary known small and
+    corpus-independent (e.g. a fixed dictionary dim)."""
     base = df.select(*key_cols, F.col(text_col).alias("_t"))
     # raw tokens only — the frozen stemmer + membership checks run on the
     # DISTINCT token dimension below (the P6 rule, SURVEY.md §2.3: normalize
     # distinct words, join back), so the regex cost is O(|vocabulary|), not
     # O(corpus tokens)
     toks = base.select(*key_cols, F.explode(X.tokens(F.col("_t"))).alias("tok"))
-    v = F.broadcast(vocab_df.select(F.col("word")).distinct())
+    v = vocab_df.select(F.col("word")).distinct()
+    if broadcast_vocab:
+        v = F.broadcast(v)
     # distinct-token dim: counted? + hit? (a token counts once even if both
     # its raw and normalized form are in the vocabulary)
     tok_dim = (
@@ -197,7 +211,7 @@ def wer_join(
             ).cast("int").alias("_hit"),
         )
     )
-    marked = toks.join(F.broadcast(tok_dim), "tok")
+    marked = toks.join(tok_dim, "tok")
     agg = marked.groupBy(*key_cols).agg(
         F.sum("_hit").alias("_correct"), F.sum("_counted").alias("_counted")
     )
