@@ -157,6 +157,44 @@ def lsh_bands(sig: Column, bands: int, rows: int, hash_fn: str = "md5") -> Colum
     )
 
 
+def cap_buckets(
+    bt: DataFrame, bucket_cols: list[str], max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Drop bucket-table rows whose bucket is wider than ``max_bucket``.
+
+    Returns ``(kept, sizes)`` where ``sizes`` is the per-bucket width table
+    feeding :func:`bucket_cap_counters` — the repo's errors-as-data rule:
+    a cap that silently drops data reads as full coverage when it isn't."""
+    sizes = bt.groupBy(*bucket_cols).agg(F.count("*").alias("_n"))
+    kept = bt.join(
+        sizes.filter(F.col("_n") <= max_bucket), bucket_cols
+    ).drop("_n")
+    return kept, sizes
+
+
+def bucket_cap_counters(
+    sizes: DataFrame, max_bucket: int, op: str
+) -> DataFrame:
+    """ONE-row metrics over a bucket-width table: how much the width cap
+    actually dropped. ``n_entries_dropped`` counts bucket ENTRIES (a doc
+    appears once per band), not unique docs. Tiny global aggregate —
+    compute it only when the caller materializes it (e.g. into the
+    metrics sidecar next to the parse/clean counters)."""
+    over = F.col("_n") > max_bucket
+    return sizes.agg(
+        F.lit(op).alias("op"),
+        F.lit(max_bucket).cast("long").alias("max_bucket"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_buckets_dropped"),
+        F.coalesce(F.sum(F.when(over, F.col("_n"))), F.lit(0))
+        .cast("long")
+        .alias("n_entries_dropped"),
+        F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias("max_width"),
+    )
+
+
 def minhash_lsh(
     df: DataFrame,
     key: str,
@@ -173,9 +211,36 @@ def minhash_lsh(
     Plan shape: shingle+sign projection (row-local) → explode bands →
     self-join on (band, bh) = the bucketed candidate join → exact Jaccard
     verify over shingle sets → threshold filter. Buckets wider than
-    ``max_bucket`` are dropped (boilerplate black holes at web scale).
-    ``hash_fn='xxhash64'`` swaps the engine-portable md5 for the native
-    64-bit hash — the production setting (see shingle_hashes)."""
+    ``max_bucket`` are dropped (boilerplate black holes at web scale) —
+    use :func:`minhash_lsh_with_counters` to record how much the cap
+    dropped. ``hash_fn='xxhash64'`` swaps the engine-portable md5 for the
+    native 64-bit hash — the production setting (see shingle_hashes)."""
+    return minhash_lsh_with_counters(
+        df,
+        key,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        bands=bands,
+        rows=rows,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        hash_fn=hash_fn,
+    )[0]
+
+
+def minhash_lsh_with_counters(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+    hash_fn: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`minhash_lsh` plus the one-row dropped-bucket counters
+    DataFrame (see :func:`bucket_cap_counters`)."""
     from ocr_spark.operators.cleaning import materialize
 
     base = df.select(F.col(key).alias("k"), F.col(text_col).alias("t"))
@@ -194,8 +259,8 @@ def minhash_lsh(
         "k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     # cap pathological buckets
-    sizes = bt.groupBy("band", "bh").agg(F.count("*").alias("_n"))
-    bt = bt.join(sizes.filter(F.col("_n") <= max_bucket), ["band", "bh"]).drop("_n")
+    bt, sizes = cap_buckets(bt, ["band", "bh"], max_bucket)
+    counters = bucket_cap_counters(sizes, max_bucket, "minhash_lsh")
     a, b = bt.alias("a"), bt.alias("b")
     pairs = (
         a.join(
@@ -218,9 +283,10 @@ def minhash_lsh(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select(
+    pairs_out = verified.select(
         F.col("ka").alias("key_a"), F.col("kb").alias("key_b"), "jaccard"
     )
+    return pairs_out, counters
 
 
 # --------------------------------------------------------------------------
@@ -284,14 +350,30 @@ def simhash_pairs(
 ) -> DataFrame:
     """(key_a, key_b, hamming) pairs with 64-bit simhash Hamming distance
     ≤ ``max_hamming``. Pigeonhole: with 4 chunks, any pair at distance ≤ 3
-    agrees on ≥1 whole chunk → bucket join on (chunk_idx, chunk_value)."""
+    agrees on ≥1 whole chunk → bucket join on (chunk_idx, chunk_value).
+    Over-wide buckets drop; :func:`simhash_pairs_with_counters` records
+    how much."""
+    return simhash_pairs_with_counters(
+        df, key, text_col=text_col, max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )[0]
+
+
+def simhash_pairs_with_counters(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`simhash_pairs` plus the one-row dropped-bucket counters."""
     from ocr_spark.operators.cleaning import materialize
 
     base = df.select(F.col(key).alias("k"), F.col(text_col).alias("t"))
     base = materialize(base, ch=simhash_chunks(F.col("t"))).drop("t")
     bt = base.select("k", F.posexplode("ch").alias("ci", "cv"))
-    sizes = bt.groupBy("ci", "cv").agg(F.count("*").alias("_n"))
-    bt = bt.join(sizes.filter(F.col("_n") <= max_bucket), ["ci", "cv"]).drop("_n")
+    bt, sizes = cap_buckets(bt, ["ci", "cv"], max_bucket)
+    counters = bucket_cap_counters(sizes, max_bucket, "simhash_pairs")
     a, b = bt.alias("a"), bt.alias("b")
     pairs = (
         a.join(
@@ -309,7 +391,7 @@ def simhash_pairs(
         F.lit(0),
         lambda acc, h: acc + h,
     )
-    return (
+    pairs_out = (
         pairs.join(ch.withColumnRenamed("k", "ka").withColumnRenamed("ch", "cha"), "ka")
         .join(ch.withColumnRenamed("k", "kb").withColumnRenamed("ch", "chb"), "kb")
         .withColumn("hamming", hamming)
@@ -320,6 +402,7 @@ def simhash_pairs(
             F.col("hamming").cast("long").alias("hamming"),
         )
     )
+    return pairs_out, counters
 
 
 # --------------------------------------------------------------------------
@@ -342,7 +425,30 @@ def ngram_jaccard_pairs(
     minimum shingle hashes is verified. Equivalent to minhash_lsh with
     rows=1 — kept as its own operator because the verify set (raw n-grams,
     not signature) and the typical n (2) differ."""
-    return minhash_lsh(
+    return ngram_jaccard_pairs_with_counters(
+        df,
+        key,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        sketch_k=sketch_k,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        hash_fn=hash_fn,
+    )[0]
+
+
+def ngram_jaccard_pairs_with_counters(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    shingle_n: int = 2,
+    sketch_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    hash_fn: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`ngram_jaccard_pairs` plus the dropped-bucket counters."""
+    pairs, counters = minhash_lsh_with_counters(
         df,
         key,
         text_col=text_col,
@@ -353,6 +459,7 @@ def ngram_jaccard_pairs(
         max_bucket=max_bucket,
         hash_fn=hash_fn,
     )
+    return pairs, counters.withColumn("op", F.lit("ngram_jaccard"))
 
 
 # --------------------------------------------------------------------------

@@ -367,7 +367,27 @@ def embedding_neardup(
     embeddings cluster hard in practice, and one hot bucket makes the
     within-bucket join O(width²); ``n_planes=None`` auto-scales the bucket
     space to the corpus size so expected width stays bounded in the first
-    place. Dropped-bucket members simply emit no pairs (errors-as-data)."""
+    place. Dropped-bucket members emit no pairs;
+    :func:`embedding_neardup_with_counters` records how many."""
+    return embedding_neardup_with_counters(
+        df, key, vec_col, threshold=threshold, n_planes=n_planes, dim=dim,
+        max_bucket=max_bucket,
+    )[0]
+
+
+def embedding_neardup_with_counters(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    dim: int = 64,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`embedding_neardup` plus the one-row dropped-bucket counters
+    (schema shared with the text-dedup family, dedup.bucket_cap_counters)."""
+    from ocr_spark.operators.dedup import bucket_cap_counters, cap_buckets
+
     if n_planes is None:
         n_planes = auto_planes(df.count())
     planes = hyperplanes(n_planes, dim)
@@ -375,10 +395,10 @@ def embedding_neardup(
         F.col(key).alias("k"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", sign_lsh_bucket(F.col("v"), planes))
     base = base.withColumn("n", norm(F.col("v")))
-    sizes = base.groupBy("bucket").agg(F.count("*").alias("_n"))
-    base = base.join(sizes.filter(F.col("_n") <= max_bucket), "bucket").drop("_n")
+    base, sizes = cap_buckets(base, ["bucket"], max_bucket)
+    counters = bucket_cap_counters(sizes, max_bucket, "embedding_neardup")
     a, b = base.alias("a"), base.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -395,3 +415,4 @@ def embedding_neardup(
             "cos",
         )
     )
+    return pairs, counters

@@ -63,6 +63,53 @@ def test_ngram_jaccard(corpus):
     assert {(i, 1000 + i) for i in range(0, 60, 4)} <= pairs
 
 
+def test_dropped_bucket_counters(spark):
+    """The max_bucket cap must not drop silently: a boilerplate black hole
+    (40 identical docs, cap 10) is reported in the counters DataFrame and
+    its members emit no pairs, while normal-width dupes still match."""
+    rows = [(i, "spam " * 20) for i in range(40)]  # one bucket of width 40
+    rows += [(100, "ana are mere pere azi " * 4), (101, "ana are mere pere azi " * 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs, counters = dedup.minhash_lsh_with_counters(
+        df, "doc_id", threshold=0.5, max_bucket=10
+    )
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 for a, _ in got)  # hot bucket fully dropped
+
+    c = counters.first()
+    assert c["op"] == "minhash_lsh" and c["max_bucket"] == 10
+    # 4 bands x one identical hash each -> 4 over-wide buckets of width 40
+    assert c["n_buckets_dropped"] == 4
+    assert c["n_entries_dropped"] == 160
+    assert c["max_width"] == 40
+    assert c["n_buckets"] >= 5  # the spam buckets + the dupe-pair buckets
+
+    # same contract across the family
+    _, sc = dedup.simhash_pairs_with_counters(df, "doc_id", max_bucket=10)
+    s = sc.first()
+    assert s["op"] == "simhash_pairs" and s["n_buckets_dropped"] == 4
+    assert s["n_entries_dropped"] == 160
+
+    _, nc = dedup.ngram_jaccard_pairs_with_counters(
+        df, "doc_id", max_bucket=10
+    )
+    n = nc.first()
+    assert n["op"] == "ngram_jaccard" and n["n_buckets_dropped"] >= 1
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(40)] + [(100, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    _, ec = similarity.embedding_neardup_with_counters(
+        emb, "vec_id", "embedding", n_planes=4, dim=8, max_bucket=10
+    )
+    e = ec.first()
+    assert e["op"] == "embedding_neardup"
+    assert e["n_buckets_dropped"] == 1 and e["n_entries_dropped"] == 40
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import random
