@@ -352,13 +352,41 @@ def entity_spans(
 
 
 def with_doc_statistics(
-    df: DataFrame, text_col: str = "clean_text", spans_col: str = "spans"
+    df: DataFrame,
+    text_col: str = "clean_text",
+    spans_col: str = "spans",
+    ents_col: str | None = None,
+    blocks_col: str | None = None,
 ) -> DataFrame:
-    """A6 statistics struct (doc_analysis.py:294-297) — row-local."""
+    """A6 statistics struct — full parity with the reference's dict
+    ``num_pages, num_ents, num_kwds, num_wds, num_chars``
+    (doc_analysis.py:192-197,294-297) plus ``num_unq_kwds``. Row-local.
+
+    ``num_ents`` counts ``ents_col`` (the entity_spans array — the
+    reference counts allowed-label ents, doc_analysis.py:257-266); 0 when
+    no entity stage ran. ``num_pages``: pages don't survive extraction
+    (char spans replace page boxes, SURVEY §1.3) — the analog is the
+    block count: pass ``blocks_col`` (the parse stage's ``blocks_kept``)
+    when upstream parsed a payload, else the non-empty line count of the
+    text (the P1 block-assembly unit) stands in."""
     spans = F.col(spans_col)
+    if blocks_col is not None:
+        pages = F.coalesce(F.col(blocks_col).cast("int"), F.lit(0))
+    else:
+        pages = F.size(
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"), X.strip_ws),
+                lambda s: s != "",
+            )
+        )
+    ents = (
+        F.size(F.col(ents_col)) if ents_col is not None else F.lit(0)
+    )
     return df.withColumn(
         "statistics",
         F.struct(
+            pages.alias("num_pages"),
+            ents.alias("num_ents"),
             F.size(X.tokens(F.col(text_col))).alias("num_wds"),
             F.length(F.col(text_col)).alias("num_chars"),
             F.size(spans).alias("num_kwds"),

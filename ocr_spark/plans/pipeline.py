@@ -189,7 +189,9 @@ def _finish(redone: DataFrame, keywords: list[str] | None) -> DataFrame:
         out = matching.with_keyword_spans_auto(
             out, keywords, text_col="clean_text", out_col="spans"
         )
-        out = matching.with_doc_statistics(out)
+        # num_pages analog = the parse stage's kept-block count (pages
+        # don't survive extraction; blocks are the unit that does)
+        out = matching.with_doc_statistics(out, blocks_col="blocks_kept")
         # C4 lineage: every row records the hash of the keyword dim it was
         # matched against (the reference's keywordsHash contract,
         # doc_analysis.py:28,321-335) — a dim swap between incremental

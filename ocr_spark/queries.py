@@ -929,17 +929,26 @@ from s group by doc_id, keyword
 
 
 def q_kw_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 statistics counters per document (doc_analysis.py:294-297)."""
+    """A6 statistics counters per document — full reference-dict parity
+    (num_pages, num_ents, num_kwds, num_wds, num_chars,
+    doc_analysis.py:192-197,294-297): entities from the frozen gazetteer
+    (V3/F12), pages from the non-empty-line block analog."""
     from ocr_spark.operators.matching import (
+        entity_spans,
         with_doc_statistics,
         with_keyword_spans,
     )
 
     docs = _docs(spark, sf_dir)
     out = with_keyword_spans(docs, DOC_KEYWORDS, text_col="text", dedup=False)
-    out = with_doc_statistics(out, text_col="text", spans_col="spans")
+    out = entity_spans(out, ENTITY_GAZ, text_col="text")
+    out = with_doc_statistics(
+        out, text_col="text", spans_col="spans", ents_col="entities"
+    )
     return out.select(
         "doc_id",
+        F.col("statistics.num_pages").cast("long").alias("num_pages"),
+        F.col("statistics.num_ents").cast("long").alias("num_ents"),
         F.col("statistics.num_wds").cast("long").alias("num_wds"),
         F.col("statistics.num_chars").cast("long").alias("num_chars"),
         F.col("statistics.num_kwds").cast("long").alias("num_kwds"),
@@ -947,9 +956,14 @@ def q_kw_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_KW_STATISTICS = f"""
-with s as ({SQL_KW_SPANS})
+def _sql_kw_statistics() -> str:
+    return f"""
+with s as ({SQL_KW_SPANS}),
+e as ({_sql_entities()})
 select d.doc_id,
+  cast(len(list_filter(string_split(d.text, chr(10)), x -> trim(x) != ''))
+       as bigint) as num_pages,
+  cast(coalesce(en.n, 0) as bigint) as num_ents,
   cast(len(regexp_extract_all(lower(d.text), {O.q(O.TOKEN_RE)})) as bigint) as num_wds,
   cast(length(d.text) as bigint) as num_chars,
   cast(coalesce(k.n, 0) as bigint) as num_kwds,
@@ -958,7 +972,11 @@ from documents d
 left join (
   select doc_id, count(*) as n, count(distinct keyword) as u from s group by doc_id
 ) k using (doc_id)
+left join (
+  select doc_id, count(*) as n from e group by doc_id
+) en using (doc_id)
 """
+
 
 
 # --------------------------------------------------------------------------
@@ -2191,7 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         "kw_synonyms": _sql_kw_synonyms(),
         "kw_ac_365": _sql_kw_ac_365(),
         "kw_rollup": SQL_KW_ROLLUP,
-        "kw_statistics": SQL_KW_STATISTICS,
+        "kw_statistics": _sql_kw_statistics(),
         "dedup_exact": f"""
 with {OM.CORPUS}
 select md5(text) as fingerprint, min(doc_id) as canonical_doc_id,
