@@ -601,9 +601,10 @@ from g group by user_id
 def q_source_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact length percentiles (corpus profiling: the stats a
     mix-weighting or truncation decision reads). Exact ``percentile``
-    with linear interpolation — at true corpus scale swap for
-    ``approx_percentile`` (t-digest, one pass, no per-group sort); the
-    exact form is the oracle-checkable spec of the same contract."""
+    with linear interpolation — at true corpus scale use
+    :func:`source_percentiles_approx` (mergeable sketch, one pass, no
+    per-group sort); the exact form is the oracle-checkable spec of the
+    same contract."""
     docs = _docs(spark, sf_dir)
     pcts = F.percentile(F.col("n_chars"), F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99)]))
     return (
@@ -626,6 +627,30 @@ def _sql_source_percentiles() -> str:
 select source, cast(count(*) as bigint) as n_docs, {cols}
 from documents group by source
 """
+
+
+def source_percentiles_approx(
+    docs: DataFrame, accuracy: int = 10_000
+) -> DataFrame:
+    """Production variant of ``q_source_percentiles``: one-pass mergeable
+    ``percentile_approx`` sketches (no per-group sort, partial-aggregable
+    across executors) — the corpus-scale path its docstring routes to.
+    Same output schema; rank error bounded by 1/accuracy, so values are
+    near-exact on realistic group sizes (tolerance-pinned by
+    tests/test_corpus.py::test_source_percentiles_approx_tracks_exact).
+    Not an oracle query: the sketch is engine-specific by design; the
+    exact form stays the oracle of the shared contract."""
+    pcts = F.percentile_approx(
+        F.col("n_chars"),
+        F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99)]),
+        accuracy,
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        _scale(pcts[0], 1000).alias("p50_c"),
+        _scale(pcts[1], 1000).alias("p90_c"),
+        _scale(pcts[2], 1000).alias("p99_c"),
+    )
 
 
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

