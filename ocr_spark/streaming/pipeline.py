@@ -54,16 +54,54 @@ def streaming_extract(
     return extract(stream, vocab, keywords=keywords)
 
 
+def _bind_results_to_checkpoint(
+    spark: SparkSession, results_path: str, checkpoint_path: str
+) -> None:
+    """Refuse to mix checkpoint lifetimes in one results directory.
+
+    ``batch_id=N`` overwrite is idempotent only within ONE checkpoint's
+    lifetime: a fresh/deleted checkpoint restarts batch ids at 0, which
+    would clobber the old batch 0 while leaving stale ``batch_id>0``
+    directories visible to readers (duplicated rows). A marker file in
+    ``results_path`` records the owning checkpoint; a mismatch raises
+    instead of silently corrupting. Uses the Hadoop FS API so any
+    results URI scheme works."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(
+        results_path + "/_checkpoint_binding"
+    )
+    fs = marker.getFileSystem(conf)
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        bound = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        stream.close()
+        if bound != checkpoint_path:
+            raise ValueError(
+                f"results_path {results_path!r} is bound to checkpoint "
+                f"{bound!r}; writing to it from checkpoint "
+                f"{checkpoint_path!r} would restart batch ids at 0 and mix "
+                "stale batches into reads. Clear the results directory "
+                "together with its checkpoint, or use a fresh results_path."
+            )
+    else:
+        out = fs.create(marker, True)
+        out.write(bytearray(checkpoint_path, "utf-8"))
+        out.close()
+
+
 def run_available_now(
     spark: SparkSession,
     input_path: str,
     results_path: str,
     checkpoint_path: str,
-    vocab: list[str],
+    vocab: list[str] | None,
     run_id: str,
     keywords: list[str] | None = None,
     metrics_path: str | None = None,
     timeout_s: int = 600,
+    vocab_df: DataFrame | None = None,
+    key_cols: list[str] | None = None,
 ) -> int:
     """One availableNow cycle: process every not-yet-seen input file,
     write results (+ metrics sidecar) per micro-batch, stop. Returns rows
@@ -76,11 +114,37 @@ def run_available_now(
     partition directory ``batch_id=<id>`` in OVERWRITE mode (batch ids are
     stable across checkpoint replays), so a replay rewrites the same files
     instead of appending duplicates. Readers see ``batch_id`` as a normal
-    partition column of ``results_path``."""
-    out = streaming_extract(spark, input_path, vocab, keywords=keywords)
+    partition column of ``results_path``. Batch ids restart at 0 under a
+    NEW checkpoint, so a results directory is bound to one checkpoint for
+    its lifetime — enforced by a marker file (see
+    ``_bind_results_to_checkpoint``).
+
+    Vocabulary: ``vocab`` (python list) scores via the inline InSet path
+    inside the streaming plan. For large/corpus-derived vocabularies pass
+    ``vocab_df`` + ``key_cols`` instead: the STREAM then carries only the
+    raw transcript scan, and the full extract (including both
+    ``quality.wer_join`` scoring passes, which aggregate and therefore
+    cannot nest inside an availableNow plan) runs per micro-batch inside
+    ``foreachBatch``, where the batch is a plain DataFrame. Same
+    value-for-value results as the batch vocab-dim path
+    (tests/test_streaming.py::test_streaming_vocab_dim_matches_batch)."""
+    if (vocab is None) == (vocab_df is None):
+        raise ValueError("pass exactly one of vocab / vocab_df")
+    if vocab_df is not None and not key_cols:
+        raise ValueError("vocab_df scoring needs key_cols")
+    _bind_results_to_checkpoint(spark, results_path, checkpoint_path)
+    if vocab_df is None:
+        out = streaming_extract(spark, input_path, vocab, keywords=keywords)
+    else:
+        out = spark.readStream.schema(TRANSCRIPTS).parquet(input_path)
     written = {"n": 0}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if vocab_df is not None:
+            batch_df = extract(
+                batch_df, keywords=keywords, vocab_df=vocab_df,
+                key_cols=key_cols,
+            )
         batch_df = batch_df.withColumn("run_id", F.lit(run_id)).persist()
         try:
             n = batch_df.count()

@@ -87,6 +87,71 @@ def test_streaming_matches_batch(spark, vocab, transcripts_pdf, tmp_path):
     _ = F  # imported for parity with other tests
 
 
+def test_streaming_vocab_dim_matches_batch(spark, vocab, transcripts_pdf, tmp_path):
+    """Large-vocabulary streaming: scoring goes through wer_join per
+    micro-batch inside foreachBatch (a streaming plan cannot nest the
+    join's aggregation under availableNow). A >10^4-word vocab dim must
+    produce value-identical quality/status to the batch vocab-dim path."""
+    from ocr_spark.plans.pipeline import extract
+    from ocr_spark.schemas import TRANSCRIPTS
+
+    big_vocab = list(vocab) + [f"zzfiller{i:05d}" for i in range(12_000)]
+    vdf = spark.createDataFrame([(w,) for w in big_vocab], "word string")
+
+    inp = str(tmp_path / "in_vdf")
+    sub = transcripts_pdf.head(200)
+    _write_slice(sub, inp + "/all.parquet")
+    results = str(tmp_path / "out_vdf")
+    n = run_available_now(
+        spark, inp, results, str(tmp_path / "ck_vdf"), None, "rV",
+        keywords=datagen.KEYWORDS, vocab_df=vdf,
+        key_cols=["conv_id", "turn_idx"],
+    )
+    assert n == len(sub)
+    stream_out = spark.read.parquet(results)
+    batch_out = extract(
+        spark.createDataFrame(sub, schema=TRANSCRIPTS),
+        keywords=datagen.KEYWORDS, vocab_df=vdf,
+        key_cols=["conv_id", "turn_idx"],
+    )
+    key = ["conv_id", "turn_idx"]
+    a = {tuple(r[k] for k in key): (r["clean_text"], r["quality"], r["status"])
+         for r in stream_out.collect()}
+    b = {tuple(r[k] for k in key): (r["clean_text"], r["quality"], r["status"])
+         for r in batch_out.collect()}
+    assert a == b
+    # and the filler-free list path agrees too (the two wer paths are
+    # value-identical for equal vocabularies)
+    c = {tuple(r[k] for k in key): (r["clean_text"], r["quality"], r["status"])
+         for r in extract(
+             spark.createDataFrame(sub, schema=TRANSCRIPTS), big_vocab,
+             keywords=datagen.KEYWORDS,
+         ).collect()}
+    assert a == c
+
+
+def test_results_dir_bound_to_one_checkpoint(spark, vocab, transcripts_pdf, tmp_path):
+    """A fresh checkpoint restarts batch ids at 0; writing into a results
+    dir owned by another checkpoint must refuse instead of clobbering
+    batch 0 and leaving stale batch_id>0 dirs visible."""
+    import pytest
+
+    inp = str(tmp_path / "in_bind")
+    _write_slice(transcripts_pdf.head(40), inp + "/a.parquet")
+    results = str(tmp_path / "out_bind")
+    run_available_now(
+        spark, inp, results, str(tmp_path / "ck_bind1"), vocab, "r1"
+    )
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        run_available_now(
+            spark, inp, results, str(tmp_path / "ck_bind2"), vocab, "r2"
+        )
+    # same checkpoint stays fine (idempotent no-op cycle)
+    assert run_available_now(
+        spark, inp, results, str(tmp_path / "ck_bind1"), vocab, "r3"
+    ) == 0
+
+
 def test_keyword_dim_swap_across_batches(spark, vocab, transcripts_pdf, tmp_path):
     """C4 keywordsHash invalidation (reference doc_analysis.py:321-335;
     tests/test_ocr_worker.py:96-102): the keyword dim changes between two
