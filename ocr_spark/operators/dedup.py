@@ -516,6 +516,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -542,8 +543,20 @@ def connected_components(
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # partially-propagated labels are WRONG components (transitive
+        # dupes survive dedup) — refuse rather than return them silently.
+        # Rounds scale with component diameter: raise max_iter, or switch
+        # to connected_components_star (O(log n) rounds) for chain-heavy
+        # graphs.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels are still changing. Increase max_iter or use "
+            "connected_components_star."
+        )
     out = labels.select("key", F.col("comp").alias("component"))
     if nodes is not None:
         out = (
@@ -639,14 +652,24 @@ def connected_components_star(
         return (r["n"], r["h"])
 
     sig = _sig(edges)
+    converged = False
     for _ in range(max_iter):
         edges = _norm(_small_star(_norm(_large_star(edges)))).localCheckpoint(
             eager=True
         )
         new_sig = _sig(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a non-fixpoint edge set is not star-shaped — reading it as
+        # (component, member) pairs would emit wrong components silently
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; the edge set is still contracting. Increase max_iter "
+            "(rounds grow O(log n) in component size)."
+        )
     # fixpoint: every edge is (component-min, member)
     members = edges.select(
         F.col("v").alias("key"), F.col("u").alias("component")

@@ -264,7 +264,33 @@ def match_variant_tokens(
     keyword, token-level — the span_ruler ``{"LOWER": {"IN": variants}}``
     pattern (doc_analysis.py:113-134) as one broadcast hash join over
     exploded tokens + one combiner-friendly aggregation. O(corpus tokens)
-    with no skew risk (the hot side never shuffles before the keyed agg)."""
+    with no skew risk (the hot side never shuffles before the keyed agg).
+
+    SINGLE-TOKEN contract: matching joins exploded single tokens, so a
+    keyword or synonym variant containing whitespace could never match
+    and would silently return zero rows — rejected here; route phrases
+    through ``with_keyword_spans_auto`` instead."""
+    phrased = sorted(
+        k for k in keywords if len(k.strip().lower().split()) > 1
+    )
+    if phrased:
+        raise ValueError(
+            "match_variant_tokens is token-level; multi-word keywords "
+            f"can never match: {phrased[:5]}. Use with_keyword_spans_auto "
+            "for phrases."
+        )
+    bad_variants = sorted(
+        v
+        for k in {k.strip().lower() for k in keywords if k.strip()}
+        for v in pymatch.expand_variants_syn(k)
+        if " " in v
+    )
+    if bad_variants:
+        raise ValueError(
+            f"synonym variants contain whitespace and can never match "
+            f"token-level: {bad_variants[:5]}; expand them upstream or "
+            "use the span matcher."
+        )
     dim = synonym_variant_dim(df.sparkSession, keywords)
     toks = df.select(
         *key_cols, F.explode(X.tokens(F.col(text_col))).alias("tok")

@@ -247,10 +247,14 @@ def fit_kmeans_centroids(
     fit; oracle-checked queries keep the bit-deterministic first-k fit
     (:func:`fit_ivf_centroids`). Empty clusters keep their previous
     centroid."""
+    import math
+
     total = items.count()
     src = items.select(key, vec_col)
     if total > sample:
-        frac_buckets = max(1, int(total // sample))
+        # ceil, not floor: total // sample keeps EVERY row for
+        # sample < total < 2*sample (and up to ~2x the cap in general)
+        frac_buckets = math.ceil(total / sample)
         src = src.filter(
             F.abs(F.xxhash64(F.col(key).cast("string"))) % frac_buckets == 0
         )

@@ -332,6 +332,36 @@ def test_connected_components(spark):
     }
 
 
+def test_connected_components_raise_on_nonconvergence(spark):
+    """Exhausting max_iter with labels still changing must raise, not
+    return partially-propagated (wrong) components — real pair graphs sit
+    near the default cap (the 1M-row holdout needed ~20 rounds)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "key_a long, key_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_star(chain, max_iter=1)
+    # sufficient rounds: both converge on the same chain
+    got = {
+        r["key"]: r["component"]
+        for r in dedup.connected_components_star(chain, max_iter=10).collect()
+    }
+    assert set(got.values()) == {0}
+
+
+def test_match_variant_tokens_rejects_phrases(spark):
+    """Token-level matcher: multi-word keywords can never match the
+    exploded single-token join — reject loudly instead of returning
+    zero rows silently."""
+    from ocr_spark.operators.matching import match_variant_tokens
+
+    df = spark.createDataFrame([(1, "hash join plan")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="token-level"):
+        match_variant_tokens(df, ["hash join"], ["doc_id"], text_col="text")
+
+
 def test_connected_components_star_equivalence(spark):
     """Large-star/small-star contraction computes the same components as
     min-label propagation on chains, stars, and random graphs."""
