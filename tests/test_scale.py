@@ -210,6 +210,63 @@ def test_wer_join_has_no_unconditional_broadcast(spark):
     assert "Hint" in hinted._jdf.queryExecution().analyzed().toString()
 
 
+def test_aqe_skew_split_engages_on_hot_verify_key(spark):
+    """Skew evidence for the dedup verify join (BENCH.md note): when one
+    candidate key dominates (boilerplate hot doc), the shuffle partition
+    holding it dwarfs the rest. With AQE skew-join on (session default),
+    the runtime splits that partition — the final adaptive plan marks the
+    join ``skew=true`` — so no salting layer is needed in the verify
+    joins. Thresholds are scaled down to toy data (the skew FRACTION
+    matches production: one key ~90% of rows); production runs the 256MB
+    default."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        # per-row md5 padding: CONSTANT padding compresses below the skew
+        # threshold in the map output, hiding the skew from AQE's sizes
+        pad = F.concat(
+            *[F.md5((F.col("id") + i).cast("string")) for i in range(4)]
+        )
+        hot = spark.range(30_000).select(F.lit(0).alias("k"), pad.alias("pa"))
+        uni = spark.range(1, 3_000).select(
+            F.col("id").alias("k"), pad.alias("pa")
+        )
+        left = hot.union(uni)
+        right = spark.range(3_000).select(
+            F.col("id").alias("k"), pad.alias("pb")
+        )
+        j = left.join(right, "k").select("k", F.length("pa").alias("lp"))
+        # execute j ITSELF (count()/write() spawn a separate
+        # QueryExecution whose adaptive plan never finalizes here)
+        assert len(j.collect()) == 30_000 + 2_999
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_corpus_operator_plan_shapes(spark):
     """The round-2 curation family keeps its scale contracts: sampling is
     a pure row-local filter (zero exchanges), LM scoring and variant
