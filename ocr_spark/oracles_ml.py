@@ -86,6 +86,41 @@ from ver where jac >= {threshold}
 """
 
 
+def minhash_dropped_sql(
+    shingle_n: int, bands: int, rows: int, max_bucket: int
+) -> str:
+    """Twin of ``dedup.bucket_cap_counters`` over the minhash band table:
+    one row of cap metrics (how many buckets/entries the width cap drops)."""
+    sig_cols = ", ".join(f"{_sig(i)} as s{i}" for i in range(bands * rows))
+    band_rows = " union all ".join(
+        "select doc_id, {b} as band, md5(concat_ws('|', {cols})) as bh from sig".format(
+            b=b,
+            cols=", ".join(
+                f"cast(s{b * rows + r} as varchar)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+with {CORPUS},
+tok as (select doc_id, {TOKS} as toks from corpus),
+shing as (select doc_id, {_shingles(shingle_n)} as sh from tok),
+nz as (select doc_id, sh, {_HV} as hv from shing where len(sh) > 0),
+sig as (select doc_id, sh, {sig_cols} from nz),
+bandt as ({band_rows}),
+widths as (select band, bh, count(*) as n from bandt group by 1, 2)
+select 'minhash_lsh' as op,
+  cast({max_bucket} as bigint) as max_bucket,
+  cast(count(*) as bigint) as n_buckets,
+  cast(coalesce(sum(case when n > {max_bucket} then 1 else 0 end), 0)
+       as bigint) as n_buckets_dropped,
+  cast(coalesce(sum(case when n > {max_bucket} then n end), 0)
+       as bigint) as n_entries_dropped,
+  cast(coalesce(max(n), 0) as bigint) as max_width
+from widths
+"""
+
+
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
     chunk_exprs = []
     for c in range(4):

@@ -1162,6 +1162,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-bucket counters for the capped MinHash LSH (errors-as-data:
+    the cap must report what it removed, not drop silently). max_bucket=3
+    provably drops the widest buckets of the injected-dup corpus at this
+    scale."""
+    from ocr_spark.operators.dedup import minhash_lsh_with_counters
+
+    _, counters = minhash_lsh_with_counters(
+        _dup_corpus(spark, sf_dir), "doc_id",
+        shingle_n=3, bands=4, rows=3, threshold=0.5, max_bucket=3,
+    )
+    return counters
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive dedup clusters: min-label propagation
     over the MinHash pair graph; every doc maps to its canonical
@@ -2166,6 +2180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kw_rollup": q_kw_rollup,
     "kw_statistics": q_kw_statistics,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_dropped": q_dedup_dropped,
     "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
@@ -2176,7 +2191,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_features": q_quality_features,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
-    "media_features": q_media_features,
     "summarize": q_summarize,
     "shrink_levels": q_shrink_levels,
     "vector_search": q_vector_search,
@@ -2203,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute": q_ann_brute,
     "lang_id": q_lang_id,
     "kw_counts": q_kw_counts,
+    "media_features": q_media_features,
 }
 
 
@@ -2242,6 +2257,7 @@ select md5(text) as fingerprint, min(doc_id) as canonical_doc_id,
 from corpus group by 1
 """,
         "dedup_minhash": OM.minhash_pairs_sql(3, 4, 3, 0.5),
+        "dedup_dropped": OM.minhash_dropped_sql(3, 4, 3, 3),
         "dedup_components": _sql_dedup_components(),
         "dedup_simhash": OM.simhash_pairs_sql(3),
         "dedup_ngram": OM.minhash_pairs_sql(2, 5, 1, 0.5),
