@@ -174,11 +174,14 @@ def worker_dedup_holdout(cpus: int, inp: str) -> None:
     templated boilerplate produces buckets >10k wide, which the cap
     drops), then connected components over the resulting pair graph (the
     canonicalization step, evidencing label propagation at holdout pair
-    volume). Prints {rows, sec, pairs, components, cc_sec}."""
+    volume). The dropped-bucket counters ride along so the cap's effect
+    is RECORDED per run, not argued from a one-off analysis. Prints
+    {rows, sec, pairs, components, cc_sec, dropped_buckets,
+    dropped_entries, max_bucket_width}."""
     _pin(cpus)
     from ocr_spark.operators.dedup import (
         connected_components_star,
-        minhash_lsh,
+        minhash_lsh_with_counters,
     )
 
     spark = _new_spark(cpus)
@@ -186,11 +189,13 @@ def worker_dedup_holdout(cpus: int, inp: str) -> None:
     corpus = _holdout_corpus(spark, inp)
     n = corpus.count()
     t0 = time.time()
-    pairs = minhash_lsh(
+    pairs, counters = minhash_lsh_with_counters(
         corpus, "k", threshold=0.5, max_bucket=100, hash_fn="xxhash64"
-    ).persist()
+    )
+    pairs = pairs.persist()
     n_pairs = pairs.count()
     dt = time.time() - t0
+    cap = counters.collect()[0]
     t0 = time.time()
     comp = connected_components_star(pairs)
     n_comp = comp.select("component").distinct().count()
@@ -205,6 +210,9 @@ def worker_dedup_holdout(cpus: int, inp: str) -> None:
                 "pairs": n_pairs,
                 "components": n_comp,
                 "cc_sec": round(cc_dt, 1),
+                "dropped_buckets": cap["n_buckets_dropped"],
+                "dropped_entries": cap["n_entries_dropped"],
+                "max_bucket_width": cap["max_width"],
             }
         )
     )
