@@ -228,6 +228,130 @@ def minhash_lsh(
     )[0]
 
 
+def minhash_index(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The persistable MinHash signature index:
+    ``(k, sh: array<string>, bands_arr: array<struct<band,bh>>)``.
+
+    This is the state that makes dedup INCREMENTAL at corpus scale: write
+    it alongside the corpus (ideally exploded to the band table and
+    bucketed/partitioned by ``(band, bh)``), and each new ingest batch
+    joins against it via :func:`minhash_lsh_incremental` — O(batch)
+    shingling, never re-signing the committed corpus. Shingle-less rows
+    (too short for ``shingle_n``) are excluded — exact dedup owns them.
+    All parameters must match between index builds and incremental calls
+    (signatures are not comparable across configs or hash families)."""
+    from ocr_spark.operators.cleaning import materialize
+
+    base = df.select(F.col(key).alias("k"), F.col(text_col).alias("t"))
+    base = materialize(base, sh=word_shingles(F.col("t"), shingle_n)).drop("t")
+    base = base.filter(F.size("sh") > 0)
+    base = materialize(base, hv=shingle_hashes(F.col("sh"), hash_fn))
+    return materialize(
+        base,
+        bands_arr=lsh_bands(
+            minhash_signature(F.col("hv"), bands * rows), bands, rows, hash_fn
+        ),
+    ).drop("hv")
+
+
+def _band_table(index: DataFrame) -> DataFrame:
+    return index.select("k", F.explode("bands_arr").alias("b")).select(
+        "k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    key: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+    hash_fn: str = "md5",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dedup a new ingest batch against the committed corpus WITHOUT
+    re-processing the corpus — the shape dedup actually takes at 10¹²
+    turns, where batches arrive continuously and re-signing 100 TB per
+    batch is a non-starter.
+
+    ``index`` is the committed :func:`minhash_index` (same parameters).
+    Returns ``(pairs, counters, new_index)``:
+
+    * ``pairs`` — (key_a, key_b, jaccard) where ``key_a`` is ALWAYS from
+      the new batch and ``key_b`` is any duplicate partner: committed
+      (new-vs-old) or in-batch (new-vs-new, key_a < key_b). Keys must be
+      globally unique across batch and index.
+    * ``counters`` — one-row cap metrics over the COMBINED bucket widths
+      (a bucket hot in the committed index stays dropped for new docs
+      too; capping only within the batch would re-admit boilerplate
+      black holes batch by batch).
+    * ``new_index`` — the batch's index rows; append to the index table
+      after committing the batch (resume-safe: rebuilding is a pure
+      function of the batch).
+
+    Plan: O(batch) row-local signing; the candidate join is
+    batch-band-table × combined-band-table on ``(band, bh)`` — with the
+    index table bucketed by ``(band, bh)`` at rest the committed side
+    needs no shuffle; verify joins fetch shingle sets for candidates
+    only."""
+    new_idx = minhash_index(
+        new_df, key, text_col=text_col, shingle_n=shingle_n, bands=bands,
+        rows=rows, hash_fn=hash_fn,
+    )
+    bt_all = _band_table(new_idx).withColumn("is_new", F.lit(True)).unionByName(
+        _band_table(index).withColumn("is_new", F.lit(False))
+    )
+    bt_all, sizes = cap_buckets(bt_all, ["band", "bh"], max_bucket)
+    counters = bucket_cap_counters(sizes, max_bucket, "minhash_incremental")
+    a = bt_all.filter(F.col("is_new")).alias("a")
+    b = bt_all.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (
+                (F.col("b.is_new") & (F.col("a.k") < F.col("b.k")))
+                | (~F.col("b.is_new") & (F.col("a.k") != F.col("b.k")))
+            ),
+        )
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .distinct()
+    )
+    sh_all = new_idx.select("k", "sh").unionByName(index.select("k", "sh"))
+    verified = (
+        pairs.join(
+            new_idx.select(F.col("k").alias("ka"), F.col("sh").alias("sha")),
+            "ka",
+        )
+        .join(
+            sh_all.select(F.col("k").alias("kb"), F.col("sh").alias("shb")),
+            "kb",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    pairs_out = verified.select(
+        F.col("ka").alias("key_a"), F.col("kb").alias("key_b"), "jaccard"
+    )
+    return pairs_out, counters, new_idx
+
+
 def minhash_lsh_with_counters(
     df: DataFrame,
     key: str,
@@ -241,23 +365,11 @@ def minhash_lsh_with_counters(
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`minhash_lsh` plus the one-row dropped-bucket counters
     DataFrame (see :func:`bucket_cap_counters`)."""
-    from ocr_spark.operators.cleaning import materialize
-
-    base = df.select(F.col(key).alias("k"), F.col(text_col).alias("t"))
-    base = materialize(base, sh=word_shingles(F.col("t"), shingle_n)).drop("t")
-    # shingle-less rows (too short) have no signature and an undefined
-    # Jaccard — exact dedup handles them; drop here
-    base = base.filter(F.size("sh") > 0)
-    base = materialize(base, hv=shingle_hashes(F.col("sh"), hash_fn))
-    base = materialize(
-        base,
-        bands_arr=lsh_bands(
-            minhash_signature(F.col("hv"), bands * rows), bands, rows, hash_fn
-        ),
-    ).drop("hv")
-    bt = base.select("k", F.explode("bands_arr").alias("b")).select(
-        "k", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    base = minhash_index(
+        df, key, text_col=text_col, shingle_n=shingle_n, bands=bands,
+        rows=rows, hash_fn=hash_fn,
     )
+    bt = _band_table(base)
     # cap pathological buckets
     bt, sizes = cap_buckets(bt, ["band", "bh"], max_bucket)
     counters = bucket_cap_counters(sizes, max_bucket, "minhash_lsh")

@@ -86,6 +86,62 @@ from ver where jac >= {threshold}
 """
 
 
+#: incremental-dedup corpus: committed = even doc_ids; new batch = odd
+#: doc_ids + exact copies (key+500000) of doc_id%10==0 committed docs
+#: (guaranteed new-vs-old duplicate pairs)
+INC_CORPUS = """
+inc as (
+  select doc_id, text, 0 as is_new from documents where doc_id % 2 = 0
+  union all
+  select doc_id, text, 1 as is_new from documents where doc_id % 2 = 1
+  union all
+  select doc_id + 500000 as doc_id, text, 1 as is_new
+  from documents where doc_id % 10 = 0
+)
+"""
+
+
+def minhash_incremental_sql(
+    shingle_n: int, bands: int, rows: int, threshold: float
+) -> str:
+    """Twin of ``dedup.minhash_lsh_incremental`` over INC_CORPUS: pairs
+    anchored on the new batch (key_a new; key_b committed with ka != kb,
+    or new with ka < kb)."""
+    sig_cols = ", ".join(f"{_sig(i)} as s{i}" for i in range(bands * rows))
+    band_rows = " union all ".join(
+        "select doc_id, is_new, {b} as band, md5(concat_ws('|', {cols})) as bh from sig".format(
+            b=b,
+            cols=", ".join(
+                f"cast(s{b * rows + r} as varchar)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+with {INC_CORPUS},
+tok as (select doc_id, is_new, {TOKS} as toks from inc),
+shing as (select doc_id, is_new, {_shingles(shingle_n)} as sh from tok),
+nz as (select doc_id, is_new, sh, {_HV} as hv from shing where len(sh) > 0),
+sig as (select doc_id, is_new, sh, {sig_cols} from nz),
+bandt as ({band_rows}),
+cand as (
+  select distinct a.doc_id as ka, b.doc_id as kb
+  from bandt a join bandt b
+    on a.band = b.band and a.bh = b.bh and a.is_new = 1
+   and ((b.is_new = 1 and a.doc_id < b.doc_id)
+        or (b.is_new = 0 and a.doc_id != b.doc_id))
+),
+ver as (
+  select ka, kb,
+    (len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh)))) as jac
+  from cand join nz x on x.doc_id = ka join nz y on y.doc_id = kb
+)
+select ka as key_a, kb as key_b,
+  cast(floor(jac * 10000 + 0.5) as bigint) as jac_c
+from ver where jac >= {threshold}
+"""
+
+
 def minhash_dropped_sql(
     shingle_n: int, bands: int, rows: int, max_bucket: int
 ) -> str:

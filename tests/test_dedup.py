@@ -332,6 +332,44 @@ def test_connected_components(spark):
     }
 
 
+def test_minhash_incremental_matches_full(spark, corpus):
+    """Batch-vs-index incremental dedup must find exactly the full-corpus
+    pairs that touch the new batch — without re-signing the committed
+    side — and new-vs-old pairs must anchor key_a on the batch."""
+    committed = corpus.filter("doc_id % 2 = 0")
+    newbatch = corpus.filter("doc_id % 2 = 1")
+    index = dedup.minhash_index(committed, "doc_id")
+    pairs, counters, new_idx = dedup.minhash_lsh_incremental(
+        newbatch, index, "doc_id", threshold=0.5
+    )
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+
+    full = {
+        (r["key_a"], r["key_b"])
+        for r in dedup.minhash_lsh(corpus, "doc_id", threshold=0.5).collect()
+    }
+    new_keys = {r["doc_id"] for r in newbatch.select("doc_id").collect()}
+    # expected: full-corpus pairs with >=1 new endpoint, anchored on new
+    expect = set()
+    for a, b in full:
+        if a in new_keys and b in new_keys:
+            expect.add((a, b))
+        elif a in new_keys:
+            expect.add((a, b))
+        elif b in new_keys:
+            expect.add((b, a))
+    assert got == expect and len(got) > 0
+    # old-vs-old pairs never recomputed
+    assert all(a in new_keys for a, _ in got)
+    # the returned batch index is appendable state: signing the batch
+    # again yields identical rows
+    again = dedup.minhash_index(newbatch, "doc_id")
+    assert sorted(map(tuple, new_idx.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    assert counters.first()["op"] == "minhash_incremental"
+
+
 def test_connected_components_raise_on_nonconvergence(spark):
     """Exhausting max_iter with labels still changing must raise, not
     return partially-propagated (wrong) components — real pair graphs sit
