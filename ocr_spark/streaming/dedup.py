@@ -1,0 +1,168 @@
+"""Streaming incremental dedup: sign each micro-batch once, join against
+the committed signature index, append the batch's signatures.
+
+This is the shape dedup takes on a continuously-ingested 10^12-turn
+corpus: re-signing the committed corpus per ingest batch is a
+non-starter, so the durable state is the :func:`~ocr_spark.operators.
+dedup.minhash_index` table, partitioned by ``batch_id``. Each
+availableNow cycle (C1/C6 contract, see streaming/pipeline.py):
+
+* the batch is shingled/signed ONCE — O(batch) row-local work;
+* its band table joins the committed index's band table on
+  ``(band, bh)`` via :func:`~ocr_spark.operators.dedup.
+  minhash_lsh_incremental` — caps apply to COMBINED bucket widths, so
+  a boilerplate bucket already hot in the index stays dropped;
+* verified pairs land in ``pairs_path/batch_id=<id>`` (key_a always the
+  new turn), cap counters in ``metrics_path/batch_id=<id>``, and the
+  batch's signature rows in ``index_path/batch_id=<id>`` — all in
+  OVERWRITE mode, so an at-least-once ``foreachBatch`` replay rewrites
+  the same files instead of duplicating.
+
+Replay safety: a crash between the index write and the checkpoint
+commit leaves a ``batch_id=<id>`` partition behind; on redelivery the
+committed-index read EXCLUDES the current batch's own partition
+(partition-pruned, so even half-written files are never opened), which
+restores exactly the pre-crash index view. The reference has no dedup
+stage; this extends its work-queue resume semantics
+(ocr_worker.py:277-330) to deduplication state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.operators.dedup import minhash_index, minhash_lsh_incremental
+from ocr_spark.schemas import TRANSCRIPTS
+from ocr_spark.streaming.pipeline import _bind_results_to_checkpoint
+
+def turn_key() -> "F.Column":
+    """Globally-unique turn key — conversations never collide on this.
+    Built lazily: a module-level Column would need a live SparkContext at
+    import time and break ``--py-files`` submits."""
+    return F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
+
+
+def _index_dir_exists(spark: SparkSession, index_path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id="):
+            return True
+    return False
+
+
+def committed_index(
+    spark: SparkSession,
+    index_path: str,
+    exclude_batch_id: int,
+    template: DataFrame,
+) -> DataFrame:
+    """The committed signature index as seen by one micro-batch: every
+    ``batch_id`` partition EXCEPT the batch's own (a replayed batch must
+    not dedup against its crashed attempt's partial write). The schema is
+    pinned from ``template`` (no footer-based inference, so files inside
+    the pruned partition are never touched). Empty when no batch has
+    committed yet."""
+    if not _index_dir_exists(spark, index_path):
+        return template.limit(0)
+    schema = T.StructType(
+        list(template.schema.fields) + [T.StructField("batch_id", T.LongType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .parquet(index_path)
+        .filter(F.col("batch_id") != exclude_batch_id)
+        .drop("batch_id")
+    )
+
+
+def dedup_one_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    pairs_path: str,
+    index_path: str,
+    metrics_path: str | None = None,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+    hash_fn: str = "md5",
+) -> int:
+    """Dedup ONE micro-batch against the committed index and commit the
+    batch's pairs + signatures under its deterministic ``batch_id``
+    partitions. Idempotent under replay (see module docstring). Returns
+    verified pair rows written."""
+    keyed = batch_df.withColumn("turn_key", turn_key())
+    params = dict(
+        text_col=text_col, shingle_n=shingle_n, bands=bands, rows=rows,
+        hash_fn=hash_fn,
+    )
+    template = minhash_index(keyed.limit(0), "turn_key", **params)
+    index = committed_index(spark, index_path, batch_id, template)
+    pairs, counters, new_idx = minhash_lsh_incremental(
+        keyed, index, "turn_key",
+        threshold=threshold, max_bucket=max_bucket, **params,
+    )
+    pairs = pairs.persist()
+    try:
+        n = pairs.count()
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
+        )
+        new_idx.write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={batch_id}"
+        )
+        if metrics_path:
+            counters.write.mode("overwrite").parquet(
+                f"{metrics_path}/batch_id={batch_id}"
+            )
+    finally:
+        pairs.unpersist()
+    return n
+
+
+def run_dedup_available_now(
+    spark: SparkSession,
+    input_path: str,
+    pairs_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    timeout_s: int = 600,
+    **dedup_params,
+) -> int:
+    """One availableNow dedup cycle over a growing transcript directory:
+    every not-yet-seen input file is signed once and deduped against the
+    index built by all prior cycles, then its signatures join the index.
+    Returns verified pair rows written this cycle (key_a is always from
+    this cycle's data). ``dedup_params`` pass through to
+    :func:`dedup_one_batch`; they must stay constant for the lifetime of
+    an index (signatures are not comparable across configs)."""
+    _bind_results_to_checkpoint(spark, pairs_path, checkpoint_path)
+    _bind_results_to_checkpoint(spark, index_path, checkpoint_path)
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_path)
+    written = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        written["n"] += dedup_one_batch(
+            spark, batch_df, batch_id, pairs_path, index_path, **dedup_params
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return written["n"]

@@ -288,3 +288,92 @@ def test_committed_snapshot_read(spark, vocab, transcripts_pdf, tmp_path):
     os.makedirs(partial)
     pd.DataFrame({"conv_id": ["junk"]}).to_parquet(partial + "/part-0.parquet")
     assert read_results_committed(spark, results).count() == n
+
+
+def test_streaming_incremental_dedup(spark, transcripts_pdf, tmp_path):
+    """Per-micro-batch dedup against the committed signature index:
+    wave 2 is never compared by re-signing wave 1 — it joins wave 1's
+    persisted index — and a duplicate planted across waves surfaces with
+    key_a anchored on the new wave."""
+    from ocr_spark.streaming.dedup import run_dedup_available_now
+
+    inp = str(tmp_path / "in")
+    pairs_p = str(tmp_path / "pairs")
+    index_p = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    metrics = str(tmp_path / "metrics")
+
+    convs = sorted(transcripts_pdf["conv_id"].unique())
+    wave1 = transcripts_pdf[transcripts_pdf.conv_id.isin(convs[:15])]
+    wave2 = transcripts_pdf[transcripts_pdf.conv_id.isin(convs[15:])].copy()
+    # plant an exact cross-wave duplicate: a fresh wave-2 turn carrying a
+    # wave-1 turn's text verbatim
+    src = wave1.iloc[7]
+    planted = wave2.iloc[[0]].copy()
+    planted["conv_id"] = "planted-conv"
+    planted["turn_idx"] = 0
+    planted["text"] = src["text"]
+    wave2 = __import__("pandas").concat([wave2, planted], ignore_index=True)
+    wave2["turn_idx"] = wave2["turn_idx"].astype("int32")
+
+    _write_slice(wave1, inp + "/w1.parquet")
+    run_dedup_available_now(
+        spark, inp, pairs_p, index_p, ckpt,
+        metrics_path=metrics, threshold=0.5,
+    )
+    assert spark.read.parquet(index_p).filter("batch_id = 0").count() > 0
+
+    _write_slice(wave2, inp + "/w2.parquet")
+    n2 = run_dedup_available_now(
+        spark, inp, pairs_p, index_p, ckpt,
+        metrics_path=metrics, threshold=0.5,
+    )
+    assert n2 > 0
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in spark.read.parquet(pairs_p)
+        .filter("batch_id = 1").collect()
+    }
+    src_key = f"{src['conv_id']}#{src['turn_idx']}"
+    assert ("planted-conv#0", src_key) in got
+    # new-vs-old pairs anchor key_a on the new wave
+    w1_keys = {f"{r.conv_id}#{r.turn_idx}" for _, r in wave1.iterrows()}
+    assert all(a not in w1_keys for a, _ in got)
+
+    # idle cycle: nothing reprocessed, index untouched
+    n3 = run_dedup_available_now(
+        spark, inp, pairs_p, index_p, ckpt,
+        metrics_path=metrics, threshold=0.5,
+    )
+    assert n3 == 0
+    assert {
+        r["batch_id"]
+        for r in spark.read.parquet(index_p).select("batch_id").distinct().collect()
+    } == {0, 1}
+    assert spark.read.parquet(metrics).filter("n_buckets_dropped >= 0").count() >= 2
+
+
+def test_streaming_dedup_replay_excludes_own_partition(spark, transcripts_pdf, tmp_path):
+    """An at-least-once replay of batch N must not dedup against batch
+    N's own crashed write: dedup_one_batch twice with the same batch_id
+    yields identical pairs (the committed-index read prunes batch_id=N)."""
+    from ocr_spark.schemas import TRANSCRIPTS
+    from ocr_spark.streaming.dedup import dedup_one_batch
+
+    pairs_p = str(tmp_path / "pairs")
+    index_p = str(tmp_path / "index")
+    batch = spark.createDataFrame(
+        transcripts_pdf.head(80), schema=TRANSCRIPTS
+    )
+    n_first = dedup_one_batch(
+        spark, batch, 0, pairs_p, index_p, threshold=0.5
+    )
+    # replay: batch_id=0's index partition now exists on disk
+    n_replay = dedup_one_batch(
+        spark, batch, 0, pairs_p, index_p, threshold=0.5
+    )
+    assert n_replay == n_first
+    pairs = spark.read.parquet(pairs_p)
+    assert pairs.count() == n_first
+    # without the exclusion every row would pair with its replayed twin
+    assert pairs.filter("key_a = key_b").count() == 0
