@@ -518,3 +518,73 @@ def pack_bins_ranged(
         .cast("long")
         .alias("bin_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-level line dedup (C4-style frequent-line removal)
+# --------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove lines that repeat across ≥ ``min_docs`` distinct documents
+    (C4's "three-sentence span" rule collapsed to line granularity, the
+    form RefinedWeb/CCNet apply to web text): navigation, cookie banners,
+    footers and license headers appear verbatim in thousands of pages,
+    and n-gram-level signals (:func:`boilerplate_grams`) only *score*
+    them — this operator actually REWRITES the text.
+
+    Output: ``(key, clean_text, n_kept, n_dropped)`` where ``clean_text``
+    is the document with offending lines removed, newline-joined in the
+    original line order. A line is a dedup candidate iff its trimmed form
+    is non-empty; candidates are matched on the trimmed form (leading/
+    trailing whitespace does not defeat the frequency count) but emitted
+    verbatim.
+
+    Scale shape: ``posexplode`` is linear; the frequency count is one
+    combiner-friendly two-phase shuffle on the trimmed line (distinct
+    (line, doc) then count — exactly countDistinct's expansion, written
+    out so the partial agg is visible); the frequent-line dim joins back
+    WITHOUT a broadcast hint — at web scale the boilerplate set itself
+    grows with the crawl (every template ever seen), so AQE sizes the
+    join at runtime (the same no-unconditional-broadcast contract as
+    ``wer_join``). Reassembly is one combiner-friendly ``collect_list``
+    per doc keyed by ``key``, sorted row-locally."""
+    lines = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.col("line")))
+    freq = (
+        lines.filter(F.col("norm") != "")
+        .select("norm", key)
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("norm", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(freq, "norm", "left").withColumn(
+        "_drop", F.col("_boiler").isNotNull() & (F.col("norm") != "")
+    )
+    return flagged.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum((~F.col("_drop")).cast("long")).alias("n_kept"),
+        F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+    )

@@ -800,3 +800,52 @@ def connected_components_star(
             )
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# keep/drop application — the last mile of every dedup family
+# --------------------------------------------------------------------------
+
+
+def apply_dedup(
+    corpus: DataFrame,
+    components: DataFrame,
+    key: str = "key",
+    text_col: str = "text",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Turn a doc→component map into the actual keep/drop decision:
+    ``(key, component, n_members, keep)`` with exactly ONE kept member
+    per duplicate cluster.
+
+    Selection policy is *best member*, not arbitrary member: keep the
+    LONGEST text (ties broken by min key) — production curation keeps
+    the highest-quality representative of a near-dup cluster, and the
+    near-copies injected by the dedup test corpus are token-dropped,
+    i.e. strictly shorter than their source, so the policy is observable
+    in the oracle. The reference has no dedup stage; this is the apply
+    step the pair families (minhash/simhash/ngram/embedding) and
+    :func:`connected_components` feed at curation time.
+
+    Scale shape: one shuffle joining the (small) component map onto the
+    corpus keyed by ``key``, then two window functions over ONE
+    partitioning by ``component``. Component widths are near-dup cluster
+    sizes — bounded by the bucket caps upstream, so no mega-partition;
+    a pathological corpus-wide cluster would already have been capped
+    (and counted) at pair generation."""
+    from pyspark.sql import Window
+
+    ranked = corpus.select(
+        F.col(key), F.length(F.col(text_col)).alias("_len")
+    ).join(
+        components.select(F.col(key), F.col(comp_col).alias("component")),
+        key,
+    )
+    w = Window.partitionBy("component")
+    order = w.orderBy(F.col("_len").desc(), F.col(key).asc())
+    return ranked.select(
+        F.col(key),
+        F.col("component"),
+        F.count("*").over(w).cast("long").alias("n_members"),
+        (F.row_number().over(order) == 1).cast("int").alias("keep"),
+    )

@@ -420,3 +420,80 @@ def embedding_neardup_with_counters(
         )
     )
     return pairs, counters
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, compare cosine similarity ONLY within a cluster, and drop
+    every vector that has a higher-priority near-semantic twin.
+
+    Output: ``(key, cid, keep, dup_of)`` — ``keep=0`` iff some same-
+    cluster vector with a SMALLER key has cosine ≥ ``threshold``;
+    ``dup_of`` is the smallest such key (NULL when kept). The smaller-key
+    rule makes the decision deterministic and engine-portable; it also
+    means the keep set is exactly the greedy scan SemDeDup describes
+    (visit in key order, keep what duplicates nothing kept before —
+    within a cluster, cosine-θ balls make the pairwise and greedy forms
+    agree on this rule).
+
+    Scale shape: identical to :func:`ann_ivf` — centroids ride the plan
+    as broadcast literals (no fit-side join), the self-join partitions by
+    ``cid`` so candidate generation is O(Σ cluster²), never corpus²;
+    production sizes ``n_clusters`` so clusters hold ~10³-10⁴ vectors
+    (SemDeDup uses k≈10⁵ on LAION). ``max_cluster`` additionally caps
+    pathological clusters (dense embedding-space hot spots): vectors in
+    an over-wide cluster are NOT compared (kept, dup_of NULL) — the same
+    errors-as-data cap as the text-dedup families; wire
+    ``bucket_cap_counters`` over the returned widths when auditing.
+    Default fit is the bit-deterministic first-k quantizer so DuckDB
+    oracles replay it; pass k-means centroids in production."""
+    from ocr_spark.operators.dedup import cap_buckets
+
+    if centroids is None:
+        centroids = fit_ivf_centroids(df, key, vec_col, n_clusters)
+    base = (
+        df.select(F.col(key), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("cid", _centroid_ranks(F.col("v"), centroids)[0]["cid"])
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    joinable = base
+    if max_cluster is not None:
+        joinable, _sizes = cap_buckets(base, ["cid"], max_cluster)
+    a = joinable.select(
+        F.col(key).alias("_ka"), F.col("cid").alias("_ca"),
+        F.col("v").alias("_va"), F.col("nrm").alias("_na"),
+    )
+    b = joinable.select(
+        F.col(key).alias("_kb"), F.col("cid").alias("_cb"),
+        F.col("v").alias("_vb"), F.col("nrm").alias("_nb"),
+    )
+    dup = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ka") < F.col("_kb")))
+        .withColumn(
+            "_cos",
+            cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .groupBy(F.col("_kb").alias(key))
+        .agg(F.min("_ka").alias("dup_of"))
+    )
+    return base.join(dup, key, "left").select(
+        F.col(key),
+        F.col("cid").cast("int").alias("cid"),
+        F.col("dup_of").isNull().cast("int").alias("keep"),
+        F.col("dup_of"),
+    )

@@ -368,3 +368,45 @@ select query_id, cast(rank as int) as rank, item_id,
   cast(floor(cos * 1000000 + 0.5) as bigint) as cos_c
 from ranked where rank <= {k}
 """
+
+
+def semantic_dedup_sql(threshold: float, n_clusters: int = 8) -> str:
+    """Twin of ``similarity.semantic_dedup`` over ECORPUS: first-k coarse
+    quantizer, within-cluster cosine >= threshold drops the larger key."""
+    dot_bc = _dot("b.v", "c.c")
+    return f"""
+with {ECORPUS},
+cent as (
+  select row_number() over (order by vec_id) - 1 as cid, v as c
+  from (select * from ecorpus order by vec_id limit {n_clusters})
+),
+asg as (
+  select b.vec_id, c.cid,
+    coalesce(-(case when sqrt({_dot('b.v', 'b.v')}) * sqrt({_dot('c.c', 'c.c')}) > 0
+      then {dot_bc} / (sqrt({_dot('b.v', 'b.v')}) * sqrt({_dot('c.c', 'c.c')})) end),
+      2.0) as negcos
+  from ecorpus b, cent c
+),
+cl as (
+  select vec_id, cid from (
+    select vec_id, cid,
+      row_number() over (partition by vec_id order by negcos, cid) as r
+    from asg
+  ) where r = 1
+),
+base as (
+  select e.vec_id, e.v, cl.cid, sqrt({_dot('e.v', 'e.v')}) as n
+  from ecorpus e join cl on e.vec_id = cl.vec_id
+),
+dup as (
+  select b.vec_id, min(a.vec_id) as dup_of
+  from base a join base b on a.cid = b.cid and a.vec_id < b.vec_id
+  where (case when a.n * b.n > 0
+         then {_dot('a.v', 'b.v')} / (a.n * b.n) end) >= {threshold}
+  group by b.vec_id
+)
+select base.vec_id, cast(base.cid as int) as cid,
+  cast(case when dup.dup_of is null then 1 else 0 end as int) as keep,
+  dup.dup_of
+from base left join dup on base.vec_id = dup.vec_id
+"""

@@ -2170,6 +2170,160 @@ from (
 """
 
 
+
+# --------------------------------------------------------------------------
+# curation last-mile: dedup apply / line dedup / semantic dedup (round 3)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> components -> the actual keep/drop decision: exactly one
+    kept representative (longest text, ties to min key) per duplicate
+    cluster -- the step that turns every pair family into a curated
+    corpus."""
+    from ocr_spark.operators.dedup import (
+        apply_dedup, connected_components_star, minhash_lsh,
+    )
+
+    corpus_df = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh(
+        corpus_df, "doc_id", shingle_n=3, bands=4, rows=3, threshold=0.5
+    )
+    # star contraction (the production O(log n) algorithm) — its output
+    # is equivalence-tested against min-label propagation, so the
+    # recursive-CTE oracle covers BOTH component implementations here
+    comps = connected_components_star(
+        pairs, nodes=corpus_df.select(F.col("doc_id").alias("key"))
+    ).withColumnRenamed("key", "doc_id")
+    return apply_dedup(corpus_df, comps, key="doc_id")
+
+
+def _sql_dedup_apply() -> str:
+    inner = OM.minhash_pairs_sql(3, 4, 3, 0.5)
+    return f"""
+with recursive
+pairs as ({inner}),
+e as (
+  select key_a as u, key_b as v from pairs
+  union
+  select key_b as u, key_a as v from pairs
+),
+reach as (
+  select u, v from e
+  union
+  select r.u, e.v from reach r join e on r.v = e.u
+),
+comp as (select u, least(u, min(v)) as c from reach group by u),
+{OM.CORPUS.strip()},
+labeled as (
+  select corpus.doc_id, coalesce(comp.c, corpus.doc_id) as component,
+         length(corpus.text) as len
+  from corpus left join comp on comp.u = corpus.doc_id
+)
+select doc_id, component,
+  cast(count(*) over (partition by component) as bigint) as n_members,
+  cast(case when row_number() over (
+      partition by component order by len desc, doc_id asc) = 1
+    then 1 else 0 end as int) as keep
+from labeled
+"""
+
+
+#: boilerplate lines injected into the deterministic "lined" corpus
+LINE_HEADER = "== corpus header =="
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style frequent-line removal: docs deterministically reshaped to
+    8-token lines plus injected boilerplate (one global header, one
+    per-tool footer shared by doc_id % 4); any line in >= 2 distinct docs
+    is stripped and the text rewritten (mirrored by the DuckDB twin)."""
+    from ocr_spark.operators.cleaning import materialize
+    from ocr_spark.operators.corpus import line_dedup
+
+    docs = materialize(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        toks=X.tokens(F.col("text")),
+    )
+    toks = F.col("toks")
+    n = F.greatest(
+        F.ceil(F.size(toks) / F.lit(8.0)), F.lit(1)
+    ).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(8) + F.lit(1), 8), " "
+        ),
+    )
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(LINE_HEADER),
+            F.array_join(content, "\n"),
+            F.concat(
+                F.lit("generated by tool "),
+                (F.col("doc_id") % 4).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return line_dedup(lined, key="doc_id", min_docs=2)
+
+
+def _sql_line_dedup() -> str:
+    return f"""
+with toks as (
+  select doc_id, {OM.TOKS} as toks from documents
+),
+lined as (
+  select doc_id,
+    '{LINE_HEADER}' || chr(10) ||
+    array_to_string(
+      list_transform(
+        range(0, cast(greatest(ceil(len(toks) / 8.0), 1) as int)),
+        i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')),
+      chr(10)) ||
+    chr(10) || 'generated by tool ' || cast(doc_id % 4 as varchar) as text
+  from toks
+),
+lines as (
+  select doc_id, cast(i - 1 as int) as pos, l as line, trim(l) as norm
+  from (
+    select doc_id,
+      unnest(string_split(text, chr(10))) as l,
+      generate_subscripts(string_split(text, chr(10)), 1) as i
+    from lined
+  )
+),
+freq as (
+  select norm from lines where norm <> ''
+  group by norm having count(distinct doc_id) >= 2
+),
+flagged as (
+  select l.doc_id, l.pos, l.line, (f.norm is not null) as dropped
+  from lines l left join freq f using (norm)
+)
+select doc_id,
+  coalesce(string_agg(line, chr(10) order by pos)
+           filter (where not dropped), '') as clean_text,
+  cast(count(*) filter (where not dropped) as bigint) as n_kept,
+  cast(count(*) filter (where dropped) as bigint) as n_dropped
+from flagged group by doc_id
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the perturbed embedding corpus: first-8 coarse
+    quantizer clusters, within-cluster cosine >= 0.95 drops the
+    larger-key twin (keep=0, dup_of = smallest such neighbor)."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb_corpus(spark, sf_dir), "vec_id", "v",
+        n_clusters=8, threshold=0.95,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2193,8 +2347,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_tool_stats": q_parse_tool_stats,
     "parse_pdfish_order": q_parse_pdfish_order,
     "parse_extract": q_parse_extract,
-    "conv_segments": q_conv_segments,
-    "segment_rollup": q_segment_rollup,
     "session_windows": q_session_windows,
     "source_percentiles": q_source_percentiles,
     "kw_spans": q_kw_spans,
@@ -2207,6 +2359,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_dropped": q_dedup_dropped,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_apply": q_dedup_apply,
+    "line_dedup": q_line_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
@@ -2215,7 +2370,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_mp": q_ann_lsh_mp,
     "ann_ivf": q_ann_ivf,
     "quality_features": q_quality_features,
-    "token_counts": q_token_counts,
     "summarize": q_summarize,
     "shrink_levels": q_shrink_levels,
     "vector_search": q_vector_search,
@@ -2234,6 +2388,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    "conv_segments": q_conv_segments,
+    "segment_rollup": q_segment_rollup,
+    "token_counts": q_token_counts,
     "topk_longest": q_topk_longest,
     "source_describe": q_source_describe,
     "conv_rollup": q_conv_rollup,
@@ -2285,6 +2442,9 @@ from corpus group by 1
         "dedup_minhash": OM.minhash_pairs_sql(3, 4, 3, 0.5),
         "dedup_dropped": OM.minhash_dropped_sql(3, 4, 3, 3),
         "dedup_incremental": OM.minhash_incremental_sql(3, 4, 3, 0.5),
+        "dedup_apply": _sql_dedup_apply(),
+        "line_dedup": _sql_line_dedup(),
+        "semantic_dedup": OM.semantic_dedup_sql(0.95),
         "dedup_components": _sql_dedup_components(),
         "dedup_simhash": OM.simhash_pairs_sql(3),
         "dedup_ngram": OM.minhash_pairs_sql(2, 5, 1, 0.5),

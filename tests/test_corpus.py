@@ -294,3 +294,36 @@ def test_chunk_windows(spark):
 
     with _pytest.raises(ValueError):
         corpus.chunk_windows(df, size=4, overlap=4)
+
+
+def test_line_dedup(spark):
+    rows = [
+        (0, "HEADER\nunique zero line\nFOOTER"),
+        (1, "HEADER\nunique one line\nFOOTER"),
+        (2, "  HEADER  \nanother unique\n\nFOOTER"),  # pad + empty line
+        (3, "HEADER\nFOOTER"),                         # all boilerplate
+        (4, "a x\nHEADER\nb y"),                       # order preserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in corpus.line_dedup(df, min_docs=3).collect()
+    }
+    assert len(got) == 5  # every doc survives, even fully-boilerplate ones
+    assert got[0]["clean_text"] == "unique zero line"
+    assert got[0]["n_kept"] == 1 and got[0]["n_dropped"] == 2
+    # trim-matched: the padded header is dropped; empty lines never are
+    assert got[2]["clean_text"] == "another unique\n"
+    assert got[2]["n_kept"] == 2 and got[2]["n_dropped"] == 2
+    assert got[3]["clean_text"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["clean_text"] == "a x\nb y"  # original line order
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    rows = [(i, f"shared pair\nonly doc {i}") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # at min_docs=3 the 2-doc line survives
+    out3 = {r["doc_id"]: r for r in corpus.line_dedup(df, min_docs=3).collect()}
+    assert all(out3[i]["n_dropped"] == 0 for i in range(2))
+    out2 = {r["doc_id"]: r for r in corpus.line_dedup(df, min_docs=2).collect()}
+    assert all(out2[i]["clean_text"] == f"only doc {i}" for i in range(2))

@@ -437,3 +437,61 @@ def test_connected_components_star_equivalence(spark):
         a = comp(dedup.connected_components, edges)
         b = comp(dedup.connected_components_star, edges)
         assert a == b, f"seed {seed}: mismatch"
+
+
+def test_apply_dedup_one_keep_per_cluster(spark, corpus):
+    """apply_dedup keeps exactly one member per duplicate cluster — the
+    longest text, ties to min key (so exact-copy clusters keep the
+    original id, near-copy clusters keep the unshortened source)."""
+    pairs = dedup.minhash_lsh(corpus, "doc_id", threshold=0.5)
+    comps = dedup.connected_components(
+        pairs, nodes=corpus.select(F.col("doc_id").alias("key"))
+    ).withColumnRenamed("key", "doc_id")
+    out = dedup.apply_dedup(corpus, comps, key="doc_id").collect()
+
+    assert len(out) == corpus.count()  # total map: every doc decided
+    per_comp: dict = {}
+    for r in out:
+        per_comp.setdefault(r["component"], []).append(r)
+    for comp, members in per_comp.items():
+        assert sum(r["keep"] for r in members) == 1, comp
+        assert all(r["n_members"] == len(members) for r in members)
+    got = {r["doc_id"]: r for r in out}
+    for i in range(0, 60, 4):
+        # exact copy: equal length, min-key tiebreak keeps the original
+        if got[i]["component"] == got[1000 + i]["component"]:
+            assert got[i]["keep"] == 1 and got[1000 + i]["keep"] == 0
+    for i in range(0, 60, 5):
+        # near copy is 3 tokens shorter: longest-wins keeps the source
+        if got[i]["component"] == got[2000 + i]["component"]:
+            assert got[i]["keep"] == 1 and got[2000 + i]["keep"] == 0
+
+
+def test_semantic_dedup_drops_perturbed_twin(spark, vectors):
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            vectors, "vec_id", "embedding", n_clusters=4, threshold=0.999
+        ).collect()
+    }
+    assert len(out) == vectors.count()
+    for i in range(0, 40, 8):
+        twin = out[100 + i]
+        # the +0.01 copy lands in the source's cluster and is dropped
+        assert twin["cid"] == out[i]["cid"]
+        assert twin["keep"] == 0 and twin["dup_of"] == i
+        assert out[i]["keep"] == 1  # source has no smaller-key twin
+    # random gaussians are nowhere near cos 0.999 of each other
+    originals = [out[i] for i in range(40)]
+    assert all(r["keep"] == 1 for r in originals)
+
+
+def test_semantic_dedup_max_cluster_skips_comparison(spark, vectors):
+    """Vectors in an over-wide cluster are kept uncompared (errors-as-data
+    cap), never silently dropped from the output."""
+    out = similarity.semantic_dedup(
+        vectors, "vec_id", "embedding",
+        n_clusters=1, threshold=0.999, max_cluster=3,
+    ).collect()
+    assert len(out) == vectors.count()
+    assert all(r["keep"] == 1 and r["dup_of"] is None for r in out)

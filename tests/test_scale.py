@@ -325,3 +325,34 @@ def test_lm_dim_topk_is_distributed(spark):
     )
     plan = _plan(corpus.lm_dim(df, vocab_size=100))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_curation_lastmile_plan_shapes(spark):
+    """Round-3 last-mile operators keep their scale contracts:
+    apply_dedup repartitions by component exactly ONCE (both window
+    functions reuse the same exchange); semantic_dedup's pair join is an
+    equi-join on cid (never nested-loop/cartesian); line_dedup's
+    frequent-line join carries no broadcast hint (the boilerplate set
+    grows with the crawl — AQE sizes it at runtime, the wer_join
+    contract)."""
+    import re
+
+    from ocr_spark.operators import corpus, dedup, similarity
+
+    docs = spark.createDataFrame(
+        [(1, "aa\nbb"), (2, "b\nbb")], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, component long"
+    )
+    plan = _plan(dedup.apply_dedup(docs, comp, key="doc_id"))
+    assert len(re.findall(r"Exchange hashpartitioning\(component", plan)) == 1, plan
+
+    vec = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [0.5] * 4)], "vec_id long, embedding array<double>"
+    )
+    sp = _plan(similarity.semantic_dedup(vec, "vec_id", "embedding", n_clusters=1))
+    assert "BroadcastNestedLoopJoin" not in sp and "CartesianProduct" not in sp, sp
+
+    ld = corpus.line_dedup(docs)
+    assert "Hint" not in ld._jdf.queryExecution().analyzed().toString()
