@@ -52,8 +52,12 @@ def _sig(i: int) -> str:
 
 
 def minhash_pairs_sql(
-    shingle_n: int, bands: int, rows: int, threshold: float
+    shingle_n: int, bands: int, rows: int, threshold: float,
+    corpus_cte: str | None = None,
 ) -> str:
+    """``corpus_cte`` overrides the injected-duplicate CORPUS (e.g. with a
+    survivors CTE when composing the funnel oracle) — it must define a
+    ``corpus(doc_id, text)`` CTE body."""
     sig_cols = ", ".join(f"{_sig(i)} as s{i}" for i in range(bands * rows))
     band_rows = " union all ".join(
         "select doc_id, {b} as band, md5(concat_ws('|', {cols})) as bh from sig".format(
@@ -65,7 +69,7 @@ def minhash_pairs_sql(
         for b in range(bands)
     )
     return f"""
-with {CORPUS},
+with {corpus_cte or CORPUS},
 tok as (select doc_id, {TOKS} as toks from corpus),
 shing as (select doc_id, {_shingles(shingle_n)} as sh from tok),
 nz as (select doc_id, sh, {_HV} as hv from shing where len(sh) > 0),

@@ -2324,6 +2324,166 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _curate_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel a training-data pipeline runs over
+    a crawl, composed from the individually-oracle-checked stages:
+
+      quality gate -> exact dedup -> near-dup components -> keep
+
+    Each stage operates on the SURVIVORS of the previous one (real funnel
+    semantics — a near-dup cluster is computed only among quality-passing,
+    exact-canonical docs), and every doc is attributed to the FIRST stage
+    that dropped it. This is the composition story: the stages share no
+    state beyond DataFrames, so the funnel is one lazy plan end to end."""
+    from ocr_spark.operators.dedup import (
+        apply_dedup, connected_components_star, exact_dedup, minhash_lsh,
+    )
+    from ocr_spark.operators.textstats import quality_class, quality_features
+
+    corpus_df = _dup_corpus(spark, sf_dir)
+    feat = corpus_df.withColumn(
+        "qc", quality_class(quality_features(F.col("text")))
+    )
+    q_ok = feat.filter(F.col("qc") == "good")
+    ex = exact_dedup(q_ok, "doc_id")
+    with_fp = q_ok.withColumn("fingerprint", F.md5(F.col("text"))).join(
+        ex.select("fingerprint", "canonical_doc_id"), "fingerprint"
+    )
+    ex_ok = with_fp.filter(
+        F.col("doc_id") == F.col("canonical_doc_id")
+    ).select("doc_id", "text")
+    pairs = minhash_lsh(
+        ex_ok, "doc_id", shingle_n=3, bands=4, rows=3, threshold=0.5
+    )
+    comps = connected_components_star(
+        pairs, nodes=ex_ok.select(F.col("doc_id").alias("key"))
+    ).withColumnRenamed("key", "doc_id")
+    near = apply_dedup(ex_ok, comps, key="doc_id")
+    return (
+        feat.select("doc_id", "qc")
+        .join(with_fp.select("doc_id", "canonical_doc_id"), "doc_id", "left")
+        .join(
+            near.select("doc_id", F.col("keep").alias("near_keep")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("qc").alias("quality_class"),
+            F.when(F.col("qc") != "good", "quality")
+            .when(F.col("doc_id") != F.col("canonical_doc_id"), "exact")
+            .when(F.col("near_keep") == 0, "near_dup")
+            .alias("stage_dropped"),
+        )
+        .withColumn("keep", F.col("stage_dropped").isNull().cast("int"))
+    )
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc curation decision over the injected-duplicate corpus."""
+    return _curate_decision(spark, sf_dir)
+
+
+def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global funnel counters: docs kept / dropped per curation stage."""
+    return (
+        _curate_decision(spark, sf_dir)
+        .groupBy(
+            F.coalesce(F.col("stage_dropped"), F.lit("kept")).alias("stage")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+_SQL_CURATE_BODY = None  # built lazily (composes the stage oracles)
+
+
+def _sql_curate_core() -> str:
+    """Shared CTE chain for the curate oracles — each stage is the same
+    SQL already hash-matched for the standalone stage queries, composed
+    over the previous stage's survivors."""
+    inner = OM.minhash_pairs_sql(
+        3, 4, 3, 0.5,
+        corpus_cte="corpus as (select doc_id, text from ex_ok)",
+    )
+    toks = f"regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)})"
+    return f"""
+with recursive
+{OM.CORPUS.strip()},
+feat as (
+  select doc_id, text,
+    case when len(toks) >= 20
+              and (list_sum(list_transform(toks, t -> length(t)))
+                   / greatest(len(toks), 1)) between 3 and 12
+              and ((length(text) - length(translate(text, '0123456789', '')))
+                   / greatest(length(text), 1)) < 0.3 then 'good'
+         when len(toks) >= 5 then 'mediocre'
+         else 'junk' end as qc
+  from (select doc_id, text, {toks} as toks from corpus)
+),
+q_ok as (select doc_id, text from feat where qc = 'good'),
+fp as (select doc_id, text, md5(text) as fingerprint from q_ok),
+canon as (
+  select fingerprint, min(doc_id) as canonical_doc_id from fp group by 1
+),
+with_fp as (
+  select fp.doc_id, fp.text, canon.canonical_doc_id
+  from fp join canon using (fingerprint)
+),
+ex_ok as (select doc_id, text from with_fp where doc_id = canonical_doc_id),
+pairs as ({inner}),
+e as (
+  select key_a as u, key_b as v from pairs
+  union
+  select key_b as u, key_a as v from pairs
+),
+reach as (
+  select u, v from e
+  union
+  select r.u, e.v from reach r join e on r.v = e.u
+),
+comp as (select u, least(u, min(v)) as c from reach group by u),
+labeled as (
+  select ex_ok.doc_id, coalesce(comp.c, ex_ok.doc_id) as component,
+         length(ex_ok.text) as len
+  from ex_ok left join comp on comp.u = ex_ok.doc_id
+),
+near as (
+  select doc_id,
+    case when row_number() over (
+        partition by component order by len desc, doc_id asc) = 1
+      then 1 else 0 end as keep
+  from labeled
+),
+decision as (
+  select feat.doc_id, feat.qc as quality_class,
+    case when feat.qc <> 'good' then 'quality'
+         when feat.doc_id <> with_fp.canonical_doc_id then 'exact'
+         when near.keep = 0 then 'near_dup' end as stage_dropped
+  from feat
+  left join with_fp using (doc_id)
+  left join near using (doc_id)
+)
+"""
+
+
+def _sql_curate() -> str:
+    return f"""{_sql_curate_core()}
+select doc_id, quality_class, stage_dropped,
+  cast(case when stage_dropped is null then 1 else 0 end as int) as keep
+from decision
+"""
+
+
+def _sql_curate_funnel() -> str:
+    return f"""{_sql_curate_core()}
+select coalesce(stage_dropped, 'kept') as stage,
+  cast(count(*) as bigint) as n_docs
+from decision group by 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2362,6 +2522,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply": q_dedup_apply,
     "line_dedup": q_line_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "curate": q_curate,
+    "curate_funnel": q_curate_funnel,
     "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
@@ -2369,10 +2531,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_mp": q_ann_lsh_mp,
     "ann_ivf": q_ann_ivf,
-    "quality_features": q_quality_features,
     "summarize": q_summarize,
     "shrink_levels": q_shrink_levels,
-    "vector_search": q_vector_search,
     "entities": q_entities,
     "repetition_stats": q_repetition_stats,
     "boilerplate_grams": q_boilerplate,
@@ -2388,6 +2548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    "vector_search": q_vector_search,
+    "quality_features": q_quality_features,
     "conv_segments": q_conv_segments,
     "segment_rollup": q_segment_rollup,
     "token_counts": q_token_counts,
@@ -2445,6 +2607,8 @@ from corpus group by 1
         "dedup_apply": _sql_dedup_apply(),
         "line_dedup": _sql_line_dedup(),
         "semantic_dedup": OM.semantic_dedup_sql(0.95),
+        "curate": _sql_curate(),
+        "curate_funnel": _sql_curate_funnel(),
         "dedup_components": _sql_dedup_components(),
         "dedup_simhash": OM.simhash_pairs_sql(3),
         "dedup_ngram": OM.minhash_pairs_sql(2, 5, 1, 0.5),

@@ -327,3 +327,32 @@ def test_line_dedup_min_docs_threshold(spark):
     assert all(out3[i]["n_dropped"] == 0 for i in range(2))
     out2 = {r["doc_id"]: r for r in corpus.line_dedup(df, min_docs=2).collect()}
     assert all(out2[i]["clean_text"] == f"only doc {i}" for i in range(2))
+
+
+def test_curate_funnel_invariants(spark):
+    """The composed curation funnel attributes every doc to exactly one
+    outcome, honors stage priority (quality before exact before
+    near-dup), and actually exercises every stage on the
+    injected-duplicate corpus."""
+    from ocr_spark.queries import _dup_corpus, q_curate
+
+    sf = "/root/testdata/sf0.001"
+    out = q_curate(spark, sf).collect()
+    assert len(out) == _dup_corpus(spark, sf).count()  # total decision map
+    by_stage: dict = {}
+    for r in out:
+        assert (r["stage_dropped"] is None) == (r["keep"] == 1)
+        by_stage.setdefault(r["stage_dropped"], []).append(r)
+    # every funnel stage fires on this corpus
+    assert set(by_stage) == {None, "quality", "exact", "near_dup"}
+    # stage priority: a quality-dropped doc is never blamed on dedup
+    for r in by_stage["quality"]:
+        assert r["quality_class"] != "good"
+    for stage in (None, "exact", "near_dup"):
+        for r in by_stage[stage]:
+            assert r["quality_class"] == "good"
+    # exact copies (+200000) whose source also survived quality must not
+    # BOTH be kept — the canonical-min rule keeps the original
+    got = {r["doc_id"]: r for r in out}
+    for r in by_stage["exact"]:
+        assert r["doc_id"] >= 100000  # only injected copies drop as exact
