@@ -137,6 +137,7 @@ def run_dedup_available_now(
     index_path: str,
     checkpoint_path: str,
     timeout_s: int = 600,
+    schema: T.StructType | None = None,
     **dedup_params,
 ) -> int:
     """One availableNow dedup cycle over a growing transcript directory:
@@ -145,10 +146,18 @@ def run_dedup_available_now(
     Returns verified pair rows written this cycle (key_a is always from
     this cycle's data). ``dedup_params`` pass through to
     :func:`dedup_one_batch`; they must stay constant for the lifetime of
-    an index (signatures are not comparable across configs)."""
+    an index (signatures are not comparable across configs).
+
+    ``schema`` defaults to the raw TRANSCRIPTS table; pass the extraction
+    results schema (and ``text_col="clean_text"``) to chain this stage
+    AFTER the streaming extractor — ``input_path`` may then be the glob
+    ``<results_path>/batch_id=*`` so the extractor's deterministic
+    overwrite partitions feed dedup as they commit. Any schema works as
+    long as it carries ``conv_id``/``turn_idx`` (the turn key) and the
+    text column."""
     _bind_results_to_checkpoint(spark, pairs_path, checkpoint_path)
     _bind_results_to_checkpoint(spark, index_path, checkpoint_path)
-    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_path)
+    stream = spark.readStream.schema(schema or TRANSCRIPTS).parquet(input_path)
     written = {"n": 0}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -377,3 +377,61 @@ def test_streaming_dedup_replay_excludes_own_partition(spark, transcripts_pdf, t
     assert pairs.count() == n_first
     # without the exclusion every row would pair with its replayed twin
     assert pairs.filter("key_a = key_b").count() == 0
+
+
+def test_streaming_extract_then_dedup_chain(spark, vocab, transcripts_pdf, tmp_path):
+    """The full 10^12-turn streaming story end to end: the extractor's
+    deterministic overwrite partitions feed incremental dedup as they
+    commit. A raw duplicate planted in wave 2 survives extraction (same
+    clean_text) and is caught by the dedup stage against wave 1's
+    committed index — without re-extracting or re-signing wave 1."""
+    import pandas as pd
+
+    from ocr_spark.streaming.dedup import run_dedup_available_now
+
+    inp = str(tmp_path / "in")
+    results = str(tmp_path / "out")
+    eckpt = str(tmp_path / "eckpt")
+    pairs_p = str(tmp_path / "pairs")
+    index_p = str(tmp_path / "index")
+    dckpt = str(tmp_path / "dckpt")
+
+    convs = sorted(transcripts_pdf["conv_id"].unique())
+    wave1 = transcripts_pdf[transcripts_pdf.conv_id.isin(convs[:15])]
+    wave2 = transcripts_pdf[transcripts_pdf.conv_id.isin(convs[15:])].copy()
+    src = wave1.iloc[5]
+    planted = wave2.iloc[[0]].copy()
+    planted["conv_id"] = "planted-conv"
+    planted["turn_idx"] = 0
+    planted["text"] = src["text"]
+    wave2 = pd.concat([wave2, planted], ignore_index=True)
+    wave2["turn_idx"] = wave2["turn_idx"].astype("int32")
+
+    _write_slice(wave1, inp + "/w1.parquet")
+    run_available_now(spark, inp, results, eckpt, vocab, "r1")
+    res_schema = spark.read.parquet(results).drop("batch_id").schema
+    n1 = run_dedup_available_now(
+        spark, results + "/batch_id=*", pairs_p, index_p, dckpt,
+        schema=res_schema, text_col="clean_text", threshold=0.5,
+    )
+
+    _write_slice(wave2, inp + "/w2.parquet")
+    run_available_now(spark, inp, results, eckpt, vocab, "r2")
+    n2 = run_dedup_available_now(
+        spark, results + "/batch_id=*", pairs_p, index_p, dckpt,
+        schema=res_schema, text_col="clean_text", threshold=0.5,
+    )
+    assert n2 > 0
+    src_key = f"{src['conv_id']}#{src['turn_idx']}"
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in spark.read.parquet(pairs_p).collect()
+    }
+    assert ("planted-conv#0", src_key) in got
+    # the extractor processed each wave exactly once; so did dedup
+    assert spark.read.parquet(results).count() == len(wave1) + len(wave2)
+    idx_batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(index_p).select("batch_id").distinct().collect()
+    }
+    assert idx_batches == {0, 1}
