@@ -588,3 +588,77 @@ def line_dedup(
         F.sum((~F.col("_drop")).cast("long")).alias("n_kept"),
         F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic global training-order shuffle
+# --------------------------------------------------------------------------
+
+
+def global_shuffle_rank(
+    df: DataFrame,
+    key: str,
+    seed: str = "shuffle",
+    buckets: int = 256,
+    rank_col: str = "rank",
+    shard_size: int | None = None,
+) -> DataFrame:
+    """Dense 0-based global rank in ``md5(seed|key)`` order — the
+    training-order shuffle every LLM data pipeline runs before writing
+    shards, WITHOUT the single-partition global sort that
+    ``row_number() over (order by ...)`` compiles to.
+
+    Because the bucket is a PREFIX of the sort hash, ordering by
+    (bucket, hash) equals ordering by hash, so rank =
+    within-bucket row_number + sum of preceding buckets' counts:
+
+    * one combiner-friendly count per bucket (``buckets`` rows total);
+    * a cumulative-sum window over that tiny dim (single partition over
+      ``buckets`` rows — bounded, never corpus-sized) broadcast back as
+      offsets (bounded broadcast: ``buckets`` rows, the legitimate kind);
+    * one window shuffle on the bucket column for the per-bucket
+      row_number — ``buckets`` balanced partitions (md5 is uniform), so
+      scale is tuned by ``buckets`` exactly like shuffle partitions.
+
+    Re-running at any parallelism yields identical ranks (md5-ordered,
+    key tie-break), which makes shard contents resume-stable.
+    ``shard_size`` adds ``shard = rank // shard_size`` for writers that
+    partition output by shard."""
+    from pyspark.sql import Window
+
+    if not 1 <= buckets <= 65536:
+        raise ValueError("buckets must be in [1, 65536]")
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(key).cast("string")))
+    # bucket = monotone range split of the first 16 hash bits — it MUST
+    # be order-preserving in the hash (a mod here would interleave
+    # buckets and corrupt every rank)
+    df2 = df.withColumn("_h", h).withColumn(
+        "_b",
+        F.floor(
+            F.conv(F.substring(F.col("_h"), 1, 4), 16, 10).cast("long")
+            * buckets
+            / 65536
+        ).cast("int"),
+    )
+    counts = df2.groupBy("_b").agg(F.count("*").alias("_n"))
+    wo = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(wo), F.lit(0))
+    ).select("_b", "_off")
+    w = Window.partitionBy("_b").orderBy(F.col("_h"), F.col(key))
+    out = (
+        df2.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w) + F.col("_off") - 1).cast("long"),
+        )
+        .drop("_h", "_b", "_off", "_n")
+    )
+    if shard_size is not None:
+        out = out.withColumn(
+            "shard", F.floor(F.col(rank_col) / shard_size).cast("long")
+        )
+    return out

@@ -2113,6 +2113,34 @@ from s
 """
 
 
+def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: dense md5-order rank
+    + shard id, computed without a single-partition global sort (two-level
+    bucket-offset pattern; see ``corpus.global_shuffle_rank``)."""
+    from ocr_spark.operators import corpus
+
+    return corpus.global_shuffle_rank(
+        _docs(spark, sf_dir).select("doc_id"),
+        "doc_id",
+        seed="mix-v1",
+        buckets=64,
+        rank_col="srank",
+        shard_size=500,
+    ).select("doc_id", "srank", "shard")
+
+
+SQL_SHUFFLE_RANK = """
+select doc_id,
+  row_number() over (
+    order by md5('mix-v1|' || cast(doc_id as varchar)), doc_id
+  ) - 1 as srank,
+  cast(floor((row_number() over (
+    order by md5('mix-v1|' || cast(doc_id as varchar)), doc_id
+  ) - 1) / 500) as bigint) as shard
+from documents
+"""
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential greedy sequence packing into 2048-token bins per lang."""
     from ocr_spark.operators import corpus
@@ -2497,8 +2525,8 @@ from decision group by 1
 # round, so the union of rounds covers every query. Tail queries remain
 # fully registered, benched, and runnable via scripts/check_entry.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "clean_text": q_clean_text,
     "filter_bank": q_filter_bank,
+    "shuffle_rank": q_shuffle_rank,
     "clean_stats_global": q_clean_stats_global,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
@@ -2548,6 +2576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    "clean_text": q_clean_text,
     "vector_search": q_vector_search,
     "quality_features": q_quality_features,
     "conv_segments": q_conv_segments,
@@ -2633,6 +2662,7 @@ from corpus group by 1
         "lm_quality": _sql_lm_quality(),
         "url_domains": _sql_url_domains(),
         "sample_stratified": _sql_sample_stratified(),
+        "shuffle_rank": SQL_SHUFFLE_RANK,
         "chunk_windows": _sql_chunk_windows(),
         "pack_bins": _sql_pack_bins(),
         "pack_bins_ranged": _sql_pack_bins_ranged(),

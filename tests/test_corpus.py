@@ -356,3 +356,49 @@ def test_curate_funnel_invariants(spark):
     got = {r["doc_id"]: r for r in out}
     for r in by_stage["exact"]:
         assert r["doc_id"] >= 100000  # only injected copies drop as exact
+
+
+def test_global_shuffle_rank(spark):
+    """Dense 0-based md5-order ranks without a global sort, at any
+    bucket count (including non-power-of-two splits), stable across
+    partitionings."""
+    import hashlib
+
+    from ocr_spark.operators.corpus import global_shuffle_rank
+
+    rows = [(i,) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    expect = sorted(
+        range(400),
+        key=lambda i: (hashlib.md5(f"s|{i}".encode()).hexdigest(), i),
+    )
+    for buckets in (1, 7, 256):
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in global_shuffle_rank(
+                df, "doc_id", seed="s", buckets=buckets
+            ).collect()
+        }
+        assert sorted(got.values()) == list(range(400)), buckets
+        assert all(got[doc] == r for r, doc in enumerate(expect)), buckets
+    # identical under a different partitioning (resume-stable shards)
+    got2 = {
+        r["doc_id"]: (r["rank"], r["shard"])
+        for r in global_shuffle_rank(
+            df.repartition(13), "doc_id", seed="s", buckets=7, shard_size=50
+        ).collect()
+    }
+    assert all(got2[doc][0] == r for r, doc in enumerate(expect))
+    assert all(sh == rk // 50 for rk, sh in got2.values())
+
+
+def test_global_shuffle_rank_plan_has_no_global_sort(spark):
+    """The corpus-side window partitions by bucket; the only
+    single-partition stage is the bounded bucket-count cumsum."""
+    from ocr_spark.operators.corpus import global_shuffle_rank
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    plan = global_shuffle_rank(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_b" in plan, plan
+    # no range-partitioned global sort of the data side
+    assert "rangepartitioning" not in plan, plan
