@@ -591,6 +591,74 @@ def line_dedup(
 
 
 # --------------------------------------------------------------------------
+# data-mixture application (per-source repetition / fractional epochs)
+# --------------------------------------------------------------------------
+
+
+def mix_sources(
+    df: DataFrame,
+    epochs: dict[str, float],
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Apply a data-mixing recipe: replicate each row by its source's
+    repetition factor, the step that turns mixture weights (DoReMi /
+    Pile-style "epochs over the source") into a physical training
+    corpus. ``epochs`` maps ``part_col`` values to factors; 2.4 means
+    every row appears twice and a deterministic 40% of rows a third
+    time. Sources absent from the recipe drop (factor 0).
+
+    Fractional parts use the same md5-bucket device as
+    ``sample_stratified`` — seeded, so mixing is independent of any
+    earlier sampling stage — which keeps the output a pure per-row
+    function of (id, recipe): re-runs and repartitions replicate the
+    SAME rows (C6 resume), and an external engine can reproduce it
+    exactly. Fractions are pre-quantized to integer per-mille
+    thresholds in the driver so neither engine does float arithmetic.
+
+    Row-local explode over a ``copies``-long sequence: no shuffle, no
+    RNG state; at 10^12 turns the cost is exactly the output size.
+    ``epoch_col`` (0-based copy index) lets downstream shard writers
+    spread replicas across shards (e.g. feed ``global_shuffle_rank``
+    with key = (id, epoch))."""
+    if any(e < 0 or e > 1000 for e in epochs.values()):
+        raise ValueError("epoch factors must be in [0, 1000]")
+    # quantize once, driver-side: (full epochs, per-mille threshold)
+    quant = {k: (int(e), round((e - int(e)) * 1000)) for k, e in epochs.items()}
+    full_map = F.create_map(
+        *[F.lit(x) for k, (full, _) in quant.items() for x in (k, full)]
+    )
+    thr_map = F.create_map(
+        *[F.lit(x) for k, (_, thr) in quant.items() for x in (k, thr)]
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    )
+    bucket = h.cast("bigint") % 1000
+    copies = (
+        full_map[F.col(part_col)]
+        + F.when(bucket < thr_map[F.col(part_col)], 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.withColumn("_copies", F.coalesce(copies, F.lit(0)))
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            epoch_col, F.explode(F.sequence(F.lit(0), F.col("_copies") - 1))
+        )
+        .withColumn(epoch_col, F.col(epoch_col).cast("long"))
+        .drop("_copies")
+    )
+
+
+# --------------------------------------------------------------------------
 # deterministic global training-order shuffle
 # --------------------------------------------------------------------------
 

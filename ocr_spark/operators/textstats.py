@@ -142,3 +142,109 @@ def fingerprint_winnow(text: Column, k: int = 8, sketch: int = 8) -> Column:
     )
     bottom = F.slice(F.array_sort(grams), 1, sketch)
     return F.md5(F.array_join(bottom, "|"))
+
+
+# --------------------------------------------------------------------------
+# hashed-n-gram linear classifier (fastText-style quality scoring)
+# --------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(
+    text: Column, buckets: int, seed: str = "feat", n_max: int = 2
+) -> Column:
+    """array<bigint> of feature-hash buckets for the word 1..n_max-grams
+    of ``text`` — the feature-hashing trick (Weinberger et al. 2009) that
+    lets a linear classifier run with a FIXED-width weight table no
+    matter how large the corpus vocabulary grows. Duplicates kept (bag
+    of features, fastText-style). md5-based so any engine reproduces the
+    bucket ids bit-for-bit; swap xxhash64 in production for the same
+    reason as :func:`ocr_spark.operators.dedup.shingle_hashes`."""
+    from ocr_spark.operators.dedup import word_ngrams
+
+    grams = F.concat(
+        *[word_ngrams(text, n) for n in range(1, n_max + 1)]
+    )
+    return F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), g)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets,
+    )
+
+
+def stub_weight_dim(spark, buckets: int, seed: str = "w", scale: int = 100_000):
+    """Deterministic stand-in weight table (bucket, w_c) with integer
+    micro-weights in [-scale, scale] derived from md5 — the shape a
+    TRAINED fastText/logistic model exports to (production swaps this
+    dim for real weights; nothing downstream changes). Bounded at
+    ``buckets`` rows, so it broadcasts at any corpus size."""
+    return spark.range(buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", F.lit(seed), F.col("id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % (2 * scale + 1)
+            - scale
+        ).alias("w_c"),
+    )
+
+
+def linear_text_score(
+    docs,
+    weights,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 12,
+    seed: str = "feat",
+    n_max: int = 2,
+):
+    """Score every doc with a linear model over hashed word n-grams —
+    the fastText-style quality classifier GPT-3/LLaMA-class pipelines
+    run after heuristic filtering. ``weights`` is a (bucket, w_c) dim
+    (integer micro-units, see :func:`stub_weight_dim`).
+
+    Plan: row-local feature hashing → explode → broadcast join against
+    the bounded weight table (the ONE legitimately-broadcast dim here:
+    its size is the hash width, not the corpus) → one doc-keyed integer
+    aggregation. Scores are floor(sum/n) integer means, so they are
+    bit-identical across engines and partitionings (same device as
+    ``lm_score``). Docs with no features score 0 with n_feats 0.
+
+    Output: (id, n_feats, score_c)."""
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(
+            hashed_ngram_buckets(F.col(text_col), buckets, seed, n_max)
+        ).alias("bucket"),
+    )
+    joined = feats.join(
+        F.broadcast(weights.select("bucket", "w_c")), "bucket", "left"
+    )
+    w = F.coalesce(F.col("w_c"), F.lit(0))
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_feats"),
+        F.floor(F.sum(w) / F.count("*")).cast("long").alias("score_c"),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            F.coalesce(F.col("score_c"), F.lit(0)).alias("score_c"),
+        )
+    )

@@ -2141,6 +2141,100 @@ from documents
 """
 
 
+#: frozen data-mixing recipe (epochs over each source); fractional parts
+#: exercise the deterministic md5-bucket replication
+MIX_EPOCHS: dict[str, float] = {
+    "en": 1.0,
+    "de": 2.5,
+    "es": 0.4,
+    "fr": 1.2,
+    "zh": 3.0,
+}
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture application: per-lang repetition factors (incl.
+    fractional upsampling epochs), deterministic md5-bucket replication."""
+    from ocr_spark.operators import corpus
+
+    return corpus.mix_sources(
+        _docs(spark, sf_dir).select("doc_id", "lang"), MIX_EPOCHS
+    )
+
+
+def _sql_mix_sources() -> str:
+    cases_full = " ".join(
+        f"when {O.q(k)} then {int(e)}" for k, e in MIX_EPOCHS.items()
+    )
+    cases_thr = " ".join(
+        f"when {O.q(k)} then {round((e - int(e)) * 1000)}"
+        for k, e in MIX_EPOCHS.items()
+    )
+    return f"""
+with t as (
+  select doc_id, lang,
+    (case lang {cases_full} else 0 end)
+    + case when
+        cast(concat('0x', substr(md5('mix|' || cast(doc_id as varchar)), 1, 8))
+             as bigint) % 1000
+        < (case lang {cases_thr} else 0 end)
+      then 1 else 0 end as copies
+  from documents
+)
+select doc_id, lang, unnest(range(copies)) as epoch
+from t where copies > 0
+"""
+
+
+#: hash width for the fastText-style scorer query (production: 1 << 20)
+LINEAR_BUCKETS = 4096
+
+
+def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality score over hashed word 1/2-grams:
+    fixed-width weight dim (broadcast), integer micro-unit mean."""
+    from ocr_spark.operators import textstats
+
+    w = textstats.stub_weight_dim(spark, LINEAR_BUCKETS)
+    return textstats.linear_text_score(
+        _docs(spark, sf_dir), w, buckets=LINEAR_BUCKETS
+    )
+
+
+def _sql_quality_linear() -> str:
+    b = LINEAR_BUCKETS
+    return f"""
+with w as (
+  select cast(b as bigint) as bucket,
+    cast(concat('0x', substr(md5('w|' || cast(b as varchar)), 1, 8)) as bigint)
+      % 200001 - 100000 as w_c
+  from (select unnest(range({b})) as b)
+),
+tok as (select doc_id, {_TOKS_SQL} as toks from documents),
+grams as (
+  select doc_id,
+    list_concat(toks,
+      list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) as gs
+  from tok
+),
+f as (
+  select doc_id,
+    cast(concat('0x', substr(md5('feat|' || g), 1, 8)) as bigint) % {b} as bucket
+  from (select doc_id, unnest(gs) as g from grams)
+),
+s as (
+  select doc_id, count(*) as n_feats,
+    cast(floor(sum(coalesce(w_c, 0)) / count(*)) as bigint) as score_c
+  from f left join w using (bucket) group by 1
+)
+select d.doc_id,
+  coalesce(n_feats, 0) as n_feats,
+  coalesce(score_c, 0) as score_c
+from documents d left join s using (doc_id)
+"""
+
+
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential greedy sequence packing into 2048-token bins per lang."""
     from ocr_spark.operators import corpus
@@ -2525,12 +2619,12 @@ from decision group by 1
 # round, so the union of rounds covers every query. Tail queries remain
 # fully registered, benched, and runnable via scripts/check_entry.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "filter_bank": q_filter_bank,
     "shuffle_rank": q_shuffle_rank,
+    "mix_sources": q_mix_sources,
+    "quality_linear": q_quality_linear,
     "clean_stats_global": q_clean_stats_global,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
-    "validate": q_validate,
     "parse_kind": q_parse_kind,
     "parse_tool_stats": q_parse_tool_stats,
     "parse_pdfish_order": q_parse_pdfish_order,
@@ -2577,6 +2671,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
     "clean_text": q_clean_text,
+    "filter_bank": q_filter_bank,
+    "validate": q_validate,
     "vector_search": q_vector_search,
     "quality_features": q_quality_features,
     "conv_segments": q_conv_segments,
@@ -2663,6 +2759,8 @@ from corpus group by 1
         "url_domains": _sql_url_domains(),
         "sample_stratified": _sql_sample_stratified(),
         "shuffle_rank": SQL_SHUFFLE_RANK,
+        "mix_sources": _sql_mix_sources(),
+        "quality_linear": _sql_quality_linear(),
         "chunk_windows": _sql_chunk_windows(),
         "pack_bins": _sql_pack_bins(),
         "pack_bins_ranged": _sql_pack_bins_ranged(),

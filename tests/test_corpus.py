@@ -402,3 +402,89 @@ def test_global_shuffle_rank_plan_has_no_global_sort(spark):
     assert "hashpartitioning(_b" in plan, plan
     # no range-partitioned global sort of the data side
     assert "rangepartitioning" not in plan, plan
+
+
+def test_mix_sources(spark):
+    """Per-source repetition with deterministic fractional epochs: exact
+    copy counts reproducible from (id, recipe) alone; absent sources
+    drop; epochs are dense 0-based; stable across repartition."""
+    import hashlib
+
+    from ocr_spark.operators.corpus import mix_sources
+
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    epochs = {"en": 1.0, "de": 2.5}
+
+    def expected_copies(i, lang):
+        e = epochs.get(lang, 0.0)
+        full, thr = int(e), round((e - int(e)) * 1000)
+        h = int(hashlib.md5(f"mix|{i}".encode()).hexdigest()[:8], 16)
+        return full + (1 if h % 1000 < thr else 0)
+
+    out = mix_sources(df, epochs).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i, lang in rows:
+        c = expected_copies(i, lang)
+        assert sorted(got.get(i, [])) == list(range(c)), (i, lang, c)
+    # de at 2.5 must actually split: some rows 2 copies, some 3
+    de_counts = {len(v) for k, v in got.items() if k % 3 == 1}
+    assert de_counts == {2, 3}
+    # xx (not in recipe) dropped entirely
+    assert all(k % 3 != 2 for k in got)
+    # repartition-stable (C6 resume contract)
+    out2 = mix_sources(df.repartition(7), epochs).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in out2) == sorted(
+        (r["doc_id"], r["epoch"]) for r in out
+    )
+
+
+def test_mix_sources_rejects_bad_factor(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.corpus import mix_sources
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError):
+        mix_sources(df, {"en": -0.5})
+
+
+def test_linear_text_score(spark):
+    """fastText-style hashed-n-gram scoring matches a from-scratch
+    Python replica (md5 feature hashing, integer floor-mean); featureless
+    docs score 0; the weight join is broadcast."""
+    import hashlib
+    import math
+
+    from ocr_spark.operators.textstats import linear_text_score, stub_weight_dim
+
+    B = 512
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "dog"), (2, ""), (3, "a b a b a")],
+        "doc_id long, text string",
+    )
+
+    def bucket(g):
+        return int(hashlib.md5(f"feat|{g}".encode()).hexdigest()[:8], 16) % B
+
+    def w_c(b):
+        return int(hashlib.md5(f"w|{b}".encode()).hexdigest()[:8], 16) % 200001 - 100000
+
+    def expect(text):
+        toks = text.split()
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            return (0, 0)
+        s = sum(w_c(bucket(g)) for g in grams)
+        return (len(grams), math.floor(s / len(grams)))
+
+    wdim = stub_weight_dim(spark, B)
+    out = linear_text_score(docs, wdim, buckets=B)
+    got = {r["doc_id"]: (r["n_feats"], r["score_c"]) for r in out.collect()}
+    texts = {0: "the cat sat", 1: "dog", 2: "", 3: "a b a b a"}
+    for i, t in texts.items():
+        assert got[i] == expect(t), (i, t, got[i], expect(t))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
