@@ -591,6 +591,93 @@ def line_dedup(
 
 
 # --------------------------------------------------------------------------
+# cross-document repeated-substring span dedup (ExactSubstr analog)
+# --------------------------------------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove every k-token span that repeats across ≥ ``min_docs``
+    distinct documents (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — their ExactSubstr dedup, rebuilt at
+    k-token gram granularity instead of a suffix array). Sits between
+    :func:`line_dedup` (line granularity, needs line structure) and
+    :func:`contamination` (membership score only, no rewrite): this one
+    REWRITES the text at sub-line granularity.
+
+    A token is removed iff some duplicated gram covers it (any start
+    ``s`` with ``s ≤ t < s+k``); surviving tokens are reassembled in
+    order, space-joined. The output ``clean_text`` is therefore
+    TOKEN-NORMALIZED (lowered, punctuation dropped by the frozen
+    tokenizer) even for untouched docs — the honest contract for a
+    token-level rewrite; Lee et al. operate on raw bytes, which a
+    suffix-array-free engine cannot reproduce.
+
+    Output: ``(key, clean_text, n_tokens, n_removed)``.
+
+    Scale shape: the gram explode is linear in corpus tokens; the
+    frequency count is one two-phase combiner shuffle on a 32-char md5
+    (distinct (gram, doc) then count — countDistinct written out so the
+    partial agg is visible); the duplicated-gram dim joins back WITHOUT
+    a broadcast hint (at web scale the duplicated-span set grows with
+    the crawl — same no-unconditional-broadcast contract as
+    ``line_dedup``/``wer_join``); start-position collection is one
+    combiner-friendly ``collect_list`` per doc, bounded by tokens/doc.
+    The removal mask is row-local: ``filter`` with index over the token
+    array, ``exists`` over the (sorted, typically short) start list —
+    O(tokens × dup_starts) per row, with dup_starts ≪ tokens in real
+    corpora. No per-row Python anywhere.
+    """
+    from ocr_spark.operators.cleaning import materialize
+    from ocr_spark.operators.dedup import token_ngrams
+
+    docs = materialize(
+        df.select(F.col(key), F.col(text_col)),
+        toks=X.tokens(F.col(text_col)),
+    ).select(key, "toks")
+    grams = docs.select(
+        F.col(key),
+        F.posexplode(token_ngrams(F.col("toks"), k)).alias("pos", "gram"),
+    ).select(key, "pos", F.md5(F.col("gram")).alias("gh"))
+    freq = (
+        grams.select("gh", key)
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("gh")
+    )
+    starts = (
+        grams.join(freq, "gh")
+        .groupBy(key)
+        .agg(F.sort_array(F.collect_list("pos")).alias("ss"))
+    )
+    ss = F.coalesce(F.col("ss"), F.array().cast("array<int>"))
+    # kept is referenced twice below (join + size) — barrier it so the
+    # filter/exists mask runs once per row, not once per reference.
+    masked = materialize(
+        docs.join(starts, key, "left"),
+        kept=F.filter(
+            F.col("toks"),
+            lambda t, i: ~F.exists(
+                ss, lambda s: (s <= i) & (i < s + F.lit(k))
+            ),
+        ),
+    )
+    return masked.select(
+        F.col(key),
+        F.array_join(F.col("kept"), " ").alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
+    )
+
+
+# --------------------------------------------------------------------------
 # data-mixture application (per-source repetition / fractional epochs)
 # --------------------------------------------------------------------------
 

@@ -56,14 +56,23 @@ def exact_dedup(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """ALL word n-grams in order (space-joined), duplicates kept.
+    """ALL word n-grams of ``text`` in order — see :func:`token_ngrams`."""
+    return token_ngrams(X.tokens(text), n)
+
+
+def token_ngrams(toks: Column, n: int = 3) -> Column:
+    """ALL n-grams of an already-tokenized array (space-joined, in order,
+    duplicates kept); gram i starts at token i.
 
     Built as a chain of ``zip_with`` against j-shifted copies of the token
     array — O(tokens) per row. The obvious form (``transform`` over
     indices with ``slice`` inside the lambda) re-evaluates the slice per
     element, i.e. O(tokens²) per row — 20× slower on 500-token rows and
-    the difference between minutes and hours at 10⁶+ rows."""
-    toks = X.tokens(text)
+    the difference between minutes and hours at 10⁶+ rows.
+
+    ``toks`` is referenced n+1 times: pass a MATERIALIZED column
+    (``cleaning.materialize``) when the tokenizer is expensive, or
+    CollapseProject re-runs it per reference."""
     cur = toks
     for j in range(1, n):
         shifted = F.slice(

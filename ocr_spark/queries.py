@@ -2434,6 +2434,60 @@ from flagged group by doc_id
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-substring removal: every 12-token gram
+    appearing in >= 2 distinct documents is stripped from all of them
+    and the token stream reassembled (token-normalized output; mirrored
+    by the DuckDB twin)."""
+    from ocr_spark.operators.corpus import span_dedup
+
+    return span_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        key="doc_id",
+        k=12,
+        min_docs=2,
+    )
+
+
+def _sql_span_dedup(k: int = 12, min_docs: int = 2) -> str:
+    return f"""
+with tok as (select doc_id, {OM.TOKS} as toks from documents),
+g as (
+  select doc_id, struct_extract(s, 'p') as pos, struct_extract(s, 'g') as gh
+  from (select doc_id,
+          unnest(list_transform(range(1, greatest(len(toks)-{k - 1},0)+1),
+            i -> {{'p': i - 1,
+                   'g': md5(array_to_string(toks[i:i+{k - 1}], ' '))}})) as s
+        from tok)
+),
+freq as (
+  select gh from (select distinct gh, doc_id from g)
+  group by gh having count(*) >= {min_docs}
+),
+starts as (
+  select doc_id, list_sort(list(pos)) as ss
+  from g join freq using (gh) group by doc_id
+),
+r as (
+  select t.doc_id, toks, coalesce(ss, cast([] as bigint[])) as ss
+  from tok t left join starts using (doc_id)
+),
+sel as (
+  select doc_id, toks,
+    list_filter(range(0, len(toks)),
+                t -> len(list_filter(ss, s -> s <= t and t < s + {k})) = 0)
+      as keep
+  from r
+)
+select doc_id,
+  coalesce(array_to_string(list_transform(keep, t -> toks[t + 1]), ' '),
+           '') as clean_text,
+  cast(len(toks) as bigint) as n_tokens,
+  cast(len(toks) - len(keep) as bigint) as n_removed
+from sel
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the perturbed embedding corpus: first-8 coarse
     quantizer clusters, within-cluster cosine >= 0.95 drops the
@@ -2631,7 +2685,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_extract": q_parse_extract,
     "session_windows": q_session_windows,
     "source_percentiles": q_source_percentiles,
-    "kw_spans": q_kw_spans,
     "kw_spans_dedup": q_kw_spans_dedup,
     "kw_token_match": q_kw_token_match,
     "kw_synonyms": q_kw_synonyms,
@@ -2643,6 +2696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_apply": q_dedup_apply,
     "line_dedup": q_line_dedup,
+    "span_dedup_corpus": q_span_dedup,
     "semantic_dedup": q_semantic_dedup,
     "curate": q_curate,
     "curate_funnel": q_curate_funnel,
@@ -2688,6 +2742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kw_counts": q_kw_counts,
     "media_features": q_media_features,
     "fingerprint": q_fingerprint,
+    "kw_spans": q_kw_spans,
 }
 
 
@@ -2731,6 +2786,7 @@ from corpus group by 1
         "dedup_incremental": OM.minhash_incremental_sql(3, 4, 3, 0.5),
         "dedup_apply": _sql_dedup_apply(),
         "line_dedup": _sql_line_dedup(),
+        "span_dedup_corpus": _sql_span_dedup(),
         "semantic_dedup": OM.semantic_dedup_sql(0.95),
         "curate": _sql_curate(),
         "curate_funnel": _sql_curate_funnel(),

@@ -488,3 +488,52 @@ def test_linear_text_score(spark):
         assert got[i] == expect(t), (i, t, got[i], expect(t))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_span_dedup(spark):
+    shared = "one two three four five six"  # 6 tokens, k=3 grams shared
+    rows = [
+        (0, f"alpha {shared} omega"),
+        (1, f"start {shared} finish line"),
+        (2, "totally unique words here nothing shared"),
+        (3, shared),            # fully covered -> empty clean_text
+        (4, "tiny doc"),        # < k tokens -> no grams, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in corpus.span_dedup(df, k=3, min_docs=2).collect()
+    }
+    assert len(got) == 5
+    # every token of `shared` is covered by a duplicated 3-gram; the
+    # flanking unique tokens survive in order
+    assert got[0]["clean_text"] == "alpha omega"
+    assert got[0]["n_tokens"] == 8 and got[0]["n_removed"] == 6
+    assert got[1]["clean_text"] == "start finish line"
+    assert got[2]["n_removed"] == 0
+    assert got[2]["clean_text"] == "totally unique words here nothing shared"
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 6
+    assert got[4]["clean_text"] == "tiny doc" and got[4]["n_removed"] == 0
+
+
+def test_span_dedup_min_docs_threshold(spark):
+    rows = [(i, "common run of words plus doc %d tail" % i) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out4 = {r["doc_id"]: r for r in corpus.span_dedup(df, k=4, min_docs=4).collect()}
+    assert all(out4[i]["n_removed"] == 0 for i in range(3))
+    out2 = {r["doc_id"]: r for r in corpus.span_dedup(df, k=4, min_docs=2).collect()}
+    # "common run of words plus" is shared (the doc-i suffix breaks later
+    # grams); covered tokens include every position under a shared 4-gram
+    assert all(out2[i]["n_removed"] > 0 for i in range(3))
+
+
+def test_span_dedup_no_unconditional_broadcast(spark):
+    """The duplicated-gram dim must not carry a broadcast hint: it grows
+    with the crawl (same contract as line_dedup / wer_join)."""
+    rows = [(i, f"doc body {i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = (
+        corpus.span_dedup(df, k=2, min_docs=2)
+        ._jdf.queryExecution().logical().toString()
+    )
+    assert "ResolvedHint" not in plan, plan
