@@ -601,6 +601,7 @@ def span_dedup(
     text_col: str = "text",
     k: int = 12,
     min_docs: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Remove every k-token span that repeats across ≥ ``min_docs``
     distinct documents (Lee et al. 2021, "Deduplicating Training Data
@@ -632,6 +633,11 @@ def span_dedup(
     array, ``exists`` over the (sorted, typically short) start list —
     O(tokens × dup_starts) per row, with dup_starts ≪ tokens in real
     corpora. No per-row Python anywhere.
+
+    ``hash_fn='md5'`` (default) is engine-portable so SQL oracles replay
+    it; ``'xxhash64'`` is the production choice — the gram key that rides
+    the distinct/count shuffle and the join back shrinks from a 32-char
+    string to 8 bytes (same trade as ``shingle_hashes``).
     """
     from ocr_spark.operators.cleaning import materialize
     from ocr_spark.operators.dedup import token_ngrams
@@ -640,10 +646,13 @@ def span_dedup(
         df.select(F.col(key), F.col(text_col)),
         toks=X.tokens(F.col(text_col)),
     ).select(key, "toks")
+    gh = F.xxhash64(F.col("gram")) if hash_fn == "xxhash64" else F.md5(
+        F.col("gram")
+    )
     grams = docs.select(
         F.col(key),
         F.posexplode(token_ngrams(F.col("toks"), k)).alias("pos", "gram"),
-    ).select(key, "pos", F.md5(F.col("gram")).alias("gh"))
+    ).select(key, "pos", gh.alias("gh"))
     freq = (
         grams.select("gh", key)
         .distinct()

@@ -537,3 +537,17 @@ def test_span_dedup_no_unconditional_broadcast(spark):
         ._jdf.queryExecution().logical().toString()
     )
     assert "ResolvedHint" not in plan, plan
+
+
+def test_span_dedup_xxhash_path_matches_md5(spark):
+    rows = [
+        (0, "shared prefix words here alpha tail"),
+        (1, "shared prefix words here beta tail"),
+        (2, "nothing in common with others at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(corpus.span_dedup(df, k=4, min_docs=2).collect())
+    b = sorted(
+        corpus.span_dedup(df, k=4, min_docs=2, hash_fn="xxhash64").collect()
+    )
+    assert a == b
