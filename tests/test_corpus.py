@@ -551,3 +551,49 @@ def test_span_dedup_xxhash_path_matches_md5(spark):
         corpus.span_dedup(df, k=4, min_docs=2, hash_fn="xxhash64").collect()
     )
     assert a == b
+
+
+def _py_span_dedup(docs: dict[int, str], k: int, min_docs: int):
+    """Pure-Python reference for span_dedup (token-level ExactSubstr)."""
+    import re
+
+    toks = {
+        d: [t for t in re.split(r"[^\w]+", txt.lower()) if t]
+        for d, txt in docs.items()
+    }
+    seen: dict[tuple, set[int]] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            seen.setdefault(tuple(ts[i : i + k]), set()).add(d)
+    dup = {g for g, ds in seen.items() if len(ds) >= min_docs}
+    out = {}
+    for d, ts in toks.items():
+        drop = set()
+        for i in range(len(ts) - k + 1):
+            if tuple(ts[i : i + k]) in dup:
+                drop.update(range(i, i + k))
+        kept = [t for i, t in enumerate(ts) if i not in drop]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_span_dedup_random_property(spark):
+    """Randomized corpora (seeded): Spark output == pure-Python spec for
+    every doc, across k and min_docs settings. Small vocab forces heavy
+    accidental gram sharing — the worst case for interval-union logic."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = []
+    for d in range(60):
+        n = rng.randint(0, 25)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, min_docs in [(2, 2), (3, 3), (5, 2)]:
+        want = _py_span_dedup(dict(rows), k, min_docs)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in corpus.span_dedup(df, k=k, min_docs=min_docs).collect()
+        }
+        assert got == want, (k, min_docs)
