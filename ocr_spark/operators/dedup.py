@@ -822,6 +822,7 @@ def apply_dedup(
     key: str = "key",
     text_col: str = "text",
     comp_col: str = "component",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Turn a doc→component map into the actual keep/drop decision:
     ``(key, component, n_members, keep)`` with exactly ONE kept member
@@ -832,9 +833,12 @@ def apply_dedup(
     the highest-quality representative of a near-dup cluster, and the
     near-copies injected by the dedup test corpus are token-dropped,
     i.e. strictly shorter than their source, so the policy is observable
-    in the oracle. The reference has no dedup stage; this is the apply
-    step the pair families (minhash/simhash/ngram/embedding) and
-    :func:`connected_components` feed at curation time.
+    in the oracle. Pass ``score_col`` (a numeric column on ``corpus``,
+    e.g. a :func:`~ocr_spark.operators.textstats.linear_text_score`
+    output joined on) to rank by model quality instead of length — same
+    plan, different ORDER BY. The reference has no dedup stage; this is
+    the apply step the pair families (minhash/simhash/ngram/embedding)
+    and :func:`connected_components` feed at curation time.
 
     Scale shape: one shuffle joining the (small) component map onto the
     corpus keyed by ``key``, then two window functions over ONE
@@ -844,9 +848,11 @@ def apply_dedup(
     (and counted) at pair generation."""
     from pyspark.sql import Window
 
-    ranked = corpus.select(
-        F.col(key), F.length(F.col(text_col)).alias("_len")
-    ).join(
+    rank_expr = (
+        F.col(score_col) if score_col is not None
+        else F.length(F.col(text_col))
+    )
+    ranked = corpus.select(F.col(key), rank_expr.alias("_len")).join(
         components.select(F.col(key), F.col(comp_col).alias("component")),
         key,
     )

@@ -495,3 +495,22 @@ def test_semantic_dedup_max_cluster_skips_comparison(spark, vectors):
     ).collect()
     assert len(out) == vectors.count()
     assert all(r["keep"] == 1 and r["dup_of"] is None for r in out)
+
+
+def test_apply_dedup_score_col_policy(spark):
+    corpus = spark.createDataFrame(
+        [(0, "short", 90), (1, "a much longer text body", 10), (2, "solo", 5)],
+        "key long, text string, q int",
+    )
+    comps = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 200)], "key long, component long"
+    )
+    from ocr_spark.operators.dedup import apply_dedup
+
+    by_len = {r["key"]: r["keep"] for r in apply_dedup(corpus, comps).collect()}
+    assert by_len == {0: 0, 1: 1, 2: 1}  # longest wins
+    by_q = {
+        r["key"]: r["keep"]
+        for r in apply_dedup(corpus, comps, score_col="q").collect()
+    }
+    assert by_q == {0: 1, 1: 0, 2: 1}  # highest score wins
