@@ -1,0 +1,105 @@
+"""As-of (most-recent-prior) join without a range join.
+
+Spark has no native ASOF JOIN; the naive formulations are a theta/range
+join (every left row pairs with every earlier right row before the
+aggregate — quadratic blowup on active keys) or a per-key collect. The
+scalable shape is **union + ordered window**: tag both streams, shuffle
+ONCE on the equi-keys, sort by ``(ts, side, tiebreak)`` and carry the
+build side's payload forward with ``last(..., ignorenulls=True)`` over
+the strictly-preceding frame. Cost is one shuffle of ``|left|+|right|``
+rows — no pair explosion, and skew is bounded by per-key row counts
+exactly like sessionization (the same Window the W1 ordering contract
+already pays for).
+
+Two subtleties the pattern must get right:
+
+* **Payload consistency** — carrying each payload column through its own
+  ``last(ignorenulls)`` could stitch values from *different* right rows
+  whenever a right row holds NULLs of its own. The payload therefore
+  rides as ONE struct (never null on right rows), matched atomically.
+* **Equal-timestamp semantics** — the side tag participates in the sort
+  key: with ``strict=True`` right rows sort *after* left rows at equal
+  ``ts`` (so a left row never sees a same-instant right row), with
+  ``strict=False`` they sort *before* it (standard as-of ``<=``).
+
+The reference has no as-of operation (its event stream is a work queue,
+SURVEY §2.10); this is the lineage/attribution join a transcript
+pipeline needs — e.g. "which tool invocation most recently preceded
+this turn" or click→purchase attribution over the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    strict: bool = True,
+    tolerance: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the payload of the
+    latest ``right`` row with the same ``on`` keys and an earlier
+    ``ts`` (strictly earlier when ``strict``, else ``<=``); unmatched
+    rows keep NULL payloads (left-outer semantics).
+
+    ``payload_cols`` defaults to every right column not in
+    ``on + [ts_col]``. The matched row's timestamp is always emitted as
+    ``{prefix}{ts_col}``. Among right rows sharing ``(on, ts)`` the one
+    with the greatest ``tiebreak`` wins — pass one whenever ``(on, ts)``
+    is not unique, or the pick (and any oracle comparison) is
+    nondeterministic. ``tolerance`` (seconds) voids matches older than
+    ``left.ts - tolerance`` — the struct is matched first, then gated,
+    so a too-old right row does NOT fall through to an even older one
+    (standard as-of tolerance semantics, cheap and row-local).
+
+    One exchange on ``on``; everything after the sort is narrow.
+    """
+    if payload_cols is None:
+        drop = set(on) | {ts_col}
+        payload_cols = [c for c in right.columns if c not in drop]
+    order_tail: list[Column] = []
+    if tiebreak is not None:
+        order_tail.append(F.col("_pay")[tiebreak])
+
+    pay = F.struct(
+        F.col(ts_col).alias(ts_col),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        *on, ts_col, pay.alias("_pay"), F.lit(int(strict)).alias("_side")
+    )
+    l = left.withColumn(
+        "_pay", F.lit(None).cast(r.schema["_pay"].dataType)
+    ).withColumn("_side", F.lit(int(not strict)))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col), F.col("_side"), *order_tail)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = F.last("_pay", ignorenulls=True).over(w)
+    u = u.withColumn("_m", matched).filter(
+        F.col("_side") == F.lit(int(not strict))
+    )
+    if tolerance is not None:
+        in_tol = (
+            F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(F.col("_m")[ts_col])
+        ) <= F.lit(tolerance)
+        u = u.withColumn("_m", F.when(in_tol, F.col("_m")))
+    out_cols = [c for c in left.columns]
+    m = F.col("_m")
+    return u.select(
+        *out_cols,
+        m[ts_col].alias(f"{prefix}{ts_col}"),
+        *[m[c].alias(f"{prefix}{c}") for c in payload_cols],
+    )

@@ -497,3 +497,78 @@ def semantic_dedup(
         F.col("dup_of").isNull().cast("int").alias("keep"),
         F.col("dup_of"),
     )
+
+
+def cluster_balance(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    cap: int = 50,
+    centroids: list[list[float]] | None = None,
+    seed: str = "cb",
+    buckets: int = 16,
+) -> DataFrame:
+    """Cluster-proportional corpus balancing (the DataComp/SemDeDup-era
+    recipe: cap every embedding cluster so no topic dominates the mix):
+    assign each vector to its nearest coarse centroid, rank members
+    within the cluster in deterministic ``md5(seed|key)`` order, and keep
+    at most ``cap`` per cluster. Returns
+    ``(key, cid, cluster_size, kept)``.
+
+    The within-cluster rank deliberately does NOT use
+    ``row_number() over (partition by cid order by ...)`` alone — one
+    mega-cluster would sort in one task. Instead it reuses the
+    prefix-bucket device of :func:`~ocr_spark.operators.corpus.global_shuffle_rank`
+    scoped per cluster: the bucket is a monotone prefix split of the md5
+    sort key, so rank = within-``(cid, bucket)`` row_number + the
+    cumulative count of the cluster's preceding buckets. Per-cluster
+    parallelism is ``buckets``-way; the offsets/sizes dim is
+    ``n_clusters x buckets`` rows (bounded broadcast). Centroids ride the
+    plan as literals exactly like :func:`ann_ivf`; sampling is md5-order
+    deterministic, so the kept set is resume-stable at any parallelism
+    (the :func:`~ocr_spark.operators.corpus.sample_stratified` contract,
+    with clusters as the learned strata)."""
+    if not 1 <= buckets <= 65536:
+        raise ValueError("buckets must be in [1, 65536]")
+    if centroids is None:
+        centroids = fit_ivf_centroids(df, key, vec_col, n_clusters)
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(key).cast("string")))
+    asg = df.select(
+        F.col(key),
+        _centroid_ranks(as_double(F.col(vec_col)), centroids)[0]["cid"]
+        .cast("int")
+        .alias("cid"),
+        h.alias("_h"),
+    ).withColumn(
+        "_b",
+        F.floor(
+            F.conv(F.substring(F.col("_h"), 1, 4), 16, 10).cast("long")
+            * buckets
+            / 65536
+        ).cast("int"),
+    )
+    counts = asg.groupBy("cid", "_b").agg(F.count("*").alias("_n"))
+    wo = (
+        Window.partitionBy("cid")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("cid")
+    offsets = counts.select(
+        "cid",
+        "_b",
+        F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"),
+        F.sum("_n").over(wt).cast("long").alias("cluster_size"),
+    )
+    w = Window.partitionBy("cid", "_b").orderBy(F.col("_h"), F.col(key))
+    return (
+        asg.join(F.broadcast(offsets), ["cid", "_b"])
+        .withColumn("_rank", F.row_number().over(w) + F.col("_off") - 1)
+        .select(
+            F.col(key),
+            "cid",
+            "cluster_size",
+            (F.col("_rank") < cap).cast("int").alias("kept"),
+        )
+    )

@@ -414,3 +414,48 @@ select base.vec_id, cast(base.cid as int) as cid,
   dup.dup_of
 from base left join dup on base.vec_id = dup.vec_id
 """
+
+
+def cluster_balance_sql(n_clusters: int = 8, cap: int = 40, seed: str = "cb") -> str:
+    """Twin of similarity.cluster_balance: first-k centroids, argmin-cosine
+    assignment (same (negcos, cid) ordering as ivf_sql), per-cluster md5
+    rank — the plain window here IS the prefix-bucket rank, because the
+    bucket is a monotone prefix of the sort key."""
+    dot_bc = _dot("b.v", "c.c")
+    return f"""
+with base as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+),
+cent as (
+  select row_number() over (order by vec_id) - 1 as cid, v as c
+  from (select * from base order by vec_id limit {n_clusters})
+),
+asg as (
+  select b.vec_id, c.cid,
+    coalesce(-(case when sqrt({_dot('b.v', 'b.v')}) * sqrt({_dot('c.c', 'c.c')}) > 0
+      then {dot_bc} / (sqrt({_dot('b.v', 'b.v')}) * sqrt({_dot('c.c', 'c.c')})) end),
+      2.0) as negcos
+  from base b, cent c
+),
+best as (
+  select vec_id, cid from (
+    select vec_id, cid,
+      row_number() over (partition by vec_id order by negcos, cid) as r
+    from asg
+  ) where r = 1
+),
+ranked as (
+  select vec_id, cid,
+    row_number() over (
+      partition by cid
+      order by md5('{seed}|' || cast(vec_id as varchar)), vec_id
+    ) - 1 as rnk,
+    count(*) over (partition by cid) as csize
+  from best
+)
+select vec_id, cast(cid as int) as cid,
+  cast(csize as bigint) as cluster_size,
+  cast(case when rnk < {cap} then 1 else 0 end as int) as kept
+from ranked
+"""

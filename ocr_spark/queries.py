@@ -2660,6 +2660,98 @@ from decision group by 1
 """
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 point lookup (`ocr_worker.py:88-96` get_document-by-id analog):
+    a single-key predicate that must reach the parquet scan as a pushed
+    filter — the plan shape is asserted in tests/test_scale.py (at 100 TB
+    this is the difference between one row group and a full table scan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.where(F.col("doc_id") == 123).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+SQL_POINT_LOOKUP = """
+select doc_id, lang, source, cast(n_chars as bigint) as n_chars
+from documents where doc_id = 123
+"""
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution: each purchase event joined to the latest
+    strictly-earlier click by the same user (union + ordered window —
+    one shuffle, no range-join explosion; see operators/asof.py). The
+    click side is pre-deduped to one row per (user_id, ts) — max
+    event_id wins — so the match is deterministic and the DuckDB ASOF
+    JOIN oracle is comparable."""
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    wd = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts",
+        payload_cols=["click_id", "click_value"], strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_timestamp("asof_ts").alias("click_ts_s"),
+        F.col("asof_click_id").alias("click_id"),
+        _scale(F.col("asof_click_value"), 1000).alias("click_value_c"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+with p as (
+  select event_id, user_id, ts, value from events where event_type = 'purchase'
+),
+c as (
+  select user_id, ts, event_id as click_id, value as click_value
+  from (
+    select user_id, ts, event_id, value,
+      row_number() over (partition by user_id, ts order by event_id desc) as rn
+    from events where event_type = 'click'
+  ) where rn = 1
+)
+select p.event_id, p.user_id,
+  cast(floor(epoch(p.ts)) as bigint) as ts_s,
+  cast(floor(epoch(c.ts)) as bigint) as click_ts_s,
+  c.click_id,
+  cast(floor(c.click_value * 1000 + 0.5) as bigint) as click_value_c
+from p asof left join c on p.user_id = c.user_id and p.ts > c.ts
+"""
+
+
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-proportional balancing over the embeddings table: nearest
+    coarse centroid per vector, then at most ``cap`` kept per cluster in
+    deterministic md5 order (learned-strata sampling; the per-cluster
+    rank uses the prefix-bucket device, never one task per cluster)."""
+    from ocr_spark.operators.similarity import cluster_balance
+
+    emb = _emb(spark, sf_dir)
+    return cluster_balance(
+        emb, "vec_id", "embedding", n_clusters=8, cap=40
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2676,7 +2768,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_rank": q_shuffle_rank,
     "mix_sources": q_mix_sources,
     "quality_linear": q_quality_linear,
-    "clean_stats_global": q_clean_stats_global,
+    "point_lookup": q_point_lookup,
+    "events_asof": q_events_asof,
+    "cluster_balance": q_cluster_balance,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "parse_kind": q_parse_kind,
@@ -2685,11 +2779,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_extract": q_parse_extract,
     "session_windows": q_session_windows,
     "source_percentiles": q_source_percentiles,
-    "kw_spans_dedup": q_kw_spans_dedup,
     "kw_token_match": q_kw_token_match,
     "kw_synonyms": q_kw_synonyms,
     "kw_ac_365": q_kw_ac_365,
-    "kw_rollup": q_kw_rollup,
     "kw_statistics": q_kw_statistics,
     "dedup_minhash": q_dedup_minhash,
     "dedup_dropped": q_dedup_dropped,
@@ -2724,6 +2816,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    "clean_stats_global": q_clean_stats_global,
+    "kw_spans_dedup": q_kw_spans_dedup,
+    "kw_rollup": q_kw_rollup,
     "clean_text": q_clean_text,
     "filter_bank": q_filter_bank,
     "validate": q_validate,
@@ -2823,4 +2918,7 @@ from corpus group by 1
         "tpch_pricing": SQL_TPCH_PRICING,
         "tpch_top_customers": SQL_TPCH_TOP_CUSTOMERS,
         "tpch_nation_volume": SQL_TPCH_NATION_VOLUME,
+        "point_lookup": SQL_POINT_LOOKUP,
+        "events_asof": SQL_EVENTS_ASOF,
+        "cluster_balance": OM.cluster_balance_sql(8, 40),
     }

@@ -1,0 +1,133 @@
+"""asof_join: union+window as-of semantics, atomic payload matching,
+tolerance gating, and the one-exchange plan contract."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_spark.operators.asof import asof_join
+
+
+def _ts(s: int) -> datetime:
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(20), "b"), (2, _ts(5), "c"),
+         (3, _ts(30), "d")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), 100, "x"), (1, _ts(10), 200, "y"),
+         (1, _ts(15), 300, "z"), (2, _ts(9), 400, "w")],
+        "k int, ts timestamp, rid int, rv string",
+    )
+    return left, right
+
+
+def test_strict_takes_latest_strictly_earlier(spark, sides):
+    left, right = sides
+    out = {
+        (r["k"], r["lv"]): r["asof_rid"]
+        for r in asof_join(left, right, ["k"], "ts").collect()
+    }
+    # left (1, ts=10): right ts=10 excluded under strict -> ts=8 wins
+    assert out[(1, "a")] == 100
+    assert out[(1, "b")] == 300
+    # left (2, ts=5): right ts=9 is later -> no match
+    assert out[(2, "c")] is None
+    # key 3 has no right rows at all
+    assert out[(3, "d")] is None
+
+
+def test_non_strict_includes_equal_ts(spark, sides):
+    left, right = sides
+    out = {
+        (r["k"], r["lv"]): r["asof_rid"]
+        for r in asof_join(left, right, ["k"], "ts", strict=False).collect()
+    }
+    assert out[(1, "a")] == 200  # ts=10 right row now visible
+    assert out[(1, "b")] == 300
+
+
+def test_tolerance_gates_without_fallback(spark, sides):
+    left, right = sides
+    out = {
+        (r["k"], r["lv"]): (r["asof_rid"], r["asof_ts"])
+        for r in asof_join(
+            left, right, ["k"], "ts", tolerance=5
+        ).collect()
+    }
+    # left (1, ts=20): best match ts=15 is within 5s
+    assert out[(1, "b")][0] == 300
+    # left (1, ts=10): best match ts=8 within 5s
+    assert out[(1, "a")][0] == 100
+    # shrink tolerance: too-old matches void entirely (no fallback to
+    # even-older rows)
+    out1 = {
+        (r["k"], r["lv"]): r["asof_rid"]
+        for r in asof_join(
+            left, right, ["k"], "ts", tolerance=1
+        ).collect()
+    }
+    assert out1[(1, "a")] is None
+    assert out1[(1, "b")] is None
+
+
+def test_payload_struct_is_atomic(spark):
+    """A right row carrying its own NULLs must match as a unit — per-column
+    last(ignorenulls) would stitch fields from different rows."""
+    left = spark.createDataFrame([(1, _ts(20), "L")], "k int, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 1, "old"), (1, _ts(10), None, "new")],
+        "k int, ts timestamp, rid int, rv string",
+    )
+    r = asof_join(left, right, ["k"], "ts").collect()[0]
+    # latest row wins wholesale: rid is ITS null, not the older row's 1
+    assert r["asof_rv"] == "new"
+    assert r["asof_rid"] is None
+
+
+def test_tiebreak_picks_greatest(spark):
+    left = spark.createDataFrame([(1, _ts(20))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 7), (1, _ts(10), 9), (1, _ts(10), 8)],
+        "k int, ts timestamp, rid int",
+    )
+    r = asof_join(left, right, ["k"], "ts", tiebreak="rid").collect()[0]
+    assert r["asof_rid"] == 9
+
+
+def test_single_exchange_plan(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, ["k"], "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_matches_brute_force(spark):
+    """Randomized parity vs the quadratic spec."""
+    import random
+
+    rng = random.Random(7)
+    lrows = [(rng.randint(0, 4), _ts(rng.randint(0, 50)), i) for i in range(60)]
+    rrows = [(rng.randint(0, 4), _ts(rng.randint(0, 50)), i, i * 10) for i in range(60)]
+    # make (k, ts) unique on the right so no tiebreak is needed
+    seen: set = set()
+    rrows = [r for r in rrows if not ((r[0], r[1]) in seen or seen.add((r[0], r[1])))]
+    left = spark.createDataFrame(lrows, "k int, ts timestamp, lid int")
+    right = spark.createDataFrame(rrows, "k int, ts timestamp, rid int, rv int")
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(left, right, ["k"], "ts").collect()
+    }
+    for k, ts, lid in lrows:
+        cands = [(rts, rid) for rk, rts, rid, _ in rrows if rk == k and rts < ts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, ts)

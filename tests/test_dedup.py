@@ -514,3 +514,42 @@ def test_apply_dedup_score_col_policy(spark):
         for r in apply_dedup(corpus, comps, score_col="q").collect()
     }
     assert by_q == {0: 1, 1: 0, 2: 1}  # highest score wins
+
+
+def test_cluster_balance_caps_every_cluster(spark, vectors):
+    out = similarity.cluster_balance(
+        vectors, "vec_id", "embedding", n_clusters=4, cap=5
+    ).collect()
+    assert len(out) == vectors.count()
+    by_cid: dict = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append(r)
+    total_kept = 0
+    for cid, rows in by_cid.items():
+        size = rows[0]["cluster_size"]
+        assert size == len(rows)
+        kept = sum(r["kept"] for r in rows)
+        assert kept == min(5, size), (cid, kept, size)
+        total_kept += kept
+    assert 0 < total_kept < len(out)
+
+
+def test_cluster_balance_rank_matches_plain_window(spark, vectors):
+    """The prefix-bucket rank must equal the single-window md5 rank —
+    bucketing is a monotone prefix split of the sort key."""
+    import hashlib
+
+    out = similarity.cluster_balance(
+        vectors, "vec_id", "embedding", n_clusters=4, cap=3, buckets=8
+    ).collect()
+    by_cid: dict = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append(r)
+
+    def h(k: int) -> str:
+        return hashlib.md5(f"cb|{k}".encode()).hexdigest()
+
+    for cid, rows in by_cid.items():
+        order = sorted(rows, key=lambda r: (h(r["vec_id"]), r["vec_id"]))
+        for i, r in enumerate(order):
+            assert r["kept"] == int(i < 3), (cid, r["vec_id"], i)

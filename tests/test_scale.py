@@ -8,6 +8,8 @@ invariant to partitioning (the W1 stable-ordering rule).
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import functions as F
 
 from ocr_spark import datagen
@@ -356,3 +358,61 @@ def test_curation_lastmile_plan_shapes(spark):
 
     ld = corpus.line_dedup(docs)
     assert "Hint" not in ld._jdf.queryExecution().analyzed().toString()
+
+
+def test_point_lookup_filter_reaches_scan(spark, tmp_path):
+    """S2 point lookup: the equality predicate must be a PushedFilter on
+    the parquet scan (row-group pruning at scale), not a post-scan
+    Filter over a full read."""
+    p = str(tmp_path / "pl.parquet")
+    spark.createDataFrame(
+        [(i, f"t{i}", "ro", "web") for i in range(100)],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(p)
+    q = (
+        spark.read.parquet(p)
+        .where(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "source")
+    )
+    plan = _plan(q)
+    assert "EqualTo(doc_id,42)" in plan, plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in rs, rs
+
+
+def test_cluster_balance_never_sorts_whole_cluster_in_one_task(spark):
+    """cluster_balance's within-cluster rank partitions by (cid, bucket),
+    not cid alone — a mega-cluster spreads over `buckets` tasks; the
+    offsets dim rides a bounded broadcast."""
+    import re
+
+    from ocr_spark.operators import similarity
+
+    vec = spark.createDataFrame(
+        [(i, [float(i % 7)] * 4) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(
+        similarity.cluster_balance(vec, "vec_id", "embedding", n_clusters=2, cap=3)
+    )
+    # the row_number window must hash-partition on BOTH cid and _b
+    assert re.search(r"Exchange hashpartitioning\(cid#\d+, _b#\d+", plan), plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_asof_join_single_shuffle_on_keys(spark):
+    """events_asof shape: one hashpartitioning exchange on the equi-keys
+    for |L|+|R| rows — never a range join or per-key collect."""
+    from ocr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 0, 10), 1)],
+        "k int, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 0, 5), 2)],
+        "k int, ts timestamp, rid int",
+    )
+    plan = _plan(asof_join(left, right, ["k"], "ts"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
