@@ -248,3 +248,100 @@ def linear_text_score(
             F.coalesce(F.col("score_c"), F.lit(0)).alias("score_c"),
         )
     )
+
+
+def train_linear_classifier(
+    docs,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 12,
+    seed: str = "feat",
+    n_max: int = 2,
+    n_iter: int = 5,
+    lr: float = 0.5,
+    scale: int = 100_000,
+):
+    """Distributed full-batch logistic regression over the SAME hashed
+    n-gram features :func:`linear_text_score` consumes — the training
+    half of the fastText-style quality classifier (the V1 'model fit'
+    contract generalized past a deterministic stand-in: the reference
+    fits OneClassSVM driver-side on a bounded set,
+    vector_searcher.py:20-30; here the DATA stays distributed and only
+    the bounded model transits the driver, exactly like
+    :func:`~ocr_spark.operators.similarity.fit_kmeans_centroids`).
+
+    Model: p(doc) = sigmoid(mean over feature occurrences of w_b) — the
+    mean (not sum) so the decision function IS what
+    ``linear_text_score`` exports (score_c = floor(mean * scale)).
+    Per iteration:
+
+    * per-doc score: one broadcast join of the (≤ ``buckets``-row)
+      weight dim onto the persisted feature bag + one doc-keyed agg;
+    * per-bucket gradient: sum of ``c/n * (p - y)`` — one
+      combiner-friendly bucket-keyed agg, collected to the driver
+      (bounded by the hash width, never by the corpus);
+    * driver update ``w -= lr * grad``, re-broadcast next round.
+
+    Shuffle volume is 2 corpus passes × ``n_iter`` over the *labeled
+    training set* — which is bounded by labeling budget, not corpus
+    size. Float math, so unlike the scoring path it is deterministic
+    only up to float-sum ordering; the exported dim is integer
+    micro-units. Returns (bucket, w_c) ready for
+    :func:`linear_text_score` (same ``buckets``/``seed``/``n_max``
+    MUST be passed there)."""
+    import math
+
+    spark = docs.sparkSession
+    y = F.col(label_col).cast("double")
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        y.alias("_y"),
+        hashed_ngram_buckets(F.col(text_col), buckets, seed, n_max).alias(
+            "_bk"
+        ),
+    ).filter(F.size("_bk") > 0)
+    fl = (
+        base.select(
+            "_id", "_y", F.size("_bk").alias("_n"), F.explode("_bk").alias("bucket")
+        )
+        .groupBy("_id", "_y", "_n", "bucket")
+        .agg(F.count("*").cast("double").alias("_c"))
+        .persist()
+    )
+    try:
+        n_docs = fl.select("_id").distinct().count()
+        w: dict[int, float] = {}
+        for _ in range(n_iter):
+            if w:
+                wdf = spark.createDataFrame(
+                    [(int(b), float(v)) for b, v in sorted(w.items())],
+                    "bucket bigint, _w double",
+                )
+                j = fl.join(F.broadcast(wdf), "bucket", "left")
+            else:
+                j = fl.withColumn("_w", F.lit(0.0))
+            scored = j.groupBy("_id").agg(
+                F.first("_y").alias("_y"),
+                (F.sum(F.col("_c") * F.coalesce(F.col("_w"), F.lit(0.0))) / F.first("_n")).alias("_s"),
+            )
+            resid = scored.select(
+                "_id",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_s"))) - F.col("_y")).alias("_r"),
+            )
+            grad = (
+                fl.join(resid, "_id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("_c") / F.col("_n") * F.col("_r")).alias("_g"))
+                .collect()
+            )
+            for row in grad:
+                b = int(row["bucket"])
+                w[b] = w.get(b, 0.0) - lr * float(row["_g"]) / max(n_docs, 1)
+        rows = [
+            (int(b), int(math.floor(v * scale + 0.5)))
+            for b, v in sorted(w.items())
+        ]
+        return spark.createDataFrame(rows, "bucket bigint, w_c bigint")
+    finally:
+        fl.unpersist()

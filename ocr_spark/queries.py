@@ -2752,6 +2752,29 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained-classifier path: fit the distributed logistic
+    regression on the even-doc_id half (label = lang=='en'), export the
+    integer weight dim, score the held-out odd half through
+    linear_text_score. Rows-only by design (iterative float training is
+    not SQL-expressible); the trainer itself is spec-tested vs a numpy
+    twin in tests/test_textstats.py."""
+    from ocr_spark.operators.textstats import (
+        linear_text_score,
+        train_linear_classifier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    wdim = train_linear_classifier(
+        train, "label", buckets=1 << 10, n_iter=3, lr=1.0
+    )
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    return linear_text_score(held, wdim, buckets=1 << 10)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2771,6 +2794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "point_lookup": q_point_lookup,
     "events_asof": q_events_asof,
     "cluster_balance": q_cluster_balance,
+    "train_quality": q_train_quality,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "parse_kind": q_parse_kind,
@@ -2793,7 +2817,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate": q_curate,
     "curate_funnel": q_curate_funnel,
     "dedup_components": q_dedup_components,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
@@ -2816,6 +2839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    "dedup_simhash": q_dedup_simhash,
     "clean_stats_global": q_clean_stats_global,
     "kw_spans_dedup": q_kw_spans_dedup,
     "kw_rollup": q_kw_rollup,

@@ -100,3 +100,79 @@ def test_media_stage_schema_and_determinism(spark):
 def test_decode_media_is_a_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"x", "image")
+
+
+def _py_feats(text: str, buckets: int, seed: str = "feat", n_max: int = 2):
+    """Pure-Python twin of hashed_ngram_buckets (md5 first-8-hex % buckets
+    over word 1..n_max-grams of the frozen tokenizer)."""
+    import hashlib
+    import re
+
+    # functions.text.tokens splits on runs outside [\p{L}\p{N}_] — Python's
+    # unicode \W is exactly that complement (underscore is a word char)
+    toks = [t for t in re.split(r"\W+", text.lower()) if t]
+    grams = []
+    for n in range(1, n_max + 1):
+        grams += [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    out = []
+    for g in grams:
+        h = hashlib.md5(f"{seed}|{g}".encode()).hexdigest()[:8]
+        out.append(int(h, 16) % buckets)
+    return out
+
+
+def test_train_linear_classifier_separates_and_matches_spec(spark):
+    """The distributed trainer must (a) separate an easy synthetic set via
+    the exported linear_text_score path, and (b) track a pure-numpy
+    full-batch logistic regression on the identical feature bags."""
+    import math
+    import random
+
+    from ocr_spark.operators.textstats import (
+        linear_text_score,
+        train_linear_classifier,
+    )
+
+    rng = random.Random(3)
+    goods = ["excellent", "clear", "insight", "useful", "rigor"]
+    bads = ["spam", "click", "buy", "junk", "scam"]
+    rows = []
+    for i in range(80):
+        y = i % 2
+        pool = goods if y else bads
+        text = " ".join(rng.choice(pool) for _ in range(10))
+        rows.append((i, text, y))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    buckets, n_iter, lr = 256, 6, 1.0
+    wdim = train_linear_classifier(
+        docs, "label", buckets=buckets, n_iter=n_iter, lr=lr
+    )
+
+    # (a) separation through the exact scoring path the weights export to
+    scored = {
+        r["doc_id"]: r["score_c"]
+        for r in linear_text_score(docs, wdim, buckets=buckets).collect()
+    }
+    pos = [scored[i] for i in range(80) if i % 2 == 1]
+    neg = [scored[i] for i in range(80) if i % 2 == 0]
+    assert min(pos) > max(neg), (min(pos), max(neg))
+
+    # (b) numpy spec on identical bags
+    bags = {i: _py_feats(t, buckets) for i, t, _ in rows}
+    w = [0.0] * buckets
+    n_docs = len(rows)
+    for _ in range(n_iter):
+        grad = [0.0] * buckets
+        for i, _t, y in rows:
+            bag = bags[i]
+            s = sum(w[b] for b in bag) / len(bag)
+            r = 1.0 / (1.0 + math.exp(-s)) - y
+            for b in bag:
+                grad[b] += r / len(bag)
+        for b in range(buckets):
+            w[b] -= lr * grad[b] / n_docs
+    got = {r["bucket"]: r["w_c"] for r in wdim.collect()}
+    for b in range(buckets):
+        want = math.floor(w[b] * 100_000 + 0.5)
+        assert abs(got.get(b, 0) - want) <= 2, (b, got.get(b, 0), want)
