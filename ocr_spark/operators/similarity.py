@@ -572,3 +572,130 @@ def cluster_balance(
             (F.col("_rank") < cap).cast("int").alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN path
+# ---------------------------------------------------------------------------
+
+
+def fit_pq_codebooks(
+    items: DataFrame, key: str, vec_col: str, m: int = 8, k_star: int = 16
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks: split the vector into ``m`` contiguous
+    subvectors; codebook ``j`` holds the ``j``-th subvector of the first
+    ``k_star`` training vectors in key order — the same deterministic,
+    engine-portable 'fit' stand-in as :func:`fit_ivf_centroids` (swap in
+    per-subspace k-means via :func:`fit_kmeans_centroids` for production;
+    every downstream plan is unchanged). Returns ``[m][k_star][dim/m]``."""
+    rows = items.select(key, vec_col).orderBy(key).limit(k_star).collect()
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    if not vecs:
+        raise ValueError("empty training set")
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        [v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)
+    ]
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """``array<int>`` of ``m`` code ids: per subspace, the L2-nearest
+    codebook entry (ties to the smaller id). 64-dim float32 (256 B)
+    becomes m=8 4-bit-range codes — a 32× (byte-packed; 8 B as a packed
+    bigint) memory cut, which is what makes a 10^11-vector index fit a
+    cluster's RAM at all."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        sl = F.slice(vec, j * sub + 1, sub)
+        entries = [
+            F.struct(
+                _l2(sl, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(cb)
+        ]
+        codes.append(F.sort_array(F.array(*entries))[0]["c"])
+    return F.array(*codes)
+
+
+def ann_pq(
+    items: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 8,
+    k_star: int = 16,
+    refine: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: items are stored ONLY as ``m`` small
+    code ids; each query scores candidates with the asymmetric distance
+    computation — ``sum_j dot(q_j, codebook_j[code_j])`` against the
+    reconstructed-norm — never touching the original item vectors
+    (Jégou et al. 2011). The scale contract: the scan reads a
+    codes column instead of the embedding column (32× less IO/RAM);
+    codebooks ride the plan as literals (bounded model, the broadcast
+    kind); scoring is row-local HOF math; one window top-k per query.
+
+    ``refine=r`` adds the standard two-stage shape: ADC keeps ``k*r``
+    candidates, then ONLY those join back their exact vectors for true
+    cosine re-rank — the expensive column is read for ``k*r*|Q|`` rows,
+    not the corpus. Output (query_id, rank, item_id, cos); ``cos`` is
+    the ADC approximation unless refined."""
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(items, key, vec_col, m, k_star)
+    sub = len(codebooks[0][0])
+    it = items.select(
+        F.col(key).alias("item_id"),
+        pq_encode(as_double(F.col(vec_col)), codebooks).alias("codes"),
+    )
+    qr = queries.select(
+        F.col(key).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qnorm", norm(F.col("qv")))
+
+    pair = it.crossJoin(F.broadcast(qr)).filter(
+        F.col("item_id") != F.col("query_id")
+    )
+    adc = F.lit(0.0)
+    recon_sq = F.lit(0.0)
+    for j, cb in enumerate(codebooks):
+        cbl = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in cb]
+        )
+        cvec = F.element_at(cbl, F.element_at(F.col("codes"), j + 1) + 1)
+        adc = adc + dot(F.slice(F.col("qv"), j * sub + 1, sub), cvec)
+        recon_sq = recon_sq + dot(cvec, cvec)
+    scored = pair.withColumn(
+        "cos", F.try_divide(adc, F.col("qnorm") * F.sqrt(recon_sq))
+    ).filter(F.col("cos").isNotNull())
+    if refine is None:
+        return _topk(scored, k)
+    cands = _topk(scored, k * refine).select("query_id", "item_id")
+    iv = items.select(
+        F.col(key).alias("item_id"), as_double(F.col(vec_col)).alias("iv")
+    ).withColumn("inorm", norm(F.col("iv")))
+    exact = (
+        cands.join(iv, "item_id")
+        .join(
+            F.broadcast(qr), "query_id"
+        )
+        .withColumn(
+            "cos",
+            cosine(F.col("qv"), F.col("iv"), F.col("qnorm"), F.col("inorm")),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    return _topk(exact, k)

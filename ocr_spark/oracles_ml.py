@@ -459,3 +459,79 @@ select vec_id, cast(cid as int) as cid,
   cast(case when rnk < {cap} then 1 else 0 end as int) as kept
 from ranked
 """
+
+
+def pq_sql(
+    k: int,
+    m: int = 8,
+    k_star: int = 16,
+    dim: int = 64,
+    max_query: int = 8,
+) -> str:
+    """Twin of similarity.ann_pq (ADC path, no refine): codebook j =
+    subvector j of the first k_star vectors in key order; codes by
+    per-subspace L2 argmin (ties to smaller id); ADC cosine =
+    sum_j dot(q_j, cb_j[code_j]) / (|q| * sqrt(sum_j |cb_j[code_j]|^2)).
+    Every float fold is a left-to-right list_reduce matching Spark's
+    sequential aggregate, so values are bit-identical."""
+    sub = dim // m
+
+    def _fold(expr: str) -> str:
+        return f"list_reduce({expr}, (p, q) -> p + q)"
+
+    l2 = _fold(
+        f"list_transform(range(1, {sub + 1}), i -> "
+        f"(b.v[j*{sub}+i] - cb.tv[c+1][j*{sub}+i])"
+        f" * (b.v[j*{sub}+i] - cb.tv[c+1][j*{sub}+i]))"
+    )
+    adc_j = _fold(
+        f"list_transform(range(1, {sub + 1}), ii -> "
+        f"q.v[j*{sub}+ii] * cb.tv[i.codes[j+1]+1][j*{sub}+ii])"
+    )
+    rsq_j = _fold(
+        f"list_transform(range(1, {sub + 1}), ii -> "
+        f"cb.tv[i.codes[j+1]+1][j*{sub}+ii]"
+        f" * cb.tv[i.codes[j+1]+1][j*{sub}+ii])"
+    )
+    qn = _dot("base.v", "base.v")
+    return f"""
+with base as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+  from embeddings
+),
+cb as (
+  select list(v order by vec_id) as tv
+  from (select * from base order by vec_id limit {k_star})
+),
+codes as (
+  select b.vec_id,
+    list_transform(range(0, {m}), j ->
+      list_sort(list_transform(range(0, {k_star}), c ->
+        {{'d': {l2}, 'c': c}}))[1].c
+    ) as codes
+  from base b, cb
+),
+q as (
+  select vec_id, v, sqrt({qn}) as qn from base where vec_id < {max_query}
+),
+scored as (
+  select q.vec_id as query_id, i.vec_id as item_id, q.qn,
+    {_fold(f"list_transform(range(0, {m}), j -> {adc_j})")} as adc,
+    {_fold(f"list_transform(range(0, {m}), j -> {rsq_j})")} as rsq
+  from codes i, q, cb
+  where i.vec_id != q.vec_id
+),
+ranked as (
+  select query_id, item_id,
+    (case when qn * sqrt(rsq) > 0 then adc / (qn * sqrt(rsq)) end) as cos
+  from scored
+),
+topk as (
+  select query_id, item_id, cos,
+    row_number() over (partition by query_id order by cos desc, item_id asc) as rank
+  from ranked where cos is not null
+)
+select query_id, cast(rank as int) as rank, item_id,
+  cast(floor(cos * 1000000 + 0.5) as bigint) as cos_c
+from topk where rank <= {k}
+"""

@@ -2752,6 +2752,23 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN: items stored as m=8 codebook ids (32× memory cut),
+    queries score via asymmetric distance against plan-literal codebooks
+    — the memory-bounded sibling of ann_ivf (see similarity.ann_pq)."""
+    from ocr_spark.operators.similarity import ann_pq
+
+    emb = _emb(spark, sf_dir)
+    out = ann_pq(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=5, m=8, k_star=16,
+    )
+    return out.select(
+        "query_id", "rank", "item_id",
+        _scale(F.col("cos"), 1_000_000).alias("cos_c"),
+    )
+
+
 def q_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end trained-classifier path: fit the distributed logistic
     regression on the even-doc_id half (label = lang=='en'), export the
@@ -2795,6 +2812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "cluster_balance": q_cluster_balance,
     "train_quality": q_train_quality,
+    "ann_pq": q_ann_pq,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "parse_kind": q_parse_kind,
@@ -2817,7 +2835,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate": q_curate,
     "curate_funnel": q_curate_funnel,
     "dedup_components": q_dedup_components,
-    "dedup_ngram": q_dedup_ngram,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_mp": q_ann_lsh_mp,
@@ -2840,6 +2857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
     "clean_stats_global": q_clean_stats_global,
     "kw_spans_dedup": q_kw_spans_dedup,
     "kw_rollup": q_kw_rollup,
@@ -2945,4 +2963,5 @@ from corpus group by 1
         "point_lookup": SQL_POINT_LOOKUP,
         "events_asof": SQL_EVENTS_ASOF,
         "cluster_balance": OM.cluster_balance_sql(8, 40),
+        "ann_pq": OM.pq_sql(5, m=8, k_star=16),
     }

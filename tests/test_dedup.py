@@ -553,3 +553,57 @@ def test_cluster_balance_rank_matches_plain_window(spark, vectors):
         order = sorted(rows, key=lambda r: (h(r["vec_id"]), r["vec_id"]))
         for i, r in enumerate(order):
             assert r["kept"] == int(i < 3), (cid, r["vec_id"], i)
+
+
+def test_ann_pq_recall_and_refine(spark, vectors):
+    """ADC top-k finds the planted near-duplicates; exact re-rank of the
+    ADC candidates recovers (at least) the ADC recall vs brute force."""
+    q = vectors.filter(F.col("vec_id") < 3)
+    brute = {
+        (r["query_id"], r["item_id"])
+        for r in similarity.ann_brute(vectors, q, "vec_id", "embedding", k=4).collect()
+    }
+    pq = similarity.ann_pq(vectors, q, "vec_id", "embedding", k=4, m=4, k_star=8)
+    got = {(r["query_id"], r["item_id"]) for r in pq.collect()}
+    recall = len(brute & got) / len(brute)
+    ref = similarity.ann_pq(
+        vectors, q, "vec_id", "embedding", k=4, m=4, k_star=8, refine=4
+    )
+    got_ref = {(r["query_id"], r["item_id"]) for r in ref.collect()}
+    recall_ref = len(brute & got_ref) / len(brute)
+    assert recall >= 0.5, recall
+    assert recall_ref >= recall, (recall_ref, recall)
+    # the planted near-dup of query 0 (vec 100, +0.01 on every dim) must
+    # top the ADC ranking: identical codes, near-identical reconstruction
+    top0 = {
+        r["rank"]: r["item_id"]
+        for r in pq.filter(F.col("query_id") == 0).collect()
+    }
+    assert top0[1] == 100
+
+
+def test_pq_encode_is_subspace_argmin(spark):
+    """Codes match a brute-force per-subspace L2 argmin in Python."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = similarity.fit_pq_codebooks(df, "vec_id", "embedding", m=2, k_star=4)
+    enc = df.select(
+        "vec_id",
+        similarity.pq_encode(
+            similarity.as_double(F.col("embedding")), cbs
+        ).alias("codes"),
+    ).collect()
+    by_id = dict(rows)
+    for r in enc:
+        v = by_id[r["vec_id"]]
+        for j in range(2):
+            sl = v[j * 4 : (j + 1) * 4]
+            dists = [
+                (sum((a - b) ** 2 for a, b in zip(sl, c)), ci)
+                for ci, c in enumerate(cbs[j])
+            ]
+            want = min(dists)[1]
+            assert r["codes"][j] == want, (r["vec_id"], j)
