@@ -88,3 +88,34 @@ def segment_rollup(
             F.min("_ft").cast("long").alias("first_turn"),
         )
     )
+
+
+def with_tool_attribution(df: DataFrame) -> DataFrame:
+    """Every non-tool turn gains the most recent PRIOR tool turn of its
+    conversation — ``src_turn_idx`` (position) and ``src_tool`` (name) —
+    i.e. "which tool output is this turn grounded on?", the lineage
+    column an agent-transcript training pipeline attaches before
+    filtering hallucinated tool references.
+
+    Built on :func:`~ocr_spark.operators.asof.asof_join` keyed on
+    ``conv_id`` and ordered by ``turn_idx`` (the as-of 'time' axis can be
+    any orderable column — here the W1 turn ordinal, so attribution is
+    exact even when wall-clock ``ts`` ties): one shuffle of the
+    conversation, strictly-earlier semantics, null attribution for turns
+    before the first tool call. Skew = turns-per-conversation, the same
+    bound every conversation window in this engine already carries."""
+    from ocr_spark.operators.asof import asof_join
+
+    left = df.filter(F.col("role") != "tool")
+    right = df.filter(F.col("role") == "tool").select(
+        "conv_id", "turn_idx", "tool"
+    )
+    out = asof_join(
+        left, right, on=["conv_id"], ts_col="turn_idx",
+        payload_cols=["tool"], strict=True, prefix="src_",
+    )
+    return out.select(
+        *left.columns,
+        F.col("src_turn_idx").cast("int").alias("src_turn_idx"),
+        F.col("src_tool").alias("src_tool"),
+    )

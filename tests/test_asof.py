@@ -131,3 +131,31 @@ def test_matches_brute_force(spark):
         cands = [(rts, rid) for rk, rts, rid, _ in rrows if rk == k and rts < ts]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (lid, k, ts)
+
+
+def test_tool_attribution_on_transcripts(spark, transcripts_df):
+    """with_tool_attribution vs a per-conversation brute-force scan of the
+    generated transcripts (heavy-tailed, real skew)."""
+    from ocr_spark.operators.conversation import with_tool_attribution
+
+    out = with_tool_attribution(transcripts_df)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["src_turn_idx"], r["src_tool"])
+        for r in out.collect()
+    }
+    rows = transcripts_df.collect()
+    by_conv: dict = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    n_attr = 0
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        tool_hist = []
+        for r in turns:
+            if r["role"] == "tool":
+                tool_hist.append((r["turn_idx"], r["tool"]))
+                continue
+            want = tool_hist[-1] if tool_hist else (None, None)
+            assert got[(conv, r["turn_idx"])] == want, (conv, r["turn_idx"])
+            n_attr += want[0] is not None
+    assert n_attr > 0  # the generator does emit tool turns
