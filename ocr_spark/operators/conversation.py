@@ -90,6 +90,152 @@ def segment_rollup(
     )
 
 
+def conversation_fingerprints(
+    df: DataFrame, text_col: str = "clean_text", bucket_turns: int = 64
+) -> DataFrame:
+    """(conv_id, turn_hashes, fingerprint, n_turns) — an order-stable
+    identity for every conversation.
+
+    ``turn_hashes`` is the concatenation of per-turn ``md5(text)`` in
+    ``turn_idx`` order (fixed 32-hex chars per turn, so string-prefix ==
+    turn-sequence-prefix); ``fingerprint`` = md5 of that. Built with the
+    same salted TWO-STAGE ordered aggregation as
+    ``plans.pipeline.conversation_rollup`` (W1 + skew rule): stage 1
+    groups on (conv_id, turn_idx div ``bucket_turns``) so a 500-turn
+    conversation is assembled by many tasks; stage 2 merges the few
+    ordered partials. Only hashes ride the shuffle — a 500-turn
+    conversation's identity is 16 KB regardless of payload size.
+    """
+    hashed = df.select(
+        "conv_id", "turn_idx", F.md5(F.col(text_col)).alias("_h")
+    )
+    b = (F.col("turn_idx") / bucket_turns).cast("int")
+    stage1 = (
+        hashed.withColumn("_bk", b)
+        .groupBy("conv_id", "_bk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "_h"))),
+                    lambda s: s["_h"],
+                ),
+                "",
+            ).alias("_part"),
+            F.count("*").alias("_n"),
+        )
+    )
+    return (
+        stage1.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_bk", "_part"))),
+                    lambda s: s["_part"],
+                ),
+                "",
+            ).alias("turn_hashes"),
+            F.sum("_n").cast("int").alias("n_turns"),
+        )
+        .withColumn("fingerprint", F.md5("turn_hashes"))
+    )
+
+
+def conversation_dedup(
+    df: DataFrame, text_col: str = "clean_text", bucket_turns: int = 64
+) -> DataFrame:
+    """Conversation-LEVEL exact dedup (the transcript analog of the
+    document ``exact_dedup``): two conversations are duplicates iff their
+    ordered per-turn texts are identical — retry storms and re-ingested
+    sessions, the dominant exact-duplicate mode in agent-transcript
+    corpora, where per-TURN dedup would wrongly merge unrelated
+    conversations that share boilerplate turns.
+
+    One fingerprint pass (two salted ordered aggs, hashes only on the
+    wire) + one combiner-friendly groupBy on the 32-char fingerprint.
+    Returns (fingerprint, canonical_conv_id, n_copies, n_turns); the
+    canonical is the min conv_id, deterministic under replay.
+    """
+    fps = conversation_fingerprints(df, text_col, bucket_turns)
+    return fps.groupBy("fingerprint").agg(
+        F.min("conv_id").alias("canonical_conv_id"),
+        F.count("*").alias("n_copies"),
+        F.max("n_turns").alias("n_turns"),
+    )
+
+
+def conversation_prefix_dedup(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    depth: int = 2,
+    bucket_turns: int = 64,
+) -> DataFrame:
+    """Flag conversations whose ENTIRE ordered turn sequence is a strict
+    prefix of another conversation's — resumed/retried agent sessions
+    re-ingested alongside their continuation, the transcript-specific
+    near-dup mode (neither MinHash nor exact conv dedup catches a 10-turn
+    session contained in its 400-turn resumption).
+
+    Shape (no pair explosion, no global sort): with fixed-width per-turn
+    hashes, "A's turns are a strict prefix of B's" ≡ "A.turn_hashes is a
+    strict string prefix of B.turn_hashes". Strings sharing a proper
+    prefix sort contiguously, so A is a prefix of SOME conversation iff
+    the lexicographically next DISTINCT string starts with A — one
+    ``lead`` window over the distinct sequences, partitioned by the first
+    ``depth`` turn-hashes (any extension shares them, so no pair crosses
+    partitions; ``depth`` is the skew lever — shared system-prompt
+    openers widen a partition only until turn ``depth`` differs).
+    Conversations shorter than ``depth`` turns (at most ``depth-1``
+    hashes wide) take a semi-join leg instead: length-k sequences match
+    the distinct k-turn prefixes of longer conversations — a hint-free
+    join AQE sizes at runtime (the corpus-derived-dim contract,
+    SURVEY.md wer_join note).
+
+    Returns every conversation with (conv_id, n_turns, fingerprint,
+    is_prefix, keep): ``keep`` = not a strict prefix of anything. Exact
+    duplicates (equal sequences) are NOT prefixes of each other — route
+    them through :func:`conversation_dedup`.
+    """
+    fps = conversation_fingerprints(df, text_col, bucket_turns)
+    hw = 32  # md5 hex chars per turn
+    multi = fps.filter(F.col("n_turns") >= depth).withColumn(
+        "_pk", F.substring("turn_hashes", 1, hw * depth)
+    )
+    seqs = multi.select("_pk", "turn_hashes").distinct()
+    w = Window.partitionBy("_pk").orderBy("turn_hashes")
+    nxt = F.lead("turn_hashes").over(w)
+    flags = seqs.select(
+        "turn_hashes",
+        (nxt.isNotNull() & nxt.startswith(F.col("turn_hashes"))).alias(
+            "is_prefix"
+        ),
+    )
+    legs = [
+        multi.join(flags, "turn_hashes", "left").select(
+            "conv_id", "n_turns", "fingerprint", "is_prefix"
+        )
+    ]
+    for k in range(1, depth):
+        shortk = fps.filter(F.col("n_turns") == k)
+        longer = (
+            fps.filter(F.col("n_turns") > k)
+            .select(F.substring("turn_hashes", 1, hw * k).alias("turn_hashes"))
+            .distinct()
+            .withColumn("_m", F.lit(True))
+        )
+        legs.append(
+            shortk.join(longer, "turn_hashes", "left").select(
+                "conv_id",
+                "n_turns",
+                "fingerprint",
+                F.coalesce("_m", F.lit(False)).alias("is_prefix"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.withColumn("keep", ~F.col("is_prefix"))
+
+
 def with_tool_attribution(df: DataFrame) -> DataFrame:
     """Every non-tool turn gains the most recent PRIOR tool turn of its
     conversation — ``src_turn_idx`` (position) and ``src_tool`` (name) —

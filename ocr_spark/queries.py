@@ -2792,6 +2792,117 @@ def q_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_text_score(held, wdim, buckets=1 << 10)
 
 
+def _conv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversations from documents (conv = doc_id%50, turn = doc_id//50)
+    with injected conversation-level duplicates: exact session copies
+    ('d'+id for conv%4==0 — a retry storm re-ingesting whole sessions)
+    and truncated prefix copies ('p'+id, first 4 turns, for conv%3==0 —
+    a resumed session alongside its continuation). Deterministic,
+    mirrored by _SQL_CONV_CORPUS."""
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).cast("string").alias("_c"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.col("text").alias("clean_text"),
+    )
+    base = docs.select(
+        F.concat(F.lit("c"), "_c").alias("conv_id"), "turn_idx", "clean_text"
+    )
+    exact = docs.filter(F.col("_c").cast("int") % 4 == 0).select(
+        F.concat(F.lit("d"), "_c").alias("conv_id"), "turn_idx", "clean_text"
+    )
+    prefix = docs.filter(
+        (F.col("_c").cast("int") % 3 == 0) & (F.col("turn_idx") < 4)
+    ).select(
+        F.concat(F.lit("p"), "_c").alias("conv_id"), "turn_idx", "clean_text"
+    )
+    return base.unionByName(exact).unionByName(prefix)
+
+
+_SQL_CONV_CORPUS = """
+conv as (
+  select 'c' || cast(doc_id % 50 as varchar) as conv_id,
+         doc_id // 50 as turn_idx, text from documents
+  union all
+  select 'd' || cast(doc_id % 50 as varchar), doc_id // 50, text
+  from documents where (doc_id % 50) % 4 = 0
+  union all
+  select 'p' || cast(doc_id % 50 as varchar), doc_id // 50, text
+  from documents where (doc_id % 50) % 3 = 0 and doc_id // 50 < 4
+),
+convh as (
+  select conv_id,
+         string_agg(md5(text), '' order by turn_idx) as turn_hashes,
+         cast(count(*) as int) as n_turns
+  from conv group by conv_id
+)
+"""
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup: order-stable md5-chain fingerprint
+    per conversation (salted two-stage ordered agg, hashes-only shuffle),
+    then one combiner-friendly groupBy — the retry-storm dedup a
+    transcript pipeline runs BEFORE per-document dedup (see
+    operators/conversation.conversation_dedup)."""
+    from ocr_spark.operators.conversation import conversation_dedup
+
+    out = conversation_dedup(_conv_corpus(spark, sf_dir), bucket_turns=4)
+    return out.select(
+        "fingerprint",
+        "canonical_conv_id",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("n_turns").cast("int").alias("n_turns"),
+    )
+
+
+def _sql_conv_dedup() -> str:
+    return f"""
+with {_SQL_CONV_CORPUS}
+select md5(turn_hashes) as fingerprint,
+  min(conv_id) as canonical_conv_id,
+  cast(count(*) as bigint) as n_copies,
+  max(n_turns) as n_turns
+from convh group by 1
+"""
+
+
+def q_conv_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment dedup: conversations whose entire turn sequence
+    is a strict prefix of another's (resumed sessions re-ingested with
+    their continuation). Sorted-successor check over distinct hash
+    sequences — no pair explosion, no global sort; the depth-2 partition
+    key bounds skew from shared openers (operators/conversation
+    .conversation_prefix_dedup). Oracle: an independent pairwise EXISTS
+    over the same sequences in DuckDB."""
+    from ocr_spark.operators.conversation import conversation_prefix_dedup
+
+    out = conversation_prefix_dedup(
+        _conv_corpus(spark, sf_dir), depth=2, bucket_turns=4
+    )
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("int").alias("n_turns"),
+        "fingerprint",
+        "is_prefix",
+        "keep",
+    )
+
+
+def _sql_conv_prefix_dedup() -> str:
+    return f"""
+with {_SQL_CONV_CORPUS},
+flagged as (
+  select conv_id, n_turns, md5(turn_hashes) as fingerprint,
+    exists(select 1 from convh b
+           where length(b.turn_hashes) > length(a.turn_hashes)
+             and starts_with(b.turn_hashes, a.turn_hashes)) as is_prefix
+  from convh a
+)
+select conv_id, n_turns, fingerprint, is_prefix, not is_prefix as keep
+from flagged
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2800,9 +2911,10 @@ def q_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # most the FIRST 50 entries (CORRECTNESS_r02 contained exactly the first 50
 # keys of this dict, in order — the 7 tail entries got no row). With more
 # than 50 registered queries we rotate: the tail past position 50 holds
-# ONLY entries that (a) already have green rows in BOTH CORRECTNESS_r01
-# and CORRECTNESS_r02 and (b) whose implementation is untouched this
-# round, so the union of rounds covers every query. Tail queries remain
+# ONLY entries that (a) already have a green row in a prior
+# CORRECTNESS_r{N}.json and (b) whose implementation is UNTOUCHED since
+# that green round (so the recorded row still describes the shipped
+# code), and the union of rounds covers every query. Tail queries remain
 # fully registered, benched, and runnable via scripts/check_entry.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_rank": q_shuffle_rank,
@@ -2813,6 +2925,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_balance": q_cluster_balance,
     "train_quality": q_train_quality,
     "ann_pq": q_ann_pq,
+    "conv_dedup": q_conv_dedup,
+    "conv_prefix_dedup": q_conv_prefix_dedup,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "parse_kind": q_parse_kind,
@@ -2823,7 +2937,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_percentiles": q_source_percentiles,
     "kw_token_match": q_kw_token_match,
     "kw_synonyms": q_kw_synonyms,
-    "kw_ac_365": q_kw_ac_365,
     "kw_statistics": q_kw_statistics,
     "dedup_minhash": q_dedup_minhash,
     "dedup_dropped": q_dedup_dropped,
@@ -2836,7 +2949,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_funnel": q_curate_funnel,
     "dedup_components": q_dedup_components,
     "embed_neardup": q_embed_neardup,
-    "ann_lsh": q_ann_lsh,
     "ann_lsh_mp": q_ann_lsh_mp,
     "ann_ivf": q_ann_ivf,
     "summarize": q_summarize,
@@ -2856,6 +2968,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # kw_ac_365: green r2; ac_scan.py/pymatch.py untouched since f375de6
+    "kw_ac_365": q_kw_ac_365,
+    # ann_lsh: green r1+r2; the sign-LSH path untouched since f375de6
+    "ann_lsh": q_ann_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "clean_stats_global": q_clean_stats_global,
@@ -2964,4 +3080,6 @@ from corpus group by 1
         "events_asof": SQL_EVENTS_ASOF,
         "cluster_balance": OM.cluster_balance_sql(8, 40),
         "ann_pq": OM.pq_sql(5, m=8, k_star=16),
+        "conv_dedup": _sql_conv_dedup(),
+        "conv_prefix_dedup": _sql_conv_prefix_dedup(),
     }

@@ -1,0 +1,149 @@
+"""Conversation-level dedup: order-stable fingerprints, exact session
+dedup, and prefix-containment dedup vs a pure-Python brute force."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_spark.operators.conversation import (
+    conversation_dedup,
+    conversation_fingerprints,
+    conversation_prefix_dedup,
+)
+
+
+def _df(spark, convs: dict[str, list[str]]):
+    rows = [
+        (cid, i, t) for cid, turns in convs.items() for i, t in enumerate(turns)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, clean_text string"
+    )
+
+
+def _hstr(turns: list[str]) -> str:
+    return "".join(hashlib.md5(t.encode()).hexdigest() for t in turns)
+
+
+def _brute_prefix(convs: dict[str, list[str]]) -> dict[str, bool]:
+    """Pairwise spec: conv is a strict prefix of ANY other conversation."""
+    hs = {cid: _hstr(t) for cid, t in convs.items()}
+    return {
+        cid: any(
+            len(other) > len(h) and other.startswith(h)
+            for o, other in hs.items()
+            if o != cid
+        )
+        for cid, h in hs.items()
+    }
+
+
+def _rand_corpus(seed: int) -> dict[str, list[str]]:
+    """Adversarial shapes: shared system-prompt openers, duplicate chains
+    (s, s, s+ext — the equal-successor trap), single-turn sessions, and
+    deep nesting (every prefix of one long conversation present)."""
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    opener = "system prompt v1"
+    convs: dict[str, list[str]] = {}
+    long = [opener] + [rng.choice(words) for _ in range(6)]
+    for k in range(1, len(long) + 1):
+        convs[f"nest{k}"] = long[:k]  # includes the 1-turn [opener]
+    convs["dup_a"] = ["x", "y"]
+    convs["dup_b"] = ["x", "y"]  # equal: NOT a strict prefix of dup_a
+    convs["dup_ext"] = ["x", "y", "z"]  # both dups are prefixes of this
+    for i in range(12):
+        n = rng.randint(1, 5)
+        convs[f"r{i}"] = [opener] + [
+            rng.choice(words) + str(rng.randint(0, 3)) for _ in range(n)
+        ]
+    return convs
+
+
+def test_fingerprint_is_order_stable_and_bucket_invariant(spark):
+    convs = {"a": ["t0", "t1", "t2", "t3", "t4"], "b": ["t1", "t0"]}
+    fp1 = {
+        r["conv_id"]: (r["fingerprint"], r["turn_hashes"], r["n_turns"])
+        for r in conversation_fingerprints(_df(spark, convs)).collect()
+    }
+    # bucket_turns must not change the assembled identity (two-stage merge)
+    fp2 = {
+        r["conv_id"]: (r["fingerprint"], r["turn_hashes"], r["n_turns"])
+        for r in conversation_fingerprints(
+            _df(spark, convs), bucket_turns=2
+        ).collect()
+    }
+    assert fp1 == fp2
+    assert fp1["a"][1] == _hstr(convs["a"])
+    assert fp1["a"][2] == 5
+    # same turn multiset, different order -> different fingerprint
+    assert fp1["a"][0] != fp1["b"][0]
+
+
+def test_conversation_dedup_groups_exact_copies(spark):
+    convs = {
+        "a1": ["hello", "world"],
+        "a2": ["hello", "world"],  # exact session copy
+        "b": ["hello", "world!"],  # one turn differs
+        "c": ["hello"],  # prefix, NOT an exact duplicate
+    }
+    out = {
+        r["canonical_conv_id"]: (r["n_copies"], r["n_turns"])
+        for r in conversation_dedup(_df(spark, convs)).collect()
+    }
+    assert out == {"a1": (2, 2), "b": (1, 2), "c": (1, 1)}
+
+
+@pytest.mark.parametrize("seed", [7, 11, 23])
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_prefix_dedup_matches_bruteforce(spark, seed, depth):
+    convs = _rand_corpus(seed)
+    spec = _brute_prefix(convs)
+    out = conversation_prefix_dedup(
+        _df(spark, convs), depth=depth, bucket_turns=3
+    )
+    rows = out.collect()
+    assert len(rows) == len(convs)  # every conversation exactly once
+    got = {r["conv_id"]: r["is_prefix"] for r in rows}
+    assert got == spec
+    assert all(r["keep"] == (not r["is_prefix"]) for r in rows)
+
+
+def test_prefix_dedup_duplicate_chain(spark):
+    """s, s, s+ext: BOTH equal copies must flag (the lead-over-equal trap
+    the distinct-before-window device exists to avoid)."""
+    convs = {
+        "s1": ["x", "y"],
+        "s2": ["x", "y"],
+        "ext": ["x", "y", "z"],
+        "only_dup1": ["q"],
+        "only_dup2": ["q"],  # equal with no extension: neither flags
+    }
+    got = {
+        r["conv_id"]: r["is_prefix"]
+        for r in conversation_prefix_dedup(_df(spark, convs)).collect()
+    }
+    assert got == {
+        "s1": True,
+        "s2": True,
+        "ext": False,
+        "only_dup1": False,
+        "only_dup2": False,
+    }
+
+
+def test_fingerprint_shuffles_hashes_not_payload(spark):
+    """The payload column is projected away BEFORE the first aggregate:
+    only (conv_id, turn_idx, md5) ride the fingerprint shuffle."""
+    convs = _rand_corpus(3)
+    fps = conversation_fingerprints(_df(spark, convs))
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate" in ln]
+    assert agg_lines  # sanity: the two-stage agg is present
+    # clean_text is consumed inside md5 at projection time, below the
+    # partial aggregate — no aggregate (hence no exchange) carries it
+    assert all("clean_text" not in ln for ln in agg_lines)
