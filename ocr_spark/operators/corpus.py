@@ -330,6 +330,130 @@ def lm_score(
 
 
 # --------------------------------------------------------------------------
+# DSIR importance weighting (data selection)
+# --------------------------------------------------------------------------
+
+
+def dsir_dim(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    buckets: int = 1 << 16,
+    n_max: int = 2,
+    scale: int = 1_000_000,
+    alpha: int = 1,
+) -> DataFrame:
+    """DSIR importance dim (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): per hashed-ngram bucket, the
+    integer micro-nat log-ratio ``ln p_target(b) − ln p_raw(b)`` of two
+    add-``alpha``-smoothed bag-of-hashed-ngram unigram models — the
+    third canonical data-selection scorer next to ``lm_score`` (CCNet
+    LM) and ``linear_text_score`` (fastText classifier): it needs NO
+    labels, only an in-domain target sample.
+
+    Feature hashing (the same ``hashed_ngram_buckets`` the linear
+    classifier consumes) bounds both models at ``buckets`` parameters
+    regardless of corpus vocabulary, and the dim is emitted DENSE over
+    the full bucket domain (``spark.range(buckets)`` left-joined with
+    both count tables), so downstream scoring is a broadcast join that
+    always hits — at any corpus size the dim is exactly ``buckets``
+    rows. Integer scaling in the dim is the same engine-portability
+    device as :func:`lm_dim`: each bucket's ratio is computed once, doc
+    scores are then pure integer sums with no float-order drift. Two
+    combiner-friendly count shuffles (target, raw); totals ride two
+    one-row broadcasts.
+    """
+    from ocr_spark.operators.textstats import hashed_ngram_buckets
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    hashed_ngram_buckets(F.col(text_col), buckets, "feat", n_max)
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    spark = target.sparkSession
+    dom = spark.range(buckets).select(F.col("id").alias("bucket"))
+    nt = _counts(target, "_nt")
+    nr = _counts(raw, "_nr")
+    tt = nt.agg(F.sum("_nt").cast("double").alias("_tt"))
+    tr = nr.agg(F.sum("_nr").cast("double").alias("_tr"))
+    smooth = float(alpha * buckets)
+    p_t = (F.coalesce(F.col("_nt"), F.lit(0)) + alpha) / (F.col("_tt") + smooth)
+    p_r = (F.coalesce(F.col("_nr"), F.lit(0)) + alpha) / (F.col("_tr") + smooth)
+    return (
+        dom.join(nt, "bucket", "left")
+        .join(nr, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "bucket",
+            F.round((F.log(p_t) - F.log(p_r)) * scale)
+            .cast("long")
+            .alias("dlogp_c"),
+        )
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    dim: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 16,
+    n_max: int = 2,
+) -> DataFrame:
+    """Per-doc DSIR log importance weight: the integer micro-nat SUM of
+    the dim's log-ratios over the doc's hashed n-gram bag (high = looks
+    like the target domain relative to the raw crawl). One broadcast
+    join over the exploded bag + one doc-keyed combiner agg; gram-less
+    docs score 0. Output: (id, n_grams, logw_c)."""
+    from ocr_spark.operators.textstats import hashed_ngram_buckets
+
+    g = docs.select(
+        F.col(id_col),
+        F.explode(
+            hashed_ngram_buckets(F.col(text_col), buckets, "feat", n_max)
+        ).alias("bucket"),
+    )
+    s = (
+        g.join(F.broadcast(dim), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("dlogp_c"), F.lit(0)))
+            .cast("long")
+            .alias("logw_c"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(s, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("logw_c"), F.lit(0)).alias("logw_c"),
+        )
+    )
+
+
+def dsir_select(
+    scored: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``k`` highest-weight docs, ties
+    by id — compiles to TakeOrderedAndProject (per-partition top-k +
+    merge, never a single-partition sort). DSIR proper perturbs weights
+    with Gumbel noise before the top-k (sampling without replacement);
+    add the noise column upstream if statistical resampling is wanted —
+    the selection plan is unchanged."""
+    return scored.orderBy(F.col("logw_c").desc(), F.col(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
 # URL / domain extraction
 # --------------------------------------------------------------------------
 

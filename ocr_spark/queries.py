@@ -2792,6 +2792,59 @@ def q_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_text_score(held, wdim, buckets=1 << 10)
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): target = the English
+    docs, raw = the whole corpus; every doc scored by the micro-nat
+    log-ratio sum over hashed 1/2-gram buckets (dense 4096-bucket dim,
+    label-free domain selection — see operators/corpus.dsir_dim)."""
+    from ocr_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    dim = corpus.dsir_dim(
+        docs.filter(F.col("lang") == "en"), docs, buckets=LINEAR_BUCKETS
+    )
+    return corpus.dsir_score(docs, dim, buckets=LINEAR_BUCKETS)
+
+
+def _sql_dsir() -> str:
+    b = LINEAR_BUCKETS
+    return f"""
+with tok as (select doc_id, lang, {_TOKS_SQL} as toks from documents),
+grams as (
+  select doc_id, lang,
+    list_concat(toks,
+      list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) as gs
+  from tok
+),
+f as (
+  select doc_id, lang,
+    cast(concat('0x', substr(md5('feat|' || g), 1, 8)) as bigint) % {b} as bucket
+  from (select doc_id, lang, unnest(gs) as g from grams)
+),
+nt as (select bucket, count(*) as n from f where lang = 'en' group by 1),
+nr as (select bucket, count(*) as n from f group by 1),
+tt as (select cast(sum(n) as double) as t from nt),
+tr as (select cast(sum(n) as double) as t from nr),
+dim as (
+  select dom.bucket,
+    cast(round((ln((coalesce(nt.n, 0) + 1) / (tt.t + {b}))
+              - ln((coalesce(nr.n, 0) + 1) / (tr.t + {b}))) * 1000000)
+         as bigint) as dlogp_c
+  from (select unnest(range({b})) as bucket) dom
+  left join nt using (bucket) left join nr using (bucket), tt, tr
+),
+s as (
+  select doc_id, cast(count(*) as bigint) as n_grams,
+    cast(sum(dlogp_c) as bigint) as logw_c
+  from f join dim using (bucket) group by 1
+)
+select d.doc_id, coalesce(n_grams, 0) as n_grams,
+  coalesce(logw_c, 0) as logw_c
+from documents d left join s using (doc_id)
+"""
+
+
 def _conv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversations from documents (conv = doc_id%50, turn = doc_id//50)
     with injected conversation-level duplicates: exact session copies
@@ -2927,6 +2980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "conv_dedup": q_conv_dedup,
     "conv_prefix_dedup": q_conv_prefix_dedup,
+    "dsir": q_dsir,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "parse_kind": q_parse_kind,
@@ -2936,7 +2990,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "source_percentiles": q_source_percentiles,
     "kw_token_match": q_kw_token_match,
-    "kw_synonyms": q_kw_synonyms,
     "kw_statistics": q_kw_statistics,
     "dedup_minhash": q_dedup_minhash,
     "dedup_dropped": q_dedup_dropped,
@@ -2968,6 +3021,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # kw_synonyms: green r2; pymatch.py/matching synonym path untouched
+    "kw_synonyms": q_kw_synonyms,
     # kw_ac_365: green r2; ac_scan.py/pymatch.py untouched since f375de6
     "kw_ac_365": q_kw_ac_365,
     # ann_lsh: green r1+r2; the sign-LSH path untouched since f375de6
@@ -3082,4 +3137,5 @@ from corpus group by 1
         "ann_pq": OM.pq_sql(5, m=8, k_star=16),
         "conv_dedup": _sql_conv_dedup(),
         "conv_prefix_dedup": _sql_conv_prefix_dedup(),
+        "dsir": _sql_dsir(),
     }

@@ -597,3 +597,81 @@ def test_span_dedup_random_property(spark):
             for r in corpus.span_dedup(df, k=k, min_docs=min_docs).collect()
         }
         assert got == want, (k, min_docs)
+
+
+def _py_buckets(text: str, buckets: int, n_max: int = 2) -> list[int]:
+    import hashlib
+    import re
+
+    toks = re.findall(r"[^\W_]+", text.lower(), re.UNICODE)
+    grams = list(toks)
+    for n in range(2, n_max + 1):
+        grams += [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return [
+        int(hashlib.md5(f"feat|{g}".encode()).hexdigest()[:8], 16) % buckets
+        for g in grams
+    ]
+
+
+def test_dsir_matches_python_twin(spark):
+    """dsir_dim + dsir_score vs an exact pure-Python reimplementation
+    (same md5 buckets, same add-1 smoothing, same micro-nat rounding)."""
+    import math
+    from collections import Counter
+
+    docs = [
+        (0, "the quick brown fox jumps", "en"),
+        (1, "the quick quick dog", "en"),
+        (2, "ana are mere si pere", "ro"),
+        (3, "ana are mere", "ro"),
+        (4, "", "ro"),
+        (5, "the fox and the dog", "en"),
+    ]
+    B = 64
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    dim = corpus.dsir_dim(
+        df.filter(F.col("lang") == "en"), df, text_col="text", buckets=B
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logw_c"])
+        for r in corpus.dsir_score(df, dim, buckets=B).collect()
+    }
+
+    nt: Counter = Counter()
+    nr: Counter = Counter()
+    bags = {}
+    for i, text, lang in docs:
+        bags[i] = _py_buckets(text, B)
+        nr.update(bags[i])
+        if lang == "en":
+            nt.update(bags[i])
+    tt, tr = sum(nt.values()), sum(nr.values())
+    dlog = {
+        b: round(
+            (
+                math.log((nt.get(b, 0) + 1) / (tt + B))
+                - math.log((nr.get(b, 0) + 1) / (tr + B))
+            )
+            * 1_000_000
+        )
+        for b in range(B)
+    }
+    want = {
+        i: (len(bag), sum(dlog[b] for b in bag)) for i, bag in bags.items()
+    }
+    assert got == want
+    # direction: English docs look like the target, Romanian do not
+    assert all(got[i][1] > 0 for i in (0, 1, 5))
+    assert all(got[i][1] < 0 for i in (2, 3))
+    assert got[4] == (0, 0)  # gram-less doc scores 0, not NULL
+
+
+def test_dsir_select_topk_plan(spark):
+    docs = [(i, f"w{i} w{i % 3}", "en") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    dim = corpus.dsir_dim(df.limit(5), df, buckets=32)
+    scored = corpus.dsir_score(df, dim, buckets=32)
+    top = corpus.dsir_select(scored, 3)
+    assert top.count() == 3
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a single-partition sort
