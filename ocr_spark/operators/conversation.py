@@ -236,6 +236,76 @@ def conversation_prefix_dedup(
     return out.withColumn("keep", ~F.col("is_prefix"))
 
 
+def conversation_validate(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    first_role: str = "user",
+) -> DataFrame:
+    """Structural QA over (conv_id, turn_idx, role, text) — the schema
+    gate a chat corpus passes before training: per conversation,
+
+    * ``idx_ok`` — turn_idx is exactly 0..n-1 (no gaps, dupes, offsets;
+      computed from (min, max, count distinct), no window needed);
+    * ``starts_ok`` — the first turn's role is ``first_role``;
+    * ``n_role_repeats`` — adjacent same-role turn pairs (broken
+      user/assistant alternation; tool turns count like any role);
+    * ``n_orphan_tool`` — tool turns not directly preceded by an
+      assistant turn (a tool result with no visible call);
+    * ``n_empty`` — blank/whitespace-only turns;
+    * ``valid`` — all of the above clean.
+
+    One conversation-keyed window (W1 ordering) feeding one groupBy on
+    the same key — the aggregation reuses the window's hash
+    partitioning, so the whole check is a single exchange. Skew bound =
+    turns-per-conversation, like every conversation window here.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_role = F.lag("role").over(w)
+    prev_idx = F.lag("turn_idx").over(w)
+    empty = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == ""
+    repeat = (prev_role.isNotNull() & (prev_role == F.col("role"))).cast(
+        "int"
+    )
+    orphan = (
+        (F.col("role") == "tool")
+        & (
+            prev_role.isNull()
+            | (prev_role != "assistant")
+            | (prev_idx != F.col("turn_idx") - 1)
+        )
+    ).cast("int")
+    first = F.row_number().over(w) == 1
+    turns = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        repeat.alias("_rep"),
+        orphan.alias("_orph"),
+        empty.cast("int").alias("_emp"),
+        F.when(first, F.col("role")).alias("_first_role"),
+    )
+    agg = turns.groupBy("conv_id").agg(
+        F.count("*").cast("int").alias("n_turns"),
+        (
+            (F.min("turn_idx") == 0)
+            & (F.max("turn_idx") == F.count("*") - 1)
+            & (F.count_distinct("turn_idx") == F.count("*"))
+        ).alias("idx_ok"),
+        (F.max("_first_role") == first_role).alias("starts_ok"),
+        F.sum("_rep").cast("int").alias("n_role_repeats"),
+        F.sum("_orph").cast("int").alias("n_orphan_tool"),
+        F.sum("_emp").cast("int").alias("n_empty"),
+    )
+    valid = (
+        F.col("idx_ok")
+        & F.col("starts_ok")
+        & (F.col("n_role_repeats") == 0)
+        & (F.col("n_orphan_tool") == 0)
+        & (F.col("n_empty") == 0)
+    )
+    return agg.withColumn("valid", valid)
+
+
 def with_tool_attribution(df: DataFrame) -> DataFrame:
     """Every non-tool turn gains the most recent PRIOR tool turn of its
     conversation — ``src_turn_idx`` (position) and ``src_tool`` (name) —

@@ -2845,6 +2845,84 @@ from documents d left join s using (doc_id)
 """
 
 
+def q_conv_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural QA gate for chat corpora: turn-index integrity, role
+    alternation, orphan tool turns, empty turns (one conversation-keyed
+    exchange — see operators/conversation.conversation_validate). Roles
+    are md5-derived (deterministic in both engines); defects injected by
+    dropping every 17th doc (index gaps / missing openers) and blanking
+    every 23rd (empty turns)."""
+    from ocr_spark.operators.conversation import conversation_validate
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 17 != 0)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("role|"), F.col("text"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    role = (
+        F.when(h < 15, "tool").when(h < 55, "user").otherwise("assistant")
+    )
+    conv = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 50).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.when(F.col("doc_id") % 23 == 0, F.lit("")).otherwise(
+            F.col("text")
+        ).alias("clean_text"),
+    )
+    return conversation_validate(conv)
+
+
+def _sql_conv_validate() -> str:
+    return """
+with conv as (
+  select 'c' || cast(doc_id % 50 as varchar) as conv_id,
+    doc_id // 50 as turn_idx,
+    case when h < 15 then 'tool' when h < 55 then 'user'
+         else 'assistant' end as role,
+    case when doc_id % 23 = 0 then '' else text end as txt
+  from (
+    select *,
+      cast(concat('0x', substr(md5('role|' || text), 1, 8)) as bigint)
+        % 100 as h
+    from documents where doc_id % 17 != 0
+  )
+),
+t as (
+  select conv_id, turn_idx, role, txt,
+    lag(role) over w as prev_role,
+    lag(turn_idx) over w as prev_idx,
+    row_number() over w as rn
+  from conv window w as (partition by conv_id order by turn_idx)
+),
+a as (
+  select conv_id,
+    cast(count(*) as int) as n_turns,
+    (min(turn_idx) = 0 and max(turn_idx) = count(*) - 1
+     and count(distinct turn_idx) = count(*)) as idx_ok,
+    max(case when rn = 1 then role end) = 'user' as starts_ok,
+    cast(sum(case when prev_role = role then 1 else 0 end) as int)
+      as n_role_repeats,
+    cast(sum(case when role = 'tool' and (prev_role is null
+        or prev_role != 'assistant' or prev_idx != turn_idx - 1)
+      then 1 else 0 end) as int) as n_orphan_tool,
+    cast(sum(case when trim(txt) = '' then 1 else 0 end) as int) as n_empty
+  from t group by 1
+)
+select conv_id, n_turns, idx_ok, starts_ok, n_role_repeats,
+  n_orphan_tool, n_empty,
+  (idx_ok and starts_ok and n_role_repeats = 0 and n_orphan_tool = 0
+   and n_empty = 0) as valid
+from a
+"""
+
+
 def _conv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversations from documents (conv = doc_id%50, turn = doc_id//50)
     with injected conversation-level duplicates: exact session copies
@@ -2980,12 +3058,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "conv_dedup": q_conv_dedup,
     "conv_prefix_dedup": q_conv_prefix_dedup,
+    "conv_validate": q_conv_validate,
     "dsir": q_dsir,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "parse_kind": q_parse_kind,
     "parse_tool_stats": q_parse_tool_stats,
-    "parse_pdfish_order": q_parse_pdfish_order,
     "parse_extract": q_parse_extract,
     "session_windows": q_session_windows,
     "source_percentiles": q_source_percentiles,
@@ -3021,6 +3099,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # parse_pdfish_order: green r2; pyparse.py untouched since f375de6
+    "parse_pdfish_order": q_parse_pdfish_order,
     # kw_synonyms: green r2; pymatch.py/matching synonym path untouched
     "kw_synonyms": q_kw_synonyms,
     # kw_ac_365: green r2; ac_scan.py/pymatch.py untouched since f375de6
@@ -3137,5 +3217,6 @@ from corpus group by 1
         "ann_pq": OM.pq_sql(5, m=8, k_star=16),
         "conv_dedup": _sql_conv_dedup(),
         "conv_prefix_dedup": _sql_conv_prefix_dedup(),
+        "conv_validate": _sql_conv_validate(),
         "dsir": _sql_dsir(),
     }

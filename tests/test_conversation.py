@@ -147,3 +147,60 @@ def test_fingerprint_shuffles_hashes_not_payload(spark):
     # clean_text is consumed inside md5 at projection time, below the
     # partial aggregate — no aggregate (hence no exchange) carries it
     assert all("clean_text" not in ln for ln in agg_lines)
+
+
+def test_conversation_validate_flags(spark):
+    from ocr_spark.operators.conversation import conversation_validate
+
+    rows = [
+        # clean conversation
+        ("ok", 0, "user", "hi"), ("ok", 1, "assistant", "hello"),
+        ("ok", 2, "user", "thanks"),
+        # index gap (0,2) + assistant-first
+        ("gap", 0, "assistant", "a"), ("gap", 2, "user", "b"),
+        # duplicate turn_idx
+        ("dup", 0, "user", "a"), ("dup", 0, "assistant", "b"),
+        # role repeat + empty turn
+        ("rep", 0, "user", "a"), ("rep", 1, "user", "  "),
+        # tool turn after assistant = grounded; tool after user = orphan;
+        # tool first = orphan
+        ("tool", 0, "user", "q"), ("tool", 1, "assistant", "call"),
+        ("tool", 2, "tool", "result"), ("tool", 3, "tool", "again"),
+        ("t2", 0, "tool", "dangling"),
+        # tool after assistant but across an index gap = orphan
+        ("t3", 0, "user", "q"), ("t3", 1, "assistant", "call"),
+        ("t3", 3, "tool", "late"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, clean_text string"
+    )
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["idx_ok"], r["starts_ok"], r["n_role_repeats"],
+            r["n_orphan_tool"], r["n_empty"], r["valid"],
+        )
+        for r in conversation_validate(df).collect()
+    }
+    assert got["ok"] == (3, True, True, 0, 0, 0, True)
+    assert got["gap"] == (2, False, False, 0, 0, 0, False)
+    assert got["dup"] == (2, False, True, 0, 0, 0, False)
+    assert got["rep"] == (2, True, True, 1, 0, 1, False)
+    # second tool turn repeats role AND is not directly after assistant
+    assert got["tool"] == (4, True, True, 1, 1, 0, False)
+    assert got["t2"] == (1, True, False, 0, 1, 0, False)
+    assert got["t3"] == (3, False, True, 0, 1, 0, False)
+
+
+def test_conversation_validate_single_exchange(spark):
+    from ocr_spark.operators.conversation import conversation_validate
+
+    df = spark.createDataFrame(
+        [("a", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, clean_text string",
+    )
+    plan = (
+        conversation_validate(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the groupBy reuses the window's conv_id hash partitioning
+    assert plan.count("Exchange") == 1
