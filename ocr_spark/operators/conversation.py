@@ -306,6 +306,83 @@ def conversation_validate(
     return agg.withColumn("valid", valid)
 
 
+def sft_pairs(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    budget: int = 256,
+    max_turns: int = 64,
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Emit (context, response) supervised-finetuning examples from
+    conversations — the terminal product of a transcript pipeline: one
+    row per ``response_role`` turn, whose context is the most recent
+    prior turns that fit a token ``budget`` (greedy take-while scanning
+    backwards from the response; a turn that overflows the budget stops
+    the scan — no cherry-picking older turns past a gap), assembled in
+    turn order as ``role: text`` lines.
+
+    Shape: ONE conversation window (W1 ordering) whose frame is bounded
+    at ``max_turns`` preceding rows — per-row state is O(max_turns), so
+    a 5,000-turn conversation never materializes quadratic context; the
+    budget take-while is a row-local ``aggregate`` over the frame's
+    reversed struct array, with every reused array materialized behind
+    a generator barrier (the HOF re-evaluation rule). Requires unique
+    ``turn_idx`` per conversation (the W1 contract) — ordering inside
+    the frame is otherwise ambiguous. ``est_tokens`` = ceil(len/4), the
+    ``pack_bins`` convention, so packed bins and SFT budgets agree.
+    """
+    from ocr_spark.operators.cleaning import materialize
+
+    tok = F.ceil(F.length(F.col(text_col)) / 4).cast("long")
+    base = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col(text_col).alias("_tx"),
+        tok.alias("_tok"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-max_turns, -1)
+    )
+    cand = base.withColumn(
+        "_ctx", F.collect_list(F.struct("turn_idx", "role", "_tx", "_tok")).over(w)
+    ).filter(F.col("role") == response_role)
+    cand = materialize(cand, _rev=F.reverse(F.col("_ctx")))
+    rev = F.col("_rev")
+    fits = lambda a, x: ~a["stop"] & (a["s"] + x["_tok"] <= budget)  # noqa: E731
+    acc = F.aggregate(
+        rev,
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(False).alias("stop"),
+            F.slice(rev, 1, 0).alias("kept"),  # empty array, right type
+        ),
+        lambda a, x: F.struct(
+            F.when(fits(a, x), a["s"] + x["_tok"]).otherwise(a["s"]).alias("s"),
+            (~fits(a, x)).alias("stop"),
+            F.when(fits(a, x), F.concat(a["kept"], F.array(x)))
+            .otherwise(a["kept"])
+            .alias("kept"),
+        ),
+    )
+    cand = materialize(cand, _acc=acc)
+    kept = F.sort_array(F.col("_acc")["kept"])  # back to turn order
+    context = F.array_join(
+        F.transform(kept, lambda s: F.concat(s["role"], F.lit(": "), s["_tx"])),
+        "\n",
+    )
+    return cand.select(
+        "conv_id",
+        "turn_idx",
+        F.size(F.col("_acc")["kept"]).alias("n_ctx"),
+        F.col("_acc")["s"].alias("ctx_tokens"),
+        context.alias("context"),
+        F.col("_tx").alias("response"),
+    )
+
+
 def with_tool_attribution(df: DataFrame) -> DataFrame:
     """Every non-tool turn gains the most recent PRIOR tool turn of its
     conversation — ``src_turn_idx`` (position) and ``src_tool`` (name) —

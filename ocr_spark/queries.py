@@ -2923,6 +2923,78 @@ from a
 """
 
 
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example emission: one (context, response) pair per assistant
+    turn, context = most recent prior turns fitting a 256-token budget
+    within an 8-turn frame (see operators/conversation.sft_pairs — the
+    bounded-frame window + row-local take-while). Roles are the same
+    md5 derivation as conv_validate."""
+    from ocr_spark.operators.conversation import sft_pairs
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("role|"), F.col("text"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    role = (
+        F.when(h < 15, "tool").when(h < 55, "user").otherwise("assistant")
+    )
+    conv = _docs(spark, sf_dir).select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 50).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text").alias("clean_text"),
+    )
+    return sft_pairs(conv, budget=256, max_turns=8)
+
+
+def _sql_sft_pairs(budget: int = 256, max_turns: int = 8) -> str:
+    return f"""
+with conv as (
+  select 'c' || cast(doc_id % 50 as varchar) as conv_id,
+    doc_id // 50 as turn_idx,
+    case when h < 15 then 'tool' when h < 55 then 'user'
+         else 'assistant' end as role,
+    text as txt, cast(ceil(length(text) / 4) as bigint) as tok
+  from (
+    select *,
+      cast(concat('0x', substr(md5('role|' || text), 1, 8)) as bigint)
+        % 100 as h
+    from documents
+  )
+),
+tgt as (select * from conv where role = 'assistant'),
+pairs as (
+  select t.conv_id, t.turn_idx as tgt_idx, c.turn_idx, c.role, c.txt, c.tok
+  from tgt t join conv c
+    on c.conv_id = t.conv_id
+   and c.turn_idx between t.turn_idx - {max_turns} and t.turn_idx - 1
+),
+cum as (
+  select *, sum(tok) over (
+    partition by conv_id, tgt_idx order by turn_idx desc
+  ) as s
+  from pairs
+),
+agg as (
+  select conv_id, tgt_idx as turn_idx,
+    cast(count(*) as int) as n_ctx,
+    cast(max(s) as bigint) as ctx_tokens,
+    string_agg(role || ': ' || txt, chr(10) order by turn_idx) as context
+  from cum where s <= {budget} group by 1, 2
+)
+select t.conv_id, t.turn_idx, coalesce(n_ctx, 0) as n_ctx,
+  coalesce(ctx_tokens, 0) as ctx_tokens,
+  coalesce(context, '') as context, t.txt as response
+from tgt t left join agg using (conv_id, turn_idx)
+"""
+
+
 def _conv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversations from documents (conv = doc_id%50, turn = doc_id//50)
     with injected conversation-level duplicates: exact session copies
@@ -3059,13 +3131,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_dedup": q_conv_dedup,
     "conv_prefix_dedup": q_conv_prefix_dedup,
     "conv_validate": q_conv_validate,
+    "sft_pairs": q_sft_pairs,
     "dsir": q_dsir,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "parse_kind": q_parse_kind,
     "parse_tool_stats": q_parse_tool_stats,
     "parse_extract": q_parse_extract,
-    "session_windows": q_session_windows,
     "source_percentiles": q_source_percentiles,
     "kw_token_match": q_kw_token_match,
     "kw_statistics": q_kw_statistics,
@@ -3099,6 +3171,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # session_windows: green r2; the native session_window query and the
+    # streaming twin in stateful.py are untouched since f375de6
+    "session_windows": q_session_windows,
     # parse_pdfish_order: green r2; pyparse.py untouched since f375de6
     "parse_pdfish_order": q_parse_pdfish_order,
     # kw_synonyms: green r2; pymatch.py/matching synonym path untouched
@@ -3218,5 +3293,6 @@ from corpus group by 1
         "conv_dedup": _sql_conv_dedup(),
         "conv_prefix_dedup": _sql_conv_prefix_dedup(),
         "conv_validate": _sql_conv_validate(),
+        "sft_pairs": _sql_sft_pairs(),
         "dsir": _sql_dsir(),
     }

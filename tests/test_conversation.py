@@ -204,3 +204,50 @@ def test_conversation_validate_single_exchange(spark):
     )
     # the groupBy reuses the window's conv_id hash partitioning
     assert plan.count("Exchange") == 1
+
+
+def test_sft_pairs_budget_takewhile_and_frame(spark):
+    from ocr_spark.operators.conversation import sft_pairs
+
+    # est_tokens = ceil(len/4): "aaaa"*k -> k tokens
+    def t(k):
+        return "a" * (4 * k)
+
+    rows = [
+        ("c", 0, "user", t(2)),        # 2 tok
+        ("c", 1, "assistant", t(10)),  # 10 tok — overflows a budget of 5
+        ("c", 2, "user", t(3)),        # 3 tok
+        ("c", 3, "assistant", "resp"), # target: scan 2 (3 tok ok),
+                                       # 1 (10 tok overflow STOPS) — turn 0
+                                       # is NOT cherry-picked past the gap
+        ("d", 0, "assistant", "first"),  # no prior turns: empty context
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, clean_text string"
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in sft_pairs(df, budget=5, max_turns=64).collect()
+    }
+    assert set(out) == {("c", 1), ("c", 3), ("d", 0)}
+    r = out[("c", 3)]
+    assert (r["n_ctx"], r["ctx_tokens"]) == (1, 3)
+    assert r["context"] == "user: " + t(3)
+    assert r["response"] == "resp"
+    r = out[("c", 1)]  # only turn 0 precedes; 2 tok fits
+    assert (r["n_ctx"], r["context"]) == (1, "user: " + t(2))
+    r = out[("d", 0)]
+    assert (r["n_ctx"], r["ctx_tokens"], r["context"]) == (0, 0, "")
+
+    # max_turns bounds the frame even under a loose budget
+    rows = [("e", i, "user", t(1)) for i in range(6)] + [
+        ("e", 6, "assistant", "resp")
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, clean_text string"
+    )
+    r = sft_pairs(df, budget=1000, max_turns=3).collect()[0]
+    assert r["n_ctx"] == 3
+    assert r["context"].count("user:") == 3
+    # the kept turns are the MOST RECENT three, in turn order
+    assert r["ctx_tokens"] == 3
