@@ -13,9 +13,19 @@ The stable-turn-ordering window (W1 — the north rule's
 * ``segment_rollup`` — per-segment ordered text concat + stats via the
   salted two-stage aggregation (same machinery as
   plans.pipeline.conversation_rollup).
+* ``conversation_fingerprints`` / ``conversation_dedup`` /
+  ``conversation_prefix_dedup`` — conversation-LEVEL identity and
+  dedup: exact session duplicates (retry storms) and strict-prefix
+  containment (resumed sessions re-ingested with their continuation).
+* ``conversation_validate`` — the structural QA gate (turn-index
+  integrity, role alternation, orphan tool turns, empty turns).
+* ``sft_pairs`` — (context, response) training-example emission under
+  a token budget with a bounded window frame.
+* ``with_tool_attribution`` — grounding lineage via the as-of join.
 
 Typical use: chunking multi-turn transcripts into topically coherent
-training examples instead of fixed-size windows.
+training examples instead of fixed-size windows, then validating,
+deduping, and emitting SFT pairs from the survivors.
 """
 
 from __future__ import annotations
