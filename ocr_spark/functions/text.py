@@ -191,3 +191,25 @@ def count_alpha(col: Column, residue: Column) -> Column:
 
 def count_digit(col: Column, residue: Column) -> Column:
     return count_in(col, ASCII_DIGITS) + F.regexp_count(residue, F.lit(r"\p{N}"))
+
+
+# ---------------------------------------------------------------------------
+# fenced code blocks (agent-transcript markup)
+# ---------------------------------------------------------------------------
+
+#: markdown fenced code block: ```lang\n ... ``` (non-greedy, dotall).
+#: Both Java regex (Spark) and RE2 (DuckDB) support (?s) and *? — the
+#: pattern is deliberately restricted to their common subset.
+CODE_FENCE_RE = r"(?s)```([a-z0-9_+-]*)\n(.*?)```"
+
+
+def fence_langs(col: Column) -> Column:
+    """array<string> of the language tags of every fenced code block
+    ('' for a bare fence), in document order."""
+    return F.regexp_extract_all(col, F.lit(CODE_FENCE_RE), 1)
+
+
+def fence_bodies(col: Column) -> Column:
+    """array<string> of the code bodies of every fenced code block, in
+    document order. Row-local — the hot path stays whole-stage codegen."""
+    return F.regexp_extract_all(col, F.lit(CODE_FENCE_RE), 2)

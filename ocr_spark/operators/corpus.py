@@ -950,3 +950,110 @@ def global_shuffle_rank(
             "shard", F.floor(F.col(rank_col) / shard_size).cast("long")
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled mixture weights
+# --------------------------------------------------------------------------
+
+
+def mixture_weights(
+    df: DataFrame,
+    part_col: str = "lang",
+    alpha: float = 0.3,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per source: ``p_i ∝ n_i^α``
+    (multilingual-LM standard — α≈0.3 up-weights low-resource sources,
+    α=1 is proportional, α=0 uniform). Returns one row per ``part_col``
+    value: raw count ``n``, micro-unit weight ``weight_c``, and the
+    per-source ``target`` row budget ``floor(budget · p_i)``.
+
+    This is the PLANNING half of data mixing; feed the targets (as
+    epochs = target/n) into :func:`mix_sources` to materialize the
+    recipe. One combiner-friendly count shuffle over the corpus; the
+    normalization runs on the tiny per-source dim (bounded by source
+    cardinality), so corpus scale only touches the count."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(part_col).agg(F.count("*").alias("n"))
+    # the window runs over the SOURCE dim (a handful of rows), not the
+    # corpus — single partition is correct and bounded here
+    tot = Window.partitionBy()
+    p = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    return (
+        counts.withColumn("_s", p)
+        .withColumn("_z", F.sum("_s").over(tot))
+        .select(
+            part_col,
+            "n",
+            F.round(F.col("_s") / F.col("_z") * 1_000_000)
+            .cast("bigint")
+            .alias("weight_c"),
+            F.floor(F.col("_s") / F.col("_z") * budget)
+            .cast("bigint")
+            .alias("target"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# --------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "split",
+    val_permille: int = 100,
+    test_permille: int = 100,
+) -> DataFrame:
+    """Assign train/val/test splits so EXACT DUPLICATES always land in
+    the same split (the standard leakage guard before emitting training
+    shards: a duplicate pair straddling train/test is memorized
+    contamination). The split is keyed on the dup group's CANONICAL id
+    (min id per text fingerprint), not the row id, so every copy
+    follows its canonical row.
+
+    Output: ``(id, fingerprint, canonical_id, split)``. One
+    combiner-friendly groupBy on the md5 fingerprint + one AQE-sized
+    join back — the same shape as :func:`~ocr_spark.operators.dedup.exact_dedup`
+    apply. Deterministic in (id, text, seed): re-runs, repartitions, and
+    an external engine reproduce identical splits (C6 resume)."""
+    if val_permille + test_permille >= 1000:
+        raise ValueError("val + test must leave room for train")
+    fp = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint")
+    )
+    canon = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_" + id_col)
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(seed),
+                    F.col("canonical_" + id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 1000
+    return (
+        fp.join(canon, "fingerprint")
+        .withColumn(
+            "split",
+            F.when(h < test_permille, "test")
+            .when(h < test_permille + val_permille, "val")
+            .otherwise("train"),
+        )
+        .select(id_col, "fingerprint", "canonical_" + id_col, "split")
+    )

@@ -1,0 +1,144 @@
+"""Distributed BM25 retrieval scoring over a document corpus.
+
+A training-data pipeline uses lexical retrieval constantly: targeted
+quality probes ("find the docs about X"), retrieval-based curation
+(select documents relevant to a seed set), and contamination triage
+(rank the corpus against a benchmark query before the expensive n-gram
+overlap pass). The reference exposes keyword/phrase matching
+(`/root/reference/nlp/doc_analysis.py` span search); BM25 is the
+ranked-retrieval generalization of that capability, rebuilt
+Spark-first.
+
+Scale shape (the part that matters at 10^12 turns):
+
+* The ONLY full-corpus passes are row-local: tokenize, per-doc length,
+  and a single 1-row aggregate for ``(N, avgdl)``.
+* The exploded term stream is filtered to the query's terms BEFORE any
+  shuffle, so the per-term frequency aggregation touches
+  ``O(matching postings)`` rows, not ``O(total tokens)``.
+* Document frequencies come from the tf table itself (``<= |query|``
+  rows after the group-by) and ride back as a broadcast dim.
+* The final top-k is ``TakeOrderedAndProject`` — no global sort.
+
+Scores are integer micro-units (``score_c``): idf is rounded to
+micro-nats per term, the tf saturation factor multiplies in double,
+and each (doc, term) contribution is rounded to a bigint BEFORE the
+per-doc sum, so two engines computing the same formula agree exactly
+(same device as operators/corpus.lm_score / dsir_score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+
+__all__ = ["bm25_score", "bm25_corpus_stats"]
+
+#: classic Robertson defaults
+K1 = 1.2
+B = 0.75
+
+
+def bm25_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row DataFrame of (n_docs, sum_dl) — the corpus-level scalars
+    BM25 needs. Kept as a DataFrame (not collected) so the scoring plan
+    is a pure function of its inputs: resume/replay recompute it
+    consistently with the snapshot they read."""
+    dl = F.size(X.tokens(F.col(text_col)))
+    return docs.agg(
+        F.count("*").alias("n_docs"), F.sum(dl).alias("sum_dl")
+    )
+
+
+def _idf_c(n_docs: Column, df_t: Column) -> Column:
+    """BM25+ idf in integer micro-nats: ln(1 + (N - df + .5)/(df + .5))."""
+    return F.round(
+        F.log(
+            F.lit(1.0)
+            + (n_docs.cast("double") - df_t + F.lit(0.5))
+            / (df_t + F.lit(0.5))
+        )
+        * 1_000_000
+    ).cast("bigint")
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    top_k: int = 50,
+) -> DataFrame:
+    """Rank ``docs`` against a bag-of-words query by BM25.
+
+    Returns the top ``top_k`` rows of
+    ``(doc_id, n_terms, tf_total, score_c)`` ordered by score desc
+    (ties → id asc): ``n_terms`` = distinct query terms present,
+    ``tf_total`` = total matching occurrences, ``score_c`` = BM25 score
+    in micro-units.
+
+    The query side is a literal ``isin`` filter over the exploded token
+    stream — tiny and executor-local; a query ARRIVING as a DataFrame
+    (e.g. a seed-document term set) would swap the literal for a
+    broadcast semi-join, everything downstream unchanged.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = X.tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        toks.alias("_toks"),
+    )
+
+    # postings: query-term filter BEFORE the shuffle
+    tf = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+    # document frequency per query term: <= |query| rows -> broadcast dim
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+
+    stats = bm25_corpus_stats(docs, text_col)
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .withColumn("idf_c", _idf_c(F.col("n_docs"), F.col("df_t")))
+        .withColumn(
+            "contrib_c",
+            F.round(
+                F.col("idf_c")
+                * (F.col("tf") * (1.0 + k1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("sum_dl")
+                    )
+                )
+            ).cast("bigint"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("tf").alias("tf_total"),
+            F.sum("contrib_c").alias("score_c"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_c"), F.asc("doc_id")
+    ).limit(top_k)

@@ -3106,6 +3106,185 @@ from flagged
 """
 
 
+#: BM25 probe query: one rare term ('dup' — df≈25/500 at sf0.01) plus
+#: common ones, so idf spans a real range
+BM25_TERMS = ["dup", "spark", "vector", "join", "scan"]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked lexical retrieval (BM25) over the documents corpus — the
+    curation probe that generalizes the reference's keyword matching
+    (/root/reference/nlp/doc_analysis.py span search) to scored ranking.
+    Full-corpus work is row-local; postings are query-filtered before
+    the shuffle (see operators/retrieval.py)."""
+    from ocr_spark.operators.retrieval import bm25_score
+
+    return bm25_score(_docs(spark, sf_dir), BM25_TERMS, top_k=50)
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(O.q(t) for t in sorted(set(BM25_TERMS)))
+    return f"""
+with base as (
+  select doc_id, {_TOKS_SQL} as toks from documents
+),
+tf as (
+  select doc_id, dl, term, cast(count(*) as bigint) as tf
+  from (
+    select doc_id, len(toks) as dl, unnest(toks) as term from base
+  ) where term in ({terms})
+  group by 1, 2, 3
+),
+dft as (select term, cast(count(*) as bigint) as df_t from tf group by 1),
+stats as (
+  select cast(count(*) as bigint) as n_docs,
+    cast(sum(len(toks)) as bigint) as sum_dl
+  from base
+),
+contrib as (
+  select doc_id,
+    cast(round(ln(1.0 + (cast(n_docs as double) - df_t + 0.5)
+                        / (df_t + 0.5)) * 1000000) as bigint) as idf_c,
+    tf, dl, n_docs, sum_dl
+  from tf join dft using (term), stats
+),
+scored as (
+  select doc_id, cast(count(*) as bigint) as n_terms,
+    cast(sum(tf) as bigint) as tf_total,
+    cast(sum(cast(round(idf_c * (tf * 2.2)
+        / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))
+      as bigint)) as bigint) as score_c
+  from contrib group by 1
+)
+select doc_id, n_terms, tf_total, score_c
+from scored order by score_c desc, doc_id asc limit 50
+"""
+
+
+def q_code_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fenced-code-block extraction — the transcript-markup stage that
+    pulls ```lang blocks out of agent turns (counts, language tags,
+    code volume). Fences are injected deterministically (every 7th doc,
+    lang cycling python/sql/bare) since the synthetic docs carry none;
+    the extraction itself is one row-local regexp pass."""
+    docs = _docs(spark, sf_dir)
+    lang_tag = (
+        F.when(F.col("doc_id") % 3 == 0, "python")
+        .when(F.col("doc_id") % 3 == 1, "sql")
+        .otherwise("")
+    )
+    fence = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit("\n```"),
+            lang_tag,
+            F.lit("\nprint("),
+            F.col("doc_id").cast("string"),
+            F.lit(")\n```\n"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), fence).alias("text2")
+    )
+    langs = X.fence_langs(F.col("text2"))
+    bodies = X.fence_bodies(F.col("text2"))
+    return aug.select(
+        "doc_id",
+        F.size(langs).cast("bigint").alias("n_fences"),
+        F.array_join(langs, ",").alias("langs"),
+        F.aggregate(
+            bodies, F.lit(0).cast("bigint"), lambda acc, b: acc + F.length(b)
+        ).alias("code_chars"),
+    )
+
+
+def _sql_code_fences() -> str:
+    return r"""
+with aug as (
+  select doc_id,
+    text || case when doc_id % 7 = 0 then
+      e'\n```' ||
+      case when doc_id % 3 = 0 then 'python'
+           when doc_id % 3 = 1 then 'sql' else '' end ||
+      e'\nprint(' || cast(doc_id as varchar) || e')\n```\n'
+    else '' end as text2
+  from documents
+)
+select doc_id,
+  cast(len(regexp_extract_all(text2, '(?s)```([a-z0-9_+-]*)\n(.*?)```', 1))
+    as bigint) as n_fences,
+  coalesce(array_to_string(
+    regexp_extract_all(text2, '(?s)```([a-z0-9_+-]*)\n(.*?)```', 1), ','), '')
+    as langs,
+  cast(coalesce(list_sum(list_transform(
+    regexp_extract_all(text2, '(?s)```([a-z0-9_+-]*)\n(.*?)```', 2),
+    b -> length(b))), 0) as bigint) as code_chars
+from aug
+"""
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture planning (p_i ∝ n_i^0.3) — the step
+    that turns per-source counts into sampling weights before
+    mix_sources materializes them."""
+    from ocr_spark.operators import corpus
+
+    return corpus.mixture_weights(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        alpha=0.3,
+        budget=100_000,
+    )
+
+
+def _sql_mix_temperature() -> str:
+    return """
+with c as (select lang, cast(count(*) as bigint) as n from documents group by 1),
+z as (select sum(pow(cast(n as double), 0.3)) as z from c)
+select lang, n,
+  cast(round(pow(cast(n as double), 0.3) / z * 1000000) as bigint) as weight_c,
+  cast(floor(pow(cast(n as double), 0.3) / z * 100000) as bigint) as target
+from c, z
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: exact duplicates follow
+    their canonical row's split (injected dups: every 13th doc cloned
+    under id+10^6), so no dup pair straddles train/test."""
+    from ocr_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return corpus.leakage_safe_split(docs.unionByName(dups))
+
+
+def _sql_split_leakage() -> str:
+    return """
+with d as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000 as doc_id, text from documents
+  where doc_id % 13 = 0
+),
+fp as (select doc_id, md5(text) as fingerprint from d),
+canon as (
+  select fingerprint, min(doc_id) as canonical_doc_id from fp group by 1
+),
+j as (
+  select fp.doc_id, fp.fingerprint, canonical_doc_id,
+    cast(concat('0x', substr(md5('split|' ||
+      cast(canonical_doc_id as varchar)), 1, 8)) as bigint) % 1000 as h
+  from fp join canon using (fingerprint)
+)
+select doc_id, fingerprint, canonical_doc_id,
+  case when h < 100 then 'test' when h < 200 then 'val'
+       else 'train' end as split
+from j
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3133,11 +3312,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_validate": q_conv_validate,
     "sft_pairs": q_sft_pairs,
     "dsir": q_dsir,
+    "bm25": q_bm25,
+    "code_fences": q_code_fences,
+    "mix_temperature": q_mix_temperature,
+    "split_leakage": q_split_leakage,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
-    "parse_kind": q_parse_kind,
-    "parse_tool_stats": q_parse_tool_stats,
-    "parse_extract": q_parse_extract,
     "source_percentiles": q_source_percentiles,
     "kw_token_match": q_kw_token_match,
     "kw_statistics": q_kw_statistics,
@@ -3156,7 +3336,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "summarize": q_summarize,
     "shrink_levels": q_shrink_levels,
-    "entities": q_entities,
     "repetition_stats": q_repetition_stats,
     "boilerplate_grams": q_boilerplate,
     "pii_scrub": q_pii_scrub,
@@ -3171,6 +3350,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # parse_kind / parse_tool_stats: green r2; pyparse.py and
+    # operators/parse.py untouched since f375de6
+    "parse_kind": q_parse_kind,
+    "parse_tool_stats": q_parse_tool_stats,
+    # parse_extract: rows-only row recorded r2; pyparse.py untouched
+    "parse_extract": q_parse_extract,
+    # entities: green r1+r2; the gazetteer path (entity_spans /
+    # with_entities) is untouched since f375de6 — round-3 diffs to
+    # matching.py touch with_doc_statistics and match_variant_tokens only
+    "entities": q_entities,
     # session_windows: green r2; the native session_window query and the
     # streaming twin in stateful.py are untouched since f375de6
     "session_windows": q_session_windows,
@@ -3295,4 +3484,8 @@ from corpus group by 1
         "conv_validate": _sql_conv_validate(),
         "sft_pairs": _sql_sft_pairs(),
         "dsir": _sql_dsir(),
+        "bm25": _sql_bm25(),
+        "code_fences": _sql_code_fences(),
+        "mix_temperature": _sql_mix_temperature(),
+        "split_leakage": _sql_split_leakage(),
     }

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark.operators import corpus
@@ -675,3 +676,54 @@ def test_dsir_select_topk_plan(spark):
     assert top.count() == 3
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # never a single-partition sort
+
+
+def test_mixture_weights_temperature(spark):
+    rows = [(i, "big") for i in range(810)] + [(i + 1000, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # alpha=1 -> proportional; alpha=0 -> uniform
+    prop = {r["lang"]: r for r in corpus.mixture_weights(df, alpha=1.0, budget=1000).collect()}
+    assert prop["big"]["weight_c"] == round(810 / 820 * 1_000_000)
+    assert prop["big"]["target"] + prop["small"]["target"] <= 1000
+
+    uni = {r["lang"]: r["weight_c"] for r in corpus.mixture_weights(df, alpha=0.0, budget=1000).collect()}
+    assert uni["big"] == uni["small"] == 500_000
+
+    # alpha=0.3 up-weights the low-resource source vs proportional
+    t = {r["lang"]: r["weight_c"] for r in corpus.mixture_weights(df, alpha=0.3, budget=1000).collect()}
+    assert t["small"] > prop["small"]["weight_c"]
+    import math
+    z = 810 ** 0.3 + 10 ** 0.3
+    assert t["big"] == round(810 ** 0.3 / z * 1_000_000)
+
+    with pytest.raises(ValueError):
+        corpus.mixture_weights(df, alpha=1.5)
+
+
+def test_leakage_safe_split(spark):
+    # 40 uniques + every 4th text duplicated under a different id
+    rows = [(i, f"text {i}") for i in range(40)]
+    rows += [(100 + i, f"text {i}") for i in range(0, 40, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.leakage_safe_split(df).collect()
+    assert len(out) == len(rows)
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+    # every dup group lands in ONE split, keyed on the canonical (min) id
+    by_fp: dict[str, set[str]] = {}
+    for r in out:
+        by_fp.setdefault(r["fingerprint"], set()).add(r["split"])
+        if r["doc_id"] >= 100:
+            assert r["canonical_doc_id"] == r["doc_id"] - 100
+    assert all(len(s) == 1 for s in by_fp.values())
+
+    # deterministic across re-runs / repartitions
+    again = {
+        (r["doc_id"], r["split"])
+        for r in corpus.leakage_safe_split(df.repartition(7)).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+
+    with pytest.raises(ValueError):
+        corpus.leakage_safe_split(df, val_permille=600, test_permille=500)

@@ -1,0 +1,106 @@
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+from ocr_spark.operators.retrieval import bm25_score
+
+DOCS = [
+    (0, "spark join join join shuffle"),
+    (1, "spark scan filter merge sort window"),
+    (2, "dup dup detection via minhash"),
+    (3, "completely unrelated words here about nothing"),
+    (4, "join spark spark scan dup"),
+    (5, ""),
+]
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75):
+    tok = {i: re.findall(r"\w+", t.lower()) for i, t in docs}
+    n = len(docs)
+    sum_dl = sum(len(v) for v in tok.values())
+    df = {
+        t: sum(1 for v in tok.values() if t in v) for t in terms
+    }
+    out = {}
+    for i, v in tok.items():
+        score = 0
+        n_terms = 0
+        tf_total = 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            n_terms += 1
+            tf_total += tf
+            idf_c = round(
+                math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)) * 1_000_000
+            )
+            score += round(
+                idf_c
+                * (tf * (1.0 + k1))
+                / (tf + k1 * ((1.0 - b) + b * len(v) * n / sum_dl))
+            )
+        if n_terms:
+            out[i] = (n_terms, tf_total, score)
+    return out
+
+
+def test_bm25_matches_python_twin(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    terms = ["spark", "join", "dup"]
+    got = {
+        r["doc_id"]: (r["n_terms"], r["tf_total"], r["score_c"])
+        for r in bm25_score(df, terms, top_k=10).collect()
+    }
+    assert got == _py_bm25(DOCS, terms)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # 'dup' appears in 2/6 docs, 'spark' in 3/6 — doc 2 (dup-heavy, short)
+    # must outrank doc 1 (one common term, long)
+    rows = bm25_score(df, ["dup", "spark"], top_k=10).collect()
+    order = [r["doc_id"] for r in rows]
+    assert order.index(2) < order.index(1)
+
+
+def test_bm25_top_k_plan_and_limit(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    top = bm25_score(df, ["spark"], top_k=2)
+    assert top.count() == 2
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a single-partition sort
+
+
+def test_bm25_rejects_empty_query(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_score(df, [])
+
+
+def test_fence_extraction(spark):
+    text = (
+        "intro text\n"
+        "```python\nprint(1)\n```\n"
+        "middle\n"
+        "```\nbare fence body\n```\n"
+        "```sql\nselect 1\n```\ntail"
+    )
+    df = spark.createDataFrame([(0, text), (1, "no fences at all")],
+                               "doc_id long, text string")
+    row = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            X.fence_langs(F.col("text")).alias("langs"),
+            X.fence_bodies(F.col("text")).alias("bodies"),
+        ).collect()
+    }
+    assert row[0]["langs"] == ["python", "", "sql"]
+    assert row[0]["bodies"] == ["print(1)\n", "bare fence body\n", "select 1\n"]
+    assert row[1]["langs"] == [] and row[1]["bodies"] == []
