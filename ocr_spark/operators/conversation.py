@@ -422,3 +422,69 @@ def with_tool_attribution(df: DataFrame) -> DataFrame:
         F.col("src_turn_idx").cast("int").alias("src_turn_idx"),
         F.col("src_tool").alias("src_tool"),
     )
+
+
+# --------------------------------------------------------------------------
+# assistant-turn quality heuristics
+# --------------------------------------------------------------------------
+
+#: refusal markers over the LOWERED text — restricted to the Java-regex /
+#: RE2 common subset so an external engine reproduces the flags exactly
+REFUSAL_RE = r"i('m| am) sorry|i cannot|i can('|)t help|as an ai"
+
+
+def assistant_turn_quality(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "clean_text",
+) -> DataFrame:
+    """Per-conversation quality heuristics over ASSISTANT turns — the
+    cheap RLHF-style pre-filter a transcript corpus passes before SFT
+    pair emission (:func:`sft_pairs`): refusal rate, code presence,
+    link volume, response length.
+
+    All per-turn features are row-local (regexp flags + counts over the
+    turn text), so the whole operator is ONE combiner-friendly groupBy
+    on the conversation key — same scale bound as every conversation
+    aggregate here. ``refusal_rate_c`` is integer micro-units
+    (round(refusals/assistant_turns · 10^6)) so external engines agree
+    bit-for-bit; count columns are plain bigints.
+    """
+    from ocr_spark.functions import text as X
+
+    is_asst = F.col(role_col) == "assistant"
+    low = F.lower(F.col(text_col))
+    refusal = is_asst & (F.regexp_count(low, F.lit(REFUSAL_RE)) > 0)
+    fences = F.when(
+        is_asst, F.size(X.fence_langs(F.col(text_col)))
+    ).otherwise(F.lit(0))
+    links = F.when(
+        is_asst, F.regexp_count(F.col(text_col), F.lit(r"https?://"))
+    ).otherwise(F.lit(0))
+    chars = F.when(is_asst, F.length(text_col)).otherwise(F.lit(0))
+    agg = (
+        df.select(
+            F.col(conv_col),
+            is_asst.cast("int").alias("_a"),
+            refusal.cast("int").alias("_r"),
+            fences.alias("_f"),
+            links.alias("_l"),
+            chars.alias("_c"),
+        )
+        .groupBy(conv_col)
+        .agg(
+            F.sum("_a").cast("bigint").alias("n_assistant"),
+            F.sum("_r").cast("bigint").alias("n_refusals"),
+            F.sum("_f").cast("bigint").alias("n_fences"),
+            F.sum("_l").cast("bigint").alias("n_links"),
+            F.sum("_c").cast("bigint").alias("assistant_chars"),
+        )
+    )
+    rate = F.when(
+        F.col("n_assistant") > 0,
+        F.round(
+            F.col("n_refusals") / F.col("n_assistant") * 1_000_000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return agg.withColumn("refusal_rate_c", rate)

@@ -345,3 +345,38 @@ def train_linear_classifier(
         return spark.createDataFrame(rows, "bucket bigint, w_c bigint")
     finally:
         fl.unpersist()
+
+
+def top_terms(
+    df,
+    part_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+):
+    """Per-source top-``k`` terms by frequency (ties → term asc) — the
+    corpus-profiling report behind vocabulary drift checks and
+    boilerplate triage.
+
+    Shape: one explode + ONE combiner-friendly (part, term) count
+    shuffle over the corpus; the rank window then runs over the
+    term-count DIM (bounded by vocab × sources, never corpus-sized), so
+    its per-source partitions are vocabulary-bounded — the "window over
+    the aggregate, not the data" rule every top-k here follows."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = (
+        df.select(
+            F.col(part_col), F.explode(X.tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy(part_col, "term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy(part_col).orderBy(
+        F.desc("n"), F.asc("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

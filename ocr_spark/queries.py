@@ -3285,6 +3285,137 @@ from j
 """
 
 
+def q_turn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-turn quality heuristics (refusal rate, code/link/length
+    volume) rolled up per conversation — the RLHF-style pre-filter before
+    SFT pair emission. Roles are md5-derived as in conv_validate;
+    refusal markers and code fences are injected deterministically
+    (every 11th / 7th doc) since the synthetic docs carry none."""
+    from ocr_spark.operators.conversation import assistant_turn_quality
+
+    docs = _docs(spark, sf_dir)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("role|"), F.col("text"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    role = (
+        F.when(h < 15, "tool").when(h < 55, "user").otherwise("assistant")
+    )
+    lang_tag = (
+        F.when(F.col("doc_id") % 3 == 0, "python")
+        .when(F.col("doc_id") % 3 == 1, "sql")
+        .otherwise("")
+    )
+    fence = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit("\n```"),
+            lang_tag,
+            F.lit("\nprint("),
+            F.col("doc_id").cast("string"),
+            F.lit(")\n```\n"),
+        ),
+    ).otherwise(F.lit(""))
+    text2 = F.concat(
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("I cannot help with that. ")
+        ).otherwise(F.lit("")),
+        F.col("text"),
+        fence,
+    )
+    conv = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 50).cast("string")).alias(
+            "conv_id"
+        ),
+        role.alias("role"),
+        text2.alias("clean_text"),
+    )
+    return assistant_turn_quality(conv)
+
+
+def _sql_turn_quality() -> str:
+    return r"""
+with conv as (
+  select 'c' || cast(doc_id % 50 as varchar) as conv_id,
+    case when h < 15 then 'tool' when h < 55 then 'user'
+         else 'assistant' end as role,
+    (case when doc_id % 11 = 0 then 'I cannot help with that. '
+          else '' end)
+    || text
+    || (case when doc_id % 7 = 0 then
+          e'\n```' ||
+          case when doc_id % 3 = 0 then 'python'
+               when doc_id % 3 = 1 then 'sql' else '' end ||
+          e'\nprint(' || cast(doc_id as varchar) || e')\n```\n'
+        else '' end) as txt
+  from (
+    select *,
+      cast(concat('0x', substr(md5('role|' || text), 1, 8)) as bigint)
+        % 100 as h
+    from documents
+  )
+),
+t as (
+  select conv_id,
+    case when role = 'assistant' then 1 else 0 end as a,
+    case when role = 'assistant' and len(regexp_extract_all(lower(txt),
+      'i(''m| am) sorry|i cannot|i can(''|)t help|as an ai')) > 0
+      then 1 else 0 end as r,
+    case when role = 'assistant' then len(regexp_extract_all(txt,
+      '(?s)```([a-z0-9_+-]*)\n(.*?)```', 1)) else 0 end as f,
+    case when role = 'assistant' then len(regexp_extract_all(txt,
+      'https?://')) else 0 end as l,
+    case when role = 'assistant' then length(txt) else 0 end as c
+  from conv
+),
+agg as (
+  select conv_id,
+    cast(sum(a) as bigint) as n_assistant,
+    cast(sum(r) as bigint) as n_refusals,
+    cast(sum(f) as bigint) as n_fences,
+    cast(sum(l) as bigint) as n_links,
+    cast(sum(c) as bigint) as assistant_chars
+  from t group by 1
+)
+select *,
+  case when n_assistant > 0
+    then cast(round(n_refusals / n_assistant * 1000000) as bigint)
+    else 0 end as refusal_rate_c
+from agg
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-10 terms by frequency — corpus profiling; the rank
+    window runs over the vocab-bounded term-count dim, never the corpus
+    (see operators/textstats.top_terms)."""
+    from ocr_spark.operators.textstats import top_terms
+
+    return top_terms(_docs(spark, sf_dir), part_col="source", k=10)
+
+
+def _sql_top_terms() -> str:
+    return f"""
+with tf as (
+  select source, term, cast(count(*) as bigint) as n
+  from (
+    select source, unnest({_TOKS_SQL}) as term from documents
+  ) group by 1, 2
+),
+r as (
+  select source, term, n,
+    cast(row_number() over (partition by source order by n desc, term asc)
+      as bigint) as rank
+  from tf
+)
+select source, term, n, rank from r where rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3316,6 +3447,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_fences": q_code_fences,
     "mix_temperature": q_mix_temperature,
     "split_leakage": q_split_leakage,
+    "turn_quality": q_turn_quality,
+    "top_terms": q_top_terms,
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "source_percentiles": q_source_percentiles,
@@ -3336,8 +3469,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "summarize": q_summarize,
     "shrink_levels": q_shrink_levels,
-    "repetition_stats": q_repetition_stats,
-    "boilerplate_grams": q_boilerplate,
     "pii_scrub": q_pii_scrub,
     "contamination": q_contamination,
     "lm_quality": q_lm_quality,
@@ -3350,6 +3481,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_customers": q_tpch_top_customers,
     "tpch_nation_volume": q_tpch_nation_volume,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # repetition_stats / boilerplate_grams: green r2; their corpus.py
+    # functions (_gram_stats/repetition_stats/boilerplate_grams, all
+    # before line 329) are untouched since f375de6 — round-3 corpus.py
+    # diffs are insertions after lm_score plus the pack_bins region
+    "repetition_stats": q_repetition_stats,
+    "boilerplate_grams": q_boilerplate,
     # parse_kind / parse_tool_stats: green r2; pyparse.py and
     # operators/parse.py untouched since f375de6
     "parse_kind": q_parse_kind,
@@ -3488,4 +3625,6 @@ from corpus group by 1
         "code_fences": _sql_code_fences(),
         "mix_temperature": _sql_mix_temperature(),
         "split_leakage": _sql_split_leakage(),
+        "turn_quality": _sql_turn_quality(),
+        "top_terms": _sql_top_terms(),
     }

@@ -251,3 +251,40 @@ def test_sft_pairs_budget_takewhile_and_frame(spark):
     assert r["context"].count("user:") == 3
     # the kept turns are the MOST RECENT three, in turn order
     assert r["ctx_tokens"] == 3
+
+
+def test_assistant_turn_quality(spark):
+    from ocr_spark.operators.conversation import assistant_turn_quality
+
+    rows = [
+        ("c1", "user", "please write code"),
+        ("c1", "assistant", "Sure!\n```python\nx = 1\n```\nsee https://a.io"),
+        ("c1", "assistant", "I'm sorry, I cannot help with that."),
+        ("c1", "tool", "I cannot help"),  # non-assistant: never counted
+        ("c2", "user", "hi"),             # conversation with 0 assistant turns
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, clean_text string")
+    got = {r["conv_id"]: r for r in assistant_turn_quality(df).collect()}
+
+    c1 = got["c1"]
+    assert c1["n_assistant"] == 2
+    assert c1["n_refusals"] == 1
+    assert c1["n_fences"] == 1
+    assert c1["n_links"] == 1
+    assert c1["assistant_chars"] == (
+        len(rows[1][2]) + len(rows[2][2])
+    )
+    assert c1["refusal_rate_c"] == 500_000
+
+    c2 = got["c2"]
+    assert c2["n_assistant"] == 0 and c2["refusal_rate_c"] == 0
+
+
+def test_assistant_turn_quality_single_shuffle(spark):
+    from ocr_spark.operators.conversation import assistant_turn_quality
+
+    df = spark.createDataFrame(
+        [("c", "assistant", "t")], "conv_id string, role string, clean_text string"
+    )
+    plan = assistant_turn_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # per-turn features are row-local

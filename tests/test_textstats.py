@@ -176,3 +176,31 @@ def test_train_linear_classifier_separates_and_matches_spec(spark):
     for b in range(buckets):
         want = math.floor(w[b] * 100_000 + 0.5)
         assert abs(got.get(b, 0) - want) <= 2, (b, got.get(b, 0), want)
+
+
+def test_top_terms(spark):
+    rows = [
+        ("a", "x x x y y z"),
+        ("a", "y w"),
+        ("b", "q q r"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = [
+        (r["source"], r["term"], r["n"], r["rank"])
+        for r in textstats.top_terms(df, k=2).orderBy("source", "rank").collect()
+    ]
+    assert got == [
+        ("a", "x", 3, 1),
+        ("a", "y", 3, 2),  # tie with x broken by term asc
+        ("b", "q", 2, 1),
+        ("b", "r", 1, 2),
+    ]
+    with pytest.raises(ValueError):
+        textstats.top_terms(df, k=0)
+
+
+def test_top_terms_window_runs_over_dim_not_corpus(spark):
+    df = spark.createDataFrame([("a", "x y")], "source string, text string")
+    plan = textstats.top_terms(df)._jdf.queryExecution().optimizedPlan().toString()
+    # the rank window must consume the aggregate, not the exploded stream
+    assert plan.index("Window") < plan.index("Aggregate")
