@@ -3,14 +3,24 @@
 Media payloads are opaque ``binary`` columns with a typed metadata struct
 (MEDIA_META) — the Spark-side contract for a multimodal training-data
 pipeline: schema, partitioning, Arrow batch shape, and UDF signatures are
-real and tested; the actual codec work is stubbed because no image/audio
-libraries exist in this environment.
+real and tested.
 
-* ``decode_media`` — the real-decode entry point: raises
-  ``NotImplementedError`` (clearly marked stub; wire Pillow/torchaudio/
-  PyAV here on a real cluster).
-* ``fake_decode_features`` — deterministic stand-in used by tests and the
-  driver oracle: "features" derived from the payload's md5 so every engine
+Decoding is REAL for the uncompressed container formats a pure-stdlib
+parser can handle — WAV/PCM16 audio, 24-bit BMP and binary PPM (P6)
+images — dispatched by magic bytes in ``decode_media``. Compressed
+codecs (JPEG/PNG/MP3/MP4...) remain a clearly-marked
+``NotImplementedError`` stub: no codec libraries exist in this
+environment; wire Pillow/torchaudio/PyAV into the same Arrow stage on a
+real cluster.
+
+* ``decode_media`` — magic-byte dispatch → typed feature dict
+  (dimensions / duration / RMS / mean luma), or ``NotImplementedError``
+  for compressed codecs.
+* ``with_decoded_media`` — the ``mapInPandas`` REAL-decode stage:
+  errors-as-data (``ok``/``err`` columns — a corrupt payload can never
+  fail a task, the repo-wide C3 rule), Arrow-batched.
+* ``fake_decode_features`` — deterministic stand-in used by the driver
+  oracle: "features" derived from the payload's md5 so every engine
   reproduces them bit-for-bit.
 * ``with_media_features`` — the ``mapInPandas`` feature-extraction stage:
   Arrow-batched, bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -23,6 +33,7 @@ libraries exist in this environment.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,14 +54,192 @@ MEDIA_META = T.StructType(
 N_FEATURES = 8
 
 
-def decode_media(payload: bytes, media_type: str) -> object:
-    """REAL decode entry point — STUB. On a production cluster this calls
-    the codec library (Pillow / torchaudio / PyAV) inside the Arrow stage;
-    none are available in this environment."""
+def decode_wav(payload: bytes) -> dict:
+    """Pure-stdlib WAV/PCM16 decode: RIFF header walk + sample stats.
+
+    Returns kind/duration_s/sample_rate/n_samples/channels plus rms and
+    peak over the PCM16 stream (the audio-quality features a curation
+    gate filters on: silence → rms≈0, clipping → peak≈32767).
+    Raises ``ValueError`` on malformed bytes (callers in the Arrow stage
+    convert that to errors-as-data)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    frames = n // max(channels, 1)
+    sq = sum(s * s for s in samples)
+    return {
+        "kind": "wav",
+        "width": None,
+        "height": None,
+        "duration_s": frames / rate if rate else 0.0,
+        "n_samples": n,
+        "rms": (sq / n) ** 0.5 if n else 0.0,
+        "peak": max(abs(s) for s in samples) if n else 0,
+        "mean_luma": None,
+    }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Pure-stdlib 24-bit uncompressed BMP decode: dimensions + mean luma
+    (Rec.601) over the pixel rows (bottom-up, 4-byte-padded)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={comp}")
+    height = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    total = luma = 0.0
+    for r in range(height):
+        base = data_off + r * row_bytes
+        row = payload[base:base + w * 3]
+        if len(row) < w * 3:
+            raise ValueError("truncated BMP pixel data")
+        for i in range(w):
+            b, g, rr = row[3 * i], row[3 * i + 1], row[3 * i + 2]
+            luma += 0.299 * rr + 0.587 * g + 0.114 * b
+            total += 1
+    return {
+        "kind": "bmp",
+        "width": w,
+        "height": height,
+        "duration_s": None,
+        "n_samples": None,
+        "rms": None,
+        "peak": None,
+        "mean_luma": luma / total if total else 0.0,
+    }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Pure-stdlib binary PPM (P6, maxval 255) decode: dimensions + mean
+    luma."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM stream")
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens (comments stripped), then ONE whitespace byte, then raster
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(payload):
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval={maxval}")
+    raster = payload[i:i + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    luma = 0.0
+    for p in range(w * h):
+        r, g, b = raster[3 * p], raster[3 * p + 1], raster[3 * p + 2]
+        luma += 0.299 * r + 0.587 * g + 0.114 * b
+    return {
+        "kind": "ppm",
+        "width": w,
+        "height": h,
+        "duration_s": None,
+        "n_samples": None,
+        "rms": None,
+        "peak": None,
+        "mean_luma": luma / (w * h) if w * h else 0.0,
+    }
+
+
+def decode_media(payload: bytes, media_type: str = "") -> dict:
+    """REAL decode entry point: magic-byte dispatch to the pure-stdlib
+    parsers above. Compressed codecs (JPEG/PNG/MP3/MP4...) remain a
+    clearly-marked STUB — on a production cluster wire Pillow /
+    torchaudio / PyAV here, inside the same Arrow stage."""
+    p = payload or b""
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return decode_wav(p)
+    if p[:2] == b"BM":
+        return decode_bmp(p)
+    if p[:2] == b"P6":
+        return decode_ppm(p)
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this "
-        "environment; use fake_decode_features for the deterministic test path"
+        "compressed-codec decoding requires libraries not present in this "
+        "environment (uncompressed WAV/BMP/PPM decode IS implemented); use "
+        "fake_decode_features for the deterministic oracle path"
     )
+
+
+DECODED_FIELDS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def with_decoded_media(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "decoded"
+) -> DataFrame:
+    """REAL-decode Arrow stage over WAV/BMP/PPM payloads. Errors are data
+    (``ok=false`` + ``err``): a corrupt or compressed payload can never
+    fail a task (C3 rule) — the caller filters or routes on ``ok``.
+    Same batch-bounded ``mapInPandas`` shape as ``with_media_features``."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, DECODED_FIELDS)]
+    )
+
+    def one(p) -> dict:
+        try:
+            d = decode_media(bytes(p) if p is not None else b"")
+            return {"ok": True, "err": None, **d}
+        except (ValueError, NotImplementedError) as e:
+            return {
+                "ok": False, "err": str(e)[:200], "kind": None,
+                "width": None, "height": None, "duration_s": None,
+                "n_samples": None, "rms": None, "peak": None,
+                "mean_luma": None,
+            }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [one(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def fake_decode_features(payload: bytes) -> list[float]:

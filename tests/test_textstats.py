@@ -97,9 +97,81 @@ def test_media_stage_schema_and_determinism(spark):
     assert len(plan[5]) == 16               # 50s capped at 16 frames
 
 
-def test_decode_media_is_a_stub():
+def test_decode_media_stub_only_for_compressed():
+    # compressed codecs stay a clearly-marked stub...
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"x", "image")
+        multimodal.decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def _wav_bytes(samples, rate=8000, channels=1):
+    import struct
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _bmp_bytes(pixels):
+    """pixels: rows (bottom-up) of (r, g, b) tuples."""
+    import struct
+    h, w = len(pixels), len(pixels[0])
+    row_pad = (4 - (w * 3) % 4) % 4
+    raster = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row) + b"\x00" * row_pad
+        for row in pixels
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    off = 14 + len(info)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    return hdr + info + raster
+
+
+def test_decode_wav_real():
+    samples = [0, 100, -100, 32767, -32768, 50, -50, 0]
+    d = multimodal.decode_media(_wav_bytes(samples, rate=8000))
+    assert d["kind"] == "wav" and d["n_samples"] == 8
+    assert d["duration_s"] == pytest.approx(8 / 8000)
+    assert d["peak"] == 32768
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+    assert d["rms"] == pytest.approx(rms)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxWAVE")  # no chunks
+
+
+def test_decode_bmp_and_ppm_real():
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    d = multimodal.decode_media(_bmp_bytes(px))
+    flat = [c for row in px for c in row]
+    luma = sum(0.299 * r + 0.587 * g + 0.114 * b for r, g, b in flat) / 4
+    assert (d["kind"], d["width"], d["height"]) == ("bmp", 2, 2)
+    assert d["mean_luma"] == pytest.approx(luma)
+
+    raster = bytes(v for row in px for c in row for v in c)
+    ppm = b"P6\n# a comment\n2 2\n255\n" + raster
+    d2 = multimodal.decode_media(ppm)
+    assert (d2["kind"], d2["width"], d2["height"]) == ("ppm", 2, 2)
+    assert d2["mean_luma"] == pytest.approx(luma)
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6 2 2 65535 xx")
+
+
+def test_with_decoded_media_errors_as_data(spark):
+    rows = [
+        (0, bytearray(_wav_bytes([10, -10, 20, -20]))),
+        (1, bytearray(_bmp_bytes([[(10, 20, 30)]]))),
+        (2, bytearray(b"\xff\xd8\xffJPEG-ish")),   # compressed -> ok=false
+        (3, bytearray(b"RIFF\x04\x00\x00\x00WAVE")),  # corrupt -> ok=false
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["decoded"] for r in
+           multimodal.with_decoded_media(df).collect()}
+    assert got[0]["ok"] and got[0]["kind"] == "wav" and got[0]["n_samples"] == 4
+    assert got[1]["ok"] and got[1]["kind"] == "bmp" and got[1]["width"] == 1
+    assert not got[2]["ok"] and "compressed-codec" in got[2]["err"]
+    assert not got[3]["ok"] and got[3]["err"]
 
 
 def _py_feats(text: str, buckets: int, seed: str = "feat", n_max: int = 2):
