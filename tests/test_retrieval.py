@@ -104,3 +104,25 @@ def test_fence_extraction(spark):
     assert row[0]["langs"] == ["python", "", "sql"]
     assert row[0]["bodies"] == ["print(1)\n", "bare fence body\n", "select 1\n"]
     assert row[1]["langs"] == [] and row[1]["bodies"] == []
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_bm25_random_property(spark, seed):
+    """Seeded-random corpora: Spark BM25 == the pure-Python twin on every
+    scored doc (not just top-k), including dl/avgdl and idf edge cases
+    (term in all docs, term in one doc, empty docs)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    terms = rng.sample(vocab, 4)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_terms"], r["tf_total"], r["score_c"])
+        for r in bm25_score(df, terms, top_k=1000).collect()
+    }
+    assert got == _py_bm25(docs, sorted(set(terms)))
