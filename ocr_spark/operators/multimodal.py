@@ -36,6 +36,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -69,6 +70,10 @@ def decode_wav(payload: bytes) -> dict:
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # a declared chunk size past end-of-payload must surface as
+                # errors-as-data (ValueError), not a struct.error task crash
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -79,17 +84,20 @@ def decode_wav(payload: bytes) -> dict:
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    # vectorized sample stats: a 10-minute PCM16 stream is ~28M samples —
+    # numpy views + float64 reductions, never a per-sample Python loop
+    samples = np.frombuffer(data, dtype="<i2", count=n)
     frames = n // max(channels, 1)
-    sq = sum(s * s for s in samples)
+    f64 = samples.astype(np.float64)
     return {
         "kind": "wav",
         "width": None,
         "height": None,
         "duration_s": frames / rate if rate else 0.0,
         "n_samples": n,
-        "rms": (sq / n) ** 0.5 if n else 0.0,
-        "peak": max(abs(s) for s in samples) if n else 0,
+        "rms": float(np.sqrt(np.mean(f64 * f64))) if n else 0.0,
+        # abs in int16 would wrap -32768 back to itself; go through int32
+        "peak": int(np.abs(samples.astype(np.int32)).max()) if n else 0,
         "mean_luma": None,
     }
 
@@ -106,17 +114,26 @@ def decode_bmp(payload: bytes) -> dict:
     if hdr_size < 40 or bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP bpp={bpp} compression={comp}")
     height = abs(h)
+    if w <= 0 or height == 0:
+        # a negative width would make the truncation check below vacuous
+        # (len(row) < w*3 never fires) and return ok=True garbage
+        raise ValueError(f"invalid BMP dimensions {w}x{height}")
     row_bytes = (w * 3 + 3) & ~3
-    total = luma = 0.0
-    for r in range(height):
-        base = data_off + r * row_bytes
-        row = payload[base:base + w * 3]
-        if len(row) < w * 3:
-            raise ValueError("truncated BMP pixel data")
-        for i in range(w):
-            b, g, rr = row[3 * i], row[3 * i + 1], row[3 * i + 2]
-            luma += 0.299 * rr + 0.587 * g + 0.114 * b
-            total += 1
+    need = (height - 1) * row_bytes + w * 3
+    buf = payload[data_off:data_off + height * row_bytes]
+    if len(buf) < need:
+        raise ValueError("truncated BMP pixel data")
+    if len(buf) < height * row_bytes:  # final row's padding may be absent
+        buf = buf + b"\x00" * (height * row_bytes - len(buf))
+    # vectorized: view the raster as (height, row_bytes) uint8, strip the
+    # 4-byte row padding, reduce with Rec.601 weights — no per-pixel Python
+    raster = (
+        np.frombuffer(buf, dtype=np.uint8)
+        .reshape(height, row_bytes)[:, : w * 3]
+        .reshape(height, w, 3)
+    )
+    bgr = raster.astype(np.float64)
+    luma = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
     return {
         "kind": "bmp",
         "width": w,
@@ -125,7 +142,7 @@ def decode_bmp(payload: bytes) -> dict:
         "n_samples": None,
         "rms": None,
         "peak": None,
-        "mean_luma": luma / total if total else 0.0,
+        "mean_luma": float(luma.mean()),
     }
 
 
@@ -156,13 +173,17 @@ def decode_ppm(payload: bytes) -> dict:
     w, h, maxval = (int(t) for t in toks)
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval={maxval}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     raster = payload[i:i + w * h * 3]
     if len(raster) < w * h * 3:
         raise ValueError("truncated PPM raster")
-    luma = 0.0
-    for p in range(w * h):
-        r, g, b = raster[3 * p], raster[3 * p + 1], raster[3 * p + 2]
-        luma += 0.299 * r + 0.587 * g + 0.114 * b
+    # vectorized Rec.601 reduction — no per-pixel Python
+    rgb = np.frombuffer(raster, dtype=np.uint8).reshape(w * h, 3)
+    f64 = rgb.astype(np.float64)
+    luma = float(
+        (0.299 * f64[:, 0] + 0.587 * f64[:, 1] + 0.114 * f64[:, 2]).mean()
+    )
     return {
         "kind": "ppm",
         "width": w,
@@ -171,7 +192,7 @@ def decode_ppm(payload: bytes) -> dict:
         "n_samples": None,
         "rms": None,
         "peak": None,
-        "mean_luma": luma / (w * h) if w * h else 0.0,
+        "mean_luma": luma,
     }
 
 
@@ -225,7 +246,10 @@ def with_decoded_media(
         try:
             d = decode_media(bytes(p) if p is not None else b"")
             return {"ok": True, "err": None, **d}
-        except (ValueError, NotImplementedError) as e:
+        # struct.error covers header fields whose declared sizes point past
+        # end-of-payload — any malformed byte stream must become data, not
+        # a task failure (C3 rule)
+        except (ValueError, NotImplementedError, struct.error) as e:
             return {
                 "ok": False, "err": str(e)[:200], "kind": None,
                 "width": None, "height": None, "duration_s": None,
