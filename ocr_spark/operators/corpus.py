@@ -380,8 +380,15 @@ def dsir_dim(
     dom = spark.range(buckets).select(F.col("id").alias("bucket"))
     nt = _counts(target, "_nt")
     nr = _counts(raw, "_nr")
-    tt = nt.agg(F.sum("_nt").cast("double").alias("_tt"))
-    tr = nr.agg(F.sum("_nr").cast("double").alias("_tr"))
+    # sum() over zero rows is NULL — an empty target/raw corpus would make
+    # every dlogp_c NULL and silently zero all scores downstream; coalesce
+    # to 0.0 (the add-alpha smoothing still defines a proper model)
+    tt = nt.agg(
+        F.coalesce(F.sum("_nt").cast("double"), F.lit(0.0)).alias("_tt")
+    )
+    tr = nr.agg(
+        F.coalesce(F.sum("_nr").cast("double"), F.lit(0.0)).alias("_tr")
+    )
     smooth = float(alpha * buckets)
     p_t = (F.coalesce(F.col("_nt"), F.lit(0)) + alpha) / (F.col("_tt") + smooth)
     p_r = (F.coalesce(F.col("_nr"), F.lit(0)) + alpha) / (F.col("_tr") + smooth)
@@ -753,10 +760,12 @@ def span_dedup(
     the crawl — same no-unconditional-broadcast contract as
     ``line_dedup``/``wer_join``); start-position collection is one
     combiner-friendly ``collect_list`` per doc, bounded by tokens/doc.
-    The removal mask is row-local: ``filter`` with index over the token
-    array, ``exists`` over the (sorted, typically short) start list —
-    O(tokens × dup_starts) per row, with dup_starts ≪ tokens in real
-    corpora. No per-row Python anywhere.
+    The removal mask is a row-local sorted interval sweep: the sorted
+    starts are merged into coverage runs (head/tail boundary filters),
+    and kept tokens are the flattened gap ranges between runs —
+    O(tokens + dup_starts) per row even on a boilerplate-saturated
+    whale doc where every gram is duplicated. No per-row Python
+    anywhere.
 
     ``hash_fn='md5'`` (default) is engine-portable so SQL oracles replay
     it; ``'xxhash64'`` is the production choice — the gram key that rides
@@ -791,15 +800,46 @@ def span_dedup(
         .agg(F.sort_array(F.collect_list("pos")).alias("ss"))
     )
     ss = F.coalesce(F.col("ss"), F.array().cast("array<int>"))
+    # Removal mask as a row-local sorted interval sweep, O(tokens + starts).
+    # The naive filter×exists form is O(tokens × dup_starts) per row — on a
+    # boilerplate-saturated whale doc (dup_starts ≈ tokens ≈ 2·10^5) that is
+    # 4·10^10 comparisons inside ONE task. Instead: the sorted starts form
+    # runs of overlapping width-k intervals; a start opens a new merged
+    # interval iff it is > prev+k (heads), closes one iff next > it+k
+    # (tails). Kept tokens are exactly the gaps between merged intervals.
+    heads = F.filter(
+        ss,
+        lambda s, i: F.when(i == 0, F.lit(True)).otherwise(
+            s > F.element_at(ss, i) + F.lit(k)  # element_at is 1-based:
+        ),                                      # index i = the previous start
+    )
+    tails = F.filter(
+        ss,
+        lambda s, i: F.when(i == F.size(ss) - 1, F.lit(True)).otherwise(
+            F.element_at(ss, i + 2) > s + F.lit(k)
+        ),
+    )
+    n_toks = F.size(F.col("toks"))
+    gap_lo = F.concat(
+        F.array(F.lit(0)), F.transform(tails, lambda t: t + F.lit(k))
+    )
+    gap_hi = F.concat(heads, F.array(n_toks))
+    kept_idx = F.flatten(
+        F.zip_with(
+            gap_lo,
+            gap_hi,
+            # sequence() DESCENDS when stop < start — guard empty gaps
+            lambda a, b: F.when(b > a, F.sequence(a, b - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+        )
+    )
     # kept is referenced twice below (join + size) — barrier it so the
-    # filter/exists mask runs once per row, not once per reference.
+    # sweep runs once per row, not once per reference.
     masked = materialize(
         docs.join(starts, key, "left"),
-        kept=F.filter(
-            F.col("toks"),
-            lambda t, i: ~F.exists(
-                ss, lambda s: (s <= i) & (i < s + F.lit(k))
-            ),
+        kept=F.transform(
+            kept_idx, lambda i: F.element_at(F.col("toks"), i + 1)
         ),
     )
     return masked.select(

@@ -5,7 +5,7 @@ quality probes ("find the docs about X"), retrieval-based curation
 (select documents relevant to a seed set), and contamination triage
 (rank the corpus against a benchmark query before the expensive n-gram
 overlap pass). The reference exposes keyword/phrase matching
-(`/root/reference/nlp/doc_analysis.py` span search); BM25 is the
+(`/root/reference/app/services/doc_analysis.py` span search); BM25 is the
 ranked-retrieval generalization of that capability, rebuilt
 Spark-first.
 

@@ -2968,12 +2968,21 @@ with conv as (
     from documents
   )
 ),
-tgt as (select * from conv where role = 'assistant'),
+convn as (
+  -- row_number, not turn_idx arithmetic: the Spark operator uses a ROWS
+  -- frame (rowsBetween(-{max_turns},-1)), so the oracle must count
+  -- physical predecessor rows — a turn_idx gap must NOT shrink the frame
+  select *, row_number() over (
+    partition by conv_id order by turn_idx
+  ) as rn
+  from conv
+),
+tgt as (select * from convn where role = 'assistant'),
 pairs as (
   select t.conv_id, t.turn_idx as tgt_idx, c.turn_idx, c.role, c.txt, c.tok
-  from tgt t join conv c
+  from tgt t join convn c
     on c.conv_id = t.conv_id
-   and c.turn_idx between t.turn_idx - {max_turns} and t.turn_idx - 1
+   and c.rn between t.rn - {max_turns} and t.rn - 1
 ),
 cum as (
   select *, sum(tok) over (
@@ -3114,7 +3123,7 @@ BM25_TERMS = ["dup", "spark", "vector", "join", "scan"]
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked lexical retrieval (BM25) over the documents corpus — the
     curation probe that generalizes the reference's keyword matching
-    (/root/reference/nlp/doc_analysis.py span search) to scored ranking.
+    (/root/reference/app/services/doc_analysis.py span search) to scored ranking.
     Full-corpus work is row-local; postings are query-filtered before
     the shuffle (see operators/retrieval.py)."""
     from ocr_spark.operators.retrieval import bm25_score

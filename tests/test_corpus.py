@@ -600,6 +600,26 @@ def test_span_dedup_random_property(spark):
         assert got == want, (k, min_docs)
 
 
+def test_span_dedup_whale_doc_bounded_time(spark):
+    """Dup-saturated whale doc: two identical ~30k-token docs, so EVERY
+    gram is duplicated and dup_starts ≈ tokens. The old filter×exists
+    mask was O(tokens × dup_starts) ≈ 9·10^8 HOF evaluations per row
+    (minutes in one task); the interval sweep is O(tokens + starts) and
+    must finish promptly with the whole text removed."""
+    import time
+
+    body = " ".join(f"w{i % 97} x{i % 89}" for i in range(15_000))  # 30k toks
+    df = spark.createDataFrame(
+        [(0, body), (1, body)], "doc_id long, text string"
+    )
+    t0 = time.perf_counter()
+    got = {r["doc_id"]: r for r in corpus.span_dedup(df, k=12).collect()}
+    dt = time.perf_counter() - t0
+    assert got[0]["clean_text"] == "" and got[1]["clean_text"] == ""
+    assert got[0]["n_tokens"] == 30_000 and got[0]["n_removed"] == 30_000
+    assert dt < 60, f"whale-doc span_dedup took {dt:.1f}s"
+
+
 def _py_buckets(text: str, buckets: int, n_max: int = 2) -> list[int]:
     import hashlib
     import re
