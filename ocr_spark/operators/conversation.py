@@ -322,6 +322,7 @@ def sft_pairs(
     budget: int = 256,
     max_turns: int = 64,
     response_role: str = "assistant",
+    tokens: str = "chars4",
 ) -> DataFrame:
     """Emit (context, response) supervised-finetuning examples from
     conversations — the terminal product of a transcript pipeline: one
@@ -338,12 +339,16 @@ def sft_pairs(
     reversed struct array, with every reused array materialized behind
     a generator barrier (the HOF re-evaluation rule). Requires unique
     ``turn_idx`` per conversation (the W1 contract) — ordering inside
-    the frame is otherwise ambiguous. ``est_tokens`` = ceil(len/4), the
-    ``pack_bins`` convention, so packed bins and SFT budgets agree.
+    the frame is otherwise ambiguous. ``tokens`` picks the budget
+    tokenizer (``functions.bpe.token_budget``): ``"chars4"`` =
+    ceil(len/4) (the oracle-checked default, the ``pack_bins``
+    convention) or ``"bpe"`` = real frozen-subword counts — packed bins
+    and SFT budgets agree under either.
     """
+    from ocr_spark.functions.bpe import token_budget
     from ocr_spark.operators.cleaning import materialize
 
-    tok = F.ceil(F.length(F.col(text_col)) / 4).cast("long")
+    tok = token_budget(F.col(text_col), tokens)
     base = df.select(
         "conv_id",
         "turn_idx",

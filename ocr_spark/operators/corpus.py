@@ -569,6 +569,7 @@ def pack_bins(
     part_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: str = "chars4",
 ) -> DataFrame:
     """Assign docs to fixed-token-budget context windows (sequential
     greedy packing): within each partition column value, docs in id order
@@ -581,7 +582,9 @@ def pack_bins(
     here; truncation is a tokenizer-stage decision)."""
     from pyspark.sql import Window
 
-    est = F.ceil(F.length(F.col(text_col)) / 4).cast("long")
+    from ocr_spark.functions.bpe import token_budget
+
+    est = token_budget(F.col(text_col), tokens)
     w = (
         Window.partitionBy(part_col)
         .orderBy(id_col)
@@ -604,6 +607,7 @@ def pack_bins_ranged(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_ranges: int = 64,
+    tokens: str = "chars4",
 ) -> DataFrame:
     """Production sequence packing: greedy running-sum bins inside
     deterministic id ranges, ``n_ranges`` sort partitions PER stratum.
@@ -626,7 +630,9 @@ def pack_bins_ranged(
     ~target-partition-bytes / mean-doc-size at the real scale)."""
     from pyspark.sql import Window
 
-    est = F.ceil(F.length(F.col(text_col)) / 4).cast("long")
+    from ocr_spark.functions.bpe import token_budget
+
+    est = token_budget(F.col(text_col), tokens)
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
     range_id = (h.cast("bigint") % n_ranges).alias("range_id")
     base = docs.select(

@@ -1,0 +1,134 @@
+"""Frozen deterministic subword tokenizer (functions/bpe.py): merge-table
+well-formedness, native-expression parity with the pure-Python twin, and
+the real-token-budget threading through the packing operators."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import bpe
+
+
+def test_merge_table_well_formed():
+    """Every merge's parts are single chars or earlier merge results —
+    the structural property a genuinely learned BPE merge list has."""
+    known = set(bpe.ALPHABET)
+    for a, b in bpe.MERGES:
+        assert a in known and b in known, (a, b)
+        known.add(a + b)
+    assert set(bpe.PIECES) == known
+    # greedy inference depends only on the piece SET; it must contain
+    # every single alphabet char (the <unk> fallback costs the same 1)
+    assert all(c in set(bpe.PIECES) for c in bpe.ALPHABET)
+
+
+def test_segment_word_greedy_longest():
+    assert bpe.segment_word("thething") == ["the", "th", "ing"]
+    assert bpe.segment_word("qqq") == ["q", "q", "q"]  # no merges apply
+    assert bpe.segment_word("zürich") == ["z", "ü", "r", "ic", "h"]
+    assert bpe.segment_word("") == []
+    joined = "".join(bpe.segment_word("administration"))
+    assert joined == "administration"  # segmentation is a partition
+
+
+def _py_count(text: str) -> int:
+    toks = [t for t in re.split(r"[^\w]+", text.lower(), flags=re.UNICODE) if t]
+    return sum(bpe.count_pieces(t) for t in toks)
+
+
+def test_native_expression_matches_python_twin(spark):
+    rng = random.Random(20260818)
+    vocab = [
+        "the", "tokenization", "spark", "columnar", "données", "x" * 40,
+        "7_columns", "apropos", "querying", "data2vec", "ßharp",
+    ]
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+            + (" punct!! #ok 3.14" if i % 3 == 0 else ""),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe.bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {i: _py_count(t) for i, t in rows}
+
+
+def test_bpe_token_count_zero_exchange_plan(spark):
+    """The count is a row-local projection: no shuffle at any scale."""
+    df = spark.createDataFrame([(0, "hello world")], "doc_id long, text string")
+    plan = (
+        df.select(bpe.bpe_token_count(F.col("text")).alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_token_budget_kinds(spark):
+    df = spark.createDataFrame([(0, "the thing")], "doc_id long, text string")
+    row = df.select(
+        bpe.token_budget(F.col("text"), "chars4").alias("c4"),
+        bpe.token_budget(F.col("text"), "bpe").alias("b"),
+    ).first()
+    assert row["c4"] == 3  # ceil(9/4)
+    assert row["b"] == 3   # the + th|ing
+    with pytest.raises(ValueError):
+        bpe.token_budget(F.col("text"), "words")
+
+
+def test_pack_bins_with_bpe_budget(spark):
+    """pack_bins under the real tokenizer: budget respected w.r.t. BPE
+    counts, and the same docs can pack differently than under chars4."""
+    from ocr_spark.operators import corpus
+
+    rows = [(i, "en", "the thing with the column " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = corpus.pack_bins(df, budget=40, tokens="bpe").collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    for i, _, t in rows:
+        assert by_doc[i]["est_tokens"] == _py_count(t)
+    # the scheme's invariant: a doc lands in the bin its starting offset
+    # (preceding-token cumsum) falls into — recompute from the twin counts
+    cum = 0
+    for i, _, t in rows:  # id order within the single 'en' stratum
+        assert by_doc[i]["bin_idx"] == cum // 40, i
+        cum += _py_count(t)
+
+
+def test_sft_pairs_with_bpe_budget(spark):
+    from ocr_spark.operators.conversation import sft_pairs
+
+    rows = [
+        ("c1", 0, "user", "what is the spark columnar format"),
+        ("c1", 1, "assistant", "it is the thing with columns"),
+        ("c1", 2, "user", "thanks for that"),
+        ("c1", 3, "assistant", "you are welcome"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, clean_text string"
+    )
+    got = {
+        r["turn_idx"]: r
+        for r in sft_pairs(df, budget=100, max_turns=8, tokens="bpe").collect()
+    }
+    # context token totals are the BPE counts of the included turns
+    want_ctx3 = sum(_py_count(t) for _, _, _, t in rows[:3])
+    assert got[3]["ctx_tokens"] == want_ctx3
+    assert got[3]["n_ctx"] == 3
+    # chars4 default still produces the historical numbers
+    legacy = {
+        r["turn_idx"]: r for r in sft_pairs(df, budget=100, max_turns=8).collect()
+    }
+    assert legacy[1]["ctx_tokens"] == -(-len(rows[0][3]) // 4)
