@@ -130,6 +130,95 @@ def probe_buckets(bucket: Column, n_planes: int, multi_probe: int) -> Column:
     return F.array(bucket, *flips)
 
 
+# --------------------------------------------------------------------------
+# text -> vector: deterministic hashed-ngram random-projection embedder
+# --------------------------------------------------------------------------
+
+
+def projection_planes(
+    dim: int, buckets: int, seed: str = "embed", scale: int = 1000
+) -> list[list[int]]:
+    """Deterministic integer projection matrix (``dim`` × ``buckets``)
+    from md5 — entry (d, b) = md5(seed|d|b) first-8-hex mod (2·scale+1),
+    recentred to [-scale, scale]. Integer entries make the raw projection
+    engine-portable bit-for-bit (the ``lm_dim`` micro-unit device); the
+    matrix is bounded (dim × buckets) and rides the plan as literals."""
+    planes: list[list[int]] = []
+    for d in range(dim):
+        row = []
+        for b in range(buckets):
+            h = int(hashlib.md5(f"{seed}|{d}|{b}".encode()).hexdigest()[:8], 16)
+            row.append(h % (2 * scale + 1) - scale)
+        planes.append(row)
+    return planes
+
+
+def embed_project(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+    buckets: int = 64,
+    seed: str = "embed",
+    n_max: int = 2,
+) -> DataFrame:
+    """Text → vector without model weights: feature-hash the word
+    1..n_max-grams into ``buckets`` (the ``quality_linear`` device), then
+    random-project the bag into ``dim`` dimensions with the seeded
+    integer plane matrix — the sparse-random-projection estimator of
+    Achlioptas (2003)/Li et al. (2006) over a hashed bag-of-ngrams, i.e.
+    a deterministic, data-independent embedder that preserves cosine
+    geometry well enough to drive dedup/ANN/SemDeDup end-to-end from raw
+    text when no learned encoder is available.
+
+    Output: ``(key, emb_c array<bigint>, emb array<double>)`` —
+    ``emb_c[d] = Σ_grams planes[d][bucket(gram)]`` exactly (the
+    oracle-checked column; integer sums reproduce in any engine), and
+    ``emb`` its L2-normalized float form (NULL for an all-zero
+    projection, the zero-norm errors-as-data rule) ready for the
+    similarity family.
+
+    Scale shape: entirely row-local — the gram walk and the dim×grams
+    adds happen inside one projection, ZERO exchanges; the plane matrix
+    is dim×buckets literals (bounded, never corpus-derived). The hashed
+    bag is materialized behind a generator barrier so the md5 work runs
+    once, not once per component."""
+    from ocr_spark.operators.cleaning import materialize
+    from ocr_spark.operators.textstats import hashed_ngram_buckets
+
+    planes = projection_planes(dim, buckets, seed)
+    pl = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in planes]
+    )
+    bagged = materialize(
+        df.select(F.col(key), F.col(text_col)),
+        _bag=hashed_ngram_buckets(F.col(text_col), buckets, "feat", n_max),
+    )
+    emb_c = F.transform(
+        pl,
+        lambda row: F.aggregate(
+            F.col("_bag"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(row, (b + 1).cast("int")),
+        ),
+    )
+    out = materialize(bagged.select(key, "_bag"), emb_c=emb_c).select(
+        key, "emb_c"
+    )
+    embd = F.transform(F.col("emb_c"), lambda v: v.cast("double"))
+    withn = materialize(out, _n=norm(embd))
+    return withn.select(
+        key,
+        "emb_c",
+        F.when(
+            F.col("_n") > 0,
+            F.transform(
+                F.col("emb_c"), lambda v: v.cast("double") / F.col("_n")
+            ),
+        ).alias("emb"),  # NULL (not [null,...]) for a zero projection
+    )
+
+
 def _scored(
     items: DataFrame,
     queries: DataFrame,

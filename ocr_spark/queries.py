@@ -1282,6 +1282,53 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(pert)
 
 
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → vector with no model weights: hashed-ngram bag random-
+    projected through the seeded integer plane matrix (similarity.
+    embed_project) — closes the text→vector gap so dedup/ANN/SemDeDup
+    run end-to-end from raw text. Row-local, zero exchanges; the raw
+    integer projection is the oracle column (bit-exact in any engine)."""
+    from ocr_spark.operators.similarity import embed_project
+
+    return embed_project(_docs(spark, sf_dir)).select("doc_id", "emb_c")
+
+
+def _sql_embed_project(dim: int = 16, buckets: int = 64) -> str:
+    return f"""
+with planes as (
+  select d, b as bucket,
+    cast(concat('0x', substr(md5('embed|' || cast(d as varchar) || '|'
+      || cast(b as varchar)), 1, 8)) as bigint) % 2001 - 1000 as p
+  from (select unnest(range({dim})) as d),
+       (select unnest(range({buckets})) as b)
+),
+tok as (select doc_id, {_TOKS_SQL} as toks from documents),
+grams as (
+  select doc_id,
+    list_concat(toks,
+      list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) as gs
+  from tok
+),
+f as (
+  select doc_id,
+    cast(concat('0x', substr(md5('feat|' || g), 1, 8)) as bigint) % {buckets}
+      as bucket
+  from (select doc_id, unnest(gs) as g from grams)
+),
+e as (
+  select f.doc_id, pl.d, cast(sum(pl.p) as bigint) as v
+  from f join planes pl using (bucket)
+  group by 1, 2
+),
+agg as (select doc_id, list(v order by d) as emb_c from e group by doc_id)
+select d.doc_id,
+  coalesce(a.emb_c, list_transform(range({dim}), x -> cast(0 as bigint)))
+    as emb_c
+from documents d left join agg a using (doc_id)
+"""
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup within sign-LSH buckets."""
     from ocr_spark.operators.similarity import embedding_neardup
@@ -3500,7 +3547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_rank": q_shuffle_rank,
     "mix_sources": q_mix_sources,
     "quality_linear": q_quality_linear,
-    "point_lookup": q_point_lookup,
+    "embed_project": q_embed_project,
     "events_asof": q_events_asof,
     "cluster_balance": q_cluster_balance,
     "train_quality": q_train_quality,
@@ -3544,6 +3591,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_bins_ranged": q_pack_bins_ranged,
     "token_counts_bpe": q_token_counts_bpe,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # point_lookup: green r3; sources/tables.py is untouched in round 4
+    # (git diff d97f054..HEAD) and the pushed-filter plan assertion in
+    # tests/test_scale.py still runs in CI
+    "point_lookup": q_point_lookup,
     # url_domains / sample_stratified: green r3; their corpus.py
     # functions (url_domain_rollup before line 329, stratified_sample)
     # are untouched in round 4 — the r4 corpus.py diffs touch only
@@ -3657,6 +3708,7 @@ from corpus group by 1
         "dedup_simhash": OM.simhash_pairs_sql(3),
         "dedup_ngram": OM.minhash_pairs_sql(2, 5, 1, 0.5),
         "embed_neardup": OM.embed_neardup_sql(0.9),
+        "embed_project": _sql_embed_project(),
         "ann_brute": OM.ann_sql(5, None),
         "ann_lsh": OM.ann_sql(5, 6),
         "ann_lsh_mp": OM.ann_sql(5, 6, multi_probe=1),

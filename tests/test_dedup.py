@@ -607,3 +607,78 @@ def test_pq_encode_is_subspace_argmin(spark):
             ]
             want = min(dists)[1]
             assert r["codes"][j] == want, (r["vec_id"], j)
+
+
+def _py_embed(text: str, dim: int = 16, buckets: int = 64) -> list[int]:
+    """Pure-Python twin of similarity.embed_project's emb_c column."""
+    import hashlib
+    import re
+
+    toks = re.findall(r"[^\W_]+", text.lower(), re.UNICODE)
+    grams = list(toks) + [
+        f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+    ]
+    planes = similarity.projection_planes(dim, buckets)
+    out = [0] * dim
+    for g in grams:
+        b = int(hashlib.md5(f"feat|{g}".encode()).hexdigest()[:8], 16) % buckets
+        for d in range(dim):
+            out[d] += planes[d][b]
+    return out
+
+
+def test_embed_project_matches_python_twin(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark dataframes shuffle on wide dependencies"),
+        (2, ""),                      # zero projection -> emb NULL
+        (3, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in similarity.embed_project(df).collect()
+    }
+    for i, t in rows:
+        assert got[i]["emb_c"] == _py_embed(t), i
+    assert got[2]["emb"] is None          # zero-norm errors-as-data
+    # normalized form has unit L2 norm
+    n = sum(v * v for v in got[0]["emb"]) ** 0.5
+    assert abs(n - 1.0) < 1e-9
+    assert got[0]["emb"] == got[3]["emb"]
+
+
+def test_embed_project_zero_exchange_plan(spark):
+    df = spark.createDataFrame([(0, "hello")], "doc_id long, text string")
+    plan = (
+        similarity.embed_project(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_semantic_dedup_from_generated_embeddings(spark):
+    """End-to-end text → vector → SemDeDup with NO pre-supplied embedding
+    table: exact duplicate texts project to identical unit vectors, so
+    the higher-key twin is dropped; unrelated texts survive."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "completely different subject matter about spark shuffles",
+        "numbers one two three four five six seven eight nine",
+        "the packing operator assigns documents to budget bins",
+    ]
+    rows = [(i, texts[i % 4] if i < 8 else f"unique tail {i} " + texts[3])
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = similarity.embed_project(df).filter(F.col("emb").isNotNull())
+    out = {
+        r["doc_id"]: r
+        for r in similarity.semantic_dedup(
+            emb, "doc_id", "emb", n_clusters=2, threshold=0.999
+        ).collect()
+    }
+    for i in range(4, 8):   # rows 4..7 duplicate rows 0..3 exactly
+        assert out[i]["keep"] == 0 and out[i]["dup_of"] == i - 4, i
+    for i in range(4):
+        assert out[i]["keep"] == 1, i
