@@ -266,6 +266,40 @@ def with_decoded_media(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def synth_payload(doc_id: int) -> bytes:
+    """Deterministic media payload for ``doc_id`` — the harness twin the
+    REAL-decode driver row is checked against: WAV/BMP/PPM round-robin
+    (``doc_id % 3``) with doc_id-derived parameters, truncated to 10
+    bytes (undecodable) when ``doc_id % 11 == 0`` so the errors-as-data
+    path gets driver coverage too. Image rasters are constant gray with
+    exactly 8 pixels, which makes the float mean-luma bit-identical
+    between numpy's pairwise mean and a scalar SQL formula (power-of-two
+    reductions of identical doubles are exact); WAV sample squares are
+    integers, so their float64 sum is exact under any summation order."""
+    mode = doc_id % 3
+    if mode == 0:
+        n = 64 + (doc_id % 17) * 4
+        samples = [((doc_id * 7 + i * 13) % 2001) - 1000 for i in range(n)]
+        data = struct.pack(f"<{n}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        p = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16) + fmt
+             + b"data" + struct.pack("<I", len(data)) + data)
+    elif mode == 1:
+        w, h, v = 4, 2, (doc_id * 37) % 256
+        raster = bytes((v, v, v)) * (w * h)  # w*3 = 12 bytes: 4-aligned
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+        )
+        off = 14 + len(info)
+        p = (b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+             + info + raster)
+    else:
+        w, h, v = 2, 4, (doc_id * 53) % 256
+        p = f"P6\n{w} {h}\n255\n".encode() + bytes((v, v, v)) * (w * h)
+    return p[:10] if doc_id % 11 == 0 else p
+
+
 def fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic fake 'embedding': first N_FEATURES md5 bytes / 255."""
     h = hashlib.md5(payload or b"").digest()

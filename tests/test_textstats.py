@@ -328,3 +328,42 @@ def test_top_terms_window_runs_over_dim_not_corpus(spark):
     plan = textstats.top_terms(df)._jdf.queryExecution().optimizedPlan().toString()
     # the rank window must consume the aggregate, not the exploded stream
     assert plan.index("Window") < plan.index("Aggregate")
+
+
+def test_synth_payload_decode_roundtrip():
+    """The decoder inverts the synthesizer for every doc_id shape the
+    driver/bench sweeps can hit (incl. the truncated errors-as-data
+    rows), and the float features land exactly on the oracle formulas
+    after micro-rounding — the bit-exactness contract of q_media_decode."""
+    import math
+
+    for doc_id in list(range(0, 200)) + list(range(4900, 5000)):
+        p = multimodal.synth_payload(doc_id)
+        if doc_id % 11 == 0:
+            # truncated BMP/PPM raise ValueError; a truncated WAV loses
+            # its WAVE tag and falls to the unrecognized-container stub —
+            # either way the Arrow stage maps it to ok=false
+            with pytest.raises((ValueError, NotImplementedError)):
+                multimodal.decode_media(p)
+            continue
+        d = multimodal.decode_media(p)
+        mode = doc_id % 3
+        if mode == 0:
+            n = 64 + (doc_id % 17) * 4
+            ss = [((doc_id * 7 + i * 13) % 2001) - 1000 for i in range(n)]
+            assert d["kind"] == "wav" and d["n_samples"] == n
+            assert d["peak"] == max(abs(s) for s in ss)
+            want_rms = math.sqrt(sum(s * s for s in ss) / n)
+            assert math.floor(d["rms"] * 1000 + 0.5) == math.floor(
+                want_rms * 1000 + 0.5
+            )
+            assert math.floor(d["duration_s"] * 1e6 + 0.5) == math.floor(
+                (n / 8000) * 1e6 + 0.5
+            )
+        else:
+            v = (doc_id * (37 if mode == 1 else 53)) % 256
+            want = 0.299 * v + 0.587 * v + 0.114 * v
+            assert (d["width"], d["height"]) == ((4, 2) if mode == 1 else (2, 4))
+            assert math.floor(d["mean_luma"] * 1000 + 0.5) == math.floor(
+                want * 1000 + 0.5
+            )
