@@ -246,6 +246,140 @@ def conversation_prefix_dedup(
     return out.withColumn("keep", ~F.col("is_prefix"))
 
 
+def conversation_index(
+    df: DataFrame, text_col: str = "clean_text", bucket_turns: int = 64
+) -> DataFrame:
+    """The persistable conversation-identity index —
+    :func:`conversation_fingerprints` output ``(conv_id, turn_hashes,
+    n_turns, fingerprint)``: only fixed-width hashes, never payloads, so
+    a 500-turn conversation's index row is 16 KB at any payload size.
+    Write it alongside the corpus (partition by a ``fingerprint`` prefix
+    or ingest batch id, the ``streaming/dedup.py`` pattern); each new
+    ingest batch joins against it via
+    :func:`conversation_dedup_incremental` — O(batch) fingerprinting,
+    the committed corpus is never re-hashed."""
+    return conversation_fingerprints(df, text_col, bucket_turns)
+
+
+def conversation_dedup_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "clean_text",
+    depth: int = 2,
+    bucket_turns: int = 64,
+) -> DataFrame:
+    """Batch-vs-index conversation dedup: classify every conversation of
+    a NEW ingest batch against the committed :func:`conversation_index`
+    without re-reading the committed corpus — the conversation-level
+    member of the incremental family next to
+    ``dedup.minhash_lsh_incremental``, covering the transcript-dominant
+    duplicate modes across ingest waves:
+
+    * ``exact_dup_of`` — a committed conversation with the identical
+      ordered turn sequence (retry storm re-delivering a whole session);
+      the min committed conv_id, NULL if none.
+    * ``is_prefix`` — the batch conversation's ENTIRE sequence is a
+      strict prefix of some committed conversation (a truncated resend
+      of an already-committed session; drop it).
+    * ``supersedes`` — some committed conversation is a strict prefix of
+      the batch one (a RESUMED session re-ingested with its
+      continuation: keep the new one, retire the committed prefix); the
+      min such committed conv_id, NULL if none.
+    * ``keep`` — not an exact dup and not a prefix of committed.
+
+    Shape: one fingerprint pass over the BATCH only; one equi-join on
+    ``fingerprint`` for exact; ONE batch×index equi-join on the first
+    ``depth`` turn-hashes serving BOTH prefix directions (prefix pairs
+    always share the shorter side's opening turns, and both filters read
+    the same co-group) — no pair explosion, the committed side prunes to
+    matching ``_pk`` partitions when the index is stored partitioned by
+    that prefix. Sub-``depth`` conversations take the bounded semi-join
+    legs, hint-free (AQE contract). Within-batch duplicates are
+    :func:`conversation_dedup`'s job — run it before committing the
+    batch's own index rows."""
+    hw = 32
+    bf = conversation_fingerprints(batch, text_col, bucket_turns)
+    ix = index.select(
+        F.col("conv_id").alias("_ic"),
+        F.col("turn_hashes").alias("_ith"),
+        F.col("n_turns").alias("_in"),
+        F.col("fingerprint"),
+    )
+
+    exact = ix.groupBy("fingerprint").agg(F.min("_ic").alias("exact_dup_of"))
+    base = bf.join(exact, "fingerprint", "left")
+
+    bl = base.filter(F.col("n_turns") >= depth).withColumn(
+        "_pk", F.substring("turn_hashes", 1, hw * depth)
+    )
+    il = ix.filter(F.col("_in") >= depth).withColumn(
+        "_pk", F.substring("_ith", 1, hw * depth)
+    )
+    pairs = bl.select("conv_id", "_pk", "turn_hashes", "n_turns").join(
+        il.select("_pk", "_ic", "_ith", "_in"), "_pk"
+    )
+    pref_legs = [
+        pairs.filter(
+            (F.col("_in") > F.col("n_turns"))
+            & F.col("_ith").startswith(F.col("turn_hashes"))
+        ).select("conv_id")
+    ]
+    sup_legs = [
+        pairs.filter(
+            (F.col("_in") < F.col("n_turns"))
+            & F.col("turn_hashes").startswith(F.col("_ith"))
+        ).select("conv_id", "_ic")
+    ]
+    for k in range(1, depth):
+        # batch convs of exactly k turns vs the k-prefixes of longer
+        # committed convs (prefix direction)...
+        shortk = base.filter(F.col("n_turns") == k).select(
+            "conv_id", "turn_hashes"
+        )
+        longer = (
+            ix.filter(F.col("_in") > k)
+            .select(F.substring("_ith", 1, hw * k).alias("turn_hashes"))
+            .distinct()
+        )
+        pref_legs.append(
+            shortk.join(longer, "turn_hashes", "left_semi").select("conv_id")
+        )
+        # ...and committed convs of exactly k turns vs longer batch convs
+        # (supersedes direction)
+        ik = ix.filter(F.col("_in") == k).select("_ic", "_ith")
+        bk = base.filter(F.col("n_turns") > k).select(
+            "conv_id", F.substring("turn_hashes", 1, hw * k).alias("_bp")
+        )
+        sup_legs.append(
+            bk.join(ik, bk["_bp"] == ik["_ith"]).select("conv_id", "_ic")
+        )
+
+    prefixes = pref_legs[0]
+    for leg in pref_legs[1:]:
+        prefixes = prefixes.unionByName(leg)
+    prefixes = prefixes.distinct().withColumn("_isp", F.lit(True))
+
+    sups = sup_legs[0]
+    for leg in sup_legs[1:]:
+        sups = sups.unionByName(leg)
+    sups = sups.groupBy("conv_id").agg(F.min("_ic").alias("supersedes"))
+
+    out = (
+        base.join(prefixes, "conv_id", "left")
+        .join(sups, "conv_id", "left")
+    )
+    isp = F.coalesce(F.col("_isp"), F.lit(False))
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "fingerprint",
+        "exact_dup_of",
+        isp.alias("is_prefix"),
+        "supersedes",
+        (F.col("exact_dup_of").isNull() & ~isp).alias("keep"),
+    )
+
+
 def conversation_validate(
     df: DataFrame,
     text_col: str = "clean_text",

@@ -3343,6 +3343,139 @@ from flagged
 """
 
 
+def _conv_inc_corpora(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(committed, batch) conversation corpora for the incremental dedup
+    row. Committed = the base 'c' sessions; the new ingest batch plants
+    every cross-wave duplicate mode: 'd' exact re-deliveries (m%4==0),
+    'p' truncated resends (first 4 turns, m%3==0), 'x' resumed sessions
+    (all turns plus one continuation turn, m%5==0 — the committed conv
+    is a strict prefix of these), and 'f' genuinely fresh sessions
+    (m%7==0). Deterministic; mirrored in _sql_conv_dedup_incremental."""
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).cast("int").alias("_m"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.col("text").alias("clean_text"),
+    )
+
+    def cid(p: str) -> Column:
+        return F.concat(F.lit(p), F.col("_m").cast("string")).alias("conv_id")
+
+    committed = docs.select(cid("c"), "turn_idx", "clean_text")
+    exact = docs.filter(F.col("_m") % 4 == 0).select(
+        cid("d"), "turn_idx", "clean_text"
+    )
+    prefix = docs.filter(
+        (F.col("_m") % 3 == 0) & (F.col("turn_idx") < 4)
+    ).select(cid("p"), "turn_idx", "clean_text")
+    ext_base = docs.filter(F.col("_m") % 5 == 0).select(
+        cid("x"), "turn_idx", "clean_text"
+    )
+    ext_tail = (
+        docs.select("_m").distinct()
+        .filter(F.col("_m") % 5 == 0)
+        .select(
+            cid("x"),
+            F.lit(1000).cast("int").alias("turn_idx"),
+            F.concat(
+                F.lit("resumed continuation "), F.col("_m").cast("string")
+            ).alias("clean_text"),
+        )
+    )
+    fresh = (
+        docs.select("_m").distinct()
+        .filter(F.col("_m") % 7 == 0)
+        .select("_m", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("t"))
+        .select(
+            cid("f"),
+            F.col("t").cast("int").alias("turn_idx"),
+            F.concat(
+                F.lit("fresh "),
+                F.col("_m").cast("string"),
+                F.lit(" "),
+                F.col("t").cast("string"),
+            ).alias("clean_text"),
+        )
+    )
+    batch = (
+        exact.unionByName(prefix)
+        .unionByName(ext_base)
+        .unionByName(ext_tail)
+        .unionByName(fresh)
+    )
+    return committed, batch
+
+
+def q_conv_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental conversation dedup: a new ingest batch classified
+    against the committed conversation-identity index (hashes only,
+    O(batch) fingerprinting, committed corpus never re-read) — exact
+    re-deliveries, truncated resends (prefix-of-committed), and resumed
+    sessions that supersede their committed prefix. Oracle: independent
+    pairwise EXISTS/min scans over the same two fingerprint sets."""
+    from ocr_spark.operators.conversation import (
+        conversation_dedup_incremental,
+        conversation_index,
+    )
+
+    committed, batch = _conv_inc_corpora(spark, sf_dir)
+    index = conversation_index(committed, bucket_turns=4)
+    out = conversation_dedup_incremental(
+        batch, index, depth=2, bucket_turns=4
+    )
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("int").alias("n_turns"),
+        "fingerprint",
+        "exact_dup_of",
+        "is_prefix",
+        "supersedes",
+        "keep",
+    )
+
+
+def _sql_conv_dedup_incremental() -> str:
+    return """
+with docs as (
+  select cast(doc_id % 50 as int) as m, cast(doc_id // 50 as int) as t, text
+  from documents
+),
+committed as (select 'c' || cast(m as varchar) as conv_id, t, text from docs),
+batch as (
+  select 'd' || cast(m as varchar) as conv_id, t, text from docs
+  where m % 4 = 0
+  union all
+  select 'p' || cast(m as varchar), t, text from docs
+  where m % 3 = 0 and t < 4
+  union all
+  select 'x' || cast(m as varchar), t, text from docs where m % 5 = 0
+  union all
+  select distinct 'x' || cast(m as varchar), 1000,
+    'resumed continuation ' || cast(m as varchar) from docs where m % 5 = 0
+  union all
+  select 'f' || cast(m as varchar), u.t,
+    'fresh ' || cast(m as varchar) || ' ' || cast(u.t as varchar)
+  from (select distinct m from docs where m % 7 = 0),
+       (select unnest(range(3)) as t) u
+),
+cfp as (select conv_id, string_agg(md5(text), '' order by t) as th,
+        cast(count(*) as int) as n from committed group by 1),
+bfp as (select conv_id, string_agg(md5(text), '' order by t) as th,
+        cast(count(*) as int) as n from batch group by 1)
+select b.conv_id, b.n as n_turns, md5(b.th) as fingerprint,
+  (select min(c.conv_id) from cfp c where c.th = b.th) as exact_dup_of,
+  exists(select 1 from cfp c where length(c.th) > length(b.th)
+         and starts_with(c.th, b.th)) as is_prefix,
+  (select min(c.conv_id) from cfp c where length(c.th) < length(b.th)
+   and starts_with(b.th, c.th)) as supersedes,
+  ((select min(c.conv_id) from cfp c where c.th = b.th) is null
+   and not exists(select 1 from cfp c where length(c.th) > length(b.th)
+                  and starts_with(c.th, b.th))) as keep
+from bfp b
+"""
+
+
 #: BM25 probe query: one rare term ('dup' — df≈25/500 at sf0.01) plus
 #: common ones, so idf spans a real range
 BM25_TERMS = ["dup", "spark", "vector", "join", "scan"]
@@ -3677,11 +3810,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "conv_dedup": q_conv_dedup,
     "conv_prefix_dedup": q_conv_prefix_dedup,
+    "conv_dedup_incremental": q_conv_dedup_incremental,
     "conv_validate": q_conv_validate,
     "sft_pairs": q_sft_pairs,
     "dsir": q_dsir,
     "bm25": q_bm25,
-    "code_fences": q_code_fences,
     "mix_temperature": q_mix_temperature,
     "split_leakage": q_split_leakage,
     "turn_quality": q_turn_quality,
@@ -3721,6 +3854,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cluster_balance: green r3; similarity.py's r4 diff is the
     # embed_project insertion only — cluster_balance's body is unchanged
     "cluster_balance": q_cluster_balance,
+    # code_fences: green r3; functions/text.py's fence_langs/fence_bodies
+    # are untouched in round 4 (git diff d97f054..HEAD)
+    "code_fences": q_code_fences,
     # point_lookup: green r3; sources/tables.py is untouched in round 4
     # (git diff d97f054..HEAD) and the pushed-filter plan assertion in
     # tests/test_scale.py still runs in CI
@@ -3877,6 +4013,7 @@ from corpus group by 1
         "ann_pq": OM.pq_sql(5, m=8, k_star=16),
         "conv_dedup": _sql_conv_dedup(),
         "conv_prefix_dedup": _sql_conv_prefix_dedup(),
+        "conv_dedup_incremental": _sql_conv_dedup_incremental(),
         "conv_validate": _sql_conv_validate(),
         "sft_pairs": _sql_sft_pairs(),
         "dsir": _sql_dsir(),

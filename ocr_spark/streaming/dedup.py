@@ -175,3 +175,103 @@ def run_dedup_available_now(
     if q.isActive:
         q.stop()
     return written["n"]
+
+
+# --------------------------------------------------------------------------
+# conversation-level incremental dedup (exact / prefix / resumed sessions)
+# --------------------------------------------------------------------------
+
+
+def conv_dedup_one_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    verdicts_path: str,
+    index_path: str,
+    text_col: str = "text",
+    depth: int = 2,
+    bucket_turns: int = 64,
+) -> int:
+    """Classify ONE micro-batch's conversations against the committed
+    conversation-identity index (`operators.conversation.
+    conversation_index`) and commit the batch's verdicts plus the index
+    rows of its KEPT conversations under deterministic ``batch_id``
+    partitions — the conversation-level twin of :func:`dedup_one_batch`,
+    covering the duplicate modes MinHash can't see across ingest waves:
+    exact session re-delivery, truncated resends (prefix-of-committed),
+    and resumed sessions whose committed prefix they supersede.
+
+    Same replay contract: overwrite-mode ``batch_id=`` partitions, and
+    the committed-index read excludes the batch's own partition, so a
+    crashed attempt's half-written rows never pollute the comparison.
+    Only ``keep=true`` conversations join the index (a re-delivered dup
+    must not become a canonical for later waves). Conversations are
+    assumed batch-complete (turns split across waves are the stateful
+    assembler's job — ``streaming/stateful.assemble_conversations``).
+    Returns the number of batch conversations classified."""
+    from ocr_spark.operators.conversation import (
+        conversation_dedup_incremental,
+        conversation_index,
+    )
+
+    template = conversation_index(batch_df.limit(0), text_col, bucket_turns)
+    index = committed_index(spark, index_path, batch_id, template)
+    verdicts = conversation_dedup_incremental(
+        batch_df, index, text_col=text_col, depth=depth,
+        bucket_turns=bucket_turns,
+    ).persist()
+    try:
+        n = verdicts.count()
+        verdicts.write.mode("overwrite").parquet(
+            f"{verdicts_path}/batch_id={batch_id}"
+        )
+        own = conversation_index(batch_df, text_col, bucket_turns)
+        kept = own.join(
+            verdicts.filter(F.col("keep")).select("conv_id"),
+            "conv_id",
+            "left_semi",
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={batch_id}"
+        )
+    finally:
+        verdicts.unpersist()
+    return n
+
+
+def run_conv_dedup_available_now(
+    spark: SparkSession,
+    input_path: str,
+    verdicts_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    timeout_s: int = 600,
+    schema: T.StructType | None = None,
+    **conv_params,
+) -> int:
+    """One availableNow cycle of conversation-level incremental dedup
+    over a growing transcript directory: each cycle's conversations are
+    fingerprinted once, classified against the index accumulated by all
+    prior cycles, and the kept ones join the index. Returns
+    conversations classified this cycle."""
+    _bind_results_to_checkpoint(spark, verdicts_path, checkpoint_path)
+    _bind_results_to_checkpoint(spark, index_path, checkpoint_path)
+    stream = spark.readStream.schema(schema or TRANSCRIPTS).parquet(input_path)
+    seen = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seen["n"] += conv_dedup_one_batch(
+            spark, batch_df, batch_id, verdicts_path, index_path,
+            **conv_params,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return seen["n"]

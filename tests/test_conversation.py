@@ -288,3 +288,40 @@ def test_assistant_turn_quality_single_shuffle(spark):
     )
     plan = assistant_turn_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # per-turn features are row-local
+
+
+def test_conversation_dedup_incremental_short_legs(spark):
+    """depth=3 forces 1- and 2-turn conversations through the bounded
+    semi-join legs in BOTH directions: a 1-turn batch conv that prefixes
+    a committed session, and a 2-turn committed conv superseded by a
+    longer batch resumption."""
+    from ocr_spark.operators.conversation import (
+        conversation_dedup_incremental,
+        conversation_index,
+    )
+
+    committed = spark.createDataFrame(
+        [("A", 0, "a0"), ("A", 1, "a1"), ("A", 2, "a2"), ("A", 3, "a3"),
+         ("B", 0, "b0"), ("B", 1, "b1")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    batch = spark.createDataFrame(
+        [("short-prefix", 0, "a0"),                       # 1 turn < depth
+         ("resume-b", 0, "b0"), ("resume-b", 1, "b1"),
+         ("resume-b", 2, "b2-new"),                       # extends B (2 < depth)
+         ("exact-b", 0, "b0"), ("exact-b", 1, "b1"),      # 2 turns < depth
+         ("lone", 0, "nothing like the others")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in conversation_dedup_incremental(
+            batch, conversation_index(committed), depth=3
+        ).collect()
+    }
+    assert out["short-prefix"]["is_prefix"] and not out["short-prefix"]["keep"]
+    assert out["resume-b"]["supersedes"] == "B" and out["resume-b"]["keep"]
+    assert out["exact-b"]["exact_dup_of"] == "B" and not out["exact-b"]["keep"]
+    assert out["lone"]["keep"]
+    assert out["lone"]["exact_dup_of"] is None
+    assert out["lone"]["supersedes"] is None

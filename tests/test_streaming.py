@@ -435,3 +435,68 @@ def test_streaming_extract_then_dedup_chain(spark, vocab, transcripts_pdf, tmp_p
         for r in spark.read.parquet(index_p).select("batch_id").distinct().collect()
     }
     assert idx_batches == {0, 1}
+
+
+def test_streaming_conversation_dedup_cross_wave(spark, transcripts_pdf, tmp_path):
+    """Conversation-level incremental dedup across ingest waves: wave 2
+    plants every cross-wave duplicate mode against wave 1's committed
+    conversation index — an exact session re-delivery, a truncated
+    resend, and a RESUMED session (wave-1 conv + continuation turns,
+    which must supersede its committed prefix) — plus a fresh session."""
+    import pandas as pd
+
+    from ocr_spark.streaming.dedup import run_conv_dedup_available_now
+
+    inp = str(tmp_path / "in")
+    verd = str(tmp_path / "verdicts")
+    idx = str(tmp_path / "convidx")
+    ckpt = str(tmp_path / "ckpt")
+
+    convs = sorted(transcripts_pdf["conv_id"].unique())
+    wave1 = transcripts_pdf[transcripts_pdf.conv_id.isin(convs[:10])]
+    counts = wave1.groupby("conv_id").size()
+    src = counts[counts >= 4].index[0]
+    s = wave1[wave1.conv_id == src].sort_values("turn_idx")
+
+    retry = s.copy()
+    retry["conv_id"] = "retry-conv"            # exact re-delivery
+    trunc = s.iloc[:2].copy()
+    trunc["conv_id"] = "trunc-conv"            # truncated resend (prefix)
+    resumed = s.copy()
+    resumed["conv_id"] = "resumed-conv"        # resumed session...
+    extra = s.iloc[[-1]].copy()
+    extra["conv_id"] = "resumed-conv"
+    extra["turn_idx"] = int(s["turn_idx"].max()) + 1
+    extra["text"] = "and then the session continued with new work"
+    fresh = s.iloc[:2].copy()
+    fresh["conv_id"] = "fresh-conv"
+    fresh["text"] = ["entirely new first turn", "entirely new second turn"]
+    wave2 = pd.concat([retry, trunc, resumed, extra, fresh], ignore_index=True)
+    wave2["turn_idx"] = wave2["turn_idx"].astype("int32")
+
+    _write_slice(wave1, inp + "/w1.parquet")
+    n1 = run_conv_dedup_available_now(spark, inp, verd, idx, ckpt)
+    assert n1 == 10  # empty index: every wave-1 conversation classified
+    assert spark.read.parquet(idx).filter("batch_id = 0").count() == 10
+
+    _write_slice(wave2, inp + "/w2.parquet")
+    n2 = run_conv_dedup_available_now(spark, inp, verd, idx, ckpt)
+    assert n2 == 4
+    v = {
+        r["conv_id"]: r
+        for r in spark.read.parquet(verd).filter("batch_id = 1").collect()
+    }
+    assert v["retry-conv"]["exact_dup_of"] == src
+    assert not v["retry-conv"]["keep"]
+    assert v["trunc-conv"]["is_prefix"] and not v["trunc-conv"]["keep"]
+    assert v["resumed-conv"]["supersedes"] == src
+    assert v["resumed-conv"]["keep"] and not v["resumed-conv"]["is_prefix"]
+    assert v["fresh-conv"]["keep"]
+    assert v["fresh-conv"]["exact_dup_of"] is None
+    assert v["fresh-conv"]["supersedes"] is None
+    # only KEPT conversations join the committed index
+    idx2 = {
+        r["conv_id"]
+        for r in spark.read.parquet(idx).filter("batch_id = 1").collect()
+    }
+    assert idx2 == {"resumed-conv", "fresh-conv"}
