@@ -246,6 +246,121 @@ def _sub(args: list[str]) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def worker_ann(cpus: int, inp: str) -> None:
+    """Subprocess body: ANN recall shoot-out on the holdout corpus,
+    END-TO-END from raw text — the ~10⁶ holdout rows are embedded with
+    the deterministic hashed-ngram random-projection embedder (16-dim,
+    no model weights), then PQ (per-subspace k-means codebooks, ADC +
+    exact refine), IVF (k-means coarse quantizer, 4/64 lists probed) and
+    sign-LSH retrieve against ``ann_brute`` ground truth at k=10.
+    Prints recall@10, per-stage timings, and bytes/vector (PQ stores
+    m=8 4-bit codes = 4 B vs 128 B float64 — the 32× memory cut that
+    makes a 10^11-vector index fit cluster RAM)."""
+    _pin(cpus)
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import (
+        ann_brute,
+        ann_ivf,
+        ann_lsh,
+        ann_pq,
+        embed_project,
+        fit_kmeans_centroids,
+        fit_pq_codebooks_kmeans,
+    )
+
+    spark = _new_spark(cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus * 4))
+    corpus = _holdout_corpus(spark, inp)
+    emb = (
+        embed_project(corpus, key="k", text_col="text")
+        .filter(F.col("emb").isNotNull())
+        .select("k", "emb")
+        .persist()
+    )
+    t0 = time.time()
+    n = emb.count()
+    embed_s = time.time() - t0
+    queries = (
+        emb.filter(F.abs(F.xxhash64("k")) % max(n // 40, 1) == 0)
+        .limit(40)
+        .persist()
+    )
+    nq = queries.count()
+
+    def topk_sets(df) -> dict:
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["item_id"])
+        return out
+
+    t0 = time.time()
+    truth = topk_sets(ann_brute(emb, queries, "k", "emb", k=10))
+    brute_s = time.time() - t0
+
+    def recall(got: dict) -> float:
+        vals = [
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items() if t
+        ]
+        return round(sum(vals) / len(vals), 4) if vals else 0.0
+
+    t0 = time.time()
+    books = fit_pq_codebooks_kmeans(emb, "k", "emb", m=8, k_star=16)
+    pq_fit_s = time.time() - t0
+    t0 = time.time()
+    pq = topk_sets(
+        ann_pq(emb, queries, "k", "emb", k=10, m=8, k_star=16, refine=4,
+               codebooks=books)
+    )
+    pq_s = time.time() - t0
+
+    t0 = time.time()
+    cents = fit_kmeans_centroids(emb, "k", "emb", k=64)
+    ivf_fit_s = time.time() - t0
+    t0 = time.time()
+    ivf = topk_sets(
+        ann_ivf(emb, queries, "k", "emb", k=10, n_centroids=64, n_probe=4,
+                centroids=cents)
+    )
+    ivf_s = time.time() - t0
+
+    t0 = time.time()
+    lsh = topk_sets(
+        ann_lsh(emb, queries, "k", "emb", k=10, dim=16, multi_probe=1)
+    )
+    lsh_s = time.time() - t0
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "rows": n,
+                "queries": nq,
+                "embed_sec": round(embed_s, 1),
+                "brute_sec": round(brute_s, 1),
+                "pq": {
+                    "recall_at_10": recall(pq),
+                    "sec": round(pq_s, 1),
+                    "fit_sec": round(pq_fit_s, 1),
+                    "bytes_per_vector": 4,
+                },
+                "ivf": {
+                    "recall_at_10": recall(ivf),
+                    "sec": round(ivf_s, 1),
+                    "fit_sec": round(ivf_fit_s, 1),
+                    "bytes_per_vector": 128,
+                },
+                "lsh": {
+                    "recall_at_10": recall(lsh),
+                    "sec": round(lsh_s, 1),
+                    "fit_sec": 0.0,
+                    "bytes_per_vector": 128,
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -317,6 +432,16 @@ def main() -> int:
             f"{hd['rows_per_sec']} rows/s, {hd['pairs']} pairs"
         )
 
+        # ANN recall holdout: text → embed → PQ/IVF/LSH vs brute truth
+        log(f"[bench] ANN recall holdout at local[{cpus}] (pinned)")
+        ann = _sub(["--worker-ann", str(cpus), inp])
+        result["ann_holdout"] = ann
+        log(
+            f"[bench] ANN recall@10 over {ann['rows']} vectors: "
+            f"pq {ann['pq']['recall_at_10']} ({ann['pq']['bytes_per_vector']} B/vec), "
+            f"ivf {ann['ivf']['recall_at_10']}, lsh {ann['lsh']['recall_at_10']}"
+        )
+
     # The external driver captures only a short tail of stdout and parses
     # the LAST line — a single JSON blob with 85 per-query dicts exceeds
     # that window and truncates the leading metric/value/scaling fields
@@ -352,6 +477,14 @@ def main() -> int:
             "pairs": hd["pairs"],
             "dropped_buckets": hd["dropped_buckets"],
         }
+        ann = result["ann_holdout"]
+        headline["ann_recall_at_10"] = {
+            "rows": ann["rows"],
+            "pq": ann["pq"]["recall_at_10"],
+            "ivf": ann["ivf"]["recall_at_10"],
+            "lsh": ann["lsh"]["recall_at_10"],
+            "pq_bytes_per_vector": ann["pq"]["bytes_per_vector"],
+        }
         # top-k slowest queries inline so the driver record carries the
         # shape of the sweep even without the sidecar
         slowest = sorted(qtimes.items(), key=lambda kv: -kv[1])[:5]
@@ -367,6 +500,9 @@ if __name__ == "__main__":
     elif "--worker-holdout" in sys.argv:
         i = sys.argv.index("--worker-holdout")
         worker_dedup_holdout(int(sys.argv[i + 1]), sys.argv[i + 2])
+    elif "--worker-ann" in sys.argv:
+        i = sys.argv.index("--worker-ann")
+        worker_ann(int(sys.argv[i + 1]), sys.argv[i + 2])
     elif "--worker" in sys.argv:
         i = sys.argv.index("--worker")
         worker_extract(int(sys.argv[i + 1]), sys.argv[i + 2])

@@ -690,6 +690,102 @@ def fit_pq_codebooks(
     ]
 
 
+def fit_pq_codebooks_kmeans(
+    items: DataFrame,
+    key: str,
+    vec_col: str,
+    m: int = 8,
+    k_star: int = 16,
+    n_iter: int = 5,
+    sample: int = 100_000,
+) -> list[list[list[float]]]:
+    """Production PQ fit: Lloyd's k-means run in EVERY subspace
+    simultaneously. The bounded training sample (same deterministic
+    xxhash64-bucket cap and smallest-md5 hash-spread seeds as
+    :func:`fit_kmeans_centroids`) explodes ONCE to ``(subspace,
+    subvector)`` rows; each iteration assigns against the full codebook
+    set riding the plan as literals and recomputes means with ONE
+    combiner-friendly ``groupBy(j, cid)`` — m separate fits cost one
+    shuffle per iteration total, and the driver holds only the
+    ``m × k* × (dim/m)`` model. Ties break to the smaller code id, the
+    :func:`pq_encode` rule, so assignment and encoding agree. Empty
+    cells keep their previous centroid. Swap for
+    :func:`fit_pq_codebooks` (bit-deterministic first-k) in
+    oracle-checked paths; downstream plans are unchanged."""
+    import math
+
+    total = items.count()
+    src = items.select(key, vec_col)
+    if total > sample:
+        frac_buckets = math.ceil(total / sample)
+        src = src.filter(
+            F.abs(F.xxhash64(F.col(key).cast("string"))) % frac_buckets == 0
+        )
+    first = src.select(vec_col).head()
+    if first is None:
+        raise ValueError("empty training set")
+    dim = len(first[vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    seeds = (
+        src.withColumn("_h", F.md5(F.col(key).cast("string")))
+        .orderBy("_h")
+        .limit(k_star)
+        .collect()
+    )
+    books = [
+        [
+            [float(x) for x in r[vec_col]][j * sub:(j + 1) * sub]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    v = as_double(F.col(vec_col))
+    base = src.select(
+        F.posexplode(
+            F.array(*[F.slice(v, j * sub + 1, sub) for j in range(m)])
+        ).alias("j", "sv")
+    ).persist()
+    try:
+        for _ in range(n_iter):
+            cbl = F.array(
+                *[
+                    F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+                    for cb in books
+                ]
+            )
+            row_cb = F.element_at(cbl, F.col("j") + 1)
+            cid = F.sort_array(
+                F.transform(
+                    row_cb,
+                    lambda c, i: F.struct(
+                        _l2(F.col("sv"), c).alias("d"), i.alias("c")
+                    ),
+                )
+            )[0]["c"]
+            stats = (
+                base.withColumn("cid", cid)
+                .groupBy("j", "cid")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.col("sv")[d]).alias(f"s{d}")
+                        for d in range(sub)
+                    ],
+                )
+                .collect()
+            )
+            for r in stats:
+                if r["n"]:
+                    books[r["j"]][r["cid"]] = [
+                        r[f"s{d}"] / r["n"] for d in range(sub)
+                    ]
+    finally:
+        base.unpersist()
+    return books
+
+
 def _l2(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

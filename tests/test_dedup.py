@@ -682,3 +682,43 @@ def test_semantic_dedup_from_generated_embeddings(spark):
         assert out[i]["keep"] == 0 and out[i]["dup_of"] == i - 4, i
     for i in range(4):
         assert out[i]["keep"] == 1, i
+
+
+def test_fit_pq_codebooks_kmeans_improves_quantization(spark):
+    """Per-subspace Lloyd's: shapes are right, cells cover the data, and
+    total quantization error is no worse than the first-k stand-in fit
+    (k-means can only improve the seeds' assignment)."""
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (i, [rng.gauss(c, 0.3) for _ in range(8)])
+        for i, c in [(i, float(i % 4)) for i in range(200)]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    m, k_star, sub = 4, 4, 2
+    km = similarity.fit_pq_codebooks_kmeans(
+        df, "vec_id", "v", m=m, k_star=k_star, n_iter=5
+    )
+    fk = similarity.fit_pq_codebooks(df, "vec_id", "v", m=m, k_star=k_star)
+    assert len(km) == m and all(len(cb) == k_star for cb in km)
+    assert all(len(c) == sub for cb in km for c in cb)
+
+    def qerr(books) -> float:
+        err = 0.0
+        for _, v in rows:
+            for j in range(m):
+                sl = v[j * sub:(j + 1) * sub]
+                err += min(
+                    sum((a - b) ** 2 for a, b in zip(sl, c))
+                    for c in books[j]
+                )
+        return err
+
+    assert qerr(km) <= qerr(fk)
+    # downstream plans unchanged: ann_pq accepts the trained books
+    q = df.limit(3)
+    out = similarity.ann_pq(
+        df, q, "vec_id", "v", k=3, m=m, k_star=k_star, codebooks=km
+    )
+    assert out.groupBy("query_id").count().count() == 3
