@@ -416,3 +416,47 @@ def test_asof_join_single_shuffle_on_keys(spark):
     plan = _plan(asof_join(left, right, ["k"], "ts"))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_conv_dedup_incremental_plan_shape(spark):
+    """Batch-vs-index conversation dedup: hint-free joins (both sides are
+    corpus-derived — the AQE contract) and no pair explosion anywhere
+    (no cartesian/nested-loop join in the physical plan)."""
+    from ocr_spark.operators.conversation import (
+        conversation_dedup_incremental,
+        conversation_index,
+    )
+
+    committed = spark.createDataFrame(
+        [("A", 0, "a0"), ("A", 1, "a1"), ("B", 0, "b0")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    batch = spark.createDataFrame(
+        [("X", 0, "a0"), ("X", 1, "a1"), ("Y", 0, "fresh")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    out = conversation_dedup_incremental(
+        batch, conversation_index(committed), depth=2
+    )
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical, logical
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bpe_and_embed_row_local_at_pipeline_grain(spark):
+    """token_counts_bpe and embed_project stay shuffle-free when chained
+    onto a realistic projection — the zero-exchange contract survives
+    composition, not just isolation."""
+    from ocr_spark.functions import bpe
+    from ocr_spark.operators.similarity import embed_project
+
+    df = spark.createDataFrame(
+        [(i, f"doc body {i} with the usual tokens") for i in range(20)],
+        "doc_id long, text string",
+    )
+    chained = embed_project(
+        df.withColumn("n_bpe", bpe.bpe_token_count(F.col("text")))
+    )
+    assert "Exchange" not in _plan(chained), _plan(chained)
