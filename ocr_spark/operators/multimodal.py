@@ -5,13 +5,14 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct
 pipeline: schema, partitioning, Arrow batch shape, and UDF signatures are
 real and tested.
 
-Decoding is REAL for the uncompressed container formats a pure-stdlib
-parser can handle — WAV/PCM16 audio, 24-bit BMP and binary PPM (P6)
-images — dispatched by magic bytes in ``decode_media``. Compressed
-codecs (JPEG/PNG/MP3/MP4...) remain a clearly-marked
-``NotImplementedError`` stub: no codec libraries exist in this
-environment; wire Pillow/torchaudio/PyAV into the same Arrow stage on a
-real cluster.
+Decoding is REAL for every format a pure-stdlib parser can handle —
+WAV/PCM16 audio, 24-bit BMP and binary PPM (P6) images, and **PNG**
+(zlib IS stdlib: full inflate + filter reconstruction for 8-bit
+gray/RGB/gray-alpha/RGBA, filters 0-4) — dispatched by magic bytes in
+``decode_media``. Codecs whose entropy coders have no stdlib
+implementation (JPEG/MP3/MP4...) remain a clearly-marked
+``NotImplementedError`` stub: wire Pillow/torchaudio/PyAV into the same
+Arrow stage on a real cluster.
 
 * ``decode_media`` — magic-byte dispatch → typed feature dict
   (dimensions / duration / RMS / mean luma), or ``NotImplementedError``
@@ -34,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -196,11 +198,171 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (8-bit depth only; palette needs a
+#: PLTE indirection we don't support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(left: int, up: int, ul: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6) — shared by decode and the
+    test/synth encoder so the pair is an exact inverse by construction."""
+    p = left + up - ul
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    if pa <= pb and pa <= pc:
+        return left
+    return up if pb <= pc else ul
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode using only stdlib ``zlib`` + numpy: chunk walk →
+    inflate the IDAT stream → per-scanline filter reconstruction →
+    Rec.601 mean luma. Supports bit depth 8, color types 0/2/4/6
+    (gray / RGB / gray+alpha / RGBA), no interlace, all five filters.
+
+    Filters None/Sub/Up reconstruct as whole-row numpy ops (Sub is a
+    per-channel cumsum mod 256); Average/Paeth carry a within-row
+    left-pixel dependency, so those rows take an O(stride) Python sweep
+    — bounded per scanline, inside the Arrow stage, never per-pixel
+    Python over the whole raster unless the encoder chose 3/4 for every
+    row. Raises ``ValueError`` on malformed bytes (errors-as-data)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        cid = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated PNG chunk")
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing PNG IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, inter = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG depth={depth} color_type={ctype}")
+    if comp != 0 or filt != 0 or inter != 0:
+        raise ValueError(f"unsupported PNG comp={comp} filter={filt} interlace={inter}")
+    if w <= 0 or h <= 0 or not idat:
+        raise ValueError("invalid PNG dimensions or missing IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT: {e}") from None
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-channel cumsum mod 256
+            rec = (row.reshape(w, ch).cumsum(0, dtype=np.int64) & 0xFF).astype(
+                np.int32
+            ).reshape(stride)
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: left dependency → row sweep
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = int(prev[x - ch]) if x >= ch else 0
+                    pred = _paeth(left, up, ul)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch).astype(np.float64)
+    if ctype in (0, 4):  # gray (+alpha): luma is the gray sample
+        luma = px[:, :, 0]
+    else:  # RGB(+alpha): Rec.601, alpha ignored
+        luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return {
+        "kind": "png",
+        "width": w,
+        "height": h,
+        "duration_s": None,
+        "n_samples": None,
+        "rms": None,
+        "peak": None,
+        "mean_luma": float(luma.mean()),
+    }
+
+
+def encode_png(
+    raster: np.ndarray, color_type: int = 2, filters: list[int] | None = None
+) -> bytes:
+    """Minimal deterministic PNG encoder (the decode twin used by tests
+    and ``synth_payload``): 8-bit, no interlace, caller-chosen per-row
+    filter types so every reconstruction path gets roundtrip coverage.
+    ``raster`` is (h, w, channels) uint8; filtering applies the exact
+    inverse of :func:`decode_png`'s reconstruction."""
+    h, w, ch = raster.shape
+    if _PNG_CHANNELS.get(color_type) != ch:
+        raise ValueError(f"color_type {color_type} expects != {ch} channels")
+    filters = filters or [0] * h
+    flat = raster.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    for y in range(h):
+        f = filters[y]
+        row, up_row = flat[y], flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        if f == 0:
+            out = row
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+            out = (row - left) & 0xFF
+        elif f == 2:
+            out = (row - up_row) & 0xFF
+        elif f in (3, 4):
+            out = np.empty(w * ch, np.int32)
+            for x in range(w * ch):
+                left = int(row[x - ch]) if x >= ch else 0
+                up = int(up_row[x])
+                ul = int(up_row[x - ch]) if x >= ch else 0
+                pred = (left + up) >> 1 if f == 3 else _paeth(left, up, ul)
+                out[x] = (int(row[x]) - pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        lines.append(bytes([f]) + out.astype(np.uint8).tobytes())
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + cid + body
+            + (zlib.crc32(cid + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    idat = zlib.compress(b"".join(lines), 9)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_media(payload: bytes, media_type: str = "") -> dict:
     """REAL decode entry point: magic-byte dispatch to the pure-stdlib
-    parsers above. Compressed codecs (JPEG/PNG/MP3/MP4...) remain a
-    clearly-marked STUB — on a production cluster wire Pillow /
-    torchaudio / PyAV here, inside the same Arrow stage."""
+    parsers above (WAV/BMP/PPM/PNG). Codecs with no stdlib entropy coder
+    (JPEG/MP3/MP4...) remain a clearly-marked STUB — on a production
+    cluster wire Pillow / torchaudio / PyAV here, inside the same Arrow
+    stage."""
     p = payload or b""
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return decode_wav(p)
@@ -208,9 +370,11 @@ def decode_media(payload: bytes, media_type: str = "") -> dict:
         return decode_bmp(p)
     if p[:2] == b"P6":
         return decode_ppm(p)
+    if p[:8] == PNG_SIG:
+        return decode_png(p)
     raise NotImplementedError(
-        "compressed-codec decoding requires libraries not present in this "
-        "environment (uncompressed WAV/BMP/PPM decode IS implemented); use "
+        "JPEG/MP3/MP4 decoding requires entropy-coder libraries not present "
+        "in this environment (WAV/BMP/PPM/PNG decode IS implemented); use "
         "fake_decode_features for the deterministic oracle path"
     )
 
@@ -268,15 +432,17 @@ def with_decoded_media(
 
 def synth_payload(doc_id: int) -> bytes:
     """Deterministic media payload for ``doc_id`` — the harness twin the
-    REAL-decode driver row is checked against: WAV/BMP/PPM round-robin
-    (``doc_id % 3``) with doc_id-derived parameters, truncated to 10
-    bytes (undecodable) when ``doc_id % 11 == 0`` so the errors-as-data
-    path gets driver coverage too. Image rasters are constant gray with
-    exactly 8 pixels, which makes the float mean-luma bit-identical
-    between numpy's pairwise mean and a scalar SQL formula (power-of-two
-    reductions of identical doubles are exact); WAV sample squares are
-    integers, so their float64 sum is exact under any summation order."""
-    mode = doc_id % 3
+    REAL-decode driver row is checked against: WAV/BMP/PPM/PNG
+    round-robin (``doc_id % 4``) with doc_id-derived parameters,
+    truncated to 10 bytes (undecodable) when ``doc_id % 11 == 0`` so the
+    errors-as-data path gets driver coverage too. Image rasters are
+    constant gray with exactly 8 pixels, which makes the float mean-luma
+    bit-identical between numpy's pairwise mean and a scalar SQL formula
+    (power-of-two reductions of identical doubles are exact); WAV sample
+    squares are integers, so their float64 sum is exact under any
+    summation order. The PNG rows use filters Sub and Paeth so the
+    driver row exercises real reconstruction, not just stored bytes."""
+    mode = doc_id % 4
     if mode == 0:
         n = 64 + (doc_id % 17) * 4
         samples = [((doc_id * 7 + i * 13) % 2001) - 1000 for i in range(n)]
@@ -294,9 +460,13 @@ def synth_payload(doc_id: int) -> bytes:
         off = 14 + len(info)
         p = (b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
              + info + raster)
-    else:
+    elif mode == 2:
         w, h, v = 2, 4, (doc_id * 53) % 256
         p = f"P6\n{w} {h}\n255\n".encode() + bytes((v, v, v)) * (w * h)
+    else:
+        w, h, v = 4, 2, (doc_id * 29) % 256
+        raster = np.full((h, w, 3), v, np.uint8)
+        p = encode_png(raster, color_type=2, filters=[1, 4])
     return p[:10] if doc_id % 11 == 0 else p
 
 

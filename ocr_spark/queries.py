@@ -1895,10 +1895,12 @@ from m
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL decode stage (`multimodal.with_decoded_media`) under a
     driver oracle: payloads are synthesized deterministically from
-    doc_id (WAV/BMP/PPM round-robin, every 11th truncated), decoded by
-    the production Arrow stage, and the oracle recomputes every feature
-    from doc_id ARITHMETIC alone — an independent proof the decoder
-    inverts the synthesizer, including the errors-as-data rows."""
+    doc_id (WAV/BMP/PPM/PNG round-robin, every 11th truncated), decoded
+    by the production Arrow stage (the PNG leg inflates a real zlib
+    stream and reconstructs Sub/Paeth-filtered scanlines), and the
+    oracle recomputes every feature from doc_id ARITHMETIC alone — an
+    independent proof the decoder inverts the synthesizer, including
+    the errors-as-data rows."""
     from ocr_spark.operators.multimodal import synth_payload, with_decoded_media
 
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -1932,7 +1934,7 @@ def _sql_media_decode() -> str:
     luma = "(0.299 * {v} + 0.587 * {v} + 0.114 * {v})"
     return f"""
 with base as (
-  select doc_id, doc_id % 3 as mode, doc_id % 11 = 0 as corrupt
+  select doc_id, doc_id % 4 as mode, doc_id % 11 = 0 as corrupt
   from documents
 ),
 wav as (
@@ -1947,11 +1949,14 @@ select b.doc_id,
   not b.corrupt as ok,
   case when b.corrupt then null
        when b.mode = 0 then 'wav'
-       when b.mode = 1 then 'bmp' else 'ppm' end as kind,
+       when b.mode = 1 then 'bmp'
+       when b.mode = 2 then 'ppm' else 'png' end as kind,
   cast(case when b.corrupt then null
-       when b.mode = 1 then 4 when b.mode = 2 then 2 end as bigint) as width,
+       when b.mode = 1 then 4 when b.mode = 2 then 2
+       when b.mode = 3 then 4 end as bigint) as width,
   cast(case when b.corrupt then null
-       when b.mode = 1 then 2 when b.mode = 2 then 4 end as bigint) as height,
+       when b.mode = 1 then 2 when b.mode = 2 then 4
+       when b.mode = 3 then 2 end as bigint) as height,
   cast(w.n as bigint) as n_samples,
   cast(w.peak as bigint) as peak,
   case when w.n is not null then
@@ -1963,6 +1968,8 @@ select b.doc_id,
          {_scale_sql(luma.format(v="((doc_id*37) % 256)"), 1000)}
        when b.mode = 2 then
          {_scale_sql(luma.format(v="((doc_id*53) % 256)"), 1000)}
+       when b.mode = 3 then
+         {_scale_sql(luma.format(v="((doc_id*29) % 256)"), 1000)}
        end as luma_mc
 from base b left join wav w using (doc_id)
 """

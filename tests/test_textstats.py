@@ -100,9 +100,13 @@ def test_media_stage_schema_and_determinism(spark):
 
 
 def test_decode_media_stub_only_for_compressed():
-    # compressed codecs stay a clearly-marked stub...
-    with pytest.raises(NotImplementedError):
+    # PNG now REALLY decodes (stdlib zlib); a malformed PNG body is a
+    # ValueError, not the stub path
+    with pytest.raises(ValueError):
         multimodal.decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+    # entropy-coded codecs (JPEG here) stay a clearly-marked stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\xff\xd8\xff\xe0JFIF....", "image")
 
 
 def _wav_bytes(samples, rate=8000, channels=1):
@@ -184,6 +188,59 @@ def test_decode_malformed_headers_raise_valueerror():
         multimodal.decode_ppm(b"P6\n-2 2\n255\n" + b"\x00" * 32)
 
 
+def test_decode_png_roundtrip_all_filters_and_color_types():
+    """encode_png ∘ decode_png is the identity on mean luma for random
+    rasters under every filter type and every supported color type —
+    the reconstruction paths (None/Sub/Up vectorized, Average/Paeth row
+    sweeps) are exact inverses of the encoder's filtering."""
+    rng = np.random.default_rng(42)
+    for ctype, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        h, w = 7, 5
+        raster = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        filters = [0, 1, 2, 3, 4, 4, 3]  # every path, incl. repeated 3/4
+        p = multimodal.encode_png(raster, color_type=ctype, filters=filters)
+        d = multimodal.decode_media(p)
+        assert (d["kind"], d["width"], d["height"]) == ("png", w, h)
+        px = raster.astype(np.float64)
+        if ctype in (0, 4):
+            want = float(px[:, :, 0].mean())
+        else:
+            want = float(
+                (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                 + 0.114 * px[:, :, 2]).mean()
+            )
+        assert d["mean_luma"] == pytest.approx(want, abs=1e-12)
+
+
+def test_decode_png_malformed_raises_valueerror():
+    sig = multimodal.PNG_SIG
+    raster = np.zeros((2, 2, 3), np.uint8)
+    good = multimodal.encode_png(raster)
+    # every malformed shape must surface as ValueError (errors-as-data),
+    # never zlib.error / struct.error / IndexError (task crashes)
+    for bad in [
+        b"\x89PNJ\r\n\x1a\n" + good[8:],          # wrong signature
+        good[:20],                                  # truncated mid-IHDR
+        sig,                                        # no chunks at all
+        good.replace(b"IDAT", b"iDAT", 1),          # missing IDAT stream
+    ]:
+        with pytest.raises(ValueError):
+            multimodal.decode_png(bad)
+    # garbage IDAT bytes: zlib.error must be wrapped as ValueError
+    ihdr_end = good.index(b"IDAT") + 4
+    ln = int.from_bytes(good[ihdr_end - 8:ihdr_end - 4], "big")
+    corrupt = (good[:ihdr_end] + b"\xff" * ln
+               + good[ihdr_end + ln:])
+    with pytest.raises(ValueError):
+        multimodal.decode_png(corrupt)
+    # unsupported shapes: 16-bit depth, interlaced
+    for byte_off, val in [(24, 16), (28, 1)]:  # IHDR depth / interlace
+        b = bytearray(good)
+        b[byte_off] = val
+        with pytest.raises(ValueError):
+            multimodal.decode_png(bytes(b))
+
+
 def test_decode_wav_vectorized_throughput():
     # ~10 MB of PCM16 (5.24M samples) must decode in well under a second —
     # the numpy path; the old per-sample Python loop took seconds
@@ -222,7 +279,7 @@ def test_with_decoded_media_errors_as_data(spark):
            multimodal.with_decoded_media(df).collect()}
     assert got[0]["ok"] and got[0]["kind"] == "wav" and got[0]["n_samples"] == 4
     assert got[1]["ok"] and got[1]["kind"] == "bmp" and got[1]["width"] == 1
-    assert not got[2]["ok"] and "compressed-codec" in got[2]["err"]
+    assert not got[2]["ok"] and "entropy-coder" in got[2]["err"]
     assert not got[3]["ok"] and got[3]["err"]
 
 
@@ -347,7 +404,7 @@ def test_synth_payload_decode_roundtrip():
                 multimodal.decode_media(p)
             continue
         d = multimodal.decode_media(p)
-        mode = doc_id % 3
+        mode = doc_id % 4
         if mode == 0:
             n = 64 + (doc_id % 17) * 4
             ss = [((doc_id * 7 + i * 13) % 2001) - 1000 for i in range(n)]
@@ -361,9 +418,10 @@ def test_synth_payload_decode_roundtrip():
                 (n / 8000) * 1e6 + 0.5
             )
         else:
-            v = (doc_id * (37 if mode == 1 else 53)) % 256
+            v = (doc_id * {1: 37, 2: 53, 3: 29}[mode]) % 256
             want = 0.299 * v + 0.587 * v + 0.114 * v
-            assert (d["width"], d["height"]) == ((4, 2) if mode == 1 else (2, 4))
+            assert d["kind"] == {1: "bmp", 2: "ppm", 3: "png"}[mode]
+            assert (d["width"], d["height"]) == ((2, 4) if mode == 2 else (4, 2))
             assert math.floor(d["mean_luma"] * 1000 + 0.5) == math.floor(
                 want * 1000 + 0.5
             )
