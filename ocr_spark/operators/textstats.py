@@ -347,6 +347,105 @@ def train_linear_classifier(
         fl.unpersist()
 
 
+def train_bpe_merges(
+    docs,
+    text_col: str = "text",
+    n_merges: int = 40,
+    min_pair_count: int = 2,
+):
+    """Learn a BPE merge table from the corpus, distributed — the
+    training half of the frozen tokenizer in ``functions/bpe.py`` (the
+    reference budgets by raw characters,
+    ``/root/reference/app/services/summarization.py:10``; inducing a
+    real subword inventory is the training-data generalization, Sennrich
+    et al. 2016).
+
+    Shape: ONE corpus-wide shuffle builds the distinct-word count dim —
+    the only pass that ever touches the corpus; it is immediately
+    localCheckpoint'ed so no iteration re-reads the input. Every merge
+    iteration then runs entirely on the VOCAB dim (bounded by distinct
+    words, never corpus rows): explode adjacent symbol pairs → one
+    combiner-friendly (a, b) count agg → a single top-1 row collected to
+    the driver (bounded transit, exactly like the LR gradient above) →
+    a row-local ``aggregate`` HOF applies the merge greedily
+    left-to-right. Lineage is truncated per iteration (localCheckpoint)
+    so the plan stays O(1) deep at any ``n_merges``.
+
+    Determinism: integer counts with ties broken (count desc, left asc,
+    right asc) — byte-identical across runs and partitionings. Training
+    stops early when the best pair drops below ``min_pair_count``.
+
+    At a production 32k-merge vocabulary you would batch compatible
+    (non-adjacent-symbol-sharing) merges per round to cut iteration
+    count; the per-iteration cost here is already vocab-bounded, so the
+    100-TB story is carried by the single corpus pass.
+
+    Returns (rank int, left string, right string, pair_count bigint) —
+    well-formed by construction: each side is a char or an earlier
+    merge's result, the same invariant ``functions/bpe.MERGES`` ships.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(X.tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "cnt",
+            F.expr(
+                "transform(sequence(1, char_length(w)), i -> substr(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)  # corpus touched exactly once
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] as a, syms[i + 1] as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["n"]) < min_pair_count:
+            break
+        a, b = str(top[0]["a"]), str(top[0]["b"])
+        merges.append((rank, a, b, int(top[0]["n"])))
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+        words = words.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                # greedy left-to-right: a just-merged tail equals a+b,
+                # which is strictly longer than a, so overlapping
+                # occurrences ("aaa" under (a,a)) merge non-overlapping
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (x == lb),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lab)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
 def top_terms(
     df,
     part_col: str = "source",

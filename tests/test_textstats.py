@@ -283,6 +283,98 @@ def test_with_decoded_media_errors_as_data(spark):
     assert not got[3]["ok"] and got[3]["err"]
 
 
+def _py_train_bpe(word_counts, n_merges, min_pair_count=2):
+    """Pure-Python twin of textstats.train_bpe_merges: same greedy
+    left-to-right merge application, same (count desc, left asc,
+    right asc) tie-break."""
+    vocab = [[list(w), c] for w, c in sorted(word_counts.items())]
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + c
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((rank, a, b, n))
+        for e in vocab:
+            out = []
+            for x in e[0]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            e[0] = out
+    return merges
+
+
+def test_train_bpe_merges_matches_python_twin(spark):
+    import random
+    import re
+    from collections import Counter
+
+    from ocr_spark.operators.textstats import train_bpe_merges
+
+    rng = random.Random(13)
+    alpha = "abcde"
+    docs = []
+    for i in range(60):
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 12))
+        ]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in train_bpe_merges(df, n_merges=15).orderBy("rank").collect()
+    ]
+    wc = Counter()
+    for _, t in docs:
+        for w in re.split(r"\W+", t.lower()):
+            if w:
+                wc[w] += 1
+    assert got == _py_train_bpe(wc, 15)
+    assert len(got) > 5
+    # well-formedness: each side is a char or an earlier merge's result —
+    # the same invariant functions/bpe.MERGES ships frozen
+    produced = set(alpha)
+    for _, a, b, _ in got:
+        assert a in produced and b in produced
+        produced.add(a + b)
+
+
+def test_train_bpe_merges_overlap_and_early_stop(spark):
+    from ocr_spark.operators.textstats import train_bpe_merges
+
+    # overlapping occurrences merge greedily left-to-right: "aaaa" under
+    # (a,a) becomes [aa, aa], then (aa,aa) -> [aaaa]
+    df = spark.createDataFrame(
+        [(i, "aaaa aaaa") for i in range(5)], "doc_id long, text string"
+    )
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in train_bpe_merges(df, n_merges=10).orderBy("rank").collect()
+    ]
+    assert got == [("a", "a", 30), ("aa", "aa", 10)]
+    # early stop: nothing repeats -> zero merges, empty but typed result
+    singles = spark.createDataFrame(
+        [(0, "q w e r t y")], "doc_id long, text string"
+    )
+    out = train_bpe_merges(singles, n_merges=5)
+    assert out.count() == 0
+    assert out.columns == ["rank", "left", "right", "pair_count"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        train_bpe_merges(singles, n_merges=0)
+
+
 def _py_feats(text: str, buckets: int, seed: str = "feat", n_max: int = 2):
     """Pure-Python twin of hashed_ngram_buckets (md5 first-8-hex % buckets
     over word 1..n_max-grams of the frozen tokenizer)."""
