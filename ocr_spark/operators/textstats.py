@@ -55,6 +55,51 @@ def lang_id(text: Column) -> Column:
     return F.when(best["ns"] < 0, best["l"]).otherwise(F.lit("und"))
 
 
+def lang_line_profile(text: Column) -> Column:
+    """Line-level language profile — the curation signal doc-level
+    :func:`lang_id` misses: a bilingual chat log or a code file with
+    English comments passes the doc gate while half its LINES are
+    another language. Returns struct(n_lines, majority_lang,
+    majority_frac, n_langs, mixed).
+
+    Entirely row-local (zero shuffle, embarrassingly parallel at 10¹²
+    rows): split on newlines, drop blank lines, run the stopword-profile
+    classifier per line inside ``transform``, then count per-language
+    inside the same projection. Majority ties break to the
+    lexicographically smallest code; a document with no non-blank lines
+    profiles as ('und', 0.0)."""
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    langs = F.transform(lines, lambda ln: lang_id(ln))
+
+    def count_of(code: str) -> Column:
+        # enclosing-scope capture — a default-arg lambda would become an
+        # (element, index) lambda under F.filter
+        return F.size(F.filter(langs, lambda x: x == code))
+
+    codes = sorted(list(STOPWORDS) + ["und"])
+    counts = {c: count_of(c) for c in codes}
+    entries = [
+        F.struct((-counts[c]).alias("nc"), F.lit(c).alias("l")) for c in codes
+    ]
+    best = F.sort_array(F.array(*entries))[0]
+    n_lines = F.size(langs)
+    n_langs = None
+    for c in codes:
+        present = (counts[c] > 0).cast("int")
+        n_langs = present if n_langs is None else n_langs + present
+    return F.struct(
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0, best["l"]).otherwise(F.lit("und")).alias(
+            "majority_lang"
+        ),
+        F.when(n_lines > 0, (-best["nc"]).cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("majority_frac"),
+        n_langs.alias("n_langs"),
+        (n_langs > 1).alias("mixed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # quality features (the generic cousin of the cer/wer scorer)
 # --------------------------------------------------------------------------

@@ -1457,6 +1457,87 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_lang_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level language profile (textstats.lang_line_profile): the
+    single-line documents table is deterministically reassembled into
+    multi-line mixed-language 'pages' (doc_id % 97, ordered concat) —
+    the bilingual-transcript shape doc-level lang_id misses. The profile
+    itself is a zero-shuffle row-local projection; the one exchange here
+    builds the page fixture."""
+    from ocr_spark.operators.textstats import lang_line_profile
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.groupBy((F.col("doc_id") % 97).alias("page_id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("page_text")
+    )
+    p = lang_line_profile(F.col("page_text"))
+    return pages.select(
+        F.col("page_id").cast("long").alias("page_id"),
+        p["n_lines"].cast("long").alias("n_lines"),
+        p["majority_lang"].alias("majority_lang"),
+        _scale(p["majority_frac"], 1_000_000).alias("maj_frac_c"),
+        p["n_langs"].cast("long").alias("n_langs"),
+        p["mixed"].alias("mixed"),
+    )
+
+
+def _sql_lang_lines() -> str:
+    from ocr_spark.operators.textstats import STOPWORDS
+
+    entries = []
+    for lang in sorted(STOPWORDS):
+        inlist = ", ".join(O.q(w) for w in STOPWORDS[lang])
+        entries.append(
+            f"{{'ns': -len(list_filter(toks, t -> t in ({inlist}))), "
+            f"'l': {O.q(lang)}}}"
+        )
+    arr = "[" + ", ".join(entries) + "]"
+    return f"""
+with pages as (
+  select doc_id % 97 as page_id,
+         string_agg(text, chr(10) order by doc_id) as page_text
+  from documents group by 1
+),
+lines as (
+  select page_id,
+    unnest(list_filter(string_split(page_text, chr(10)),
+                       x -> trim(x) <> '')) as l
+  from pages
+),
+scored as (
+  select page_id,
+    case when best['ns'] < 0 then best['l'] else 'und' end as lang
+  from (
+    select page_id, list_sort({arr})[1] as best
+    from (select page_id, regexp_extract_all(lower(l), {O.q(O.TOKEN_RE)}) as toks
+          from lines)
+  )
+),
+agg as (select page_id, lang, count(*) as c from scored group by 1, 2),
+best as (
+  select page_id, lang, c,
+    row_number() over (partition by page_id order by c desc, lang) as rn,
+    sum(c) over (partition by page_id) as nl,
+    count(*) over (partition by page_id) as ng
+  from agg
+)
+select cast(p.page_id as bigint) as page_id,
+  cast(coalesce(b.nl, 0) as bigint) as n_lines,
+  coalesce(b.lang, 'und') as majority_lang,
+  coalesce({_scale_sql("cast(b.c as double) / b.nl", 1_000_000)},
+           0) as maj_frac_c,
+  cast(coalesce(b.ng, 0) as bigint) as n_langs,
+  coalesce(b.ng > 1, false) as mixed
+from pages p left join (select * from best where rn = 1) b using (page_id)
+"""
+
+
 def _sql_lang_id() -> str:
     from ocr_spark.operators.textstats import STOPWORDS
 
@@ -3830,6 +3911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_percentiles_approx": q_source_percentiles_approx,
     "train_quality": q_train_quality,
     "bpe_train": q_bpe_train,
+    "lang_lines": q_lang_lines,
     "ann_pq": q_ann_pq,
     "conv_dedup": q_conv_dedup,
     "conv_prefix_dedup": q_conv_prefix_dedup,
@@ -3876,10 +3958,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cluster_balance: green r3; the similarity.py r4 diffs (embed_project
     # + per-subspace PQ k-means fit) leave cluster_balance's body unchanged
     "cluster_balance": q_cluster_balance,
+    # --- rotated past the 50-entry driver-verification window (see above)
     # code_fences: green r3; functions/text.py's fence_langs/fence_bodies
     # are untouched in round 4 (git diff d97f054..HEAD)
     "code_fences": q_code_fences,
-    # --- rotated past the 50-entry driver-verification window (see above)
     # point_lookup: green r3; sources/tables.py is untouched in round 4
     # (git diff d97f054..HEAD) and the pushed-filter plan assertion in
     # tests/test_scale.py still runs in CI
@@ -4004,6 +4086,7 @@ from corpus group by 1
         "ann_lsh_mp": OM.ann_sql(5, 6, multi_probe=1),
         "ann_ivf": OM.ivf_sql(5, n_centroids=8, n_probe=2),
         "lang_id": _sql_lang_id(),
+        "lang_lines": _sql_lang_lines(),
         "quality_features": _sql_quality_features(),
         "token_counts": _sql_token_counts(),
         "token_counts_bpe": _sql_token_counts_bpe(),

@@ -375,6 +375,35 @@ def test_train_bpe_merges_overlap_and_early_stop(spark):
         train_bpe_merges(singles, n_merges=0)
 
 
+def test_lang_line_profile(spark):
+    from ocr_spark.operators.textstats import lang_line_profile
+
+    rows = [
+        # 2 en lines + 1 de line -> majority en 2/3, mixed
+        (0, "the cat is on the mat\nder hund ist nicht mit\nit is a dog"),
+        # blank/whitespace lines are dropped
+        (1, "\n  \nthe end of the story\n\n"),
+        # no stopword hits anywhere -> every line 'und'
+        (2, "zzz qqq\nxxx yyy"),
+        # empty text -> zero lines
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", lang_line_profile(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert got[0]["n_lines"] == 3 and got[0]["majority_lang"] == "en"
+    assert got[0]["majority_frac"] == pytest.approx(2 / 3)
+    assert got[0]["n_langs"] == 2 and got[0]["mixed"]
+    assert got[1]["n_lines"] == 1 and got[1]["majority_lang"] == "en"
+    assert not got[1]["mixed"]
+    assert got[2]["majority_lang"] == "und" and got[2]["n_langs"] == 1
+    assert got[3] == (0, "und", 0.0, 0, False)
+
+
 def _py_feats(text: str, buckets: int, seed: str = "feat", n_max: int = 2):
     """Pure-Python twin of hashed_ngram_buckets (md5 first-8-hex % buckets
     over word 1..n_max-grams of the frozen tokenizer)."""
