@@ -87,12 +87,37 @@ _BY_LEN: tuple[tuple[int, tuple[str, ...]], ...] = tuple(
 )
 
 
-def segment_word(word: str) -> list[str]:
-    """Pure-Python twin: greedy longest-match segmentation of one word."""
+def pieces_from_merges(
+    merges, alphabet: str = ALPHABET
+) -> tuple[str, ...]:
+    """Piece inventory from a merge table — the bridge from
+    :func:`~ocr_spark.operators.textstats.train_bpe_merges` output
+    (collect the bounded (left, right) rows; n_merges ≤ vocabulary
+    budget, the same bounded-model driver transit as a centroid set) to
+    this module's greedy inference. Frozen ``PIECES`` ≡
+    ``pieces_from_merges(MERGES)``."""
+    return tuple(sorted({*alphabet} | {a + b for a, b in merges}))
+
+
+def _group_by_len(pieces) -> tuple[tuple[int, tuple[str, ...]], ...]:
+    mx = max((len(p) for p in pieces), default=1)
+    return tuple(
+        (n, tuple(sorted(p for p in pieces if len(p) == n)))
+        for n in range(mx, 1, -1)
+    )
+
+
+def segment_word(word: str, pieces=None) -> list[str]:
+    """Pure-Python twin: greedy longest-match segmentation of one word
+    (over ``pieces`` when given, else the frozen inventory)."""
+    pset = _PIECE_SET if pieces is None else frozenset(pieces)
+    mx = _MAX_PIECE if pieces is None else max(
+        (len(p) for p in pset), default=1
+    )
     out, pos = [], 0
     while pos < len(word):
-        for n in range(min(_MAX_PIECE, len(word) - pos), 1, -1):
-            if word[pos:pos + n] in _PIECE_SET:
+        for n in range(min(mx, len(word) - pos), 1, -1):
+            if word[pos:pos + n] in pset:
                 out.append(word[pos:pos + n])
                 pos += n
                 break
@@ -102,36 +127,41 @@ def segment_word(word: str) -> list[str]:
     return out
 
 
-def count_pieces(word: str) -> int:
-    return len(segment_word(word))
+def count_pieces(word: str, pieces=None) -> int:
+    return len(segment_word(word, pieces))
 
 
-def _step(tok: Column, pos: Column) -> Column:
+def _step(tok: Column, pos: Column, by_len=None) -> Column:
     """Length of the greedy piece match at 0-based ``pos`` of ``tok`` —
     a CASE chain of per-length literal InSet membership probes, longest
     first; 1 (single char / <unk>) otherwise."""
     step: Column | None = None
-    for n, pieces in _BY_LEN:
+    for n, pieces in (by_len if by_len is not None else _BY_LEN):
         cond = tok.substr(pos + 1, F.lit(n)).isin(*pieces)
         step = F.when(cond, F.lit(n)) if step is None else step.when(
             cond, F.lit(n)
         )
-    assert step is not None
+    if step is None:  # inventory has no multi-char pieces: every step is 1
+        return F.lit(1)
     return step.otherwise(F.lit(1))
 
 
-def piece_count_col(tok: Column) -> Column:
+def piece_count_col(tok: Column, pieces=None) -> Column:
     """Greedy subword piece count of one (non-empty, lowered) token —
     native ``aggregate`` over char positions: the accumulator carries
     (next match position, count) and only acts at piece boundaries, so
-    the CASE chain in :func:`_step` runs once per emitted piece."""
+    the CASE chain in :func:`_step` runs once per emitted piece. Pass
+    ``pieces`` (e.g. from :func:`pieces_from_merges` over a trained
+    table) to count against a learned inventory — still plan literals,
+    still zero exchange."""
+    by_len = None if pieces is None else _group_by_len(pieces)
     return F.aggregate(
         F.sequence(F.lit(1), F.length(tok)),
         F.struct(F.lit(0).alias("pos"), F.lit(0).alias("cnt")),
         lambda acc, i: F.when(
             i - 1 == acc["pos"],
             F.struct(
-                (acc["pos"] + _step(tok, acc["pos"])).alias("pos"),
+                (acc["pos"] + _step(tok, acc["pos"], by_len)).alias("pos"),
                 (acc["cnt"] + 1).alias("cnt"),
             ),
         ).otherwise(acc),
@@ -139,16 +169,17 @@ def piece_count_col(tok: Column) -> Column:
     )
 
 
-def bpe_token_count(text: Column) -> Column:
-    """Total frozen-BPE subword count of ``text`` (bigint) — the real
-    token budget. Row-local and 100% native: tokens via the frozen word
-    tokenizer, each segmented by :func:`piece_count_col`; no shuffle, no
-    Python, no dim join — at any corpus scale this is pure map-side
-    compute inside whole-stage codegen's HOF evaluator."""
+def bpe_token_count(text: Column, pieces=None) -> Column:
+    """Total BPE subword count of ``text`` (bigint) — the real token
+    budget, against the frozen inventory or a trained one (``pieces``).
+    Row-local and 100% native: tokens via the frozen word tokenizer,
+    each segmented by :func:`piece_count_col`; no shuffle, no Python,
+    no dim join — at any corpus scale this is pure map-side compute
+    inside whole-stage codegen's HOF evaluator."""
     return F.aggregate(
         X.tokens(text),
         F.lit(0).cast("long"),
-        lambda acc, tok: acc + piece_count_col(tok).cast("long"),
+        lambda acc, tok: acc + piece_count_col(tok, pieces).cast("long"),
     )
 
 

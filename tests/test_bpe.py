@@ -132,3 +132,61 @@ def test_sft_pairs_with_bpe_budget(spark):
         r["turn_idx"]: r for r in sft_pairs(df, budget=100, max_turns=8).collect()
     }
     assert legacy[1]["ctx_tokens"] == -(-len(rows[0][3]) // 4)
+
+
+def test_frozen_pieces_equal_pieces_from_merges():
+    assert bpe.PIECES == bpe.pieces_from_merges(bpe.MERGES)
+
+
+def test_trained_merges_drive_inference_end_to_end(spark):
+    """train_bpe_merges -> pieces_from_merges -> bpe_token_count: the
+    learned inventory counts tokens via the same native expression, and
+    matches the generic pure-Python twin exactly."""
+    from ocr_spark.operators.textstats import train_bpe_merges
+
+    corpus = [
+        (i, t)
+        for i, t in enumerate(
+            ["the data table joins the spark table"] * 6
+            + ["sparkly datasets join tables daily"] * 4
+            + ["qq zz qq zz"] * 3
+        )
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe_merges(df, n_merges=12).orderBy("rank").collect()
+    ]
+    assert len(merges) == 12
+    pieces = bpe.pieces_from_merges(merges)
+    texts = ["the spark table", "zz qq unknown-chars ### 12", ""]
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in tdf.select(
+            "i", bpe.bpe_token_count(F.col("text"), pieces).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"\W+", t.lower()) if w]
+        want = sum(bpe.count_pieces(w, pieces) for w in toks)
+        assert got[i] == want, (t, got[i], want)
+    # a learned inventory really compresses its own training corpus
+    full = {
+        r["i"]: r["n"]
+        for r in tdf.select(
+            "i", F.length(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got[0] < full[0]
+
+
+def test_single_char_inventory_counts_chars(spark):
+    # no multi-char pieces: every char is one token (the _step fallback)
+    tdf = spark.createDataFrame([(0, "abc de")], "i long, text string")
+    n = tdf.select(
+        bpe.bpe_token_count(F.col("text"), ("a", "b")).alias("n")
+    ).collect()[0]["n"]
+    assert n == 5
