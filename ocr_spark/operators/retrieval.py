@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions import text as X
 
-__all__ = ["bm25_score", "bm25_corpus_stats"]
+__all__ = ["bm25_score", "bm25_corpus_stats", "hybrid_rrf"]
 
 #: classic Robertson defaults
 K1 = 1.2
@@ -142,3 +142,108 @@ def bm25_score(
     return scored.orderBy(
         F.desc("score_c"), F.asc("doc_id")
     ).limit(top_k)
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    query_text: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_rrf: int = 60,
+    top_n: int = 100,
+    top_k: int = 50,
+    dim: int = 16,
+    buckets: int = 64,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with hashed-ngram
+    random-projection semantic ranking by reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher 2009) — the standard two-channel
+    retrieval a curation probe runs when lexical match alone misses
+    paraphrases. Both channels derive from the text column alone: the
+    semantic side embeds corpus AND query through
+    ``similarity.embed_project`` (no pre-made vector table needed).
+
+    Scale shape: the two corpus passes are the row-local BM25 postings
+    walk and the row-local embedding projection; each channel ends in a
+    ``TakeOrderedAndProject`` top-``top_n``, and every window below runs
+    on those ≤ ``top_n``-row DIMS, never the corpus. The query embedding
+    rides as a broadcast 1-row dim (the bounded-model pattern).
+
+    Cross-engine determinism: the semantic order key is
+    ``sign(dot) * dot²/ss`` where ``dot`` (query·doc integer projection)
+    and ``ss`` (doc self-dot) are EXACT bigints — monotone with cosine,
+    and the one double multiply+divide is IEEE-identical in any engine
+    (no float summation anywhere). RRF contributions are integer
+    division: ``1_000_000 div (k_rrf + rank)``.
+
+    Returns top-``top_k`` of (doc_id, lex_rank, sem_rank, rrf_c, rank);
+    absent-channel ranks are 0.
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.similarity import embed_project
+
+    terms = sorted({t for t in _re.split(r"\W+", query_text.lower()) if t})
+    if not terms:
+        raise ValueError("query_text has no tokens")
+
+    lex = bm25_score(
+        docs, terms, id_col=id_col, text_col=text_col, top_k=top_n
+    ).select("doc_id", "score_c")
+    wl = Window.orderBy(F.desc("score_c"), F.asc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+
+    emb = embed_project(
+        docs, key=id_col, text_col=text_col, dim=dim, buckets=buckets
+    ).select(F.col(id_col).alias("doc_id"), "emb_c")
+    qdf = docs.sparkSession.createDataFrame(
+        [(0, query_text)], f"qid long, {text_col} string"
+    )
+    qemb = embed_project(
+        qdf, key="qid", text_col=text_col, dim=dim, buckets=buckets
+    ).select(F.col("emb_c").alias("q_c"))
+
+    lsum = lambda arr: F.aggregate(  # noqa: E731 — exact bigint fold
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    j = emb.join(F.broadcast(qemb))
+    scored = j.select(
+        "doc_id",
+        lsum(F.zip_with("emb_c", "q_c", lambda a, b: a * b)).alias("dot"),
+        lsum(F.transform("emb_c", lambda a: a * a)).alias("ss"),
+        lsum(F.transform("q_c", lambda a: a * a)).alias("qss"),
+    ).filter((F.col("ss") > 0) & (F.col("qss") > 0))
+    skey = F.when(F.col("dot") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)) * (
+        (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / F.col("ss").cast("double")
+    )
+    sem = (
+        scored.select("doc_id", skey.alias("skey"))
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+    ws = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    semr = sem.select(
+        "doc_id", F.row_number().over(ws).alias("sem_rank")
+    )
+
+    fused = lexr.join(semr, "doc_id", "full")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"1000000 div ({k_rrf} + {r})"), F.lit(0).cast("long")
+    )
+    out = fused.select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+        (contrib("lex_rank") + contrib("sem_rank")).alias("rrf_c"),
+    )
+    top = out.orderBy(F.desc("rrf_c"), F.asc("doc_id")).limit(top_k)
+    wf = Window.orderBy(F.desc("rrf_c"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "lex_rank", "sem_rank", "rrf_c",
+        F.row_number().over(wf).alias("rank"),
+    )

@@ -3634,6 +3634,138 @@ from scored order by score_c desc, doc_id asc limit 50
 """
 
 
+HYBRID_QUERY = "spark join table dup vector scan"
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (retrieval.hybrid_rrf): BM25 lexical ranking and
+    hashed-ngram random-projection semantic ranking fused by reciprocal
+    ranks — both channels derived from the text column alone. Every
+    fused column is an exact integer; the semantic order key is
+    sign(dot)·dot²/ss over exact bigints (one IEEE multiply+divide, no
+    float summation), so DuckDB replays the ranking bit-identically."""
+    from ocr_spark.operators.retrieval import hybrid_rrf
+
+    return hybrid_rrf(_docs(spark, sf_dir), HYBRID_QUERY)
+
+
+def _sql_hybrid_rrf(k_rrf: int = 60, top_n: int = 100, top_k: int = 50,
+                    dim: int = 16, buckets: int = 64) -> str:
+    import re as _re
+
+    terms = sorted({t for t in _re.split(r"\W+", HYBRID_QUERY.lower()) if t})
+    tlist = ", ".join(O.q(t) for t in terms)
+    qlit = O.q(HYBRID_QUERY.lower())
+    return f"""
+with planes as (
+  select d, b as bucket,
+    cast(concat('0x', substr(md5('embed|' || cast(d as varchar) || '|'
+      || cast(b as varchar)), 1, 8)) as bigint) % 2001 - 1000 as p
+  from (select unnest(range({dim})) as d),
+       (select unnest(range({buckets})) as b)
+),
+base as (select doc_id, {_TOKS_SQL} as toks from documents),
+tf as (
+  select doc_id, dl, term, cast(count(*) as bigint) as tf
+  from (
+    select doc_id, len(toks) as dl, unnest(toks) as term from base
+  ) where term in ({tlist})
+  group by 1, 2, 3
+),
+dft as (select term, cast(count(*) as bigint) as df_t from tf group by 1),
+stats as (
+  select cast(count(*) as bigint) as n_docs,
+    cast(sum(len(toks)) as bigint) as sum_dl
+  from base
+),
+contrib as (
+  select doc_id,
+    cast(round(ln(1.0 + (cast(n_docs as double) - df_t + 0.5)
+                        / (df_t + 0.5)) * 1000000) as bigint) as idf_c,
+    tf, dl, n_docs, sum_dl
+  from tf join dft using (term), stats
+),
+lexscore as (
+  select doc_id,
+    cast(sum(cast(round(idf_c * (tf * 2.2)
+        / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))
+      as bigint)) as bigint) as score_c
+  from contrib group by 1
+),
+lexr as (
+  select doc_id, row_number() over (order by score_c desc, doc_id) as lex_rank
+  from (select * from lexscore order by score_c desc, doc_id limit {top_n})
+),
+grams as (
+  select doc_id,
+    list_concat(toks,
+      list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) as gs
+  from base
+),
+f as (
+  select doc_id,
+    cast(concat('0x', substr(md5('feat|' || g), 1, 8)) as bigint) % {buckets}
+      as bucket
+  from (select doc_id, unnest(gs) as g from grams)
+),
+e as (
+  select f.doc_id, pl.d, cast(sum(pl.p) as bigint) as v
+  from f join planes pl using (bucket)
+  group by 1, 2
+),
+emb as (select doc_id, list(v order by d) as emb_c from e group by doc_id),
+qtok as (select regexp_extract_all({qlit}, {O.q(O.TOKEN_RE)}) as toks),
+qgrams as (
+  select list_concat(toks,
+    list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) as gs
+  from qtok
+),
+qf as (
+  select cast(concat('0x', substr(md5('feat|' || g), 1, 8)) as bigint)
+           % {buckets} as bucket
+  from (select unnest(gs) as g from qgrams)
+),
+qe as (
+  select pl.d, cast(sum(pl.p) as bigint) as v
+  from qf join planes pl using (bucket) group by 1
+),
+q as (select list(v order by d) as q_c from qe),
+dsc as (
+  select doc_id,
+    cast(list_sum(list_transform(range(1, {dim} + 1),
+      i -> emb_c[i] * q_c[i])) as bigint) as dot,
+    cast(list_sum(list_transform(emb_c, x -> x * x)) as bigint) as ss,
+    cast(list_sum(list_transform(q_c, x -> x * x)) as bigint) as qss
+  from emb, q
+),
+sem as (
+  select doc_id,
+    (case when dot >= 0 then 1.0 else -1.0 end)
+      * ((cast(dot as double) * cast(dot as double))
+         / cast(ss as double)) as skey
+  from dsc where ss > 0 and qss > 0
+),
+semr as (
+  select doc_id, row_number() over (order by skey desc, doc_id) as sem_rank
+  from (select * from sem order by skey desc, doc_id limit {top_n})
+),
+fused as (
+  select coalesce(l.doc_id, s.doc_id) as doc_id,
+    cast(coalesce(l.lex_rank, 0) as int) as lex_rank,
+    cast(coalesce(s.sem_rank, 0) as int) as sem_rank,
+    coalesce(1000000 // ({k_rrf} + l.lex_rank), 0)
+      + coalesce(1000000 // ({k_rrf} + s.sem_rank), 0) as rrf_c
+  from lexr l full outer join semr s on l.doc_id = s.doc_id
+),
+top as (select * from fused order by rrf_c desc, doc_id limit {top_k})
+select doc_id, lex_rank, sem_rank, cast(rrf_c as bigint) as rrf_c,
+  cast(row_number() over (order by rrf_c desc, doc_id) as int) as rank
+from top
+"""
+
+
 def q_code_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fenced-code-block extraction — the transcript-markup stage that
     pulls ```lang blocks out of agent turns (counts, language tags,
@@ -3912,6 +4044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_quality": q_train_quality,
     "bpe_train": q_bpe_train,
     "lang_lines": q_lang_lines,
+    "hybrid_rrf": q_hybrid_rrf,
     "ann_pq": q_ann_pq,
     "conv_dedup": q_conv_dedup,
     "conv_prefix_dedup": q_conv_prefix_dedup,
@@ -3955,10 +4088,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # is untouched in round 4 and the conversation.py r4 diff (incremental
     # dedup + sft_pairs token expr) does not touch the as-of wrapper
     "events_asof": q_events_asof,
+    # --- rotated past the 50-entry driver-verification window (see above)
     # cluster_balance: green r3; the similarity.py r4 diffs (embed_project
     # + per-subspace PQ k-means fit) leave cluster_balance's body unchanged
     "cluster_balance": q_cluster_balance,
-    # --- rotated past the 50-entry driver-verification window (see above)
     # code_fences: green r3; functions/text.py's fence_langs/fence_bodies
     # are untouched in round 4 (git diff d97f054..HEAD)
     "code_fences": q_code_fences,
@@ -4087,6 +4220,7 @@ from corpus group by 1
         "ann_ivf": OM.ivf_sql(5, n_centroids=8, n_probe=2),
         "lang_id": _sql_lang_id(),
         "lang_lines": _sql_lang_lines(),
+        "hybrid_rrf": _sql_hybrid_rrf(),
         "quality_features": _sql_quality_features(),
         "token_counts": _sql_token_counts(),
         "token_counts_bpe": _sql_token_counts_bpe(),

@@ -126,3 +126,39 @@ def test_bm25_random_property(spark, seed):
         for r in bm25_score(df, terms, top_k=1000).collect()
     }
     assert got == _py_bm25(docs, sorted(set(terms)))
+
+
+def test_hybrid_rrf_fuses_channels(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.retrieval import hybrid_rrf
+
+    # doc 0 is the lexical+semantic bullseye; doc 1 shares vocabulary
+    # (semantic neighbor, weaker lexical); doc 2 is unrelated
+    rows = [
+        (0, "spark join table spark join table scan"),
+        (1, "the spark table is joined by the scan"),
+        (2, "completely unrelated words here banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hybrid_rrf(df, "spark join table scan", top_n=10, top_k=10)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["rank"] == 1
+    assert got[0]["lex_rank"] == 1 and got[0]["sem_rank"] >= 1
+    # rrf_c is exactly the integer-division fusion of the two ranks
+    for r in got.values():
+        want = sum(
+            1_000_000 // (60 + x)
+            for x in (r["lex_rank"], r["sem_rank"]) if x > 0
+        )
+        assert r["rrf_c"] == want
+    # a doc absent from a channel carries rank 0 there
+    assert got[2]["lex_rank"] == 0 and got[2]["sem_rank"] > 0
+    # determinism across runs
+    again = {r["doc_id"]: r for r in
+             hybrid_rrf(df, "spark join table scan", top_n=10, top_k=10).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+    with pytest.raises(ValueError):
+        hybrid_rrf(df, "###")
