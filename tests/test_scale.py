@@ -460,3 +460,44 @@ def test_bpe_and_embed_row_local_at_pipeline_grain(spark):
         df.withColumn("n_bpe", bpe.bpe_token_count(F.col("text")))
     )
     assert "Exchange" not in _plan(chained), _plan(chained)
+
+
+def test_lang_line_profile_row_local(spark):
+    """The line-level language profile is a pure projection: zero
+    exchanges no matter how many languages are counted per line."""
+    from ocr_spark.operators.textstats import lang_line_profile
+
+    df = spark.createDataFrame(
+        [(i, "the cat\nder hund\nel gato") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", lang_line_profile(F.col("text")).alias("p"))
+    assert "Exchange" not in _plan(out), _plan(out)
+
+
+def test_distinct_terms_approx_single_combiner_shuffle(spark):
+    """HLL distinct profile: exactly ONE exchange (the per-source agg),
+    with a map-side partial_approx_count_distinct before it — sketch
+    state merges, the distinct terms never shuffle."""
+    from ocr_spark.operators.textstats import distinct_terms_approx
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", f"alpha beta w{i}") for i in range(30)],
+        "source string, text string",
+    )
+    plan = _plan(distinct_terms_approx(df))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_approx_count_distinct" in plan, plan
+
+
+def test_hybrid_rrf_windows_run_on_dims_not_corpus(spark):
+    """Hybrid RRF: both channels must reach their rank windows through a
+    TakeOrderedAndProject top-n (never a global sort of the corpus)."""
+    from ocr_spark.operators.retrieval import hybrid_rrf
+
+    df = spark.createDataFrame(
+        [(i, f"spark table {i} join scan") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(hybrid_rrf(df, "spark join", top_n=10, top_k=5))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
