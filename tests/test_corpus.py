@@ -747,3 +747,49 @@ def test_leakage_safe_split(spark):
 
     with pytest.raises(ValueError):
         corpus.leakage_safe_split(df, val_permille=600, test_permille=500)
+
+
+def _py_luhn(d: str) -> bool:
+    s = 0
+    for i, ch in enumerate(reversed(d)):
+        v = int(ch)
+        if i % 2 == 1:
+            v = v * 2 - (9 if v >= 5 else 0)
+        s += v
+    return len(d) > 0 and s % 10 == 0
+
+
+def test_luhn_valid_matches_python_twin(spark):
+    import random
+
+    from ocr_spark.operators.corpus import luhn_valid
+
+    rng = random.Random(99)
+    cands = ["".join(rng.choice("0123456789") for _ in range(16))
+             for _ in range(40)]
+    # craft guaranteed-valid numbers: compute the check digit via the twin
+    for _ in range(10):
+        d15 = "".join(rng.choice("0123456789") for _ in range(15))
+        c = next(x for x in "0123456789" if _py_luhn(d15 + x))
+        cands.append(d15 + c)
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cands)],
+                               "i long, d string")
+    got = {r["i"]: r["ok"] for r in
+           df.select("i", luhn_valid(F.col("d")).alias("ok")).collect()}
+    for i, c in enumerate(cands):
+        assert got[i] == _py_luhn(c), (c, got[i])
+
+
+def test_card_findings_checksum_kills_fakes(spark):
+    from ocr_spark.operators.corpus import card_findings
+
+    valid = "4539148803436467"
+    assert _py_luhn(valid)
+    bad = valid[:-1] + ("0" if valid[-1] != "0" else "1")
+    rows = [(0, f"pay {valid[:4]}-{valid[4:8]}-{valid[8:12]}-{valid[12:]} "
+                f"order {bad} ref 1234")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(card_findings(F.col("text")).alias("f")).collect()[0]["f"]
+    assert got["n_candidates"] == 2
+    assert got["n_valid"] == 1
+    assert got["cards"] == [valid]
