@@ -19,6 +19,9 @@ The stable-turn-ordering window (W1 — the north rule's
   containment (resumed sessions re-ingested with their continuation).
 * ``conversation_validate`` — the structural QA gate (turn-index
   integrity, role alternation, orphan tool turns, empty turns).
+* ``conversation_repair`` — merges runs of consecutive same-role turns
+  (streamed chunks, retried sends) and re-indexes; the repair for the
+  ``n_role_repeats`` defects the validate gate flags.
 * ``sft_pairs`` — (context, response) training-example emission under
   a token budget with a bounded window frame.
 * ``with_tool_attribution`` — grounding lineage via the as-of join.
@@ -448,6 +451,83 @@ def conversation_validate(
         & (F.col("n_empty") == 0)
     )
     return agg.withColumn("valid", valid)
+
+
+def conversation_repair(
+    df: DataFrame, text_col: str = "clean_text", bucket_turns: int = 64
+) -> DataFrame:
+    """Merge runs of consecutive same-role turns into one turn and
+    re-index — the normalization pass every SFT pipeline runs before
+    pairing: agent transcripts routinely contain split assistant
+    messages (streamed chunks, retried sends) that
+    ``conversation_validate`` flags as ``n_role_repeats`` and this
+    operator repairs.
+
+    Returns ``(conv_id, turn_idx, role, <text_col>, n_merged,
+    first_turn)`` where ``turn_idx`` is the repaired dense 0..k-1 index,
+    ``<text_col>`` is the run's texts joined with a blank line in
+    original turn order, ``n_merged`` is the run length, and
+    ``first_turn`` the run's original first ``turn_idx``.
+
+    Shape: gaps-and-islands — one W1 window (``lag(role)`` boundary +
+    running sum gives the run id, which is already the dense repaired
+    index, so no second window), then the same salted two-stage ordered
+    concat as :func:`segment_rollup` so a pathological thousand-chunk
+    run cannot straggle a single combiner. Two conversation-keyed
+    exchanges total; skew bound = turns-per-conversation.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    boundary = F.when(prev.isNull() | (prev != F.col("role")), 1).otherwise(0)
+    run = (
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1
+    )
+    runs = df.withColumn("_run", run.cast("int"))
+    b = (F.col("turn_idx") / bucket_turns).cast("int")
+    stage1 = (
+        runs.withColumn("_bk", b)
+        .groupBy("conv_id", "_run", "_bk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("turn_idx", text_col))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                "\n\n",
+            ).alias("_part"),
+            F.count("*").alias("_n"),
+            F.min("turn_idx").alias("_ft"),
+            F.min("role").alias("_role"),
+        )
+    )
+    return (
+        stage1.groupBy("conv_id", "_run")
+        .agg(
+            F.min("_role").alias("role"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_bk", "_part"))),
+                    lambda s: s["_part"],
+                ),
+                "\n\n",
+            ).alias(text_col),
+            F.sum("_n").cast("int").alias("n_merged"),
+            F.min("_ft").cast("int").alias("first_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("_run").alias("turn_idx"),
+            "role",
+            text_col,
+            "n_merged",
+            "first_turn",
+        )
+    )
 
 
 def sft_pairs(

@@ -1,0 +1,65 @@
+"""Unicode canonicalization — the encoding-repair stage a crawl or
+transcript corpus needs before any hashing: the SAME visible text
+arrives both precomposed (``é`` = U+00E9) and decomposed
+(``e`` + U+0301) depending on the emitting tool/OS, so exact dedup,
+fingerprints, MinHash shingles, and keyword matching all silently
+fragment unless text is first brought to one canonical form (Unicode
+Standard Annex #15, NFC).
+
+Reference parity: the reference folds diacritics during per-word
+normalization only (``app/services/text_processing.py:83`` — NFKD +
+ASCII strip, re-expressed natively in ``functions/text.py`` P5/P6); it
+has no corpus-wide canonical form. This module adds the standard one.
+
+Scale design: a single Arrow-batched projection (``pandas_udf``) — per
+string the work is CPython's C-implemented ``unicodedata.normalize``,
+no per-character Python, and ``unicodedata.is_normalized`` short-circuits
+the dominant already-canonical/ASCII case without allocating. Row-local,
+zero shuffle; a 10^12-turn table normalizes embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def normalized(col: Column, form: str = "NFC") -> Column:
+    """``col`` brought to the given Unicode normal form (Arrow-batched;
+    NULL passes through)."""
+    if form not in FORMS:
+        raise ValueError(f"form must be one of {FORMS}, got {form!r}")
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: t
+            if t is None or unicodedata.is_normalized(form, t)
+            else unicodedata.normalize(form, t)
+        )
+
+    return norm(col)
+
+
+def with_normalized(
+    df: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Append ``<text_col>_norm`` plus repair telemetry: ``norm_changed``
+    (row was not already canonical) and the code-point delta
+    ``norm_cp_delta`` (combining sequences composed away; negative means
+    the text shrank). The UDF runs once — ``changed`` is a native
+    comparison against the materialized result, not a second pass."""
+    out = f"{text_col}_norm"
+    df = df.withColumn(out, normalized(F.col(text_col), form))
+    return df.withColumn(
+        "norm_changed", F.col(out) != F.col(text_col)
+    ).withColumn(
+        "norm_cp_delta",
+        (F.length(out) - F.length(text_col)).cast("int"),
+    )

@@ -3779,6 +3779,121 @@ from v
 """
 
 
+def q_conv_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-and-reindex repair for broken role alternation (see
+    operators/conversation.conversation_repair): runs of consecutive
+    same-role turns — streamed chunks, retried sends — collapse into one
+    turn with texts joined by a blank line, and the conversation gets a
+    dense repaired index. Roles are the same md5 derivation as
+    conv_validate, whose ~40/45/15 user/assistant/tool split produces
+    natural same-role runs, so the merge path is exercised for real."""
+    from ocr_spark.operators.conversation import conversation_repair
+
+    docs = _docs(spark, sf_dir)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("role|"), F.col("text"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    role = (
+        F.when(h < 15, "tool").when(h < 55, "user").otherwise("assistant")
+    )
+    conv = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 50).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text").alias("clean_text"),
+    )
+    return conversation_repair(conv)
+
+
+def _sql_conv_repair() -> str:
+    return """
+with conv as (
+  select 'c' || cast(doc_id % 50 as varchar) as conv_id,
+    doc_id // 50 as turn_idx,
+    case when h < 15 then 'tool' when h < 55 then 'user'
+         else 'assistant' end as role,
+    text as txt
+  from (
+    select *,
+      cast(concat('0x', substr(md5('role|' || text), 1, 8)) as bigint)
+        % 100 as h
+    from documents
+  )
+),
+t as (
+  select conv_id, turn_idx, role, txt,
+    case when lag(role) over w is null or lag(role) over w != role
+         then 1 else 0 end as b
+  from conv window w as (partition by conv_id order by turn_idx)
+),
+r as (
+  select *, sum(b) over (partition by conv_id order by turn_idx
+                         rows unbounded preceding) - 1 as run
+  from t
+)
+select conv_id, cast(run as int) as turn_idx, min(role) as role,
+  string_agg(txt, chr(10) || chr(10) order by turn_idx) as clean_text,
+  cast(count(*) as int) as n_merged,
+  cast(min(turn_idx) as int) as first_turn
+from r group by conv_id, run
+"""
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (operators/normalize.with_normalized):
+    NFC composition over an Arrow-batched stage. Salting appends
+    decomposed sequences — a combining acute (U+0301) on ~1/3 of docs
+    and an angstrom sign (U+212B, which NFC maps to U+00C5) on ~1/7 —
+    so composition, the changed flag, and the code-point delta are all
+    hash-checked against DuckDB's nfc_normalize; the untouched-ASCII
+    fast path is checked by the remaining docs."""
+    from ocr_spark.operators import normalize
+
+    d = F.col("doc_id")
+    salted = F.concat(
+        F.col("text"),
+        # NB: the literals below are DECOMPOSED on purpose (e + U+0301,
+        # U+212B angstrom) — matching the SQL twin's chr() escapes.
+        # An editor that NFC-normalizes this file would break the query.
+        F.when(d % 3 == 0, F.lit(" café")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" Ångström")).otherwise(
+            F.lit("")
+        ),
+    )
+    df = _docs(spark, sf_dir).select("doc_id", salted.alias("text"))
+    out = normalize.with_normalized(df, "text", "NFC")
+    return out.select(
+        "doc_id",
+        F.col("text_norm").alias("text_nfc"),
+        F.col("norm_changed").alias("changed"),
+        F.col("norm_cp_delta").alias("cp_delta"),
+    )
+
+
+SQL_NFC_NORMALIZE = """
+with s as (
+  select doc_id,
+    text
+      || case when doc_id % 3 = 0 then ' cafe' || chr(769) else '' end
+      || case when doc_id % 7 = 0
+              then ' ' || chr(8491) || 'ngstr' || chr(246) || 'm'
+              else '' end as t
+  from documents
+)
+select doc_id, nfc_normalize(t) as text_nfc,
+  nfc_normalize(t) != t as changed,
+  cast(length(nfc_normalize(t)) - length(t) as int) as cp_delta
+from s
+"""
+
+
 HYBRID_QUERY = "spark join table dup vector scan"
 
 
@@ -4192,6 +4307,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "distinct_approx": q_distinct_approx,
     "pii_luhn": q_pii_luhn,
+    "conv_repair": q_conv_repair,
+    "nfc_normalize": q_nfc_normalize,
     "ann_pq": q_ann_pq,
     "conv_dedup": q_conv_dedup,
     "conv_prefix_dedup": q_conv_prefix_dedup,
@@ -4207,7 +4324,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_ratios": q_clean_ratios,
     "quality": q_quality,
     "source_percentiles": q_source_percentiles,
-    "kw_token_match": q_kw_token_match,
     "kw_statistics": q_kw_statistics,
     "dedup_minhash": q_dedup_minhash,
     "dedup_dropped": q_dedup_dropped,
@@ -4218,7 +4334,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "curate": q_curate,
     "curate_funnel": q_curate_funnel,
-    "dedup_components": q_dedup_components,
     "embed_neardup": q_embed_neardup,
     "ann_lsh_mp": q_ann_lsh_mp,
     "ann_ivf": q_ann_ivf,
@@ -4231,6 +4346,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_bins_ranged": q_pack_bins_ranged,
     "token_counts_bpe": q_token_counts_bpe,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # kw_token_match: green r3; operators/matching.py is untouched in
+    # round 4 (git diff d97f054..HEAD does not list it) and kw_statistics
+    # stays in the window exercising the same module's A6 struct path
+    "kw_token_match": q_kw_token_match,
+    # dedup_components: green r3; operators/dedup.py is untouched in
+    # round 4 (only streaming/dedup.py changed) and dedup_minhash /
+    # dedup_dropped / dedup_incremental / dedup_apply stay in the window
+    # exercising the same module
+    "dedup_components": q_dedup_components,
     # summarize: green r3; operators/summarize.py is untouched in round 4
     # (git diff d97f054..HEAD does not list it) and the staged-shrink twin
     # shrink_levels stays in the window exercising the same module
@@ -4373,6 +4497,8 @@ from corpus group by 1
         "hybrid_rrf": _sql_hybrid_rrf(),
         "distinct_approx": SQL_DISTINCT_APPROX,
         "pii_luhn": _sql_pii_luhn(),
+        "conv_repair": _sql_conv_repair(),
+        "nfc_normalize": SQL_NFC_NORMALIZE,
         "quality_features": _sql_quality_features(),
         "token_counts": _sql_token_counts(),
         "token_counts_bpe": _sql_token_counts_bpe(),

@@ -325,3 +325,58 @@ def test_conversation_dedup_incremental_short_legs(spark):
     assert out["lone"]["keep"]
     assert out["lone"]["exact_dup_of"] is None
     assert out["lone"]["supersedes"] is None
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_conversation_repair_matches_bruteforce(spark, seed):
+    from ocr_spark.operators.conversation import conversation_repair
+
+    rng = random.Random(seed)
+    rows = []
+    expect: dict[str, list[tuple[str, str, int, int]]] = {}
+    for c in range(6):
+        cid = f"c{c}"
+        n = rng.randint(1, 12)
+        roles = [rng.choice(["user", "assistant", "tool"]) for _ in range(n)]
+        texts = [f"{cid}-t{i}" for i in range(n)]
+        rows += [(cid, i, roles[i], texts[i]) for i in range(n)]
+        # brute-force merge of consecutive same-role runs
+        runs: list[tuple[str, str, int, int]] = []
+        for i in range(n):
+            if runs and runs[-1][0] == roles[i]:
+                r, t, m, ft = runs[-1]
+                runs[-1] = (r, t + "\n\n" + texts[i], m + 1, ft)
+            else:
+                runs.append((roles[i], texts[i], 1, i))
+        expect[cid] = runs
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, clean_text string"
+    )
+    got = conversation_repair(df, bucket_turns=3).collect()
+    by_conv: dict[str, dict[int, tuple]] = {}
+    for r in got:
+        by_conv.setdefault(r["conv_id"], {})[r["turn_idx"]] = r
+    for cid, runs in expect.items():
+        assert sorted(by_conv[cid]) == list(range(len(runs)))
+        for i, (role, text, m, ft) in enumerate(runs):
+            r = by_conv[cid][i]
+            assert (r["role"], r["clean_text"], r["n_merged"],
+                    r["first_turn"]) == (role, text, m, ft)
+
+
+def test_conversation_repair_no_repeats_is_identity(spark):
+    from ocr_spark.operators.conversation import (
+        conversation_repair,
+        conversation_validate,
+    )
+
+    df = _df(spark, {"a": ["u1", "a1", "u2", "a2"]}).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant"),
+    )
+    out = conversation_repair(df)
+    assert out.filter(F.col("n_merged") > 1).count() == 0
+    assert out.count() == 4
+    # repaired output passes the validate gate's alternation check
+    v = conversation_validate(out).collect()[0]
+    assert v["n_role_repeats"] == 0 and v["idx_ok"]

@@ -1,0 +1,59 @@
+"""Unicode canonicalization (operators/normalize): parity vs CPython's
+unicodedata on adversarial composition cases, single-Arrow-stage plan."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_spark.operators import normalize
+
+CASES = [
+    "plain ascii only",
+    "café",            # combining acute -> precomposed é
+    "Ångström",    # angstrom sign -> Å (U+00C5)
+    "already é composed",
+    "q̣̇",         # combining marks reorder under NFC
+    "ḍ̇",          # ḋ + dot below -> recompose as ḍ + dot above
+    "Hangul 각",  # jamo -> syllable 각
+    "",
+]
+
+
+@pytest.mark.parametrize("form", ["NFC", "NFKC"])
+def test_normalized_matches_unicodedata(spark, form):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)] + [(len(CASES), None)],
+        "i long, text string",
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize.normalized(F.col("text"), form).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(CASES):
+        assert got[i] == unicodedata.normalize(form, t), (form, t)
+    assert got[len(CASES)] is None
+
+
+def test_with_normalized_telemetry_and_single_arrow_stage(spark):
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "plain")], "doc_id long, text string"
+    )
+    out = normalize.with_normalized(df, "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the UDF must evaluate ONCE: changed/delta reference the materialized
+    # column, not a second Arrow pass
+    assert plan.count("ArrowEvalPython") == 1
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["text_norm"] == "café"
+    assert rows[1]["norm_changed"] and rows[1]["norm_cp_delta"] == -1
+    assert not rows[2]["norm_changed"] and rows[2]["norm_cp_delta"] == 0
+
+
+def test_bad_form_raises():
+    with pytest.raises(ValueError):
+        normalize.normalized(F.lit("x"), "NFX")
