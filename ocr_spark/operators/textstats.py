@@ -45,14 +45,35 @@ def lang_scores(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Predicted language = argmax stopword hits; ties break to the
-    lexicographically smallest code; all-zero scores → 'und' (undetermined)."""
-    toks = X.tokens(text)
-    entries = []
-    for lang in sorted(STOPWORDS):
-        score = _hits(toks, STOPWORDS[lang])
-        entries.append(F.struct((-score).alias("ns"), F.lit(lang).alias("l")))
-    best = F.sort_array(F.array(*entries))[0]
-    return F.when(best["ns"] < 0, best["l"]).otherwise(F.lit("und"))
+    lexicographically smallest code; all-zero scores → 'und' (undetermined).
+
+    ONE ``aggregate`` pass over the tokens: each token takes one InSet
+    probe per language into a score vector, and the argmax runs in the
+    finish lambda — where the accumulator is a lambda VARIABLE, free to
+    reference per language. (The per-language ``filter`` formulation
+    walks the token array once per language, and HOF bodies evaluate
+    interpreted — no codegen subexpression elimination — so the shared
+    token array is re-evaluated per reference.)"""
+    codes = sorted(STOPWORDS)
+    init = F.array(*[F.lit(0) for _ in codes])
+
+    def step(acc: Column, t: Column) -> Column:
+        return F.array(
+            *[
+                acc[i] + t.isin(*list(STOPWORDS[c])).cast("int")
+                for i, c in enumerate(codes)
+            ]
+        )
+
+    def finish(acc: Column) -> Column:
+        entries = [
+            F.struct((-acc[i]).alias("ns"), F.lit(c).alias("l"))
+            for i, c in enumerate(codes)
+        ]
+        best = F.sort_array(F.array(*entries))[0]
+        return F.when(best["ns"] < 0, best["l"]).otherwise(F.lit("und"))
+
+    return F.aggregate(X.tokens(text), init, step, finish)
 
 
 def lang_line_profile(text: Column) -> Column:
@@ -67,9 +88,21 @@ def lang_line_profile(text: Column) -> Column:
     classifier per line inside ``transform``, then count per-language
     inside the same projection. Majority ties break to the
     lexicographically smallest code; a document with no non-blank lines
-    profiles as ('und', 0.0)."""
+    profiles as ('und', 0.0).
+
+    NB: this pure-Column form references the per-line classifier array
+    from every count expression — under CollapseProject that re-runs the
+    classifier per reference. DataFrame callers should use
+    :func:`with_lang_line_profile`, which materializes the array once
+    behind a generator barrier (~10× fewer classifier evaluations)."""
     lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
     langs = F.transform(lines, lambda ln: lang_id(ln))
+    return _profile_from_langs(langs)
+
+
+def _profile_from_langs(langs: Column) -> Column:
+    """Profile struct from a per-line language-code array (cheap to
+    reference repeatedly once ``langs`` is a materialized column)."""
 
     def count_of(code: str) -> Column:
         # enclosing-scope capture — a default-arg lambda would become an
@@ -98,6 +131,29 @@ def lang_line_profile(text: Column) -> Column:
         n_langs.alias("n_langs"),
         (n_langs > 1).alias("mixed"),
     )
+
+
+def with_lang_line_profile(
+    df, text_col: str = "text", out_col: str = "lang_profile"
+):
+    """Append the line-level language profile with the classifier run
+    ONCE per line: the per-line code array and then the profile struct
+    each sit behind a generator barrier (``cleaning.materialize``), so
+    neither the ``transform(lines, lang_id)`` pass nor the profile
+    struct is inlined into its downstream references. Still row-local —
+    Generate nodes, zero exchanges."""
+    from ocr_spark.operators.cleaning import materialize
+
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != ""
+    )
+    df = materialize(
+        df, _line_langs=F.transform(lines, lambda ln: lang_id(ln))
+    )
+    df = materialize(
+        df, **{out_col: _profile_from_langs(F.col("_line_langs"))}
+    )
+    return df.drop("_line_langs")
 
 
 # --------------------------------------------------------------------------

@@ -1462,9 +1462,10 @@ def q_lang_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-line documents table is deterministically reassembled into
     multi-line mixed-language 'pages' (doc_id % 97, ordered concat) —
     the bilingual-transcript shape doc-level lang_id misses. The profile
-    itself is a zero-shuffle row-local projection; the one exchange here
-    builds the page fixture."""
-    from ocr_spark.operators.textstats import lang_line_profile
+    itself is a zero-shuffle row-local projection (classifier runs once
+    per line behind the wrapper's generator barriers); the one exchange
+    here builds the page fixture."""
+    from ocr_spark.operators.textstats import with_lang_line_profile
 
     docs = _docs(spark, sf_dir)
     pages = docs.groupBy((F.col("doc_id") % 97).alias("page_id")).agg(
@@ -1476,7 +1477,8 @@ def q_lang_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n",
         ).alias("page_text")
     )
-    p = lang_line_profile(F.col("page_text"))
+    pages = with_lang_line_profile(pages, "page_text", "_p")
+    p = F.col("_p")
     return pages.select(
         F.col("page_id").cast("long").alias("page_id"),
         p["n_lines"].cast("long").alias("n_lines"),
