@@ -277,6 +277,68 @@ def _band_table(index: DataFrame) -> DataFrame:
     )
 
 
+def _verify_jaccard(
+    pairs: DataFrame,
+    sha_src: DataFrame,
+    shb_src: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate ``(ka, kb)`` pairs against
+    shingle-set sources ``(ka, sha)`` / ``(kb, shb)`` → rows with
+    ``jaccard >= threshold``.
+
+    Cost discipline — this stage sees MILLIONS of candidates on a
+    dup-heavy corpus and dominates the LSH family's runtime:
+
+    * the thin pair list is re-spread to the session's shuffle-partition
+      count first: AQE coalesces it to a handful of partitions by byte
+      size, and the shingle-fetch joins then fatten each row ~20×, so
+      verifying in those few tasks serializes the expensive stage;
+    * shingle sets are distinct (:func:`word_shingles`), so
+      ``|A∪B| = |A|+|B| − |A∩B|`` — ONE set op per pair instead of an
+      intersect AND a union build;
+    * ``J ≤ min(|A|,|B|)/max(|A|,|B|)``: the intersect only evaluates
+      where that bound can reach the threshold (CaseWhen branches are
+      lazy), with an epsilon so exact-boundary ratios are never skipped;
+    * the intersect size sits behind a generator barrier — it is
+      referenced by both the numerator and the union arithmetic, and
+      CollapseProject would otherwise inline (= re-run) it per reference.
+
+    The division is the same ints-then-one-IEEE-divide as the naive
+    ``size(intersect)/size(union)`` form — results are bit-identical.
+    """
+    from ocr_spark.operators.cleaning import materialize
+
+    spark = pairs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    joined = (
+        pairs.repartition(n_part)
+        .join(sha_src, "ka")
+        .join(shb_src, "kb")
+    )
+    na, nb = F.size("sha"), F.size("shb")
+    bound_ok = (
+        F.least(na, nb) / F.greatest(na, nb) >= F.lit(threshold - 1e-9)
+    )
+    joined = materialize(
+        joined,
+        _na=na,
+        _nb=nb,
+        _inter=F.when(
+            bound_ok, F.size(F.array_intersect("sha", "shb"))
+        ).otherwise(F.lit(-1)),
+    )
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter((F.col("_inter") >= 0) & (F.col("jaccard") >= threshold))
+        .drop("_na", "_nb", "_inter")
+    )
+
+
 def minhash_lsh_incremental(
     new_df: DataFrame,
     index: DataFrame,
@@ -339,21 +401,11 @@ def minhash_lsh_incremental(
         .distinct()
     )
     sh_all = new_idx.select("k", "sh").unionByName(index.select("k", "sh"))
-    verified = (
-        pairs.join(
-            new_idx.select(F.col("k").alias("ka"), F.col("sh").alias("sha")),
-            "ka",
-        )
-        .join(
-            sh_all.select(F.col("k").alias("kb"), F.col("sh").alias("shb")),
-            "kb",
-        )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sha", "shb"))
-            / F.size(F.array_union("sha", "shb")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    verified = _verify_jaccard(
+        pairs,
+        new_idx.select(F.col("k").alias("ka"), F.col("sh").alias("sha")),
+        sh_all.select(F.col("k").alias("kb"), F.col("sh").alias("shb")),
+        threshold,
     )
     pairs_out = verified.select(
         F.col("ka").alias("key_a"), F.col("kb").alias("key_b"), "jaccard"
@@ -394,15 +446,11 @@ def minhash_lsh_with_counters(
         .distinct()
     )
     sh = base.select("k", "sh")
-    verified = (
-        pairs.join(sh.withColumnRenamed("k", "ka").withColumnRenamed("sh", "sha"), "ka")
-        .join(sh.withColumnRenamed("k", "kb").withColumnRenamed("sh", "shb"), "kb")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sha", "shb"))
-            / F.size(F.array_union("sha", "shb")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    verified = _verify_jaccard(
+        pairs,
+        sh.withColumnRenamed("k", "ka").withColumnRenamed("sh", "sha"),
+        sh.withColumnRenamed("k", "kb").withColumnRenamed("sh", "shb"),
+        threshold,
     )
     pairs_out = verified.select(
         F.col("ka").alias("key_a"), F.col("kb").alias("key_b"), "jaccard"
