@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -794,16 +796,78 @@ def _l2(a: Column, b: Column) -> Column:
     )
 
 
-def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
-    """``array<int>`` of ``m`` code ids: per subspace, the L2-nearest
-    codebook entry (ties to the smaller id). 64-dim float32 (256 B)
-    becomes m=8 4-bit-range codes — a 32× (byte-packed; 8 B as a packed
-    bigint) memory cut, which is what makes a 10^11-vector index fit a
-    cluster's RAM at all."""
+def _pq_encode_rows(vectors, codebooks: list[list[list[float]]]):
+    """numpy twin of :func:`pq_encode` over a batch: (n, dim) float64 →
+    (n, m) int32 codes. Bit-exact to the native HOF fold: distances
+    accumulate dim-by-dim in the same left-to-right IEEE order, and
+    ``argmin`` takes the first minimum (= tie to the smaller code id).
+    Rows containing NaN fall back to an exact per-row replication of
+    Spark's NaN-sorts-last ordering (rare; keeps the twin bit-exact even
+    on poisoned vectors)."""
+    import numpy as np
+
+    n = vectors.shape[0]
+    m = len(codebooks)
     sub = len(codebooks[0][0])
-    codes = []
+    out = np.empty((n, m), dtype=np.int32)
     for j, cb in enumerate(codebooks):
-        sl = F.slice(vec, j * sub + 1, sub)
+        X = vectors[:, j * sub : (j + 1) * sub]
+        C = np.asarray(cb, dtype=np.float64)  # (k*, sub)
+        d = np.zeros((n, C.shape[0]), dtype=np.float64)
+        for i in range(sub):
+            t = X[:, i : i + 1] - C[None, :, i]
+            d += t * t
+        nan_rows = np.isnan(d).any(axis=1)
+        out[:, j] = np.argmin(d, axis=1)
+        if nan_rows.any():
+            for r in np.flatnonzero(nan_rows):
+                # Spark struct sort: NaN distance orders AFTER +inf
+                keys = [
+                    (bool(np.isnan(d[r, c])), d[r, c], c)
+                    for c in range(C.shape[0])
+                ]
+                out[r, j] = min(keys)[2]
+    return out
+
+
+def with_pq_codes(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "codes",
+) -> DataFrame:
+    """Arrow-batched PQ encode — the production path for 10^11-vector
+    corpora: interpreted HOF evaluation costs ~milliseconds per row at
+    m=8, k*=16 (128 lambda probes each building a zip_with array), while
+    the numpy batch form is microseconds. Values are bit-identical to
+    :func:`pq_encode` (see :func:`_pq_encode_rows`); the equivalence is
+    pinned by tests and the driver's hash-checked ``ann_pq`` row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def enc(s: pd.Series) -> pd.Series:
+        raw = s.to_numpy()
+        valid = [i for i, v in enumerate(raw) if v is not None]
+        vals: list = [None] * len(raw)
+        if valid:
+            V = np.array(
+                [np.asarray(raw[i], dtype=np.float64) for i in valid],
+                dtype=np.float64,
+            )
+            codes = _pq_encode_rows(V, codebooks)
+            for pos, i in enumerate(valid):
+                vals[i] = codes[pos]
+        return pd.Series(vals, index=s.index, dtype=object)
+
+    return df.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def _nearest_code(cb: list[list[float]]):
+    """Enclosing-scope factory (a default-arg lambda would become an
+    (element, index) lambda under ``transform``)."""
+
+    def code_of(sl: Column) -> Column:
         entries = [
             F.struct(
                 _l2(sl, F.array(*[F.lit(x) for x in c])).alias("d"),
@@ -811,8 +875,37 @@ def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
             )
             for ci, c in enumerate(cb)
         ]
-        codes.append(F.sort_array(F.array(*entries))[0]["c"])
-    return F.array(*codes)
+        return F.sort_array(F.array(*entries))[0]["c"]
+
+    return code_of
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """``array<int>`` of ``m`` code ids: per subspace, the L2-nearest
+    codebook entry (ties to the smaller id). 64-dim float32 (256 B)
+    becomes m=8 4-bit-range codes — a 32× (byte-packed; 8 B as a packed
+    bigint) memory cut, which is what makes a 10^11-vector index fit a
+    cluster's RAM at all.
+
+    Evaluation discipline: HOF bodies run interpreted (no codegen CSE),
+    so every shared subexpression is bound to a lambda VARIABLE via the
+    single-element ``transform`` device — the input vector evaluates
+    once (not once per subspace) and each subspace slice evaluates once
+    (not once per centroid probe)."""
+    sub = len(codebooks[0][0])
+
+    def enc(v: Column) -> Column:
+        codes = [
+            F.transform(
+                F.array(F.slice(v, j * sub + 1, sub)), _nearest_code(cb)
+            )[0]
+            for j, cb in enumerate(codebooks)
+        ]
+        # null vector → null codes (errors-as-data) — NOT code 0, which
+        # would silently pile every null into quantizer cell 0
+        return F.when(v.isNull(), F.lit(None)).otherwise(F.array(*codes))
+
+    return F.transform(F.array(vec), enc)[0]
 
 
 def ann_pq(
@@ -825,6 +918,7 @@ def ann_pq(
     k_star: int = 16,
     refine: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    encode: str = "arrow",
 ) -> DataFrame:
     """PQ-ADC approximate top-k: items are stored ONLY as ``m`` small
     code ids; each query scores candidates with the asymmetric distance
@@ -840,29 +934,75 @@ def ann_pq(
     cosine re-rank — the expensive column is read for ``k*r*|Q|`` rows,
     not the corpus. Output (query_id, rank, item_id, cos); ``cos`` is
     the ADC approximation unless refined."""
+    from ocr_spark.operators.cleaning import materialize
+
     if codebooks is None:
         codebooks = fit_pq_codebooks(items, key, vec_col, m, k_star)
     sub = len(codebooks[0][0])
-    it = items.select(
-        F.col(key).alias("item_id"),
-        pq_encode(as_double(F.col(vec_col)), codebooks).alias("codes"),
+    # codes behind a barrier: the ADC expression references the codes
+    # column once per subspace, and CollapseProject would otherwise
+    # inline (= re-run) the full 16-probe encode per reference. The
+    # Arrow encode (default) is the production path — bit-identical to
+    # the native HOF spec (with_pq_codes), ~50× cheaper per row — and
+    # its ArrowEvalPython node is itself the barrier.
+    base_it = items.select(
+        F.col(key).alias("item_id"), F.col(vec_col).alias("_v")
     )
-    qr = queries.select(
-        F.col(key).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qnorm", norm(F.col("qv")))
+    if encode == "arrow":
+        it = with_pq_codes(base_it, "_v", codebooks).drop("_v")
+    else:
+        it = materialize(
+            base_it, codes=pq_encode(as_double(F.col("_v")), codebooks)
+        ).drop("_v")
+    # query-side ADC lookup table (Jégou et al. §5.2): dot(q_j, centroid)
+    # for every (subspace, code) is computed ONCE per query row — a
+    # bounded broadcast dim — so scoring a pair is m array lookups and
+    # m-1 adds, with no per-pair dot products at all. Values are the
+    # exact dots the per-pair form would compute: bit-identical cos.
+    qv = as_double(F.col(vec_col))
+    qr = materialize(
+        queries.select(F.col(key).alias("query_id"), F.col(vec_col)),
+        qv=qv,
+        qnorm=norm(qv),
+    ).drop(vec_col)
+    qr = materialize(
+        qr,
+        lut=F.array(
+            *[
+                F.array(
+                    *[
+                        dot(
+                            F.slice(F.col("qv"), j * sub + 1, sub),
+                            F.array(*[F.lit(x) for x in c]),
+                        )
+                        for c in cb
+                    ]
+                )
+                for j, cb in enumerate(codebooks)
+            ]
+        ),
+    )
 
     pair = it.crossJoin(F.broadcast(qr)).filter(
         F.col("item_id") != F.col("query_id")
     )
+
+    def _sqnorm(c: list[float]) -> float:
+        # same sequential fold as dot(cvec, cvec): bit-identical doubles
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        return acc
+
     adc = F.lit(0.0)
     recon_sq = F.lit(0.0)
     for j, cb in enumerate(codebooks):
-        cbl = F.array(
-            *[F.array(*[F.lit(x) for x in c]) for c in cb]
-        )
-        cvec = F.element_at(cbl, F.element_at(F.col("codes"), j + 1) + 1)
-        adc = adc + dot(F.slice(F.col("qv"), j * sub + 1, sub), cvec)
-        recon_sq = recon_sq + dot(cvec, cvec)
+        code_j = F.element_at(F.col("codes"), j + 1) + 1
+        adc = adc + F.element_at(F.element_at(F.col("lut"), j + 1), code_j)
+        # reconstructed-norm contributions are pure codebook constants:
+        # look them up as plan literals instead of re-dotting per pair
+        recon_lit = F.array(*[F.lit(_sqnorm(c)) for c in cb])
+        recon_sq = recon_sq + F.element_at(recon_lit, code_j)
     scored = pair.withColumn(
         "cos", F.try_divide(adc, F.col("qnorm") * F.sqrt(recon_sq))
     ).filter(F.col("cos").isNotNull())

@@ -722,3 +722,39 @@ def test_fit_pq_codebooks_kmeans_improves_quantization(spark):
         df, q, "vec_id", "v", k=3, m=m, k_star=k_star, codebooks=km
     )
     assert out.groupBy("query_id").count().count() == 3
+
+
+def test_with_pq_codes_matches_native_encode(spark):
+    """The Arrow (numpy) encode is bit-identical to the native HOF spec,
+    including NaN-poisoned vectors (Spark sorts NaN distances last) and
+    null vectors (null codes through both paths)."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, [float("nan")] * 8))
+    rows.append((101, [0.0, float("nan")] + [1.0] * 6))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = df.unionByName(
+        spark.createDataFrame([(102, None)], df.schema)
+    )
+    cbs = similarity.fit_pq_codebooks(df, "vec_id", "embedding", m=2, k_star=4)
+    nat = {
+        r["vec_id"]: r["codes"]
+        for r in df.select(
+            "vec_id",
+            similarity.pq_encode(
+                similarity.as_double(F.col("embedding")), cbs
+            ).alias("codes"),
+        ).collect()
+    }
+    arr = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.with_pq_codes(df, "embedding", cbs).collect()
+    }
+    assert set(nat) == set(arr)
+    for k in nat:
+        assert (list(nat[k]) if nat[k] is not None else None) == (
+            list(arr[k]) if arr[k] is not None else None
+        ), (k, nat[k], arr[k])
+    assert arr[102] is None
