@@ -501,3 +501,30 @@ def test_hybrid_rrf_windows_run_on_dims_not_corpus(spark):
     )
     plan = _plan(hybrid_rrf(df, "spark join", top_n=10, top_k=5))
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_conversation_repair_single_conversation_keyed_exchange(spark):
+    """conversation_repair is gaps-and-islands + a two-stage ordered
+    concat in ONE exchange: hashpartitioning(conv_id) from the window
+    satisfies the (conv_id, run, bucket) groupBy's clustered
+    distribution, so the merge aggregations add no shuffle, and the
+    repaired index reuses the boundary running sum (no second window
+    spec — the two Window nodes stack on the same conv_id ordering with
+    no sort between them)."""
+    import re
+
+    from ocr_spark.operators.conversation import conversation_repair
+
+    df = spark.createDataFrame(
+        [(f"c{i%3}", i // 3, ["user", "assistant"][i % 2], f"t{i}")
+         for i in range(24)],
+        "conv_id string, turn_idx int, role string, clean_text string",
+    )
+    plan = _plan(conversation_repair(df))
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1, (exchanges, plan)
+    assert exchanges[0].startswith("conv_id"), (exchanges, plan)
+    # both Window nodes (lag boundary + running sum) share the conv_id
+    # spec — no other partitioning appears anywhere in the plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "conv_id" for s in specs), (specs, plan)
