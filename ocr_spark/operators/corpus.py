@@ -371,6 +371,143 @@ def lm_score(
     )
 
 
+def bigram_dim(
+    docs: DataFrame,
+    uni: DataFrame,
+    text_col: str = "text",
+    bigram_size: int = 1 << 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-trained bigram dim for Stupid Backoff scoring (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    smoothing scheme designed FOR distributed count-based LMs: no
+    normalization pass, so the dim is one combiner shuffle + a top-k).
+
+    Rows: the ``bigram_size`` most frequent in-vocab adjacent pairs
+    (ties by pair, deterministic) with the unnormalized backoff score
+    ``ln(c(w1,w2) / c(w1))`` in integer micro-nats. ``c(w1)`` comes from
+    the unigram dim ``uni`` (:func:`lm_dim` output), so only pairs whose
+    context is in-vocab are kept — everything else falls through to the
+    backoff path at score time. As with :func:`lm_dim`, rounding once
+    per DISTINCT pair (one IEEE div+log per dim row, integer everywhere
+    after) is what keeps per-doc scores engine-portable.
+
+    Scale: pair extraction is row-local (two array slices + zip, no
+    window over the corpus); the count is a partial-aggregable shuffle
+    on (w1, w2); the top-k compiles to TakeOrderedAndProject; the c(w1)
+    lookup joins the pair COUNTS (vocab²-bounded, pre-top-k it is
+    corpus-bigram-bounded) against the broadcast unigram dim."""
+    arr = X.tokens(F.col(text_col))
+    n = F.size(arr)
+    pairs_col = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    counts = (
+        docs.select(F.explode(pairs_col).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+    )
+    in_vocab = counts.join(
+        F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("n").alias("n1"))),
+        "w1",
+    )
+    top = in_vocab.orderBy(
+        F.col("n12").desc(), F.col("w1"), F.col("w2")
+    ).limit(bigram_size)
+    return top.select(
+        "w1",
+        "w2",
+        F.col("n12").cast("long").alias("n12"),
+        F.round(F.log(F.col("n12") / F.col("n1")) * scale)
+        .cast("long")
+        .alias("logs_c"),
+    )
+
+
+#: round(ln(0.4) * 1e6) — Stupid Backoff's fixed backoff penalty in
+#: micro-nats (the paper's α = 0.4)
+SB_BACKOFF_C = -916_291
+
+
+def sb_score(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_logp_c: int = -20_000_000,
+    backoff_c: int = SB_BACKOFF_C,
+) -> DataFrame:
+    """Per-doc mean Stupid Backoff score over adjacent token pairs
+    (micro-nats): pair (w1,w2) scores ``logs_c`` from the bigram dim if
+    present, else ``ln(0.4) + logp_uni(w2)`` (backoff), else the OOV
+    floor. The bigram upgrade over :func:`lm_score`: fluent word ORDER
+    now scores above a bag of frequent words, which is exactly what
+    separates template/boilerplate noise from prose at corpus scale.
+
+    Output: (id, n_pairs, n_bi, n_backoff, n_oov, sb_score_c) with
+    ``sb_score_c`` the integer floor-mean. Docs with < 2 tokens have no
+    pairs and score 0 with zeroed counters.
+
+    Scale: one row-local pair explode, two broadcast joins (both dims
+    are top-k-capped by construction), one doc-keyed combiner shuffle.
+    No window, no self-join."""
+    arr = X.tokens(F.col(text_col))
+    n = F.size(arr)
+    pairs_col = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    pairs = docs.select(
+        F.col(id_col), F.explode(pairs_col).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    j = pairs.join(
+        F.broadcast(bi.select("w1", "w2", "logs_c")), ["w1", "w2"], "left"
+    ).join(
+        F.broadcast(
+            uni.select(F.col("tok").alias("w2"), F.col("logp_c").alias("logp_u"))
+        ),
+        "w2",
+        "left",
+    )
+    score = F.coalesce(
+        F.col("logs_c"),
+        F.col("logp_u") + F.lit(backoff_c),
+        F.lit(oov_logp_c).cast("long"),
+    )
+    scored = j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("logs_c").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_bi"),
+        F.sum(
+            (F.col("logs_c").isNull() & F.col("logp_u").isNotNull()).cast("long")
+        )
+        .cast("long")
+        .alias("n_backoff"),
+        F.sum(
+            (F.col("logs_c").isNull() & F.col("logp_u").isNull()).cast("long")
+        )
+        .cast("long")
+        .alias("n_oov"),
+        F.floor(F.sum(score) / F.count("*")).cast("long").alias("sb_score_c"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[
+                F.coalesce(F.col(c), zero).alias(c)
+                for c in ("n_pairs", "n_bi", "n_backoff", "n_oov", "sb_score_c")
+            ],
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DSIR importance weighting (data selection)
 # --------------------------------------------------------------------------

@@ -126,6 +126,34 @@ def test_lm_quality(spark):
     assert got[0]["lm_score_c"] > got[2]["lm_score_c"]
 
 
+def test_sb_score_backoff_paths(spark):
+    rows = [
+        (0, "the cat sat the cat sat the cat"),  # seen bigrams
+        (1, "cat the sat"),                      # in-vocab but unseen order
+        (2, "zzz yyy"),                          # OOV pair
+        (3, "the"),                              # 1 token -> no pairs
+        (4, ""),                                 # empty -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = corpus.lm_dim(df, vocab_size=3)  # the/cat/sat
+    bi = corpus.bigram_dim(df, uni, bigram_size=3)
+    bi_rows = {(r["w1"], r["w2"]): r for r in bi.collect()}
+    # the three most frequent adjacent pairs, contexts all in-vocab
+    assert set(bi_rows) == {("the", "cat"), ("cat", "sat"), ("sat", "the")}
+    # c(the,cat)=3, c(the)=5 corpus-wide -> round(ln(3/5)*1e6)
+    assert bi_rows[("the", "cat")]["logs_c"] == -510826
+
+    got = {r["doc_id"]: r for r in corpus.sb_score(df, uni, bi).collect()}
+    assert got[0]["n_bi"] == got[0]["n_pairs"] and got[0]["n_oov"] == 0
+    # doc 1: pairs (cat,the),(the,sat) unseen -> all backoff, no OOV
+    assert got[1]["n_backoff"] == 2 and got[1]["n_bi"] == 0
+    assert got[2]["n_oov"] == 1 and got[2]["sb_score_c"] == -20_000_000
+    assert got[3]["n_pairs"] == 0 and got[3]["sb_score_c"] == 0
+    assert got[4]["n_pairs"] == 0
+    # fluent word ORDER beats the same bag reordered beats gibberish
+    assert got[0]["sb_score_c"] > got[1]["sb_score_c"] > got[2]["sb_score_c"]
+
+
 def test_url_extract_domain(spark):
     text = "see http://a.example.com/p/1 and https://b.org/x?q=2 done"
     df = spark.createDataFrame([(0, text)], "id int, text string")

@@ -503,6 +503,25 @@ def test_hybrid_rrf_windows_run_on_dims_not_corpus(spark):
     assert plan.count("TakeOrderedAndProject") >= 2, plan
 
 
+def test_sb_score_broadcast_dims_no_window(spark):
+    """Stupid Backoff scoring: both LM dims are top-k-capped, so the
+    score joins must be broadcasts; pair extraction is row-local
+    (no Window over the corpus); the dim fit itself compiles the top-k
+    to TakeOrderedAndProject, never a global sort."""
+    from ocr_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, f"the cat sat on mat {i%7}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    uni = corpus.lm_dim(df, vocab_size=8)
+    bi = corpus.bigram_dim(df, uni, bigram_size=16)
+    assert "TakeOrderedAndProject" in _plan(bi)
+    plan = _plan(corpus.sb_score(df, uni, bi))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Window" not in plan, plan
+
+
 def test_conversation_repair_single_conversation_keyed_exchange(spark):
     """conversation_repair is gaps-and-islands + a two-stage ordered
     concat in ONE exchange: hashpartitioning(conv_id) from the window
