@@ -1,0 +1,112 @@
+"""Key-distribution profiling — the diagnostic you run BEFORE picking a
+partitioning for a 10^12-turn job.
+
+Every skew mitigation in this repo (salted rollups, AQE skew-split,
+prefix-bucket rank devices, range-partitioned packing) presupposes you
+know WHICH key is skewed and how badly. ``key_profile`` answers that in
+one corpus pass over any set of candidate partition columns: per key it
+reports the top-k heaviest values with exact counts and ppm shares, the
+distinct-value count, and the total — enough to read off the max
+partition share a hash partitioning on that key would produce (the
+reference has no analog; this is the operational layer a cluster
+deployment of its per-doc pipeline needs, cf. the conv_id salting
+contract in BASELINE.md).
+
+Scale shape (the interesting part — a naive "top-k per group" window
+over ``(key_name)`` would funnel EVERY distinct value of one key into a
+single task, which for a high-cardinality key is itself the skew we came
+to diagnose):
+
+1. stack the candidate columns row-locally (explode of a literal-sized
+   struct array — no shuffle, one pass, column-pruned to the candidates);
+2. count per (key_name, value) — ONE partial-aggregable shuffle, the
+   only corpus-sized exchange in the plan;
+3. per-key totals/distincts reduce the counts (combiner-friendly);
+4. top-k in two stages: a row_number window over ``(key_name, salt)``
+   where ``salt = xxhash64(value) % n_salts`` keeps every task bounded
+   (a value's count rows are already unique, so salting by VALUE hash
+   splits the candidate set, not a value's rows), then a second window
+   over ``key_name`` on the surviving ``n_salts·k`` rows — bounded by
+   construction, same two-stage device as ``global_shuffle_rank``.
+
+Shares are integer ppm (floor(n·10^6 / total)): one IEEE division per
+emitted row on both engines — the established oracle-portable form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_profile(
+    df: DataFrame,
+    key_cols: dict[str, Column] | list[str],
+    top_k: int = 10,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Profile candidate partition keys: for each key, the ``top_k``
+    heaviest values with exact counts + ppm share, plus per-key totals.
+
+    ``key_cols``: column names, or a {key_name: expression} dict so
+    derived keys (buckets, prefixes) can be profiled alongside raw
+    columns. Values are profiled as strings; NULL profiles as the
+    literal '∅' (a real partition a hash partitioner must place).
+
+    Output: (key_name, rank, key_value, n, share_ppm, total_rows,
+    n_distinct), rank 1..top_k per key, ties broken by value asc —
+    deterministic at any parallelism.
+    """
+    if not isinstance(key_cols, dict):
+        key_cols = {c: F.col(c) for c in key_cols}
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("key_name"),
+                        F.coalesce(expr.cast("string"), F.lit("∅")).alias(
+                            "key_value"
+                        ),
+                    )
+                    for name, expr in key_cols.items()
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.key_name", "kv.key_value")
+    counts = stacked.groupBy("key_name", "key_value").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_key = counts.groupBy("key_name").agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    salted = counts.withColumn(
+        "_salt", F.pmod(F.xxhash64("key_value"), F.lit(n_salts))
+    )
+    w_local = Window.partitionBy("key_name", "_salt").orderBy(
+        F.col("n").desc(), F.col("key_value")
+    )
+    survivors = (
+        salted.withColumn("_r", F.row_number().over(w_local))
+        .where(F.col("_r") <= top_k)
+        .drop("_r", "_salt")
+    )
+    w_global = Window.partitionBy("key_name").orderBy(
+        F.col("n").desc(), F.col("key_value")
+    )
+    top = (
+        survivors.withColumn("rank", F.row_number().over(w_global))
+        .where(F.col("rank") <= top_k)
+    )
+    return top.join(F.broadcast(per_key), "key_name").select(
+        "key_name",
+        F.col("rank").cast("int").alias("rank"),
+        "key_value",
+        "n",
+        F.floor(F.col("n") * F.lit(1_000_000) / F.col("total_rows"))
+        .cast("long")
+        .alias("share_ppm"),
+        "total_rows",
+        "n_distinct",
+    )

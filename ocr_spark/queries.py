@@ -4331,6 +4331,60 @@ from agg
 """
 
 
+def q_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew profile over candidate keys (two raw columns
+    + one derived bucket): top-10 heaviest values per key with exact
+    counts and ppm shares — the pre-flight diagnostic for choosing a
+    10^12-row partitioning."""
+    from ocr_spark.operators import profiling
+
+    docs = _docs(spark, sf_dir)
+    return profiling.key_profile(
+        docs,
+        {
+            "lang": F.col("lang"),
+            "source": F.col("source"),
+            "len_bucket": F.floor(F.col("n_chars") / 200),
+        },
+        top_k=10,
+    )
+
+
+def _sql_key_profile() -> str:
+    return """
+with stacked as (
+  select 'lang' as key_name,
+    coalesce(cast(lang as varchar), '∅') as key_value from documents
+  union all
+  select 'source', coalesce(cast(source as varchar), '∅') from documents
+  union all
+  select 'len_bucket',
+    coalesce(cast(cast(floor(n_chars / 200) as bigint) as varchar), '∅')
+  from documents
+),
+counts as (
+  select key_name, key_value, cast(count(*) as bigint) as n
+  from stacked group by 1, 2
+),
+per_key as (
+  select key_name, cast(sum(n) as bigint) as total_rows,
+    cast(count(*) as bigint) as n_distinct
+  from counts group by 1
+),
+top as (
+  select key_name, key_value, n,
+    row_number() over (partition by key_name
+                       order by n desc, key_value) as rank
+  from counts
+)
+select t.key_name, cast(rank as int) as rank, key_value, n,
+  cast(floor(n * 1000000 / total_rows) as bigint) as share_ppm,
+  total_rows, n_distinct
+from top t join per_key using (key_name)
+where rank <= 10
+"""
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-10 terms by frequency — corpus profiling; the rank
     window runs over the vocab-bounded term-count dim, never the corpus
@@ -4398,7 +4452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": q_split_leakage,
     "turn_quality": q_turn_quality,
     "top_terms": q_top_terms,
-    "clean_ratios": q_clean_ratios,
+    "key_profile": q_key_profile,
     "lm_bigram": q_lm_bigram,
     "source_percentiles": q_source_percentiles,
     "kw_statistics": q_kw_statistics,
@@ -4423,6 +4477,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_bins_ranged": q_pack_bins_ranged,
     "token_counts_bpe": q_token_counts_bpe,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # clean_ratios: green r3; plans/pipeline.py is untouched in round 4
+    # (git diff d97f054..HEAD does not list it) and the sidecar ratio
+    # projection it tests has no r4-changed dependency
+    "clean_ratios": q_clean_ratios,
     # quality: green r3; operators/quality.py is untouched in round 4
     # (git diff d97f054..HEAD does not list it) and its wer_join AQE
     # contract stays plan-tested in tests/test_scale.py
@@ -4596,6 +4654,7 @@ from corpus group by 1
         "contamination": _sql_contamination(),
         "lm_quality": _sql_lm_quality(),
         "lm_bigram": _sql_lm_bigram(),
+        "key_profile": _sql_key_profile(),
         "url_domains": _sql_url_domains(),
         "sample_stratified": _sql_sample_stratified(),
         "shuffle_rank": SQL_SHUFFLE_RANK,

@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.profiling import key_profile
+
+
+def test_key_profile_counts_shares_nulls(spark):
+    # 60 rows: lang 'en'×40 'ro'×19 NULL×1; user_id uniform-ish
+    rows = [
+        (i, "en" if i < 40 else ("ro" if i < 59 else None), i % 6)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, bucket int")
+    prof = key_profile(df, ["lang", "bucket"], top_k=2).collect()
+    by = {(r["key_name"], r["rank"]): r for r in prof}
+    assert len(prof) == 4  # top-2 per key
+    top_lang = by[("lang", 1)]
+    assert top_lang["key_value"] == "en" and top_lang["n"] == 40
+    assert top_lang["share_ppm"] == 666_666  # floor(40e6/60)
+    assert top_lang["total_rows"] == 60 and top_lang["n_distinct"] == 3
+    assert by[("lang", 2)]["key_value"] == "ro"
+    # NULL is profiled as a real value, counted in n_distinct
+    assert top_lang["n_distinct"] == 3
+    # uniform key: rank-1 ties broken by value asc, deterministic
+    b1 = by[("bucket", 1)]
+    assert b1["n"] == 10 and b1["key_value"] == "0"
+
+
+def test_key_profile_null_can_be_the_heavy_hitter(spark):
+    df = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else f"v{i}") for i in range(20)],
+        "id long, k string",
+    )
+    top = key_profile(df, ["k"], top_k=1).collect()[0]
+    assert top["key_value"] == "∅" and top["n"] == 10
+
+
+def test_key_profile_derived_key_exprs(spark):
+    df = spark.createDataFrame(
+        [(i, i * 100) for i in range(30)], "id long, n_chars long"
+    )
+    prof = key_profile(
+        df, {"len_bucket": F.floor(F.col("n_chars") / 1000)}, top_k=1
+    ).collect()
+    assert prof[0]["key_name"] == "len_bucket"
+    assert prof[0]["n"] == 10  # buckets 0,1,2 with 10 each; tie -> "0"
+    assert prof[0]["key_value"] == "0"

@@ -503,6 +503,28 @@ def test_hybrid_rrf_windows_run_on_dims_not_corpus(spark):
     assert plan.count("TakeOrderedAndProject") >= 2, plan
 
 
+def test_key_profile_salted_topk_bounded_windows(spark):
+    """key_profile's top-k must never window over bare (key_name) on the
+    corpus-sized counts — that funnels every distinct value of one key
+    into a single task. The plan must show the salted local stage
+    (window partitioned by key_name + salt) feeding the global stage,
+    and the per-key totals join as a broadcast."""
+    import re
+
+    from ocr_spark.operators.profiling import key_profile
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 5}") for i in range(64)], "id long, k string"
+    )
+    plan = _plan(key_profile(df, ["k"], top_k=3))
+    parts = re.findall(
+        r"Exchange hashpartitioning\((\w+)#\d+(?:, (\w+)#\d+)?", plan
+    )
+    # at least one exchange carries the salt alongside key_name
+    assert any(p == ("key_name", "_salt") for p in parts), (parts, plan)
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_sb_score_broadcast_dims_no_window(spark):
     """Stupid Backoff scoring: both LM dims are top-k-capped, so the
     score joins must be broadcasts; pair extraction is row-local
