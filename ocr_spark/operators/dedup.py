@@ -413,6 +413,141 @@ def minhash_lsh_incremental(
     return pairs_out, counters, new_idx
 
 
+# --------------------------------------------------------------------------
+# Bloom-filter pre-screen for incremental exact dedup
+# --------------------------------------------------------------------------
+
+
+def bloom_dim(
+    index_fps: DataFrame,
+    fp_col: str = "fingerprint",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build the sparse Bloom dim over committed fingerprints:
+    ``(word_idx:long, bits:long)`` with ≤ ``m_bits/32`` rows regardless
+    of corpus size — ALWAYS broadcastable, the whole point.
+
+    At 10¹² turns the committed fingerprint set is itself ~10 TB; the
+    incremental-exact-dedup join (batch ⋈ committed keys) therefore
+    shuffles the committed side every batch unless it is bucketed at
+    rest. The Bloom dim removes most of that cost for the common case:
+    a batch row whose ``k_hashes`` bits are not ALL set is DEFINITELY
+    new (Bloom has no false negatives) and skips the index join
+    entirely; only the positive sliver (true dups + the
+    false-positive rate set by m/n) pays for the exact lookup.
+
+    Positions are md5-derived (``conv(substr(md5(fp || '#' || i)))``),
+    so an oracle engine reproduces the exact same filter bit-for-bit —
+    no impl-defined hash seeds. One row-local explode + one combiner
+    ``bit_or`` shuffle on ``word_idx``; nothing here scales with the
+    corpus except the input scan."""
+    pos_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col(fp_col), F.lit("#"), F.lit(str(i))
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % m_bits
+                ).alias("pos"),
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    return (
+        index_fps.select(F.explode(pos_structs).alias("p"))
+        .select(
+            F.floor(F.col("p.pos") / 32).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(p.pos % 32 as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_prescreen(
+    batch: DataFrame,
+    bloom: DataFrame,
+    key: str,
+    fp_col: str = "fingerprint",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Classify each batch row against the Bloom dim:
+    ``(key, fingerprint, bloom_positive)``. ``bloom_positive = false``
+    is a guarantee (definitely not in the committed set); ``true`` means
+    "check the real index". Parameters must match the build.
+
+    One row-local explode to ``k_hashes`` probe rows, one BROADCAST join
+    on ``word_idx`` (the dim is capped at m/32 rows), one combiner
+    count-the-hits rollup back to row grain — O(batch), zero passes over
+    the committed corpus."""
+    probes = batch.select(
+        F.col(key).alias("k"), F.col(fp_col).alias("fp")
+    ).select(
+        "k",
+        "fp",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(k_hashes)])
+        ).alias("i"),
+    )
+    probes = probes.select(
+        "k",
+        "fp",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("fp"), F.lit("#"), F.col("i").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        ).alias("pos"),
+    ).select(
+        "k",
+        "fp",
+        F.floor(F.col("pos") / 32).cast("long").alias("word_idx"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
+        ).alias("mask"),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    ).cast("long")
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("k", "fp")
+        .agg((F.sum(hit) == F.lit(k_hashes)).alias("bloom_positive"))
+        .select(
+            F.col("k").alias(key),
+            F.col("fp").alias(fp_col),
+            "bloom_positive",
+        )
+    )
+
+
 def minhash_lsh_with_counters(
     df: DataFrame,
     key: str,

@@ -1234,6 +1234,105 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom pre-screen geometry for the driver row: small enough that the
+#: sf0.01 committed set drives a real (~5%) false-positive rate, so the
+#: FP-accounting path is exercised, not just the trivial all-negative one
+BLOOM_M_BITS = 1024
+BLOOM_K = 4
+
+
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for incremental exact dedup: committed
+    fingerprints (doc_id%3==0) build the m=1024/k=4 dim; every batch row
+    (doc_id%3!=0) is classified bloom_positive/in_index/false_positive.
+    Batch fingerprints are md5(doc_id) except doc_id%7==1 rows, which
+    take md5(doc_id-1) — so batch rows with doc_id≡1 (mod 21) are true
+    cross-set duplicates, most rows are genuinely new (the filter's
+    "skip the index join" majority), and the m=1024 geometry yields a
+    nonzero false-positive sliver. The hash row proves the
+    no-false-negative guarantee: any in_index row with
+    bloom_positive=false would flip the value hash."""
+    from ocr_spark.operators.dedup import bloom_dim, bloom_prescreen
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    committed = (
+        docs.filter(d % 3 == 0)
+        .select(F.md5(d.cast("string")).alias("fingerprint"))
+        .distinct()
+    )
+    batch = docs.filter(d % 3 != 0).select(
+        "doc_id",
+        F.md5(
+            (d - F.when(d % 7 == 1, 1).otherwise(0)).cast("string")
+        ).alias("fingerprint"),
+    )
+    bloom = bloom_dim(committed, m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K)
+    scr = bloom_prescreen(
+        batch, bloom, "doc_id", m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K
+    )
+    return scr.join(
+        F.broadcast(committed.withColumn("_in", F.lit(True))),
+        "fingerprint",
+        "left",
+    ).select(
+        "doc_id",
+        "fingerprint",
+        "bloom_positive",
+        F.coalesce(F.col("_in"), F.lit(False)).alias("in_index"),
+        (F.col("bloom_positive") & F.coalesce(~F.col("_in"), F.lit(True)))
+        .alias("false_positive"),
+    )
+
+
+def _sql_dedup_bloom() -> str:
+    m, k = BLOOM_M_BITS, BLOOM_K
+    return f"""
+with committed as (
+  select distinct md5(cast(doc_id as varchar)) as fp
+  from documents where doc_id % 3 = 0
+),
+batch as (
+  select doc_id,
+    md5(cast(doc_id - (case when doc_id % 7 = 1 then 1 else 0 end)
+             as varchar)) as fp
+  from documents where doc_id % 3 <> 0
+),
+idx_pos as (
+  select cast(concat('0x',
+      substr(md5(c.fp || '#' || cast(u.i as varchar)), 1, 8)) as bigint)
+    % {m} as pos
+  from committed c cross join generate_series(0, {k - 1}) as u(i)
+),
+bloom as (
+  select pos // 32 as word_idx,
+    bit_or(1::bigint << cast(pos % 32 as int)) as bits
+  from idx_pos group by 1
+),
+probes as (
+  select b.doc_id, b.fp, p.pos // 32 as word_idx,
+    1::bigint << cast(p.pos % 32 as int) as mask
+  from batch b cross join generate_series(0, {k - 1}) as u(i)
+  cross join lateral (
+    select cast(concat('0x',
+        substr(md5(b.fp || '#' || cast(u.i as varchar)), 1, 8)) as bigint)
+      % {m} as pos
+  ) p
+),
+scr as (
+  select pr.doc_id, pr.fp,
+    (sum(case when coalesce(bl.bits, 0) & pr.mask = pr.mask
+          then 1 else 0 end) = {k}) as bloom_positive
+  from probes pr left join bloom bl using (word_idx)
+  group by 1, 2
+)
+select s.doc_id, s.fp as fingerprint, s.bloom_positive,
+  (c.fp is not null) as in_index,
+  (s.bloom_positive and c.fp is null) as false_positive
+from scr s left join committed c on s.fp = c.fp
+"""
+
+
 def q_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dropped-bucket counters for the capped MinHash LSH (errors-as-data:
     the cap must report what it removed, not drop silently). max_bucket=3
@@ -4454,7 +4553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms": q_top_terms,
     "key_profile": q_key_profile,
     "lm_bigram": q_lm_bigram,
-    "source_percentiles": q_source_percentiles,
+    "dedup_bloom": q_dedup_bloom,
     "kw_statistics": q_kw_statistics,
     "dedup_minhash": q_dedup_minhash,
     "dedup_dropped": q_dedup_dropped,
@@ -4477,6 +4576,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_bins_ranged": q_pack_bins_ranged,
     "token_counts_bpe": q_token_counts_bpe,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # source_percentiles: green r3; the exact-quantile query and its SQL
+    # twin are defined wholly in this file and unchanged in round 4 (the
+    # r4 percentile diff only ADDED the _approx variant — git diff
+    # d97f054..HEAD touches no q_source_percentiles line) and the approx
+    # twin stays in the window
+    "source_percentiles": q_source_percentiles,
     # clean_ratios: green r3; plans/pipeline.py is untouched in round 4
     # (git diff d97f054..HEAD does not list it) and the sidecar ratio
     # projection it tests has no r4-changed dependency
@@ -4655,6 +4760,7 @@ from corpus group by 1
         "lm_quality": _sql_lm_quality(),
         "lm_bigram": _sql_lm_bigram(),
         "key_profile": _sql_key_profile(),
+        "dedup_bloom": _sql_dedup_bloom(),
         "url_domains": _sql_url_domains(),
         "sample_stratified": _sql_sample_stratified(),
         "shuffle_rank": SQL_SHUFFLE_RANK,

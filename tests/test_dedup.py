@@ -3,6 +3,49 @@ injected duplicates must actually be found, LSH candidates must be sound."""
 
 from __future__ import annotations
 
+
+def test_bloom_prescreen_no_false_negatives_and_fp_accounting(spark):
+    from ocr_spark.operators.dedup import bloom_dim, bloom_prescreen
+
+    committed = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(200)], "fingerprint string"
+    )
+    # batch: 50 known dups + 500 fresh fingerprints
+    batch = spark.createDataFrame(
+        [(i, f"fp{i}") for i in range(50)]
+        + [(1000 + i, f"new{i}") for i in range(500)],
+        "doc_id long, fingerprint string",
+    )
+    bloom = bloom_dim(committed, m_bits=2048, k_hashes=4)
+    # the dim is bounded by geometry, not corpus size
+    assert bloom.count() <= 2048 // 32
+    scr = {
+        r["doc_id"]: r["bloom_positive"]
+        for r in bloom_prescreen(
+            batch, bloom, "doc_id", m_bits=2048, k_hashes=4
+        ).collect()
+    }
+    # Bloom guarantee: every committed fingerprint screens positive
+    assert all(scr[i] for i in range(50))
+    # tight geometry (2048 bits / 200 keys / k=4) -> some false
+    # positives, but far fewer than the fresh majority
+    n_fp = sum(scr[1000 + i] for i in range(500))
+    assert 0 < n_fp < 100
+
+
+def test_bloom_prescreen_word_boundary_bits(spark):
+    """Masks are 32-bit-word-local: bit 31 of a word must not leak into
+    the neighbouring word or go negative (sign-free contract)."""
+    from ocr_spark.operators.dedup import bloom_dim
+
+    committed = spark.createDataFrame(
+        [(f"x{i}",) for i in range(64)], "fingerprint string"
+    )
+    rows = bloom_dim(committed, m_bits=64, k_hashes=2).collect()
+    assert {r["word_idx"] for r in rows} <= {0, 1}
+    for r in rows:
+        assert 0 < r["bits"] <= 0xFFFFFFFF
+
 import pytest
 from pyspark.sql import functions as F
 

@@ -503,6 +503,26 @@ def test_hybrid_rrf_windows_run_on_dims_not_corpus(spark):
     assert plan.count("TakeOrderedAndProject") >= 2, plan
 
 
+def test_bloom_prescreen_broadcast_dim_no_corpus_join(spark):
+    """The whole point of the pre-screen: the batch side must join the
+    geometry-bounded Bloom dim as a BROADCAST (never shuffle the batch
+    against the committed corpus), and the probe expansion is a
+    row-local Generate."""
+    from ocr_spark.operators.dedup import bloom_dim, bloom_prescreen
+
+    committed = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(64)], "fingerprint string"
+    )
+    batch = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(64)], "doc_id long, fingerprint string"
+    )
+    bloom = bloom_dim(committed, m_bits=1024, k_hashes=4)
+    plan = _plan(bloom_prescreen(batch, bloom, "doc_id"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
 def test_key_profile_salted_topk_bounded_windows(spark):
     """key_profile's top-k must never window over bare (key_name) on the
     corpus-sized counts — that funnels every distinct value of one key
