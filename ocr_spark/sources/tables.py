@@ -112,7 +112,52 @@ def write_results(df: DataFrame, path: str, fmt: str = "auto") -> None:
     df.write.mode("append").parquet(path)
 
 
-def read_results_committed(spark: SparkSession, results_path: str) -> DataFrame:
+def _committed_batches(spark: SparkSession, results_path: str) -> list[tuple[int, str]]:
+    """Driver-side listing of committed batch dirs → [(batch_id, uri)],
+    sorted. One RPC per batch dir, O(batches) not O(files)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(results_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(results_path)
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("batch_id=")
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        ):
+            out.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+    return sorted(out)
+
+
+def snapshot_log(spark: SparkSession, results_path: str) -> DataFrame:
+    """The Iceberg ``snapshots`` metadata-table analog over the
+    plain-parquet sink: one row per COMMITTED batch —
+    ``(batch_id, n_files, bytes)`` — so operators can audit what a
+    time-travel read (:func:`read_results_committed` ``as_of_batch``)
+    would see, monitor per-commit volume, and pick compaction targets.
+    Driver-side listing only; the data files are never opened."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(results_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    rows = []
+    for bid, uri in _committed_batches(spark, results_path):
+        n_files = n_bytes = 0
+        for f in fs.listStatus(jvm.org.apache.hadoop.fs.Path(uri)):
+            if f.isFile() and not f.getPath().getName().startswith("_"):
+                n_files += 1
+                n_bytes += f.getLen()
+        rows.append((bid, n_files, n_bytes))
+    return spark.createDataFrame(
+        rows, "batch_id long, n_files long, bytes long"
+    )
+
+
+def read_results_committed(
+    spark: SparkSession, results_path: str, as_of_batch: int | None = None
+) -> DataFrame:
     """Snapshot-consistent read over the streaming sink's per-batch
     partition layout (``results_path/batch_id=N/``): include only batch
     directories carrying Spark's ``_SUCCESS`` commit marker.
@@ -124,23 +169,23 @@ def read_results_committed(spark: SparkSession, results_path: str) -> DataFrame:
     never see — no partial batch is ever visible. Listing goes through
     the Hadoop FileSystem API, so any scheme (file/hdfs/s3a) works; the
     listing is one RPC per batch dir, driver-side, O(batches) not O(files).
-    """
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(results_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        raise FileNotFoundError(results_path)
-    committed = []
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if (
-            st.isDirectory()
-            and name.startswith("batch_id=")
-            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
-        ):
-            committed.append(st.getPath().toString())
+
+    ``as_of_batch`` is the time-travel half (Iceberg's
+    ``VERSION AS OF``): include only batches with ``batch_id <= N`` —
+    the table exactly as it stood after commit N, reproducible forever
+    because committed batch dirs are immutable (replays overwrite only
+    their own partition). Raises if no committed batch is visible at
+    that snapshot."""
+    committed = [
+        uri
+        for bid, uri in _committed_batches(spark, results_path)
+        if as_of_batch is None or bid <= as_of_batch
+    ]
     if not committed:
-        raise FileNotFoundError(f"no committed batches under {results_path}")
+        raise FileNotFoundError(
+            f"no committed batches under {results_path}"
+            + (f" as of batch {as_of_batch}" if as_of_batch is not None else "")
+        )
     return spark.read.option("basePath", results_path).parquet(*committed)
 
 

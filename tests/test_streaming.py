@@ -290,6 +290,37 @@ def test_committed_snapshot_read(spark, vocab, transcripts_pdf, tmp_path):
     assert read_results_committed(spark, results).count() == n
 
 
+def test_time_travel_read_and_snapshot_log(spark, tmp_path):
+    """as_of_batch reads the table exactly as it stood after commit N
+    (Iceberg VERSION AS OF analog); snapshot_log reports one row per
+    committed batch; an uncommitted dir appears in neither."""
+    import pandas as pd
+    import pytest
+
+    from ocr_spark.sources.tables import read_results_committed, snapshot_log
+
+    results = str(tmp_path / "out")
+    for bid, n in [(0, 3), (1, 5), (2, 7)]:
+        spark.createDataFrame(
+            [(bid * 100 + i,) for i in range(n)], "row_id long"
+        ).coalesce(1).write.parquet(results + f"/batch_id={bid}")
+    # crash mid-write: data, no _SUCCESS marker
+    partial = os.path.join(results, "batch_id=3")
+    os.makedirs(partial)
+    pd.DataFrame({"row_id": [999]}).to_parquet(partial + "/part-0.parquet")
+
+    assert read_results_committed(spark, results).count() == 15
+    assert read_results_committed(spark, results, as_of_batch=1).count() == 8
+    assert read_results_committed(spark, results, as_of_batch=0).count() == 3
+    # snapshot older than the first commit -> loud failure, not empty
+    with pytest.raises(FileNotFoundError):
+        read_results_committed(spark, results, as_of_batch=-1)
+
+    log = {r["batch_id"]: r for r in snapshot_log(spark, results).collect()}
+    assert set(log) == {0, 1, 2}  # the torn batch 3 is not a snapshot
+    assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in log.values())
+
+
 def test_streaming_incremental_dedup(spark, transcripts_pdf, tmp_path):
     """Per-micro-batch dedup against the committed signature index:
     wave 2 is never compared by re-signing wave 1 — it joins wave 1's
