@@ -154,6 +154,71 @@ def test_sb_score_backoff_paths(spark):
     assert got[0]["sb_score_c"] > got[1]["sb_score_c"] > got[2]["sb_score_c"]
 
 
+def test_sb_score_matches_python_twin_on_seeded_corpora(spark):
+    """Full-semantics parity of the Stupid Backoff pipeline (dim fits +
+    scoring, incl. top-k tie-breaks and the three score paths) against
+    an independent pure-Python twin on seeded random corpora."""
+    import math
+    import random
+    import re
+
+    def py_sb(rows, vocab_size, bigram_size, oov=-20_000_000, bo=-916_291):
+        # frozen tokenizer twin: maximal runs of word chars, lowered
+        toks = {i: re.findall(r"\w+", t.lower()) for i, t in rows}
+        uni: dict = {}
+        for ts in toks.values():
+            for w in ts:
+                uni[w] = uni.get(w, 0) + 1
+        top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+        tot = float(sum(n for _, n in top))
+        udim = {w: (n, round(math.log(n / tot) * 1e6)) for w, n in top}
+        bi: dict = {}
+        for ts in toks.values():
+            for a, b in zip(ts, ts[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        inv = [(p, n) for p, n in bi.items() if p[0] in udim]
+        btop = sorted(inv, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        bdim = {
+            p: round(math.log(n / udim[p[0]][0]) * 1e6)
+            for p, n in btop[:bigram_size]
+        }
+        out = {}
+        for i, ts in toks.items():
+            pairs = list(zip(ts, ts[1:]))
+            if not pairs:
+                out[i] = (0, 0, 0, 0, 0)
+                continue
+            s = nb = nbk = no = 0
+            for p in pairs:
+                if p in bdim:
+                    s += bdim[p]; nb += 1
+                elif p[1] in udim:
+                    s += udim[p[1]][1] + bo; nbk += 1
+                else:
+                    s += oov; no += 1
+            out[i] = (len(pairs), nb, nbk, no, s // len(pairs))
+        return out
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(30)]
+    for trial in range(3):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uni = corpus.lm_dim(df, vocab_size=12)
+        bi = corpus.bigram_dim(df, uni, bigram_size=20)
+        got = {
+            r["doc_id"]: (
+                r["n_pairs"], r["n_bi"], r["n_backoff"], r["n_oov"],
+                r["sb_score_c"],
+            )
+            for r in corpus.sb_score(df, uni, bi).collect()
+        }
+        assert got == py_sb(rows, 12, 20), f"trial {trial}"
+
+
 def test_url_extract_domain(spark):
     text = "see http://a.example.com/p/1 and https://b.org/x?q=2 done"
     df = spark.createDataFrame([(0, text)], "id int, text string")
