@@ -309,7 +309,7 @@ def worker_ann(cpus: int, inp: str) -> None:
     pq_fit_s = time.time() - t0
     t0 = time.time()
     pq = topk_sets(
-        ann_pq(emb, queries, "k", "emb", k=10, m=8, k_star=16, refine=16,
+        ann_pq(emb, queries, "k", "emb", k=10, m=8, k_star=16, refine=64,
                codebooks=books)
     )
     pq_s = time.time() - t0
@@ -343,7 +343,7 @@ def worker_ann(cpus: int, inp: str) -> None:
                     "fit_sec": round(pq_fit_s, 1),
                     "bytes_per_vector": 4,
                     # exact-rerank budget: refine*k rows read full vectors
-                    "exact_candidates_per_query": 16 * 10,
+                    "exact_candidates_per_query": 64 * 10,
                 },
                 "ivf": {
                     "recall_at_10": recall(ivf),
