@@ -189,6 +189,42 @@ def read_results_committed(
     return spark.read.option("basePath", results_path).parquet(*committed)
 
 
+def read_results_incremental(
+    spark: SparkSession,
+    results_path: str,
+    from_batch: int,
+    to_batch: int | None = None,
+) -> DataFrame:
+    """Iceberg incremental-scan analog (``incremental-from-snapshot``):
+    the rows appended AFTER commit ``from_batch`` up to and including
+    ``to_batch`` (latest committed if None) — i.e. the CDC diff between
+    two snapshots of the append-only sink.
+
+    Because committed batch dirs are immutable and replays overwrite
+    only their own partition (the :func:`read_results_committed`
+    contract), the diff IS the set of batch directories in
+    ``(from_batch, to_batch]`` — so this reads ONLY those dirs:
+    O(new data), one driver-side listing RPC per batch dir, never a
+    two-snapshot ``exceptAll`` that would shuffle both full snapshots
+    (at 10^12 rows the anti-join form is a non-starter; the partition
+    layout already knows the answer). Downstream consumers (index
+    refresh, incremental dedup, metric rollups) re-process exactly the
+    new rows. Raises if the range contains no committed batch — an
+    empty diff is indistinguishable from a wrong path/range, so it
+    surfaces loudly."""
+    committed = [
+        uri
+        for bid, uri in _committed_batches(spark, results_path)
+        if bid > from_batch and (to_batch is None or bid <= to_batch)
+    ]
+    if not committed:
+        raise FileNotFoundError(
+            f"no committed batches under {results_path} in "
+            f"({from_batch}, {to_batch if to_batch is not None else 'latest'}]"
+        )
+    return spark.read.option("basePath", results_path).parquet(*committed)
+
+
 def write_text(df: DataFrame, path: str, text_col: str = "clean_text") -> None:
     """S5: dump extracted text (ocr_service.py:148-151 analog)."""
     df.select(F.col(text_col)).write.mode("overwrite").text(path)

@@ -321,6 +321,41 @@ def test_time_travel_read_and_snapshot_log(spark, tmp_path):
     assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in log.values())
 
 
+def test_incremental_read_is_the_snapshot_diff(spark, tmp_path):
+    """read_results_incremental(from, to) returns exactly the rows of
+    committed batches in (from, to] — the CDC diff between two
+    snapshots, computed from the partition layout alone (no exceptAll
+    over full snapshots); a torn batch inside the range is invisible."""
+    import pandas as pd
+    import pytest
+
+    from ocr_spark.sources.tables import (
+        read_results_committed,
+        read_results_incremental,
+    )
+
+    results = str(tmp_path / "out")
+    for bid, n in [(0, 3), (1, 5), (3, 7)]:
+        spark.createDataFrame(
+            [(bid * 100 + i,) for i in range(n)], "row_id long"
+        ).coalesce(1).write.parquet(results + f"/batch_id={bid}")
+    partial = os.path.join(results, "batch_id=2")  # torn, inside the range
+    os.makedirs(partial)
+    pd.DataFrame({"row_id": [999]}).to_parquet(partial + "/part-0.parquet")
+
+    inc = read_results_incremental(spark, results, from_batch=0, to_batch=3)
+    got = sorted(r["row_id"] for r in inc.collect())
+    assert got == sorted([100 + i for i in range(5)] + [300 + i for i in range(7)])
+    # diff identity: snapshot(to) == snapshot(from) ∪ incremental(from, to]
+    v0 = read_results_committed(spark, results, as_of_batch=0).count()
+    v3 = read_results_committed(spark, results, as_of_batch=3).count()
+    assert v0 + inc.count() == v3
+    # open-ended upper bound = "everything since from"
+    assert read_results_incremental(spark, results, from_batch=1).count() == 7
+    with pytest.raises(FileNotFoundError):  # empty range surfaces loudly
+        read_results_incremental(spark, results, from_batch=3)
+
+
 def test_streaming_incremental_dedup(spark, transcripts_pdf, tmp_path):
     """Per-micro-batch dedup against the committed signature index:
     wave 2 is never compared by re-signing wave 1 — it joins wave 1's
