@@ -589,3 +589,41 @@ def test_conversation_repair_single_conversation_keyed_exchange(spark):
     # spec — no other partitioning appears anywhere in the plan
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and all(s == "conv_id" for s in specs), (specs, plan)
+
+
+def test_sft_bpe_budget_adds_no_exchange(spark):
+    """Swapping sft_pairs' budget tokenizer to the real frozen-BPE count
+    changes no plan shape: the piece count is row-local (InSet-chain
+    aggregate over char positions), so both variants carry exactly one
+    Exchange — the conv_id window — and identical exchange counts."""
+    from ocr_spark.operators.conversation import sft_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("c1", i, "assistant" if i % 2 else "user", f"turn body {i}")
+            for i in range(8)
+        ],
+        "conv_id string, turn_idx int, role string, clean_text string",
+    )
+    chars4 = _plan(sft_pairs(df, budget=64, max_turns=4))
+    bpe = _plan(sft_pairs(df, budget=64, max_turns=4, tokens="bpe"))
+    assert chars4.count("Exchange") == bpe.count("Exchange"), bpe
+    assert "BatchEvalPython" not in bpe and "ArrowEvalPython" not in bpe, bpe
+
+
+def test_incremental_read_scans_only_new_batch_dirs(spark, tmp_path):
+    """read_results_incremental's scan must touch ONLY the batch dirs in
+    (from, to] — the CDC diff comes from the partition layout, so files
+    of already-consumed snapshots never enter the plan (O(new data) at
+    10^12 rows, not O(table))."""
+    from ocr_spark.sources.tables import read_results_incremental
+
+    root = str(tmp_path / "sink")
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i,) for i in range(3)], "row_id long"
+        ).coalesce(1).write.parquet(f"{root}/batch_id={b}")
+    inc = read_results_incremental(spark, root, from_batch=1, to_batch=3)
+    files = inc.inputFiles()
+    assert files, "expected a non-empty scan"
+    assert all("batch_id=2" in f or "batch_id=3" in f for f in files), files
