@@ -423,12 +423,60 @@ def ann_ivf(
     oracle path."""
     if centroids is None:
         centroids = fit_ivf_centroids(items, key, vec_col, n_centroids)
-    it = items.withColumn(
-        "bucket",
-        _centroid_ranks(as_double(F.col(vec_col)), centroids)[0]["cid"].cast(
-            "string"
-        ),
+    return ann_ivf_over_index(
+        ivf_index(items, key, vec_col, centroids),
+        queries,
+        key,
+        vec_col,
+        centroids,
+        k=k,
+        n_probe=n_probe,
     )
+
+
+def ivf_index(
+    items: DataFrame, key: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """The persistable IVF postings index: the items with their inverted
+    list id ``cid`` — each vector assigned to its nearest FROZEN
+    centroid (the quantizer rides the plan as broadcast literals; the
+    assignment is row-local, zero exchanges).
+
+    This is the state that makes ANN maintenance INCREMENTAL at corpus
+    scale, the :func:`ocr_spark.operators.dedup.minhash_index` pattern
+    on the similarity side: write it alongside the corpus (partitioned
+    by ``cid``), and each ingest batch runs this O(batch) assignment
+    against the same frozen centroids and APPENDS — committed postings
+    are immutable, never re-assigned, never re-scanned at ingest.
+    Queries probe the combined index via :func:`ann_ivf_over_index`.
+    Refit (new centroids) is a deliberate, monitored rebuild — watch
+    list-size drift via a groupBy(cid) count — not a per-batch event.
+    Centroids must match between index builds and queries (assignments
+    are not comparable across quantizers)."""
+    return items.select(
+        F.col(key),
+        as_double(F.col(vec_col)).alias(vec_col),
+        _centroid_ranks(as_double(F.col(vec_col)), centroids)[0]["cid"]
+        .cast("string")
+        .alias("cid"),
+    )
+
+
+def ann_ivf_over_index(
+    index: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k over a persisted :func:`ivf_index` postings table: each
+    query ranks the frozen centroids (plan literals), probes its
+    ``n_probe`` nearest lists, and re-ranks exactly inside them — the
+    scan touches ``n_probe/n_centroids`` of the postings and the index
+    side needs no per-query recompute of any kind."""
+    it = index.withColumnRenamed("cid", "bucket")
     qr = queries.withColumn(
         "bucket",
         F.explode(

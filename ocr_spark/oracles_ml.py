@@ -271,10 +271,14 @@ def ivf_sql(
     n_centroids: int = 8,
     n_probe: int = 2,
     max_query: int = 8,
+    cent_where: str = "",
 ) -> str:
     """IVF oracle: centroids = first n_centroids vectors by vec_id (twin
     of similarity.fit_ivf_centroids); per-vector list ranking by
-    (negcos, cid); items keep rank 1, queries probe rank <= n_probe."""
+    (negcos, cid); items keep rank 1, queries probe rank <= n_probe.
+    ``cent_where`` restricts the quantizer-fit corpus (the incremental
+    twin: centroids frozen on the committed subset, every vector —
+    committed or batch — assigned against them)."""
     dot_bc = _dot("b.v", "c.c")
     return f"""
 with base as (
@@ -283,7 +287,7 @@ with base as (
 ),
 cent as (
   select row_number() over (order by vec_id) - 1 as cid, v as c
-  from (select * from base order by vec_id limit {n_centroids})
+  from (select * from base {cent_where} order by vec_id limit {n_centroids})
 ),
 asg as (
   select b.vec_id, c.cid,

@@ -801,3 +801,33 @@ def test_with_pq_codes_matches_native_encode(spark):
             list(arr[k]) if arr[k] is not None else None
         ), (k, nat[k], arr[k])
     assert arr[102] is None
+
+
+def test_ivf_incremental_append_equals_rebuild(vectors):
+    """The index-maintenance invariant: committed postings + an
+    assign-only batch append (same frozen centroids) answer every query
+    identically to rebuilding the full index — so ingest never refits
+    or re-assigns the committed corpus. The assignment itself must be
+    row-local (zero exchanges in the ivf_index plan)."""
+    committed = vectors.filter(F.col("vec_id") % 4 != 0)
+    batch = vectors.filter(F.col("vec_id") % 4 == 0)
+    cents = similarity.fit_ivf_centroids(committed, "vec_id", "embedding", 4)
+    idx_inc = similarity.ivf_index(
+        committed, "vec_id", "embedding", cents
+    ).unionByName(similarity.ivf_index(batch, "vec_id", "embedding", cents))
+    idx_full = similarity.ivf_index(vectors, "vec_id", "embedding", cents)
+    q = vectors.filter(F.col("vec_id") < 6)
+
+    def ans(idx):
+        return sorted(
+            (r["query_id"], r["rank"], r["item_id"], round(r["cos"], 12))
+            for r in similarity.ann_ivf_over_index(
+                idx, q, "vec_id", "embedding", cents, k=3, n_probe=2
+            ).collect()
+        )
+
+    assert ans(idx_inc) == ans(idx_full)
+    plan = similarity.ivf_index(
+        batch, "vec_id", "embedding", cents
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
