@@ -1,0 +1,183 @@
+"""Streaming IVF index maintenance — the ANN index stays fresh as
+embeddings stream in, without ever refitting or re-assigning the
+committed corpus.
+
+The batch-vs-index pattern of :mod:`ocr_spark.streaming.dedup` on the
+similarity side: each micro-batch runs the O(batch) frozen-centroid
+assignment (:func:`ocr_spark.operators.similarity.ivf_index`) and
+commits its postings under a deterministic ``batch_id`` partition, so a
+replayed batch overwrites only its own partition (crash-safe, idempotent
+— the :func:`committed_postings` reader excludes a batch's own partition
+exactly like the dedup index reader). Queries at any point read the
+committed postings and probe via ``ann_ivf_over_index``.
+
+The quantizer is PERSISTED next to the postings (``_quantizer`` — a
+one-row parquet, engine-native on any Hadoop filesystem) when the index
+is created, and every later cycle loads it from there: assignments are
+not comparable across quantizers, so the stored model — not a caller
+argument that might drift — is the source of truth for the index's
+lifetime. Refit = a deliberate rebuild into a new index path.
+
+Scale: per-batch work is one row-local projection over the batch (zero
+exchanges, plan-tested) plus one partition write; the committed corpus
+is never re-scanned at ingest. At query time the postings dir behaves
+exactly like the batch :func:`ivf_index` output (partition-prunable by
+``cid`` once compacted/bucketed at rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.operators.similarity import ann_ivf_over_index, ivf_index
+
+QUANTIZER_DIR = "_quantizer"
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def save_quantizer(
+    spark: SparkSession, index_path: str, centroids: list[list[float]]
+) -> None:
+    """Persist the frozen coarse quantizer as a one-row parquet under
+    the index root. Refuses to overwrite an existing quantizer — the
+    index's assignments would silently stop matching it."""
+    qp = f"{index_path}/{QUANTIZER_DIR}"
+    if _dir_exists(spark, qp):
+        raise FileExistsError(
+            f"quantizer already persisted at {qp}; refit requires a new "
+            "index path (existing postings are not comparable)"
+        )
+    spark.createDataFrame(
+        [(centroids,)], "centroids array<array<double>>"
+    ).coalesce(1).write.parquet(qp)
+
+
+def load_quantizer(spark: SparkSession, index_path: str) -> list[list[float]]:
+    """The index's frozen centroids, exactly as persisted."""
+    row = spark.read.parquet(f"{index_path}/{QUANTIZER_DIR}").collect()
+    if len(row) != 1:
+        raise ValueError(f"corrupt quantizer under {index_path}")
+    return [[float(x) for x in c] for c in row[0]["centroids"]]
+
+
+def committed_postings(
+    spark: SparkSession,
+    index_path: str,
+    key: str,
+    vec_col: str,
+    exclude_batch_id: int | None = None,
+) -> DataFrame:
+    """The committed postings index: every ``batch_id`` partition except
+    (optionally) one batch's own — a replayed batch must not see its
+    crashed attempt's partial write. Schema pinned (never inferred from
+    footers inside the excluded partition)."""
+    schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+            T.StructField("cid", T.StringType()),
+            T.StructField("batch_id", T.LongType()),
+        ]
+    )
+    df = spark.read.schema(schema).parquet(f"{index_path}/data")
+    if exclude_batch_id is not None:
+        df = df.filter(F.col("batch_id") != exclude_batch_id)
+    return df.drop("batch_id")
+
+
+def ann_index_one_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Assign ONE micro-batch against the index's persisted quantizer
+    and commit its postings under the deterministic ``batch_id``
+    partition (idempotent under replay). Returns postings written."""
+    cents = load_quantizer(spark, index_path)
+    postings = ivf_index(batch_df, key, vec_col, cents).persist()
+    try:
+        n = postings.count()
+        postings.write.mode("overwrite").parquet(
+            f"{index_path}/data/batch_id={batch_id}"
+        )
+    finally:
+        postings.unpersist()
+    return n
+
+
+def run_ann_index_available_now(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    schema: T.StructType | str,
+    centroids: list[list[float]] | None = None,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_s: int = 600,
+) -> int:
+    """One availableNow indexing cycle over a growing embeddings
+    directory: every not-yet-seen input file is assigned once against
+    the frozen quantizer and its postings join the index. On the FIRST
+    cycle pass ``centroids`` (e.g. ``fit_kmeans_centroids`` over the
+    bootstrap corpus) — they are persisted and later cycles load them;
+    passing centroids again once persisted raises rather than silently
+    splitting the index across quantizers."""
+    if centroids is not None:
+        save_quantizer(spark, index_path, centroids)
+    elif not _dir_exists(spark, f"{index_path}/{QUANTIZER_DIR}"):
+        raise FileNotFoundError(
+            f"no quantizer at {index_path}; pass centroids on first use"
+        )
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    written = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        written["n"] += ann_index_one_batch(
+            spark, batch_df, batch_id, index_path, key=key, vec_col=vec_col
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return written["n"]
+
+
+def query_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k over everything indexed so far: load the persisted
+    quantizer, probe the committed postings."""
+    cents = load_quantizer(spark, index_path)
+    return ann_ivf_over_index(
+        committed_postings(spark, index_path, key, vec_col),
+        queries,
+        key,
+        vec_col,
+        cents,
+        k=k,
+        n_probe=n_probe,
+    )

@@ -566,3 +566,57 @@ def test_streaming_conversation_dedup_cross_wave(spark, transcripts_pdf, tmp_pat
         for r in spark.read.parquet(idx).filter("batch_id = 1").collect()
     }
     assert idx2 == {"resumed-conv", "fresh-conv"}
+
+
+def test_streaming_ann_index_maintenance(spark, tmp_path):
+    """Two ingest waves of embeddings: the second cycle indexes ONLY the
+    new files (assign-only append against the persisted quantizer), yet
+    queries over the combined index return exactly what a full rebuild
+    would — and re-passing centroids once persisted raises instead of
+    silently splitting the index across quantizers."""
+    import pytest
+
+    from ocr_spark.operators.similarity import ann_ivf, fit_ivf_centroids
+    from ocr_spark.streaming.ann import (
+        query_index,
+        run_ann_index_available_now,
+    )
+
+    def vecs(lo, hi):
+        return [
+            (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)])
+            for i in range(lo, hi)
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    inp, idx, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    wave1 = spark.createDataFrame(vecs(0, 30), schema)
+    wave1.write.mode("append").parquet(inp)
+    cents = fit_ivf_centroids(wave1, "vec_id", "embedding", 4)
+    n1 = run_ann_index_available_now(
+        spark, inp, idx, ckpt, schema, centroids=cents
+    )
+    assert n1 == 30
+    spark.createDataFrame(vecs(30, 50), schema).write.mode("append").parquet(inp)
+    n2 = run_ann_index_available_now(spark, inp, idx, ckpt, schema)
+    assert n2 == 20  # only the new files were assigned
+    with pytest.raises(FileExistsError):
+        run_ann_index_available_now(spark, inp, idx, ckpt, schema, centroids=cents)
+
+    q = spark.createDataFrame(vecs(0, 3), schema)
+    got = sorted(
+        (r["query_id"], r["rank"], r["item_id"])
+        for r in query_index(spark, idx, q, k=3, n_probe=2).collect()
+    )
+    full = spark.createDataFrame(vecs(0, 50), schema)
+    want = sorted(
+        (r["query_id"], r["rank"], r["item_id"])
+        for r in ann_ivf(
+            full, q, "vec_id", "embedding", k=3, n_probe=2, centroids=cents
+        ).collect()
+    )
+    assert got == want and len(got) == 9
