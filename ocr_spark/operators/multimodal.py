@@ -104,9 +104,10 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """Pure-stdlib 24-bit uncompressed BMP decode: dimensions + mean luma
-    (Rec.601) over the pixel rows (bottom-up, 4-byte-padded)."""
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """Top-down RGB uint8 ``(h, w, 3)`` pixels of a 24-bit uncompressed
+    BMP (handles the bottom-up storage order and 4-byte row padding).
+    Raises ``ValueError`` on malformed bytes."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP stream")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -134,8 +135,19 @@ def decode_bmp(payload: bytes) -> dict:
         .reshape(height, row_bytes)[:, : w * 3]
         .reshape(height, w, 3)
     )
-    bgr = raster.astype(np.float64)
-    luma = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
+    # stored BGR, bottom-up when the header height is positive → emit
+    # top-down RGB (pure views, no copy)
+    rgb = raster[::-1, :, ::-1] if h > 0 else raster[:, :, ::-1]
+    return rgb
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Pure-stdlib 24-bit uncompressed BMP decode: dimensions + mean luma
+    (Rec.601) over the pixel rows (bottom-up, 4-byte-padded)."""
+    rgb = _bmp_pixels(payload)
+    height, w = rgb.shape[:2]
+    f64 = rgb.astype(np.float64)
+    luma = 0.299 * f64[:, :, 0] + 0.587 * f64[:, :, 1] + 0.114 * f64[:, :, 2]
     return {
         "kind": "bmp",
         "width": w,
@@ -148,9 +160,9 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Pure-stdlib binary PPM (P6, maxval 255) decode: dimensions + mean
-    luma."""
+def _ppm_pixels(payload: bytes) -> np.ndarray:
+    """RGB uint8 ``(h, w, 3)`` pixels of a binary PPM (P6, maxval 255).
+    Raises ``ValueError`` on malformed bytes."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM stream")
     # header = magic, width, height, maxval as whitespace-separated ASCII
@@ -180,9 +192,16 @@ def decode_ppm(payload: bytes) -> dict:
     raster = payload[i:i + w * h * 3]
     if len(raster) < w * h * 3:
         raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Pure-stdlib binary PPM (P6, maxval 255) decode: dimensions + mean
+    luma."""
+    rgb = _ppm_pixels(payload)
+    h, w = rgb.shape[:2]
     # vectorized Rec.601 reduction — no per-pixel Python
-    rgb = np.frombuffer(raster, dtype=np.uint8).reshape(w * h, 3)
-    f64 = rgb.astype(np.float64)
+    f64 = rgb.reshape(w * h, 3).astype(np.float64)
     luma = float(
         (0.299 * f64[:, 0] + 0.587 * f64[:, 1] + 0.114 * f64[:, 2]).mean()
     )
@@ -214,18 +233,11 @@ def _paeth(left: int, up: int, ul: int) -> int:
     return up if pb <= pc else ul
 
 
-def decode_png(payload: bytes) -> dict:
-    """REAL PNG decode using only stdlib ``zlib`` + numpy: chunk walk →
-    inflate the IDAT stream → per-scanline filter reconstruction →
-    Rec.601 mean luma. Supports bit depth 8, color types 0/2/4/6
-    (gray / RGB / gray+alpha / RGBA), no interlace, all five filters.
-
-    Filters None/Sub/Up reconstruct as whole-row numpy ops (Sub is a
-    per-channel cumsum mod 256); Average/Paeth carry a within-row
-    left-pixel dependency, so those rows take an O(stride) Python sweep
-    — bounded per scanline, inside the Arrow stage, never per-pixel
-    Python over the whole raster unless the encoder chose 3/4 for every
-    row. Raises ``ValueError`` on malformed bytes (errors-as-data)."""
+def _png_pixels(payload: bytes) -> tuple[np.ndarray, int]:
+    """``(pixels, color_type)`` of a PNG: uint8 ``(h, w, channels)``
+    after full inflate + filter reconstruction (see :func:`decode_png`
+    for the supported subset). Raises ``ValueError`` on malformed
+    bytes."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG stream")
     pos, ihdr, idat = 8, None, []
@@ -290,7 +302,24 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = rec
         prev = rec
-    px = out.reshape(h, w, ch).astype(np.float64)
+    return out.reshape(h, w, ch).astype(np.uint8), ctype
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode using only stdlib ``zlib`` + numpy: chunk walk →
+    inflate the IDAT stream → per-scanline filter reconstruction →
+    Rec.601 mean luma. Supports bit depth 8, color types 0/2/4/6
+    (gray / RGB / gray+alpha / RGBA), no interlace, all five filters.
+
+    Filters None/Sub/Up reconstruct as whole-row numpy ops (Sub is a
+    per-channel cumsum mod 256); Average/Paeth carry a within-row
+    left-pixel dependency, so those rows take an O(stride) Python sweep
+    — bounded per scanline, inside the Arrow stage, never per-pixel
+    Python over the whole raster unless the encoder chose 3/4 for every
+    row. Raises ``ValueError`` on malformed bytes (errors-as-data)."""
+    arr, ctype = _png_pixels(payload)
+    h, w = arr.shape[:2]
+    px = arr.astype(np.float64)
     if ctype in (0, 4):  # gray (+alpha): luma is the gray sample
         luma = px[:, :, 0]
     else:  # RGB(+alpha): Rec.601, alpha ignored
@@ -470,6 +499,47 @@ def synth_payload(doc_id: int) -> bytes:
     return p[:10] if doc_id % 11 == 0 else p
 
 
+def synth_image_payload(doc_id: int) -> bytes:
+    """Deterministic IMAGE payload for ``doc_id`` — the resize driver
+    row's harness twin: PPM gradient (varying 3-6 × 2-4 source dims, so
+    both down- and up-sampling legs run) / constant BMP / Sub+Up
+    filtered gray PNG gradient, round-robin on ``doc_id % 3``;
+    truncated to 10 bytes when ``doc_id % 11 == 0`` (errors-as-data
+    coverage). Gradients are gray ``(a·doc_id + 17x + 31y) % 256``-style
+    integers, so a nearest-neighbor resample's channel SUM is exact
+    integer arithmetic any engine reproduces."""
+    mode = doc_id % 3
+    if mode == 0:
+        w0, h0 = 3 + doc_id % 4, 2 + (doc_id // 4) % 3
+        y, x = np.mgrid[0:h0, 0:w0]
+        g = ((doc_id * 53 + x * 17 + y * 31) % 256).astype(np.uint8)
+        p = (
+            f"P6\n{w0} {h0}\n255\n".encode()
+            + np.repeat(g[:, :, None], 3, 2).tobytes()
+        )
+    elif mode == 1:
+        w, h, v = 4, 2, (doc_id * 37) % 256
+        raster = bytes((v, v, v)) * (w * h)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+        )
+        off = 14 + len(info)
+        p = (b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+             + info + raster)
+    else:
+        y, x = np.mgrid[0:2, 0:4]
+        g = ((doc_id * 29 + x * 11 + y * 7) % 256).astype(np.uint8)
+        p = encode_png(g[:, :, None], color_type=0, filters=[1, 2])
+    return p[:10] if doc_id % 11 == 0 else p
+
+
+def ppm_channel_sum(payload: bytes, channel: int = 0) -> int:
+    """Exact integer sum of one channel of a P6 raster — the
+    order-independent check value the resize oracle compares (float
+    means would be reduction-order-sensitive; integer sums are not)."""
+    return int(_ppm_pixels(payload)[:, :, channel].astype(np.int64).sum())
+
+
 def fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic fake 'embedding': first N_FEATURES md5 bytes / 255."""
     h = hashlib.md5(payload or b"").digest()
@@ -520,8 +590,76 @@ def frame_sample_plan(
     )
 
 
-def resize_stub(payload: Column, width: int, height: int) -> Column:
-    """Image resize — STUB shape: passes bytes through with a marker prefix
-    so plans type-check; real impl is a Pillow call in the Arrow stage."""
-    marker = F.encode(F.lit(f"resized:{width}x{height}:"), "utf-8")
-    return F.concat(marker, payload)
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize for every format the pure-stdlib decoders read
+    (BMP / PPM / PNG): decode to pixels, nearest-neighbor resample with
+    INTEGER source mapping ``src = ((2·i+1)·src_dim) // (2·out_dim)``
+    (bit-deterministic and SQL-replayable — no float rounding anywhere),
+    re-encode as binary PPM (P6), the canonical uncompressed container
+    whose round-trip our own decoder verifies. PNG gray(+alpha) expands
+    to RGB; alpha is dropped. All numpy fancy-indexing — no per-pixel
+    Python. Compressed codecs (JPEG...) raise ``NotImplementedError``
+    (the honest stub: no codec libs in this environment); malformed
+    bytes raise ``ValueError`` — callers in the Arrow stage turn both
+    into errors-as-data."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"invalid resize target {out_w}x{out_h}")
+    if payload[:2] == b"BM":
+        px = _bmp_pixels(payload)
+    elif payload[:2] == b"P6":
+        px = _ppm_pixels(payload)
+    elif payload[:8] == PNG_SIG:
+        arr, ctype = _png_pixels(payload)
+        px = np.repeat(arr[:, :, :1], 3, 2) if ctype in (0, 4) else arr[:, :, :3]
+    else:
+        raise NotImplementedError(
+            "resize: compressed/unknown codec — wire Pillow into this "
+            "Arrow stage on a real cluster"
+        )
+    h, w = px.shape[:2]
+    sy = ((2 * np.arange(out_h) + 1) * h) // (2 * out_h)
+    sx = ((2 * np.arange(out_w) + 1) * w) // (2 * out_w)
+    out = px[sy][:, sx]
+    return f"P6\n{out_w} {out_h}\n255\n".encode() + np.ascontiguousarray(
+        out, dtype=np.uint8
+    ).tobytes()
+
+
+RESIZED_FIELDS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def with_resized_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    out_col: str = "resized",
+) -> DataFrame:
+    """REAL-resize Arrow stage (:func:`resize_image` per payload):
+    errors are data (``ok=false`` + ``err`` — the C3 rule), output is
+    the resized P6 byte stream. Same batch-bounded ``mapInPandas``
+    shape as the decode stage."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, RESIZED_FIELDS)]
+    )
+
+    def one(p) -> dict:
+        try:
+            out = resize_image(bytes(p) if p is not None else b"", width, height)
+            return {"ok": True, "err": None, "payload": out}
+        except (ValueError, NotImplementedError, struct.error) as e:
+            return {"ok": False, "err": str(e)[:200], "payload": None}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [one(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

