@@ -169,6 +169,48 @@ def piece_count_col(tok: Column, pieces=None) -> Column:
     )
 
 
+def piece_array_col(tok: Column, pieces=None) -> Column:
+    """The greedy segmentation ITSELF — ``array<string>`` of pieces of
+    one (non-empty, lowered) token, same native aggregate walk as
+    :func:`piece_count_col`. The :func:`_step` CASE chain evaluates
+    twice per emitted piece (advance + substr length — HOF re-evaluation
+    is per-boundary here, not per-char, so the constant factor is 2 on
+    the boundary count). Zero exchanges, plan literals only."""
+    by_len = None if pieces is None else _group_by_len(pieces)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(tok)),
+        F.struct(
+            F.lit(0).alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        lambda acc, i: F.when(
+            i - 1 == acc["pos"],
+            F.struct(
+                (acc["pos"] + _step(tok, acc["pos"], by_len)).alias("pos"),
+                F.concat(
+                    acc["ps"],
+                    F.array(
+                        tok.substr(
+                            acc["pos"] + 1, _step(tok, acc["pos"], by_len)
+                        )
+                    ),
+                ).alias("ps"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["ps"],
+    )
+
+
+def bpe_pieces(text: Column, pieces=None) -> Column:
+    """Full subword segmentation of ``text``: the flattened piece
+    sequence over the frozen word tokenizer — what a trainer's
+    tokenize step actually emits (``bpe_token_count`` ≡ its size).
+    Row-local, zero exchanges, no Python."""
+    return F.flatten(
+        F.transform(X.tokens(text), lambda t: piece_array_col(t, pieces))
+    )
+
+
 def bpe_token_count(text: Column, pieces=None) -> Column:
     """Total BPE subword count of ``text`` (bigint) — the real token
     budget, against the frozen inventory or a trained one (``pieces``).

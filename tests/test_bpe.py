@@ -190,3 +190,33 @@ def test_single_char_inventory_counts_chars(spark):
         bpe.bpe_token_count(F.col("text"), ("a", "b")).alias("n")
     ).collect()[0]["n"]
     assert n == 5
+
+
+def test_bpe_pieces_matches_pure_python_twin(spark):
+    """The native piece-array segmentation equals the pure-Python twin
+    word-for-word (not just in count) on adversarial tokens, and its
+    size is always bpe_token_count."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions import bpe
+    from ocr_spark.functions import text as X
+
+    texts = [
+        "the reparse tokenization of low-frequency braziers",
+        "aaaa zzzz qqqq",  # <unk>-heavy
+        "",
+        "a b c ation ation",
+        "MiXeD CaSe PuncT!!! 123 numbers7x",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    rows = df.select(
+        "i",
+        X.tokens(F.col("text")).alias("toks"),
+        bpe.bpe_pieces(F.col("text")).alias("p"),
+        bpe.bpe_token_count(F.col("text")).alias("n"),
+    ).collect()
+    for r in rows:
+        want = [pc for w in r["toks"] for pc in bpe.segment_word(w)]
+        assert r["p"] == want, (r["i"], r["p"], want)
+        assert len(r["p"]) == r["n"]
+        assert "".join(r["p"]) == "".join(r["toks"])  # lossless
