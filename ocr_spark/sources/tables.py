@@ -24,7 +24,7 @@ the calling code is identical on a real cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.schemas import TRANSCRIPTS
@@ -187,6 +187,40 @@ def read_results_committed(
             + (f" as of batch {as_of_batch}" if as_of_batch is not None else "")
         )
     return spark.read.option("basePath", results_path).parquet(*committed)
+
+
+def compaction_plan(
+    log: DataFrame, target_bytes: int, min_batches: int = 2
+) -> DataFrame:
+    """Turn :func:`snapshot_log` output into a compaction work list —
+    the planning half of Iceberg's ``rewrite_data_files`` (on a real
+    deployment Iceberg executes the rewrite; here the plan drives a
+    read-coalesce-rewrite job): small commits (< ``target_bytes``)
+    are greedily grouped, in ``batch_id`` order, into contiguous runs
+    of ~``target_bytes`` via the same running-sum device as
+    ``pack_bins``; groups with fewer than ``min_batches`` members are
+    dropped (rewriting one file buys nothing).
+
+    Returns ``(batch_id, group_id, group_bytes, group_batches)`` — one
+    row per batch to rewrite. The log is O(commits), driver-small by
+    construction (one row per commit, not per file), so the single
+    ordering window here is over a bounded table — never corpus data."""
+    small = log.filter(F.col("bytes") < target_bytes)
+    w = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("bytes").over(w)
+    grouped = small.withColumn(
+        "group_id",
+        F.floor((cum - F.col("bytes")) / target_bytes).cast("long"),
+    )
+    gw = Window.partitionBy("group_id")
+    return (
+        grouped.withColumn("group_bytes", F.sum("bytes").over(gw))
+        .withColumn("group_batches", F.count("*").over(gw))
+        .filter(F.col("group_batches") >= min_batches)
+        .select("batch_id", "group_id", "group_bytes", "group_batches")
+    )
 
 
 def read_results_incremental(

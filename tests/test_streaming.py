@@ -620,3 +620,38 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 9
+
+
+def test_compaction_plan_groups_small_commits(spark):
+    """Only sub-target commits are grouped; runs accumulate to
+    ~target_bytes in batch order; singleton groups (nothing to merge
+    with) are dropped; big commits are never rewritten."""
+    from ocr_spark.sources.tables import compaction_plan
+
+    log = spark.createDataFrame(
+        [
+            (0, 1, 400),
+            (1, 1, 400),
+            (2, 1, 5000),  # already big: not a candidate
+            (3, 1, 300),
+            (4, 1, 300),
+            (5, 1, 300),
+            (6, 1, 900),
+            (7, 1, 800),   # cum-before 2600 -> its own group: dropped
+        ],
+        "batch_id long, n_files long, bytes long",
+    )
+    rows = {
+        r["batch_id"]: r
+        for r in compaction_plan(log, target_bytes=1000).collect()
+    }
+    assert 2 not in rows  # big commit untouched
+    assert 7 not in rows  # singleton group dropped
+    # cum-before: 0(0),1(400),3(800) -> g0; 4(1100),5(1400),6(1700) -> g1
+    assert rows[0]["group_id"] == rows[1]["group_id"] == rows[3]["group_id"]
+    assert (
+        rows[4]["group_id"] == rows[5]["group_id"] == rows[6]["group_id"]
+        != rows[0]["group_id"]
+    )
+    assert rows[0]["group_bytes"] == 1100 and rows[0]["group_batches"] == 3
+    assert rows[4]["group_bytes"] == 1500 and rows[4]["group_batches"] == 3
