@@ -836,6 +836,73 @@ def pack_bins_ranged(
     )
 
 
+def pack_emit(
+    docs: DataFrame,
+    budget: int = 2048,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_ranges: int = 64,
+    tokens: str = "chars4",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """The TERMINAL packing step: emit the actual training sequences —
+    one row per bin with its member texts concatenated in pack order —
+    not just bin assignments. ``(part_col, bin_idx, n_docs, bin_tokens,
+    sequence)``.
+
+    Same ranged running-sum device as :func:`pack_bins_ranged` (same
+    bins, same determinism guarantees) but carrying the text through
+    the window instead of joining it back afterwards — zero joins — and
+    finishing with ONE combiner-friendly groupBy on ``(part, bin)``
+    whose per-group payload is budget-bounded by construction (a bin
+    never exceeds ``budget`` tokens unless a single doc does), so the
+    collect_list can never blow a task at any corpus size. In-bin order
+    is ``cum_tokens`` (strictly increasing within a bin — it IS the
+    pack order)."""
+    from pyspark.sql import Window
+
+    from ocr_spark.functions.bpe import token_budget
+
+    est = token_budget(F.col(text_col), tokens)
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    range_id = (h.cast("bigint") % n_ranges).alias("range_id")
+    base = docs.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.col(text_col),
+        est.alias("est_tokens"),
+        range_id,
+    )
+    w = (
+        Window.partitionBy(part_col, "range_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("est_tokens").over(w)
+    local_bin = F.floor((cum - F.col("est_tokens")) / budget)
+    binned = base.select(
+        F.col(part_col),
+        F.col(text_col),
+        F.col("est_tokens"),
+        cum.cast("long").alias("cum_tokens"),
+        (F.col("range_id") * F.lit(1 << 32) + local_bin)
+        .cast("long")
+        .alias("bin_idx"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cum_tokens"), F.col(text_col)))
+        ),
+        lambda s: s[text_col],
+    )
+    return binned.groupBy(part_col, "bin_idx").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("est_tokens").cast("long").alias("bin_tokens"),
+        F.array_join(ordered, sep).alias("sequence"),
+    )
+
+
 # --------------------------------------------------------------------------
 # corpus-level line dedup (C4-style frequent-line removal)
 # --------------------------------------------------------------------------
