@@ -627,3 +627,18 @@ def test_incremental_read_scans_only_new_batch_dirs(spark, tmp_path):
     files = inc.inputFiles()
     assert files, "expected a non-empty scan"
     assert all("batch_id=2" in f or "batch_id=3" in f for f in files), files
+
+
+def test_pack_emit_no_join_two_exchanges(spark):
+    """pack_emit must carry text through the window rather than joining
+    it back: no join anywhere, exactly the ranged-window exchange plus
+    the bin groupBy exchange."""
+    from ocr_spark.operators.corpus import pack_emit
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "ro", f"text body {i}") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    plan = _plan(pack_emit(df, budget=64, n_ranges=4))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
