@@ -1,0 +1,165 @@
+"""Relational DOM block scoring — the Boilerpipe/Readability heuristic
+(reference ocr_service.py:112-145's block-assembly analog, frozen in
+:mod:`ocr_spark.pyparse`) expressed as a PURE Catalyst plan: no Python,
+no Arrow stage, no shuffle.
+
+The Arrow parse stage (operators.parse) batches the pyparse spec; this
+module re-derives the SAME html verdicts with array expressions only, so
+the heuristic itself is value-hash verifiable against a DuckDB SQL twin
+(queries.q_html_blocks) AND cross-checkable against the Arrow path
+(tests/test_parse.py).  Every step stays inside whole-stage codegen:
+
+1. split — the zero-width DOM boundary ``(?=<blocktag\\b)`` is RE2-hostile
+   (no lookahead), so both engines use the *sentinel device*: insert a
+   ``\\x1e`` sentinel before every block-tag opening (``regexp_replace``
+   with the whole-match backreference), then split on the sentinel.  The
+   pieces partition the flattened payload exactly, so raw char offsets
+   are the running sum of piece lengths — spans fall out of the split.
+2. score — per piece: leading tag, tag-stripped visible text, tag count,
+   anchor-text chars; then the verdict cascade (boilerplate tag → length
+   floor → text-density floor → link-density ceiling), all in exact
+   integer arithmetic (``len < 8·(1+tags)``; ``100·anchor > 33·len``).
+3. offsets — ONE ``aggregate`` scan over the piece array computes raw
+   [start,end) and extracted-output [ext_start,ext_end) per block; the
+   row explodes only at the end.  No window, no exchange: at 10^12 turns
+   the operator is embarrassingly row-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.pyparse import (
+    BLOCK_TAGS,
+    BOILERPLATE_TAGS,
+    MAX_LINK_DENSITY,
+    MIN_BLOCK_CHARS,
+    MIN_TEXT_DENSITY,
+)
+
+#: the sentinel never occurs in text payloads (ASCII control 0x1e); the
+#: operator documents this as a precondition rather than escaping
+SENTINEL = ""
+
+#: width-1 form of the DOM block boundary (pyparse._BLOCK_OPEN), in the
+#: Java/RE2 common regex subset
+BLOCK_OPEN_RE = r"(?i)<(?:" + "|".join(BLOCK_TAGS) + r")\b"
+
+_LEAD_TAG_RE = r"^<([a-zA-Z][a-zA-Z0-9]*)"
+_TAG_RE = r"<[^>]*>"
+_ANCHOR_RE = r"(?i)<a\b[^>]*>(.*?)</a>"
+
+#: verdict labels, shared with the SQL twin
+KEPT = "kept"
+BLANK = "blank"  # whitespace-only piece: skipped, counted neither way
+
+# integer-exact forms of the float thresholds (pyparse uses 8.0 and 0.33;
+# len/(1+tags) < 8.0 ⟺ len < 8·(1+tags) and a/l > 0.33 ⟺ 100a > 33l for
+# any realistic l — the rationals are farther than one double ULP apart)
+_DENSITY_NUM = int(MIN_TEXT_DENSITY)
+assert _DENSITY_NUM == MIN_TEXT_DENSITY
+_LINK_NUM, _LINK_DEN = 33, 100
+assert _LINK_NUM / _LINK_DEN == MAX_LINK_DENSITY
+
+
+def _strip_tags(c: Column) -> Column:
+    """``pyparse._strip_tags``: tags → space, collapse space runs, trim."""
+    return F.trim(F.regexp_replace(F.regexp_replace(c, _TAG_RE, " "), " +", " "))
+
+
+def _verdict(tag: Column, visible: Column, n_tags: Column,
+             anchor_chars: Column) -> Column:
+    vis_len = F.length(visible)
+    return (
+        F.when(vis_len == 0, F.lit(BLANK))
+        .when(tag.isin(*sorted(BOILERPLATE_TAGS)), F.lit("boilerplate_tag"))
+        .when(vis_len < MIN_BLOCK_CHARS, F.lit("too_short"))
+        .when(vis_len < _DENSITY_NUM * (F.lit(1) + n_tags), F.lit("low_density"))
+        .when(anchor_chars * _LINK_DEN > _LINK_NUM * vis_len,
+              F.lit("high_link_density"))
+        .otherwise(F.lit(KEPT))
+    )
+
+
+def block_structs(text: Column) -> Column:
+    """``array<struct>`` of scored DOM blocks for one payload column.
+
+    Struct fields: ``block_idx, tag, start, end, visible, n_tags,
+    anchor_chars, verdict, ext_start, ext_end`` — raw offsets index the
+    payload (newline→space flatten is length-preserving), ext offsets
+    index the assembled ``extracted`` text ("\\n"-joined kept blocks).
+    """
+    flat = F.translate(text, "\n", " ")
+    pieces = F.split(
+        F.regexp_replace(flat, BLOCK_OPEN_RE, SENTINEL + "$0"), SENTINEL
+    )
+
+    def scan(acc: Column, piece: Column) -> Column:
+        tag = F.lower(F.regexp_extract(piece, _LEAD_TAG_RE, 1))
+        visible = _strip_tags(piece)
+        n_tags = F.length(piece) - F.length(F.translate(piece, "<", ""))
+        anchor_chars = F.aggregate(
+            F.transform(
+                F.regexp_extract_all(piece, F.lit(_ANCHOR_RE), F.lit(1)),
+                lambda a: F.length(_strip_tags(a)),
+            ),
+            F.lit(0),
+            lambda s, x: s + x,
+        )
+        verdict = _verdict(tag, visible, n_tags, anchor_chars)
+        kept = verdict == KEPT
+        ext_start = F.when(kept, acc["ext"])
+        ext_end = F.when(kept, acc["ext"] + F.length(visible))
+        block = F.struct(
+            F.size(acc["out"]).alias("block_idx"),
+            tag.alias("tag"),
+            acc["pos"].alias("start"),
+            (acc["pos"] + F.length(piece)).alias("end"),
+            visible.alias("visible"),
+            n_tags.cast("int").alias("n_tags"),
+            anchor_chars.cast("int").alias("anchor_chars"),
+            verdict.alias("verdict"),
+            ext_start.cast("int").alias("ext_start"),
+            ext_end.cast("int").alias("ext_end"),
+        )
+        return F.struct(
+            (acc["pos"] + F.length(piece)).cast("int").alias("pos"),
+            F.when(kept, acc["ext"] + F.length(visible) + 1)
+            .otherwise(acc["ext"]).cast("int").alias("ext"),
+            F.concat(acc["out"], F.array(block)).alias("out"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.lit(0).cast("int").alias("ext"),
+        F.expr(
+            "cast(array() as array<struct<block_idx:int,tag:string,"
+            "start:int,end:int,visible:string,n_tags:int,anchor_chars:int,"
+            "verdict:string,ext_start:int,ext_end:int>>)"
+        ).alias("out"),
+    )
+    return F.aggregate(pieces, init, scan, lambda acc: acc["out"])
+
+
+def html_block_table(
+    df: DataFrame, text_col: str, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Exploded per-block scoring table: one row per DOM piece with its
+    verdict and both offset systems.  Zero-shuffle: the only plan nodes
+    are Project + Generate over the scan."""
+    id_cols = id_cols or ["doc_id"]
+    out = df.select(
+        *id_cols, F.explode(block_structs(F.col(text_col))).alias("b")
+    )
+    return out.select(*id_cols, "b.*")
+
+
+def html_extracted(text: Column) -> Column:
+    """Assembled main-content text from the relational scorer — equals the
+    Arrow path's ``extracted`` for html payloads (cross-impl test)."""
+    kept = F.filter(block_structs(text), lambda b: b["verdict"] == KEPT)
+    joined = F.array_join(F.transform(kept, lambda b: b["visible"]), "\n")
+    return F.when(F.size(kept) > 0, F.concat(joined, F.lit("\n"))).otherwise(
+        F.lit("")
+    )

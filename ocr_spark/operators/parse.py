@@ -27,10 +27,18 @@ from ocr_spark.schemas import PARSE_RESULT
 
 def _parse_batch(texts: pd.Series, second_pass: bool) -> pd.DataFrame:
     res = [pyparse.parse_payload(t, second_pass) for t in texts]
-    return pd.DataFrame(res, columns=ParseCols, index=texts.index)
+    out = pd.DataFrame(
+        [r[:-1] for r in res], columns=ParseCols[:-1], index=texts.index
+    )
+    # Arrow wants list-of-list, not tuple-of-tuple, for array<array<int>>
+    out["block_spans"] = pd.Series(
+        [[[s, e] for s, e in r.spans] for r in res], index=texts.index
+    )
+    return out
 
 
-ParseCols = ["kind", "parse_ok", "parse_warn", "blocks_kept", "blocks_dropped", "extracted"]
+ParseCols = ["kind", "parse_ok", "parse_warn", "blocks_kept",
+             "blocks_dropped", "extracted", "block_spans"]
 
 
 def with_parsed(

@@ -10,11 +10,30 @@ stage (ocr_spark.operators.parse) and directly by the test oracle. All
 functions are deterministic.
 
 Output contract per payload:
-``(kind, parse_ok, parse_warn, blocks_kept, blocks_dropped, extracted)``
-where ``extracted`` mirrors the reference's block assembly
+``(kind, parse_ok, parse_warn, blocks_kept, blocks_dropped, extracted,
+spans)`` where ``extracted`` mirrors the reference's block assembly
 (ocr_service.py:137-145): per page, block texts joined with "\\n" with
 intra-block newlines flattened to spaces, pages concatenated in order,
 each page contributing a trailing "\\n".
+
+``spans`` is the north-star "character-span offsets per turn": one
+``(start, end)`` half-open offset pair into the RAW payload per kept
+block, listed in EXTRACTED order (reading order for pdfish), such that
+the kind's flatten rule applied to ``raw[start:end]`` reproduces the
+block's contribution to ``extracted`` exactly:
+
+- html:   ``_strip_tags(raw[s:e].replace("\\n", " "))`` == block text
+          (the newline flatten is length-preserving, so offsets are
+          valid in the raw payload itself);
+- pdfish: ``raw[s:e].replace("\\n", " ").strip()`` == block body (the
+          span covers the block's contiguous content lines);
+- tool:   ``raw[s:e]`` == kept line verbatim (start is advanced past a
+          stripped ``[INFO]``-class prefix);
+- plain:  one span covering the whole payload;
+- wrapped: inner-kind spans shifted past the envelope head.
+
+Under ``second_pass=True`` the offsets refer to the noise-stripped text
+(the re-OCR analog rewrites its input before parsing).
 """
 
 from __future__ import annotations
@@ -60,6 +79,11 @@ NOISE_CLASS = re.compile(r"[¤§¶]")
 _BLOCK_SPLIT = re.compile(
     r"(?=<(?:" + "|".join(BLOCK_TAGS) + r")\b)", re.IGNORECASE
 )
+#: the same boundary set as a width-1 match (RE2-compatible: no lookahead),
+#: shared with the relational twin (operators.domscore)
+_BLOCK_OPEN = re.compile(
+    r"<(?:" + "|".join(BLOCK_TAGS) + r")\b", re.IGNORECASE
+)
 _LEAD_TAG = re.compile(r"^<([a-zA-Z][a-zA-Z0-9]*)")
 _ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a>", re.IGNORECASE)
 _TAG = re.compile(r"<[^>]*>")
@@ -80,6 +104,9 @@ class ParseResult(NamedTuple):
     blocks_kept: int
     blocks_dropped: int
     extracted: str
+    #: per kept block, (start, end) offsets into the raw payload, in
+    #: extracted order (see module docstring for the flatten contract)
+    spans: tuple[tuple[int, int], ...] = ()
 
 
 def detect_kind(text: str | None) -> str:
@@ -103,36 +130,59 @@ def _strip_tags(seg: str) -> str:
     return _SPACES.sub(" ", _TAG.sub(" ", seg)).strip()
 
 
+def html_pieces(flat: str) -> list[tuple[int, int]]:
+    """Piece boundaries of the DOM-block split: ``flat`` is partitioned at
+    every block-tag opening (``_BLOCK_SPLIT`` is the zero-width form of the
+    same boundary set — offsets make the partition explicit so spans fall
+    out of the split itself)."""
+    bounds = [m.start() for m in _BLOCK_OPEN.finditer(flat)]
+    edges = [0] + bounds + [len(flat)]
+    return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
+
+def score_html_block(seg: str) -> tuple[str | None, str]:
+    """Boilerpipe/Readability block verdict: returns ``(drop_reason,
+    visible)`` where ``drop_reason`` is None for a kept block, '' for a
+    whitespace-only segment (skipped, not counted)."""
+    m = _LEAD_TAG.match(seg)
+    tag = m.group(1).lower() if m else ""
+    visible = _strip_tags(seg)
+    if not visible:
+        return "", visible
+    if tag in BOILERPLATE_TAGS:
+        return "boilerplate_tag", visible
+    if len(visible) < MIN_BLOCK_CHARS:
+        return "too_short", visible
+    # text density: visible chars per tag (Readability-style block score)
+    n_tags = seg.count("<")
+    if len(visible) / (1 + n_tags) < MIN_TEXT_DENSITY:
+        return "low_density", visible
+    anchor_chars = sum(len(_strip_tags(a)) for a in _ANCHOR.findall(seg))
+    if anchor_chars / len(visible) > MAX_LINK_DENSITY:
+        return "high_link_density", visible
+    return None, visible
+
+
 def parse_html(text: str) -> ParseResult:
-    flat = text.replace("\n", " ")
+    flat = text.replace("\n", " ")  # length-preserving: offsets stay valid
     # malformed-markup detection: unbalanced angle brackets → warn, recover
     warn = flat.count("<") != flat.count(">")
     kept: list[str] = []
+    spans: list[tuple[int, int]] = []
     dropped = 0
-    for seg in _BLOCK_SPLIT.split(flat):
-        m = _LEAD_TAG.match(seg)
-        tag = m.group(1).lower() if m else ""
-        visible = _strip_tags(seg)
-        if not visible:
+    for s, e in html_pieces(flat):
+        reason, visible = score_html_block(flat[s:e])
+        if reason == "":
             continue
-        if tag in BOILERPLATE_TAGS:
-            dropped += 1
-            continue
-        if len(visible) < MIN_BLOCK_CHARS:
-            dropped += 1
-            continue
-        # text density: visible chars per tag (Readability-style block score)
-        n_tags = seg.count("<")
-        if len(visible) / (1 + n_tags) < MIN_TEXT_DENSITY:
-            dropped += 1
-            continue
-        anchor_chars = sum(len(_strip_tags(a)) for a in _ANCHOR.findall(seg))
-        if anchor_chars / len(visible) > MAX_LINK_DENSITY:
+        if reason is not None:
             dropped += 1
             continue
         kept.append(visible)
+        spans.append((s, e))
     extracted = "\n".join(kept) + "\n" if kept else ""
-    return ParseResult("html", True, warn, len(kept), dropped, extracted)
+    return ParseResult(
+        "html", True, warn, len(kept), dropped, extracted, tuple(spans)
+    )
 
 
 #: minimum horizontal gap (layout units) separating two text columns
@@ -154,13 +204,21 @@ def _column_of(xs: list[int]) -> dict[int, int]:
 
 
 def parse_pdfish(text: str) -> ParseResult:
-    lines = text.split("\n")[1:]  # drop the %PDF-SIM header
-    # (page, x, y, block_idx) → [content lines]
-    blocks: list[tuple[int, int, int, int, list[str]]] = []
+    all_lines = text.split("\n")
+    # line offsets into the raw payload: line i starts after i joiners
+    offs: list[tuple[int, int]] = []
+    pos = 0
+    for ln in all_lines:
+        offs.append((pos, pos + len(ln)))
+        pos += len(ln) + 1
+    lines = all_lines[1:]  # drop the %PDF-SIM header
+    line_offs = offs[1:]
+    # (page, x, y, block_idx) → [(content line, start, end)]
+    blocks: list[tuple[int, int, int, int, list[tuple[str, int, int]]]] = []
     page = 0
     warn = False
-    cur: list[str] | None = None
-    for ln in lines:
+    cur: list[tuple[str, int, int]] | None = None
+    for ln, (ls, le) in zip(lines, line_offs):
         pm = _PAGE_MARK.match(ln)
         if pm:
             page = int(pm.group(1))
@@ -177,59 +235,79 @@ def parse_pdfish(text: str) -> ParseResult:
             warn = True
             cur = []
             blocks.append((page, 0, 0, -1, cur))
-        cur.append(ln)
+        cur.append((ln, ls, le))
     if page == 0:
         warn = True
     # column/reading-order reconstruction (north star): per page, cluster
     # block x-coordinates into columns (gap heuristic), then read
     # column-major — left column top-to-bottom, then the next column —
     # so a two-column layout does not interleave horizontally
-    per_page: dict[int, list[tuple[int, int, int, int, list[str]]]] = {}
+    per_page: dict[
+        int, list[tuple[int, int, int, int, list[tuple[str, int, int]]]]
+    ] = {}
     for pg, x, y, b, content in blocks:
         per_page.setdefault(pg, []).append((pg, x, y, b, content))
     kept = 0
     dropped = 0
     pages: dict[int, list[str]] = {}
+    spans: list[tuple[int, int]] = []
     for pg in sorted(per_page):
         col = _column_of([x for _, x, _, _, _ in per_page[pg]])
         ordered = sorted(
             per_page[pg], key=lambda t: (col[t[1]], t[2], t[1], t[3])
         )
         for _, _x, _y, _b, content in ordered:
-            body = "\n".join(content).replace("\n", " ").strip()
+            body = "\n".join(ln for ln, _, _ in content)
+            body = body.replace("\n", " ").strip()
             if not body:
                 dropped += 1
                 continue
             kept += 1
             pages.setdefault(pg, []).append(body)
+            # span = the block's contiguous content-line region (reading
+            # order — spans follow extracted order, not document order)
+            spans.append((content[0][1], content[-1][2]))
     extracted = "".join(
         "\n".join(pages[pg]) + "\n" for pg in sorted(pages)
     )
-    return ParseResult("pdfish", True, warn, kept, dropped, extracted)
+    return ParseResult(
+        "pdfish", True, warn, kept, dropped, extracted, tuple(spans)
+    )
 
 
 def parse_tool(text: str) -> ParseResult:
     kept: list[str] = []
+    spans: list[tuple[int, int]] = []
     dropped = 0
     warn = not text.rstrip().endswith("```")
+    pos = 0
     for ln in text.split("\n"):
+        start, end = pos, pos + len(ln)
+        pos = end + 1
         if ln.startswith("```"):
             continue
         if _LOG_DROP.match(ln):
             dropped += 1
             continue
-        ln = _LOG_KEEP.sub("", ln)
-        if ln.strip():
-            kept.append(ln)
+        stripped = _LOG_KEEP.sub("", ln)
+        if stripped.strip():
+            kept.append(stripped)
+            # start advances past the stripped [INFO]-class prefix, so
+            # raw[start:end] == the kept line verbatim
+            spans.append((start + (len(ln) - len(stripped)), end))
         else:
             dropped += 1
     extracted = "\n".join(kept) + "\n" if kept else ""
-    return ParseResult("tool", True, warn, len(kept), dropped, extracted)
+    return ParseResult(
+        "tool", True, warn, len(kept), dropped, extracted, tuple(spans)
+    )
 
 
 def parse_plain(text: str) -> ParseResult:
     paras = [p for p in text.split("\n") if p.strip()]
-    return ParseResult("plain", True, False, len(paras), 0, text)
+    return ParseResult(
+        "plain", True, False, len(paras), 0, text, ((0, len(text)),)
+    )
 
 
 def parse_payload(text: str | None, second_pass: bool = False) -> ParseResult:
@@ -246,9 +324,12 @@ def parse_payload(text: str | None, second_pass: bool = False) -> ParseResult:
         tail = text.rfind(WRAP_TAIL)
         inner = text[len(WRAP_HEAD) : tail if tail >= 0 else len(text)]
         r = parse_payload(inner, second_pass)
-        # unwrap keeps the inner kind but notes the envelope
+        # unwrap keeps the inner kind but notes the envelope; spans shift
+        # past the envelope head so they index the OUTER payload
+        h = len(WRAP_HEAD)
         return ParseResult("wrapped:" + r.kind, r.parse_ok, r.parse_warn or tail < 0,
-                           r.blocks_kept, r.blocks_dropped, r.extracted)
+                           r.blocks_kept, r.blocks_dropped, r.extracted,
+                           tuple((s + h, e + h) for s, e in r.spans))
     if second_pass:
         text = NOISE_CLASS.sub("", text)
     if kind == "pdfish":

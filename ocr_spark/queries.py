@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark import oracles as O  # noqa: N812
 from ocr_spark import oracles_ml as OM  # noqa: N812
-from ocr_spark import payloads
+from ocr_spark import payloads, pyparse
 from ocr_spark.functions import text as X
 from ocr_spark.operators import cleaning, quality
 
@@ -403,8 +403,10 @@ from p
 
 def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Arrow parse path (all kinds incl. the HTML boilerplate
-    scorer) — rows-only driver check; semantics pinned vs the frozen
-    pyparse spec in tests/test_parse.py."""
+    scorer) — the north star's per-turn text-equality invariant,
+    value-hash verified end to end: the DuckDB twin recomputes every
+    kind's extraction in SQL (the html leg via ``_sql_html_blocks``'s
+    sentinel-split scorer; pdfish/tool reuse the r2-green fragments)."""
     out = _parsed_docs(spark, sf_dir)
     return out.select(
         "doc_id", "kind",
@@ -414,6 +416,290 @@ def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("blocks_dropped").cast("int").alias("blocks_dropped"),
         "extracted",
     )
+
+
+# --------------------------------------------------------------------------
+# Relational DOM block scoring + extraction spans (north-star last mile:
+# "cleaned main-content text plus character-span offsets per turn").
+# The Boilerpipe/Readability heuristic runs twice on purpose: once batched
+# in the Arrow stage (pyparse, verified by q_parse_extract/q_parse_spans)
+# and once as a pure Catalyst plan (operators.domscore, verified by
+# q_html_blocks) — the DuckDB twins below replay BOTH with the same
+# sentinel-split device, so heuristic, spans, and assembly are all
+# hash-green, and tests/test_parse.py pins the two engines to each other.
+# --------------------------------------------------------------------------
+
+
+def _html_blocks_sql(payload: str, where: str) -> str:
+    """DuckDB twin of ``domscore.block_structs``: sentinel split + verdict
+    cascade + both offset systems, as window sums over the piece index.
+    Shares every literal with the Spark side (pyparse constants)."""
+    from ocr_spark.operators.domscore import BLOCK_OPEN_RE
+
+    def strip(x: str) -> str:
+        return (
+            f"trim(regexp_replace(regexp_replace({x}, '<[^>]*>', ' ', 'g'),"
+            " ' +', ' ', 'g'))"
+        )
+
+    kept_w = (
+        "sum(case when verdict = 'kept' then length(visible) + 1 end) over "
+        "(partition by doc_id order by block_idx "
+        "rows between unbounded preceding and 1 preceding)"
+    )
+    return f"""
+hb_p as (
+  select doc_id, string_split(
+    regexp_replace(replace({payload}, chr(10), ' '),
+                   '{BLOCK_OPEN_RE}', chr(30) || '\\0', 'g'),
+    chr(30)) as pieces
+  from documents where {where}
+),
+hb_e as (
+  select doc_id, i - 1 as block_idx, pieces[i] as piece
+  from hb_p, unnest(range(1, len(pieces) + 1)) as g(i)
+),
+hb_s as (
+  select doc_id, block_idx, piece,
+    lower(regexp_extract(piece, '^<([a-zA-Z][a-zA-Z0-9]*)', 1)) as tag,
+    {strip('piece')} as visible,
+    length(piece) - length(replace(piece, '<', '')) as n_tags,
+    coalesce(list_sum(list_transform(
+      regexp_extract_all(piece, '(?i)<a\\b[^>]*>(.*?)</a>', 1),
+      x -> length({strip('x')}))), 0) as anchor_chars,
+    coalesce(sum(length(piece)) over (partition by doc_id order by block_idx
+      rows between unbounded preceding and 1 preceding), 0) as start
+  from hb_e
+),
+hb_v as (
+  select *, case
+    when length(visible) = 0 then 'blank'
+    when tag in ('aside', 'footer', 'header', 'nav') then 'boilerplate_tag'
+    when length(visible) < {pyparse.MIN_BLOCK_CHARS} then 'too_short'
+    when length(visible) < {int(pyparse.MIN_TEXT_DENSITY)} * (1 + n_tags)
+      then 'low_density'
+    when anchor_chars * 100 > 33 * length(visible) then 'high_link_density'
+    else 'kept' end as verdict
+  from hb_s
+),
+hb as (
+  select doc_id, cast(block_idx as int) as block_idx, tag,
+    cast(start as int) as start,
+    cast(start + length(piece) as int) as "end",
+    visible, cast(n_tags as int) as n_tags,
+    cast(anchor_chars as int) as anchor_chars, verdict,
+    cast(case when verdict = 'kept' then coalesce({kept_w}, 0) end as int)
+      as ext_start,
+    cast(case when verdict = 'kept'
+         then coalesce({kept_w}, 0) + length(visible) end as int) as ext_end
+  from hb_v
+)"""
+
+
+def q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe/Readability block scoring as a PURE Catalyst plan
+    (operators.domscore — zero shuffle, zero Python): per DOM piece, the
+    leading tag, tag-stripped text, tag/anchor counts, the verdict
+    cascade, and BOTH offset systems (raw payload + extracted output).
+    The DuckDB twin replays the identical sentinel-split device."""
+    from ocr_spark.operators.domscore import html_block_table
+
+    df = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") % 8).isin(1, 7))
+        .withColumn(
+            "p", payloads.parse_payload_col(F.col("doc_id"), F.col("text"))
+        )
+    )
+    return html_block_table(df, "p")
+
+
+def _sql_html_blocks() -> str:
+    p = payloads.parse_payload_sql("text")
+    return (
+        "with " + _html_blocks_sql(p, "doc_id % 8 in (1, 7)")
+        + "\nselect * from hb"
+    )
+
+
+def q_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-span offsets per turn (north star): the Arrow stage's
+    ``spans`` column exploded to one row per kept block — [start,end)
+    indexes the RAW payload, in extracted order.  The DuckDB twin
+    recomputes every kind's spans independently (html via the relational
+    scorer; pdfish/tool/wrapped via the payload structure), so the hash
+    match proves the Arrow offsets, not just their shape."""
+    out = _parsed_docs(spark, sf_dir)
+    return out.select(
+        "doc_id", "kind", F.posexplode("block_spans").alias("span_idx", "s")
+    ).select(
+        "doc_id",
+        "kind",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("s")[0].alias("start"),
+        F.col("s")[1].alias("end"),
+    )
+
+
+def _sql_parse_spans() -> str:
+    p = payloads.parse_payload_sql("text")
+    head = len(pyparse.WRAP_HEAD)
+    l_p1b0 = len(payloads.PDFISH_P1B0)
+    l_p1b1 = len(payloads.PDFISH_P1B1)
+    l_p2 = len(payloads.PDFISH_P2)
+    l_toolpre = len(payloads.TOOL_PRE)  # ends at s1; [INFO] prefix stripped
+    l_toolmid = len(payloads.TOOL_MID)
+    return f"""
+with {_html_blocks_sql(p, "doc_id % 8 in (1, 7)")},
+lens as (
+  select doc_id, text, least(30, length(text)) as a,
+    greatest(least(length(text), 60) - 30, 0) as s2len,
+    greatest(length(text) - 60, 0) as s3len
+  from documents
+),
+pdf as (
+  select doc_id, 'pdfish' as kind,
+    cast(row_number() over (partition by doc_id order by ord) - 1 as int)
+      as span_idx,
+    cast(start as int) as start, cast("end" as int) as "end"
+  from (
+    -- reading order: page-1 left column (x=10, the s2 block) before the
+    -- right column (x=400, s1), then page 2 (s3)
+    select doc_id, 1 as ord, {l_p1b0} + a + {l_p1b1} as start,
+      {l_p1b0} + a + {l_p1b1} + s2len as "end",
+      trim(substr(text, 31, 30)) as body from lens
+    union all
+    select doc_id, 2, {l_p1b0}, {l_p1b0} + a, trim(substr(text, 1, 30))
+      from lens
+    union all
+    select doc_id, 3, {l_p1b0} + a + {l_p1b1} + s2len + {l_p2},
+      {l_p1b0} + a + {l_p1b1} + s2len + {l_p2} + s3len, trim(substr(text, 61))
+      from lens
+  ) where doc_id % 8 = 2 and body <> ''
+),
+tool as (
+  select doc_id, 'tool' as kind,
+    cast(row_number() over (partition by doc_id order by ord) - 1 as int)
+      as span_idx,
+    cast(start as int) as start, cast("end" as int) as "end"
+  from (
+    select doc_id, 1 as ord, {l_toolpre} as start, {l_toolpre} + a as "end",
+      trim(substr(text, 1, 30)) as body from lens
+    union all
+    select doc_id, 2, {l_toolpre} + a + {l_toolmid},
+      {l_toolpre} + a + {l_toolmid} + s3len, trim(substr(text, 61)) from lens
+    union all
+    select doc_id, 3, {l_toolpre} + a + {l_toolmid} + s3len + 1,
+      {l_toolpre} + a + {l_toolmid} + s3len + 1 + 14, 'result line ok'
+      from lens
+  ) where doc_id % 8 = 3 and body <> ''
+)
+select doc_id, 'html' as kind,
+  cast(row_number() over (partition by doc_id order by block_idx) - 1 as int)
+    as span_idx,
+  start, "end"
+from hb where verdict = 'kept'
+union all select * from pdf
+union all select * from tool
+union all
+select doc_id, 'plain' as kind, 0 as span_idx, 0 as start,
+  cast(length(text) as int) as "end"
+from documents where doc_id % 8 = 0
+union all
+select doc_id, 'wrapped:plain', 0, {head},
+  cast({head} + length(text) as int)
+from documents where doc_id % 8 = 6
+"""
+
+
+def _sql_parse_extract() -> str:
+    """All-kinds extraction twin: html via the relational scorer CTE;
+    pdfish/tool reuse the structure of the r2-green per-kind fragments;
+    plain/wrapped/empty are direct."""
+    p = payloads.parse_payload_sql("text")
+    tool_body = (
+        "list_filter(string_split(p, chr(10)), x -> not starts_with(x, '```'))"
+    )
+    tool_proc = (
+        f"list_transform({tool_body}, x -> "
+        "case when regexp_matches(x, '^\\[(TRACE|DEBUG)\\] ') then null "
+        "else regexp_replace(x, '^\\[(INFO|WARN|ERROR)\\] ', '') end)"
+    )
+    tool_kept = "list_filter(pl, x -> x is not null and trim(x) <> '')"
+    return f"""
+with {_html_blocks_sql(p, "doc_id % 8 in (1, 7)")},
+html_doc as (
+  select h.doc_id, 'html' as kind, 1 as parse_ok,
+    case when (length(t.p) - length(replace(t.p, '<', '')))
+           <> (length(t.p) - length(replace(t.p, '>', ''))) then 1 else 0
+    end as parse_warn,
+    count(*) filter (h.verdict = 'kept') as blocks_kept,
+    count(*) filter (h.verdict not in ('kept', 'blank')) as blocks_dropped,
+    case when count(*) filter (h.verdict = 'kept') > 0
+      then array_to_string(
+        list(h.visible order by h.block_idx) filter (h.verdict = 'kept'),
+        chr(10)) || chr(10)
+      else '' end as extracted
+  from hb h
+  join (select doc_id, {p} as p from documents) t using (doc_id)
+  group by h.doc_id, t.p
+),
+pdf_t as (
+  select doc_id,
+    trim(substr(text, 1, 30)) as s1,
+    trim(substr(text, 31, 30)) as s2,
+    trim(substr(text, 61)) as s3
+  from documents where doc_id % 8 = 2
+),
+pdf_p as (
+  select doc_id,
+    list_filter([s2, s1], x -> x <> '') as p1,
+    list_filter([s3], x -> x <> '') as p2
+  from pdf_t
+),
+pdf_doc as (
+  select doc_id, 'pdfish' as kind, 1 as parse_ok, 0 as parse_warn,
+    len(p1) + len(p2) as blocks_kept,
+    3 - len(p1) - len(p2) as blocks_dropped,
+    (case when len(p1) > 0
+      then array_to_string(p1, chr(10)) || chr(10) else '' end)
+    || (case when len(p2) > 0
+      then array_to_string(p2, chr(10)) || chr(10) else '' end) as extracted
+  from pdf_p
+),
+tool_l as (
+  select doc_id, {tool_proc} as pl
+  from (select doc_id, {p} as p from documents where doc_id % 8 = 3)
+),
+tool_doc as (
+  select doc_id, 'tool' as kind, 1 as parse_ok, 0 as parse_warn,
+    len({tool_kept}) as blocks_kept,
+    len(list_filter(pl, x -> x is null or trim(x) = '')) as blocks_dropped,
+    case when len({tool_kept}) > 0
+      then array_to_string({tool_kept}, chr(10)) || chr(10)
+      else '' end as extracted
+  from tool_l
+)
+select doc_id, kind, cast(parse_ok as int) as parse_ok,
+  cast(parse_warn as int) as parse_warn,
+  cast(blocks_kept as int) as blocks_kept,
+  cast(blocks_dropped as int) as blocks_dropped, extracted
+from (
+  select * from html_doc
+  union all select * from pdf_doc
+  union all select * from tool_doc
+  union all
+  select doc_id, 'plain', 1, 0, 1, 0, text from documents where doc_id % 8 = 0
+  union all
+  select doc_id, 'wrapped:plain', 1, 0, 1, 0, text
+  from documents where doc_id % 8 = 6
+  union all
+  select doc_id, 'empty', 0, 0, 0, 0, '' from documents where doc_id % 8 = 4
+  union all
+  select doc_id, 'undecodable', 0, 0, 0, 0, ''
+  from documents where doc_id % 8 = 5
+)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -5199,17 +5485,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_repair": q_conv_repair,
     "nfc_normalize": q_nfc_normalize,
     "ann_pq": q_ann_pq,
-    "conv_dedup": q_conv_dedup,
-    "conv_prefix_dedup": q_conv_prefix_dedup,
+    # parse family: IN the window this round — pyparse.py/operators/
+    # parse.py gained span emission (r4 session 4), so the prior r2-green
+    # rows no longer describe the shipped code and every entry re-verifies
+    # live: html_blocks/parse_spans are new; parse_extract's oracle is new
+    # (was rows-only); parse_kind/parse_tool_stats/parse_pdfish_order
+    # re-verify the touched path end to end
+    "html_blocks": q_html_blocks,
+    "parse_spans": q_parse_spans,
+    "parse_extract": q_parse_extract,
+    "parse_kind": q_parse_kind,
+    "parse_tool_stats": q_parse_tool_stats,
+    "parse_pdfish_order": q_parse_pdfish_order,
     "conv_curate": q_conv_curate,
     "conv_dedup_incremental": q_conv_dedup_incremental,
-    "conv_validate": q_conv_validate,
     "sft_pairs": q_sft_pairs,
     "sft_pairs_bpe": q_sft_pairs_bpe,
     "snapshot_diff": q_snapshot_diff,
     "dsir": q_dsir,
     "bm25": q_bm25,
-    "top_terms": q_top_terms,
     "key_profile": q_key_profile,
     "lm_bigram": q_lm_bigram,
     "dedup_bloom": q_dedup_bloom,
@@ -5218,7 +5512,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_apply": q_dedup_apply,
     "span_dedup_corpus": q_span_dedup,
-    "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_text": q_semantic_dedup_text,
     "curate": q_curate,
     "curate_funnel": q_curate_funnel,
@@ -5227,7 +5520,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_incremental": q_ann_ivf_incremental,
     "pii_scrub": q_pii_scrub,
-    "lm_quality": q_lm_quality,
     "pack_bins": q_pack_bins,
     "pack_bins_ranged": q_pack_bins_ranged,
     "token_counts_bpe": q_token_counts_bpe,
@@ -5333,12 +5625,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # diffs are insertions after lm_score plus the pack_bins region
     "repetition_stats": q_repetition_stats,
     "boilerplate_grams": q_boilerplate,
-    # parse_kind / parse_tool_stats: green r2; pyparse.py and
-    # operators/parse.py untouched since f375de6
-    "parse_kind": q_parse_kind,
-    "parse_tool_stats": q_parse_tool_stats,
-    # parse_extract: rows-only row recorded r2; pyparse.py untouched
-    "parse_extract": q_parse_extract,
+    # conv_dedup / conv_prefix_dedup / conv_validate: green r3 (prefix
+    # re-verified live by the r3 judge); conversation_fingerprints /
+    # conversation_dedup / conversation_prefix_dedup /
+    # conversation_validate and q_conv_dedup / q_conv_prefix_dedup /
+    # q_conv_validate all show ZERO commits in
+    # `git log -L :<fn>:<file> d97f054..HEAD` — the r4 conversation.py
+    # diff adds conversation_index/conversation_dedup_incremental and the
+    # sft token expr only (conv_dedup_incremental stays in the window
+    # exercising the same module)
+    "conv_dedup": q_conv_dedup,
+    "conv_prefix_dedup": q_conv_prefix_dedup,
+    "conv_validate": q_conv_validate,
+    # semantic_dedup: green r3; semantic_dedup and its whole callee chain
+    # (fit_ivf_centroids, _centroid_ranks, as_double, dedup.cap_buckets)
+    # and q_semantic_dedup show zero commits under git log -L over
+    # d97f054..HEAD — the r4 similarity.py diff adds embed_project/PQ/IVF
+    # index paths only (semantic_dedup_text stays in the window running
+    # the same operator end to end over projected embeddings)
+    "semantic_dedup": q_semantic_dedup,
+    # top_terms: green r3; textstats.top_terms and q_top_terms show zero
+    # commits under git log -L over d97f054..HEAD (r4 textstats diffs are
+    # the LR trainer region only)
+    "top_terms": q_top_terms,
+    # lm_quality: green r3; corpus.lm_score and q_lm_quality show zero
+    # commits under git log -L over d97f054..HEAD (r4 corpus.py diffs:
+    # BPE/pack/dsir/span_dedup/pii regions — lm_bigram stays in the
+    # window exercising the LM scoring family)
+    "lm_quality": q_lm_quality,
     # entities: green r1+r2; the gazetteer path (entity_spans /
     # with_entities) is untouched since f375de6 — round-3 diffs to
     # matching.py touch with_doc_statistics and match_variant_tokens only
@@ -5346,8 +5660,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # session_windows: green r2; the native session_window query and the
     # streaming twin in stateful.py are untouched since f375de6
     "session_windows": q_session_windows,
-    # parse_pdfish_order: green r2; pyparse.py untouched since f375de6
-    "parse_pdfish_order": q_parse_pdfish_order,
     # kw_synonyms: green r2; pymatch.py/matching synonym path untouched
     "kw_synonyms": q_kw_synonyms,
     # kw_ac_365: green r2; ac_scan.py/pymatch.py untouched since f375de6
@@ -5392,8 +5704,12 @@ def oracle_sql() -> dict[str, str]:
         "parse_kind": SQL_PARSE_KIND,
         "parse_tool_stats": _sql_parse_tool_stats(),
         "parse_pdfish_order": SQL_PARSE_PDFISH_ORDER,
-        # parse_extract: deliberately no oracle — the full Arrow path
-        # (HTML block scoring) is rows-only here, pytest-pinned vs pyparse
+        # the html leg's sentinel-split SQL twin (r4) closed the last
+        # rows-only parse gap: extraction, block verdicts, and raw-payload
+        # spans are all value-hash verified now
+        "parse_extract": _sql_parse_extract(),
+        "html_blocks": _sql_html_blocks(),
+        "parse_spans": _sql_parse_spans(),
         "topk_longest": SQL_TOPK_LONGEST,
         "source_describe": SQL_SOURCE_DESCRIBE,
         "conv_rollup": SQL_CONV_ROLLUP,

@@ -27,6 +27,14 @@ PARSE_RESULT = T.StructType(
         T.StructField("blocks_kept", T.IntegerType(), False),
         T.StructField("blocks_dropped", T.IntegerType(), False),
         T.StructField("extracted", T.StringType(), False),
+        # per kept block, [start, end) char offsets into the raw payload,
+        # in extracted order (north-star span contract, pyparse docstring);
+        # named block_spans because keyword matching (J2/J6) owns `spans`
+        T.StructField(
+            "block_spans",
+            T.ArrayType(T.ArrayType(T.IntegerType(), False), False),
+            False,
+        ),
     ]
 )
 

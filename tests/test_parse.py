@@ -133,3 +133,150 @@ def test_html_text_density_drops_tag_heavy_blocks():
     assert r.blocks_kept == 1
     assert "continut principal" in r.extracted
     assert r.blocks_dropped >= 1
+
+
+# ---------------------------------------------------------------------------
+# Span contract (north star: "character-span offsets per turn"): for every
+# kind, the kind's flatten rule applied to raw[start:end] reproduces each
+# kept block's contribution to `extracted`, in extracted order.
+# ---------------------------------------------------------------------------
+
+
+def _check_spans(raw: str) -> None:
+    from ocr_spark import pyparse
+
+    r = pyparse.parse_payload(raw)
+    kind = r.kind.split(":")[-1]
+    if kind in ("empty", "undecodable"):
+        assert r.spans == ()
+        return
+    if kind == "plain":
+        inner = raw
+        if r.kind.startswith("wrapped"):
+            (s, e), = r.spans
+            assert r.extracted == raw[s:e]
+            return
+        assert r.spans == ((0, len(raw)),)
+        return
+    blocks = [b for b in r.extracted.split("\n") if b != ""]
+    assert len(r.spans) == len(blocks) == r.blocks_kept
+    for (s, e), b in zip(r.spans, blocks):
+        assert 0 <= s <= e <= len(raw)
+        piece = raw[s:e]
+        if kind == "html":
+            assert pyparse._strip_tags(piece.replace("\n", " ")) == b
+        elif kind == "pdfish":
+            assert piece.replace("\n", " ").strip() == b
+        elif kind == "tool":
+            assert piece == b
+
+
+def test_spans_all_kinds():
+    payloads_ = [
+        "just a plain single line",
+        "multi\nline\nplain text",
+        "",
+        "%BIN!\x00garbage",
+        "BEGIN-WRAP v1\ninner body text\nEND-WRAP",
+        "<html><nav>menu a b</nav><p>main content block long enough to keep"
+        "</p><div>second content block also long enough</div>"
+        "<footer>f</footer></html>",
+        "<p>unbalanced malformed html with enough visible text</p> tail <",
+        "%PDF-SIM\n[page 1]\n[block 0 @ 400,10]\nright col\nmore right\n"
+        "[block 1 @ 10,12]\nleft col line\n[page 2]\n[block 0 @ 10,5]\npg2",
+        "```tool:bash\n[INFO] kept info\n[DEBUG] dropped\n[TRACE] dropped\n"
+        "bare result\n\n```",
+    ]
+    for p in payloads_:
+        _check_spans(p)
+
+
+def test_spans_fuzz_reconstruction():
+    import random
+
+    from ocr_spark import pyparse
+
+    rng = random.Random(42)
+    frags = [
+        "<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>",
+        "<a href=x>", "</a>", "word " * 5, "short", "\n",
+        "[page 1]\n", "[block 0 @ 10,5]\n", "[INFO] ", "```", "x" * 30,
+    ]
+    heads = ["", "%PDF-SIM\n", "```tool:bash\n", "BEGIN-WRAP v1\n",
+             "<html>"]
+    for _ in range(300):
+        raw = rng.choice(heads) + "".join(
+            rng.choice(frags) for _ in range(rng.randint(0, 12))
+        )
+        _check_spans(raw)
+
+
+def test_spans_pdfish_reading_order_matches_extracted():
+    from ocr_spark import pyparse
+
+    payload = (
+        "%PDF-SIM\n[page 1]\n[block 0 @ 400,10]\nRIGHT\n"
+        "[block 1 @ 10,12]\nLEFT\n"
+    )
+    r = pyparse.parse_payload(payload)
+    # spans follow extracted (reading) order: LEFT column block first
+    flat = [payload[s:e].replace("\n", " ").strip() for s, e in r.spans]
+    assert flat == ["LEFT", "RIGHT"]
+
+
+def test_relational_domscore_matches_pyparse(spark):
+    """Cross-impl: the pure-Catalyst scorer (operators.domscore) agrees
+    with the Arrow-side frozen spec on verdicts, spans, and assembly."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark import pyparse
+    from ocr_spark.operators import domscore
+
+    cases = [
+        "<html><nav>menu home login</nav><p>main content long enough to"
+        " keep for sure</p><div>tail block with plenty of visible text"
+        "</div><footer>fin</footer></html>",
+        "<p>unbalanced with enough visible text here</p> data <",
+        "<div><a href=x>link one text</a> <a href=y>link two text</a>"
+        " tiny</div>",
+        "<ul><li>a</li><li>b</li></ul><article>" + "body " * 10
+        + "</article>",
+        "plain preamble then <p>" + "content " * 6 + "</p>",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               ["doc_id", "p"])
+    rows = domscore.html_block_table(df, "p").collect()
+    ext = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", domscore.html_extracted(F.col("p")).alias("e")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, c in enumerate(cases):
+        res = pyparse.parse_html(c.replace("\n", " "))
+        got = sorted(by_doc[i], key=lambda r: r["block_idx"])
+        kept = [r for r in got if r["verdict"] == "kept"]
+        dropped = [r for r in got if r["verdict"] not in ("kept", "blank")]
+        assert len(kept) == res.blocks_kept
+        assert len(dropped) == res.blocks_dropped
+        assert [(r["start"], r["end"]) for r in kept] == list(res.spans)
+        assert ext[i] == res.extracted
+        for r in kept:
+            assert ext[i][r["ext_start"]:r["ext_end"]] == r["visible"]
+
+
+def test_domscore_plan_zero_shuffle(spark):
+    """The relational scorer must stay Project+Generate only — no
+    Exchange, no Python: at 10^12 turns it is embarrassingly parallel."""
+    from ocr_spark.operators import domscore
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], ["doc_id", "p"])
+    plan = (
+        domscore.html_block_table(df, "p")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
