@@ -1,0 +1,150 @@
+"""Outlink extraction + link-graph ranking — the crawl-curation signals a
+web-scale corpus pipeline derives from the SAME DOM pass that extracts
+main content (reference analog: the keyword/URL harvesting in
+`/root/reference/app/services/doc_analysis.py`; the r6 URL strip in
+text_processing.py:171-191 shows the reference handles URLs but discards
+them — a training-data pipeline keeps them: outlinks feed the crawl
+frontier and domain-authority quality signals).
+
+Two pieces, both pure Catalyst:
+
+* :func:`html_link_table` — one row per ``<a>`` anchor with href, anchor
+  text, and target domain.  Same zero-shuffle shape as
+  ``domscore.html_block_table``: regexp_extract_all + arrays_zip +
+  posexplode, all inside whole-stage codegen.
+* :func:`pagerank_int` — damped PageRank over a ``(src, dst)`` edge table
+  in EXACT INTEGER arithmetic: ranks live in 1e-12 units, each iteration
+  computes ``r'(v) = (15·10^12 + 85·Σ_{u→v} r(u) // outdeg(u)) // 100``
+  (damping 0.85 as the exact rational 85/100, contributions floored).
+  Integer sums are associative, so the result is bit-identical across
+  engines, partitionings, and row orders — the device that makes an
+  iterative float algorithm value-hash verifiable against DuckDB (the
+  oracle unrolls the same iterations as chained CTEs).  Dangling mass is
+  dropped by spec (documented; identical both sides).
+
+Scale shape: a fixed iteration count builds ONE lazy plan (no driver
+synchronization, unlike connected-components' convergence loop — the
+iteration count is a hyperparameter, not data-dependent).  Each iteration
+is join-on-src + aggregate-on-dst over the edge table: 2 exchanges per
+iteration, both keyed on bounded-cardinality domain strings.  Hub domains
+(every crawl has them) skew the dst aggregation; the aggregate is a
+partial-combine ``sum`` so map-side combining absorbs the skew the same
+way the salted rollups elsewhere do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: anchor inner text / href, Java+RE2 common subset (no lookahead)
+ANCHOR_TEXT_RE = r"(?i)<a\b[^>]*>(.*?)</a>"
+ANCHOR_HREF_RE = r'(?i)<a\b[^>]*href="([^"]*)"'
+DOMAIN_RE = r"^[a-z]+://([^/]+)"
+
+#: integer-PageRank geometry: ranks in 1e-12 units of per-node mass
+PR_SCALE = 10**12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE  # 15·10^12, pre-division
+
+
+def html_link_table(
+    df: DataFrame, text_col: str, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Explode every ``<a href="...">text</a>`` into ``(link_idx, href,
+    anchor_text, domain)``.  Precondition (documented, like the sentinel
+    device): every anchor carries a double-quoted href — the two
+    extract_all arrays then align index-for-index."""
+    id_cols = id_cols or ["doc_id"]
+    flat = F.translate(F.col(text_col), "\n", " ")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(flat, F.lit(ANCHOR_HREF_RE), F.lit(1)).alias(
+            "href"
+        ),
+        F.regexp_extract_all(flat, F.lit(ANCHOR_TEXT_RE), F.lit(1)).alias(
+            "anchor_text"
+        ),
+    )
+    out = df.select(
+        *id_cols, F.posexplode(pairs).alias("link_idx", "l")
+    ).select(
+        *id_cols,
+        F.col("link_idx").cast("int").alias("link_idx"),
+        F.col("l.href").alias("href"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("l.anchor_text"), "<[^>]*>", " "),
+                " +",
+                " ",
+            )
+        ).alias("anchor_text"),
+    )
+    return out.withColumn(
+        "domain", F.regexp_extract(F.col("href"), DOMAIN_RE, 1)
+    )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact-integer damped PageRank; returns ``(domain, rank_i, outdeg,
+    indeg)`` with ``rank_i`` in 1e-12 units after ``iterations`` rounds
+    from a uniform start of ``PR_SCALE`` per node.
+
+    The whole computation is ONE lazy plan: ``iterations`` is fixed, so
+    no driver loop reads data (contrast connected_components, whose
+    round count is data-dependent).  Multi-edges are kept (a page linking
+    twice votes twice) — same spec both engines.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("domain"))
+        .unionByName(e.select(F.col("dst").alias("domain")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_w = e.join(outdeg, "src")  # (src, dst, outdeg)
+
+    ranks = nodes.withColumn("rank_i", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e_w.join(ranks, e_w["src"] == ranks["domain"])
+            # `div` is INTEGER division on longs — `/` would go through an
+            # IEEE double and lose exactness near 2^53, breaking the
+            # bit-identical-across-engines contract
+            .select(
+                F.col("dst").alias("domain"),
+                F.expr("rank_i div outdeg").alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "domain", "left")
+            .withColumn("inflow", F.coalesce(F.col("inflow"), F.lit(0)))
+            .select(
+                "domain",
+                F.expr(
+                    f"({PR_BASE}L + {PR_DAMP_NUM}L * inflow)"
+                    f" div {PR_DAMP_DEN}L"
+                ).alias("rank_i"),
+            )
+        )
+    indeg = e.groupBy(F.col("dst").alias("domain")).agg(
+        F.count("*").alias("indeg")
+    )
+    return (
+        ranks.join(
+            outdeg.withColumnRenamed("src", "domain"), "domain", "left"
+        )
+        .join(indeg, "domain", "left")
+        .select(
+            "domain",
+            "rank_i",
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("int").alias("outdeg"),
+            F.coalesce(F.col("indeg"), F.lit(0)).cast("int").alias("indeg"),
+        )
+    )

@@ -703,6 +703,151 @@ from (
 
 
 # --------------------------------------------------------------------------
+# Link graph: anchor extraction from the DOM pass + integer PageRank.
+# The payload construction is the shared ground truth: Spark EXTRACTS
+# hrefs/anchors/domains back out of real markup (operators.linkgraph),
+# while the DuckDB twin derives the same rows from the construction
+# arithmetic — an independent oracle, so a regex bug can't cancel out.
+# --------------------------------------------------------------------------
+
+#: link-graph geometry: 97 "d<k>.crawl.test" domains + one hub that every
+#: third page links to (the skewed in-degree every real crawl has)
+LINK_DOMAINS = 97
+
+
+def _link_payload(d: Column, text: Column) -> Column:
+    n1 = ((d * 7 + 13) % LINK_DOMAINS).cast("string")
+    n2 = ((d * 31 + 5) % LINK_DOMAINS).cast("string")
+    return F.concat(
+        F.lit("<html><p>"), text, F.lit("</p><p>more "),
+        F.lit('<a href="http://d'), n1, F.lit('.crawl.test/a">'),
+        F.substring(text, 1, 12), F.lit("</a> and "),
+        F.lit('<a href="http://d'), n2, F.lit('.crawl.test/b">'),
+        F.substring(text, 13, 12), F.lit("</a></p>"),
+        F.when(
+            d % 3 == 0,
+            F.lit(' <a href="http://hub.crawl.test/h">hub</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+
+
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink table from real anchor markup (operators.linkgraph
+    .html_link_table — zero-shuffle posexplode over paired
+    regexp_extract_all): per anchor, href, tag-stripped anchor text, and
+    target domain, verified against the construction arithmetic."""
+    from ocr_spark.operators.linkgraph import html_link_table
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "p", _link_payload(F.col("doc_id"), F.col("text"))
+    )
+    return html_link_table(docs, "p")
+
+
+def _sql_html_links() -> str:
+    n1 = f"cast((doc_id * 7 + 13) % {LINK_DOMAINS} as varchar)"
+    n2 = f"cast((doc_id * 31 + 5) % {LINK_DOMAINS} as varchar)"
+    return f"""
+select doc_id, cast(link_idx as int) as link_idx, href, anchor_text,
+  regexp_extract(href, '^[a-z]+://([^/]+)', 1) as domain
+from (
+  select doc_id, 0 as link_idx,
+    'http://d' || {n1} || '.crawl.test/a' as href,
+    trim(substr(text, 1, 12)) as anchor_text
+  from documents
+  union all
+  select doc_id, 1,
+    'http://d' || {n2} || '.crawl.test/b', trim(substr(text, 13, 12))
+  from documents
+  union all
+  select doc_id, 2, 'http://hub.crawl.test/h', 'hub'
+  from documents where doc_id % 3 = 0
+)
+"""
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-authority ranking over the extracted link graph: src = the
+    page's own domain, dst = every anchor's domain pulled out of the
+    markup by html_link_table; then 5 rounds of EXACT-INTEGER damped
+    PageRank (linkgraph.pagerank_int — one lazy plan, bit-identical
+    across engines because every step is integer arithmetic).  The hub
+    domain's skewed in-degree exercises the partial-combine aggregate."""
+    from ocr_spark.operators.linkgraph import html_link_table, pagerank_int
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "p", _link_payload(F.col("doc_id"), F.col("text"))
+    )
+    links = html_link_table(docs, "p")
+    edges = links.select(
+        F.concat(
+            F.lit("d"),
+            (F.col("doc_id") % LINK_DOMAINS).cast("string"),
+            F.lit(".crawl.test"),
+        ).alias("src"),
+        F.col("domain").alias("dst"),
+    )
+    return pagerank_int(edges, iterations=5)
+
+
+def _sql_domain_pagerank(iterations: int = 5) -> str:
+    from ocr_spark.operators.linkgraph import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    n1 = f"cast((doc_id * 7 + 13) % {LINK_DOMAINS} as varchar)"
+    n2 = f"cast((doc_id * 31 + 5) % {LINK_DOMAINS} as varchar)"
+    steps = []
+    for i in range(iterations):
+        steps.append(
+            f"""r{i + 1} as (
+  select n.domain,
+    cast(({PR_BASE} + {PR_DAMP_NUM} * coalesce(sum(x.c), 0))
+         // {PR_DAMP_DEN} as bigint) as rank_i
+  from nodes n
+  left join (
+    select ew.dst, r{i}.rank_i // ew.outdeg as c
+    from ew join r{i} on ew.src = r{i}.domain
+  ) x on n.domain = x.dst
+  group by n.domain
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+with edges as (
+  select 'd' || cast(doc_id % {LINK_DOMAINS} as varchar) || '.crawl.test'
+    as src, dst
+  from (
+    select doc_id, 'd' || {n1} || '.crawl.test' as dst from documents
+    union all
+    select doc_id, 'd' || {n2} || '.crawl.test' from documents
+    union all
+    select doc_id, 'hub.crawl.test' from documents where doc_id % 3 = 0
+  )
+),
+nodes as (
+  select src as domain from edges union select dst from edges
+),
+outdeg as (select src, count(*) as outdeg from edges group by src),
+ew as (select e.src, e.dst, o.outdeg from edges e join outdeg o using (src)),
+indeg as (select dst as domain, count(*) as indeg from edges group by dst),
+r0 as (select domain, cast({PR_SCALE} as bigint) as rank_i from nodes),
+{chain}
+select n.domain, r{iterations}.rank_i,
+  cast(coalesce(o.outdeg, 0) as int) as outdeg,
+  cast(coalesce(i.indeg, 0) as int) as indeg
+from nodes n
+join r{iterations} using (domain)
+left join (select src as domain, outdeg from outdeg) o using (domain)
+left join indeg i using (domain)
+"""
+
+
+# --------------------------------------------------------------------------
 # W4 / A8 / W1 — relational operators over the testdata tables
 # --------------------------------------------------------------------------
 
@@ -5470,8 +5615,8 @@ select source, term, n, rank from r where rank <= 10
 # code), and the union of rounds covers every query. Tail queries remain
 # fully registered, benched, and runnable via scripts/check_entry.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "mix_sources": q_mix_sources,
-    "quality_linear": q_quality_linear,
+    "html_links": q_html_links,
+    "domain_pagerank": q_domain_pagerank,
     "embed_project": q_embed_project,
     "media_decode": q_media_decode,
     "media_resize": q_media_resize,
@@ -5653,6 +5798,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # BPE/pack/dsir/span_dedup/pii regions — lm_bigram stays in the
     # window exercising the LM scoring family)
     "lm_quality": q_lm_quality,
+    # mix_sources: green r3; corpus.mix_sources and q_mix_sources show
+    # zero commits under git log -L over d97f054..HEAD (same corpus.py
+    # hunk evidence as mix_temperature, which sits in this tail already)
+    "mix_sources": q_mix_sources,
+    # quality_linear: green r3; textstats.stub_weight_dim /
+    # linear_text_score and q_quality_linear show zero commits under
+    # git log -L over d97f054..HEAD (r4 textstats diffs are the LR
+    # trainer region; train_quality stays in the window exercising it)
+    "quality_linear": q_quality_linear,
     # entities: green r1+r2; the gazetteer path (entity_spans /
     # with_entities) is untouched since f375de6 — round-3 diffs to
     # matching.py touch with_doc_statistics and match_variant_tokens only
@@ -5710,6 +5864,11 @@ def oracle_sql() -> dict[str, str]:
         "parse_extract": _sql_parse_extract(),
         "html_blocks": _sql_html_blocks(),
         "parse_spans": _sql_parse_spans(),
+        # link graph: oracles derive rows from the payload-construction
+        # arithmetic (independent of the extraction regexes), and the
+        # PageRank twin unrolls the integer iterations as chained CTEs
+        "html_links": _sql_html_links(),
+        "domain_pagerank": _sql_domain_pagerank(),
         "topk_longest": SQL_TOPK_LONGEST,
         "source_describe": SQL_SOURCE_DESCRIBE,
         "conv_rollup": SQL_CONV_ROLLUP,

@@ -1,0 +1,101 @@
+"""Link-graph operators: anchor extraction + exact-integer PageRank
+(operators/linkgraph.py) vs a pure-Python twin of the same integer spec."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import linkgraph
+
+
+def _py_pagerank(edges: list[tuple[str, str]], iterations: int = 5):
+    """Pure-Python twin of pagerank_int's integer spec."""
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: linkgraph.PR_SCALE for n in nodes}
+    for _ in range(iterations):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // outdeg[s]
+        rank = {
+            n: (linkgraph.PR_BASE + linkgraph.PR_DAMP_NUM * inflow[n])
+            // linkgraph.PR_DAMP_DEN
+            for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_python_twin(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "c"),  # multi-edge: votes twice
+        ("e", "hub"), ("f", "hub"), ("a", "hub"), ("hub", "a"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["domain"]: (r["rank_i"], r["outdeg"], r["indeg"])
+        for r in linkgraph.pagerank_int(df, iterations=5).collect()
+    }
+    exp = _py_pagerank(edges)
+    assert set(got) == set(exp)
+    for n, r in exp.items():
+        assert got[n][0] == r, (n, got[n][0], r)
+    assert got["d"][1] == 2 and got["hub"][2] == 3
+    # well-linked node outranks a leaf
+    assert got["hub"][0] > got["e"][0]
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    edges = [(f"n{i % 13}", f"n{(i * 7 + 3) % 13}") for i in range(200)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r["domain"]: r["rank_i"]
+         for r in linkgraph.pagerank_int(df, 4).collect()}
+    b = {r["domain"]: r["rank_i"]
+         for r in linkgraph.pagerank_int(df.repartition(17), 4).collect()}
+    assert a == b
+
+
+def test_link_extraction_strips_markup_and_pairs_by_index(spark):
+    html = (
+        '<p>pre <a href="http://x.test/1"><b>bold</b> text</a> mid '
+        '<a href="http://y.test/2">plain   spaced</a></p>'
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "p"])
+    rows = sorted(
+        linkgraph.html_link_table(df, "p").collect(),
+        key=lambda r: r["link_idx"],
+    )
+    assert [(r["href"], r["anchor_text"], r["domain"]) for r in rows] == [
+        ("http://x.test/1", "bold text", "x.test"),
+        ("http://y.test/2", "plain spaced", "y.test"),
+    ]
+
+
+def test_link_extraction_no_anchors_yields_no_rows(spark):
+    df = spark.createDataFrame([(1, "<p>no links at all</p>")],
+                               ["doc_id", "p"])
+    assert linkgraph.html_link_table(df, "p").count() == 0
+
+
+def test_link_table_plan_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "<a href=\"http://x.t/1\">t</a>")],
+                               ["doc_id", "p"])
+    plan = (
+        linkgraph.html_link_table(df, "p")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pagerank_single_lazy_plan_no_driver_sync(spark):
+    """Fixed iteration count → the whole computation analyzes as one
+    DataFrame; building it triggers no job (no data-dependent rounds)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    out = linkgraph.pagerank_int(df, iterations=6)
+    _ = out.schema  # analysis only
+    assert tracker.getJobIdsForGroup(None) == before
