@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     return out.select(
         "doc_id", "kind", "parse_ok", "status", "quality",
-        "clean_text", "spans", "statistics",
+        "clean_text", "block_spans", "spans", "statistics",
     )
 
 
