@@ -156,7 +156,10 @@ def snapshot_log(spark: SparkSession, results_path: str) -> DataFrame:
 
 
 def read_results_committed(
-    spark: SparkSession, results_path: str, as_of_batch: int | None = None
+    spark: SparkSession,
+    results_path: str,
+    as_of_batch: int | None = None,
+    merge_schema: bool = True,
 ) -> DataFrame:
     """Snapshot-consistent read over the streaming sink's per-batch
     partition layout (``results_path/batch_id=N/``): include only batch
@@ -175,7 +178,18 @@ def read_results_committed(
     the table exactly as it stood after commit N, reproducible forever
     because committed batch dirs are immutable (replays overwrite only
     their own partition). Raises if no committed batch is visible at
-    that snapshot."""
+    that snapshot.
+
+    ``merge_schema`` (default True) is the additive-schema-evolution
+    half: when a pipeline upgrade adds a column (e.g. ``block_spans``,
+    added r4), older committed batches lack it — without schema merging
+    Spark samples ONE footer and may silently drop the new column from
+    the whole read. Merged reads union all batch schemas; rows from
+    pre-upgrade batches surface NULL for later columns (Iceberg
+    add-column semantics), and a time-travel read pinned before the
+    upgrade sees the old schema exactly as it stood. Costs one footer
+    read per file at planning — pass False only on a schema-stable sink
+    where that O(files) driver cost matters."""
     committed = [
         uri
         for bid, uri in _committed_batches(spark, results_path)
@@ -186,7 +200,11 @@ def read_results_committed(
             f"no committed batches under {results_path}"
             + (f" as of batch {as_of_batch}" if as_of_batch is not None else "")
         )
-    return spark.read.option("basePath", results_path).parquet(*committed)
+    return (
+        spark.read.option("basePath", results_path)
+        .option("mergeSchema", str(merge_schema).lower())
+        .parquet(*committed)
+    )
 
 
 def compaction_plan(
@@ -228,6 +246,7 @@ def read_results_incremental(
     results_path: str,
     from_batch: int,
     to_batch: int | None = None,
+    merge_schema: bool = True,
 ) -> DataFrame:
     """Iceberg incremental-scan analog (``incremental-from-snapshot``):
     the rows appended AFTER commit ``from_batch`` up to and including
@@ -245,7 +264,9 @@ def read_results_incremental(
     refresh, incremental dedup, metric rollups) re-process exactly the
     new rows. Raises if the range contains no committed batch — an
     empty diff is indistinguishable from a wrong path/range, so it
-    surfaces loudly."""
+    surfaces loudly.  ``merge_schema`` as in
+    :func:`read_results_committed` — a diff spanning a pipeline upgrade
+    must not drop the upgrade's columns."""
     committed = [
         uri
         for bid, uri in _committed_batches(spark, results_path)
@@ -256,7 +277,11 @@ def read_results_incremental(
             f"no committed batches under {results_path} in "
             f"({from_batch}, {to_batch if to_batch is not None else 'latest'}]"
         )
-    return spark.read.option("basePath", results_path).parquet(*committed)
+    return (
+        spark.read.option("basePath", results_path)
+        .option("mergeSchema", str(merge_schema).lower())
+        .parquet(*committed)
+    )
 
 
 def write_text(df: DataFrame, path: str, text_col: str = "clean_text") -> None:

@@ -655,3 +655,42 @@ def test_compaction_plan_groups_small_commits(spark):
     )
     assert rows[0]["group_bytes"] == 1100 and rows[0]["group_batches"] == 3
     assert rows[4]["group_bytes"] == 1500 and rows[4]["group_batches"] == 3
+
+
+def test_schema_evolution_merged_and_time_travel_reads(spark, tmp_path):
+    """Additive schema evolution on the committed sink (the block_spans
+    upgrade shape): old batches lack a column newer batches carry.
+    Merged reads surface it with NULLs on pre-upgrade rows; a time-travel
+    read pinned BEFORE the upgrade sees the old schema exactly; and the
+    incremental diff across the upgrade keeps the new column."""
+    import pandas as pd
+
+    from ocr_spark.sources.tables import (
+        read_results_committed,
+        read_results_incremental,
+    )
+
+    results = str(tmp_path / "out")
+    for bid, pdf in (
+        (0, pd.DataFrame({"conv_id": ["a", "b"], "quality": [1.0, 2.0]})),
+        (1, pd.DataFrame({"conv_id": ["c"], "quality": [3.0],
+                          "block_spans": [[[0, 5]]]})),
+    ):
+        d = os.path.join(results, f"batch_id={bid}")
+        os.makedirs(d)
+        pdf.to_parquet(d + "/part-0.parquet", index=False)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    merged = read_results_committed(spark, results)
+    assert "block_spans" in merged.columns
+    rows = {r["conv_id"]: r for r in merged.collect()}
+    assert rows["a"]["block_spans"] is None  # pre-upgrade row: NULL
+    assert [list(s) for s in rows["c"]["block_spans"]] == [[0, 5]]
+
+    # time travel to the pre-upgrade snapshot: old schema, exactly
+    old = read_results_committed(spark, results, as_of_batch=0)
+    assert "block_spans" not in old.columns and old.count() == 2
+
+    # the CDC diff across the upgrade carries the new column
+    diff = read_results_incremental(spark, results, from_batch=0)
+    assert "block_spans" in diff.columns and diff.count() == 1
