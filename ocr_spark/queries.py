@@ -847,6 +847,58 @@ left join indeg i using (domain)
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (linkgraph.normalize_url): four messy forms
+    per doc_id class — uppercase scheme/host + default port + fragment,
+    :443 with query, bare host, trailing '?' — plus a non-URL row that
+    must normalize to NULL.  The oracle derives the canonical form from
+    the construction arithmetic, never running the normalizer."""
+    from ocr_spark.operators.linkgraph import normalize_url
+
+    d = F.col("doc_id")
+    k = (d % 37).cast("string")
+    url = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit("HTTP://Site"), k, F.lit(".Example.COM:80/p/"),
+            d.cast("string"), F.lit("#sec"),
+        ))
+        .when(d % 5 == 1, F.concat(
+            F.lit("https://site"), k, F.lit(".example.com:443/a/B?q=1"),
+        ))
+        .when(d % 5 == 2, F.concat(
+            F.lit("http://SITE"), k, F.lit(".example.com"),
+        ))
+        .when(d % 5 == 3, F.concat(
+            F.lit("https://site"), k, F.lit(".example.com/x?"),
+        ))
+        .otherwise(F.lit("not a url at all"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", url.alias("url"))
+        .withColumn("norm", normalize_url(F.col("url")))
+    )
+
+
+def _sql_url_normalize() -> str:
+    return """
+select doc_id,
+  case doc_id % 5
+    when 0 then 'HTTP://Site' || k || '.Example.COM:80/p/' || doc_id || '#sec'
+    when 1 then 'https://site' || k || '.example.com:443/a/B?q=1'
+    when 2 then 'http://SITE' || k || '.example.com'
+    when 3 then 'https://site' || k || '.example.com/x?'
+    else 'not a url at all' end as url,
+  case doc_id % 5
+    when 0 then 'http://site' || k || '.example.com/p/' || doc_id
+    when 1 then 'https://site' || k || '.example.com/a/B?q=1'
+    when 2 then 'http://site' || k || '.example.com/'
+    when 3 then 'https://site' || k || '.example.com/x'
+    else null end as norm
+from (select doc_id, cast(doc_id % 37 as varchar) as k from documents)
+"""
+
+
 # --------------------------------------------------------------------------
 # W4 / A8 / W1 — relational operators over the testdata tables
 # --------------------------------------------------------------------------
@@ -5617,6 +5669,7 @@ select source, term, n, rank from r where rank <= 10
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_links": q_html_links,
     "domain_pagerank": q_domain_pagerank,
+    "url_normalize": q_url_normalize,
     "embed_project": q_embed_project,
     "media_decode": q_media_decode,
     "media_resize": q_media_resize,
@@ -5660,7 +5713,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_text": q_semantic_dedup_text,
     "curate": q_curate,
     "curate_funnel": q_curate_funnel,
-    "embed_neardup": q_embed_neardup,
     "ann_lsh_mp": q_ann_lsh_mp,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_incremental": q_ann_ivf_incremental,
@@ -5807,6 +5859,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # git log -L over d97f054..HEAD (r4 textstats diffs are the LR
     # trainer region; train_quality stays in the window exercising it)
     "quality_linear": q_quality_linear,
+    # embed_neardup: green r1+r2+r3; embedding_neardup and its callee
+    # chain (sign_lsh_bucket, hyperplanes) plus q_embed_neardup and
+    # _emb_corpus all show zero commits under git log -L over
+    # d97f054..HEAD (r4 similarity.py diffs are embed_project/PQ/IVF;
+    # semantic_dedup_text + the ann_* entries stay in the window
+    # exercising the same module)
+    "embed_neardup": q_embed_neardup,
     # entities: green r1+r2; the gazetteer path (entity_spans /
     # with_entities) is untouched since f375de6 — round-3 diffs to
     # matching.py touch with_doc_statistics and match_variant_tokens only
@@ -5869,6 +5928,7 @@ def oracle_sql() -> dict[str, str]:
         # PageRank twin unrolls the integer iterations as chained CTEs
         "html_links": _sql_html_links(),
         "domain_pagerank": _sql_domain_pagerank(),
+        "url_normalize": _sql_url_normalize(),
         "topk_longest": SQL_TOPK_LONGEST,
         "source_describe": SQL_SOURCE_DESCRIBE,
         "conv_rollup": SQL_CONV_ROLLUP,

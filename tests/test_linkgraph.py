@@ -99,3 +99,27 @@ def test_pagerank_single_lazy_plan_no_driver_sync(spark):
     out = linkgraph.pagerank_int(df, iterations=6)
     _ = out.schema  # analysis only
     assert tracker.getJobIdsForGroup(None) == before
+
+
+def test_normalize_url_cases(spark):
+    cases = [
+        ("HTTP://Ex.COM:80/Path#frag", "http://ex.com/Path"),
+        ("https://ex.com:443/a?q=UP", "https://ex.com/a?q=UP"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),  # non-default port
+        ("https://ex.com", "https://ex.com/"),
+        ("http://ex.com/x?", "http://ex.com/x"),
+        ("  http://ex.com/pad  ", "http://ex.com/pad"),
+        ("ftp://Files.Ex.com:80/f", "ftp://files.ex.com:80/f"),  # not http
+        ("no scheme here", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               ["i", "u"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", linkgraph.normalize_url(F.col("u")).alias("n")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
