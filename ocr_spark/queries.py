@@ -847,6 +847,108 @@ left join indeg i using (domain)
 """
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured table extraction (domscore.html_table_cells): every
+    <td>/<th> cell addressed (table_idx, row_idx, col_idx) with
+    tag-stripped text and a header flag — three nested
+    regexp_extract_all levels, zero shuffle.  The oracle emits the
+    expected cells from the construction arithmetic; the Spark side must
+    recover them from real markup (including a <b>-wrapped cell and a
+    second single-cell table on every fourth doc)."""
+    from ocr_spark.operators.domscore import html_table_cells
+
+    d = F.col("doc_id")
+    h = (d % 7).cast("string")
+    w = [F.trim(F.substring(F.col("text"), 1 + 10 * i, 10)) for i in range(4)]
+    payload = F.concat(
+        F.lit("<table><tr><th>ha"), h, F.lit("</th><th>hb"), h,
+        F.lit("</th></tr><tr><td>"), w[0], F.lit("</td><td>"), w[1],
+        F.lit("</td></tr><tr><td>"), w[2], F.lit("</td><td><b>"), w[3],
+        F.lit("</b></td></tr></table>"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("<table><tr><td>x"), d.cast("string"),
+                F.lit("</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).withColumn("p", payload)
+    return html_table_cells(docs, "p")
+
+
+def _sql_html_tables() -> str:
+    cells = []
+    for r, c, body, hdr in [
+        (0, 0, "'ha' || h", "true"), (0, 1, "'hb' || h", "true"),
+        (1, 0, "w1", "false"), (1, 1, "w2", "false"),
+        (2, 0, "w3", "false"), (2, 1, "w4", "false"),
+    ]:
+        cells.append(
+            f"select doc_id, 0 as table_idx, {r} as row_idx, {c} as col_idx,"
+            f" {body} as cell, {hdr} as is_header from t"
+        )
+    body = "\nunion all\n".join(cells)
+    return f"""
+with t as (
+  select doc_id, cast(doc_id % 7 as varchar) as h,
+    trim(substr(text, 1, 10)) as w1, trim(substr(text, 11, 10)) as w2,
+    trim(substr(text, 21, 10)) as w3, trim(substr(text, 31, 10)) as w4
+  from documents
+)
+select doc_id, cast(table_idx as int) as table_idx,
+  cast(row_idx as int) as row_idx, cast(col_idx as int) as col_idx,
+  cell, is_header
+from (
+{body}
+union all
+select doc_id, 1, 0, 0, 'x' || cast(doc_id as varchar), false
+from t where doc_id % 4 = 0
+)
+"""
+
+
+def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → markdown rendition (domscore.html_to_markdown): headings,
+    lists, emphasis, and links survive as markdown structure instead of
+    being flattened away — the output shape an LLM-training corpus
+    usually wants.  Both engines run the identical MD_RULES chain (the
+    P3 regex-bank verification pattern)."""
+    from ocr_spark.operators.domscore import html_to_markdown
+
+    d = F.col("doc_id")
+    k = (d % 37).cast("string")
+    payload = F.concat(
+        F.lit("<h1>Doc "), d.cast("string"), F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p><ul><li>"),
+        F.substring(F.col("text"), 1, 12), F.lit("</li><li><b>"),
+        F.substring(F.col("text"), 13, 12), F.lit("</b></li></ul>"),
+        F.lit('<p>see <a href="http://d'), k, F.lit('.crawl.test/a">'),
+        F.substring(F.col("text"), 25, 12), F.lit("</a></p>"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", payload.alias("p"))
+        .select("doc_id", html_to_markdown(F.col("p")).alias("md"))
+    )
+
+
+def _sql_html_markdown() -> str:
+    from ocr_spark.operators.domscore import html_to_markdown_sql
+
+    payload = (
+        "'<h1>Doc ' || cast(doc_id as varchar) || '</h1><p>' || text ||"
+        " '</p><ul><li>' || substr(text, 1, 12) || '</li><li><b>' ||"
+        " substr(text, 13, 12) || '</b></li></ul>' ||"
+        " '<p>see <a href=\"http://d' || cast(doc_id % 37 as varchar) ||"
+        " '.crawl.test/a\">' || substr(text, 25, 12) || '</a></p>'"
+    )
+    return (
+        "select doc_id, " + html_to_markdown_sql(f"({payload})")
+        + " as md from documents"
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (linkgraph.normalize_url): four messy forms
     per doc_id class — uppercase scheme/host + default port + fragment,
@@ -5685,16 +5787,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     # parse family: IN the window this round — pyparse.py/operators/
     # parse.py gained span emission (r4 session 4), so the prior r2-green
-    # rows no longer describe the shipped code and every entry re-verifies
-    # live: html_blocks/parse_spans are new; parse_extract's oracle is new
-    # (was rows-only); parse_kind/parse_tool_stats/parse_pdfish_order
-    # re-verify the touched path end to end
+    # rows no longer describe the shipped code: html_blocks/parse_spans
+    # are new; parse_extract's oracle is new (was rows-only) and its
+    # all-kinds twin subsumes the per-kind tool/pdfish fragments (those
+    # two entries sit in the tail with that justification); parse_kind
+    # re-verifies the classification leg
     "html_blocks": q_html_blocks,
     "parse_spans": q_parse_spans,
     "parse_extract": q_parse_extract,
     "parse_kind": q_parse_kind,
-    "parse_tool_stats": q_parse_tool_stats,
-    "parse_pdfish_order": q_parse_pdfish_order,
+    "html_tables": q_html_tables,
+    "html_markdown": q_html_markdown,
     "conv_curate": q_conv_curate,
     "conv_dedup_incremental": q_conv_dedup_incremental,
     "sft_pairs": q_sft_pairs,
@@ -5866,6 +5969,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # semantic_dedup_text + the ann_* entries stay in the window
     # exercising the same module)
     "embed_neardup": q_embed_neardup,
+    # parse_tool_stats / parse_pdfish_order: green r2; the r4-s4 pyparse
+    # touch is the additive spans field, and EVERY column these oracles
+    # check (per-kind blocks_kept/blocks_dropped/extracted) is verified
+    # THIS round by parse_extract's all-kinds row in the window (its SQL
+    # twin embeds these two fragments verbatim); both re-verified green
+    # by the full local gate replica this session (ALL GREEN 0)
+    "parse_tool_stats": q_parse_tool_stats,
+    "parse_pdfish_order": q_parse_pdfish_order,
     # entities: green r1+r2; the gazetteer path (entity_spans /
     # with_entities) is untouched since f375de6 — round-3 diffs to
     # matching.py touch with_doc_statistics and match_variant_tokens only
@@ -5929,6 +6040,8 @@ def oracle_sql() -> dict[str, str]:
         "html_links": _sql_html_links(),
         "domain_pagerank": _sql_domain_pagerank(),
         "url_normalize": _sql_url_normalize(),
+        "html_tables": _sql_html_tables(),
+        "html_markdown": _sql_html_markdown(),
         "topk_longest": SQL_TOPK_LONGEST,
         "source_describe": SQL_SOURCE_DESCRIBE,
         "conv_rollup": SQL_CONV_ROLLUP,

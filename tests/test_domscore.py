@@ -1,0 +1,110 @@
+"""Structured DOM extraction: table cells + markdown rendition
+(operators/domscore.py additions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import domscore
+
+
+def _cells(spark, html):
+    df = spark.createDataFrame([(1, html)], ["doc_id", "p"])
+    rows = domscore.html_table_cells(df, "p").collect()
+    return sorted(
+        (r["table_idx"], r["row_idx"], r["col_idx"], r["cell"],
+         r["is_header"])
+        for r in rows
+    )
+
+
+def test_table_cells_addressing_and_header_flag(spark):
+    html = (
+        "<table><tr><th>H1</th><th>H2</th></tr>"
+        "<tr><td>a</td><td><b>b</b> c</td></tr></table>"
+        "<p>between</p>"
+        "<table><tr><td>second</td></tr></table>"
+    )
+    assert _cells(spark, html) == [
+        (0, 0, 0, "H1", True),
+        (0, 0, 1, "H2", True),
+        (0, 1, 0, "a", False),
+        (0, 1, 1, "b c", False),
+        (1, 0, 0, "second", False),
+    ]
+
+
+def test_table_cells_thead_word_boundary(spark):
+    # <thead>/<tbody> wrappers must not read as cells; \b guards <t[dh]
+    html = (
+        "<table><thead><tr><th>h</th></tr></thead>"
+        "<tbody><tr><td>v</td></tr></tbody></table>"
+    )
+    assert _cells(spark, html) == [
+        (0, 0, 0, "h", True),
+        (0, 1, 0, "v", False),
+    ]
+
+
+def test_table_cells_no_tables(spark):
+    df = spark.createDataFrame([(1, "<p>plain</p>")], ["doc_id", "p"])
+    assert domscore.html_table_cells(df, "p").count() == 0
+
+
+def test_table_plan_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "<table></table>")], ["doc_id", "p"])
+    plan = (
+        domscore.html_table_cells(df, "p")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def _md(spark, html):
+    df = spark.createDataFrame([(html,)], ["p"])
+    return df.select(
+        domscore.html_to_markdown(F.col("p")).alias("m")
+    ).first()["m"]
+
+
+def test_markdown_rules(spark):
+    html = (
+        "<h1>Title</h1><p>Body text here.</p>"
+        "<h2>Sub</h2><ul><li>one</li><li><b>two</b></li></ul>"
+        '<p>see <a href="http://x.test/p">the link</a> and <i>soft</i></p>'
+    )
+    md = _md(spark, html)
+    assert md.startswith("# Title\n")
+    assert "\n## Sub\n" in md
+    assert "\n- one\n- **two**" in md
+    assert "[the link](http://x.test/p)" in md
+    assert "*soft*" in md
+    assert "<" not in md  # all markup consumed
+    assert "\n\n\n" not in md  # collapsed blank runs
+
+
+def test_markdown_matches_duckdb_twin(spark):
+    import duckdb
+
+    cases = [
+        "<h1>A</h1><p>para   spaced</p>",
+        "<ul><li>x</li><li>y</li></ul>",
+        '<p><a href="http://a.b/c">t</a><b>s</b></p>',
+        "plain no markup",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               ["i", "p"])
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", domscore.html_to_markdown(F.col("p")).alias("m")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = domscore.html_to_markdown_sql("p")
+    for i, c in enumerate(cases):
+        exp = con.execute(f"select {expr} from (select ? as p)", [c]
+                          ).fetchone()[0]
+        assert got[i] == exp, (c, got[i], exp)
