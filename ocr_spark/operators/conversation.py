@@ -249,6 +249,87 @@ def conversation_prefix_dedup(
     return out.withColumn("keep", ~F.col("is_prefix"))
 
 
+def conversation_prefix_dedup_chained(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    bucket_turns: int = 64,
+) -> DataFrame:
+    """:func:`conversation_prefix_dedup` with BOUNDED join keys — the
+    scale-hardened variant for corpora where conversations grow past a
+    few thousand turns.
+
+    The string-prefix formulation windows over the full ``turn_hashes``
+    concatenation: a 5,000-turn conversation contributes a 160 KB sort
+    key (the r3 verdict's watch item).  This variant replaces the wide
+    keys with a rolling HASH CHAIN: ``c_k = md5(c_{k-1} || h_k)`` folded
+    row-locally over the ordered per-turn hashes, so "A's sequence is a
+    strict prefix of B's" ≡ "B's chain at depth ``n_A`` equals A's final
+    chain".  Detection becomes one semi-join on ``(depth, 32-hex
+    chain)``:
+
+    * ``P`` = every conversation's PROPER-prefix chains, exploded to
+      ``(k, c_k)`` for ``k < n_turns`` — O(total turns) thin rows;
+    * A is a strict prefix of something iff ``(n_A, c_{n_A})`` hits
+      ``P``.
+
+    Every wire key is 32 hex chars regardless of conversation length;
+    the join is hint-free (corpus-derived dim contract — AQE sizes it).
+    Same md5-collision assumption as every fingerprint equality in this
+    module.  Output contract identical to
+    :func:`conversation_prefix_dedup` (property-tested equal)."""
+    hw = 32
+    fps = conversation_fingerprints(df, text_col, bucket_turns)
+    toks = F.expr(
+        f"transform(sequence(1, n_turns),"
+        f" i -> substring(turn_hashes, (i - 1) * {hw} + 1, {hw}))"
+    )
+    chain_init = F.struct(
+        F.lit("").alias("last"),
+        F.expr("cast(array() as array<string>)").alias("arr"),
+    )
+
+    def chain_step(acc, h):
+        nxt = F.md5(F.concat(acc["last"], h))
+        return F.struct(
+            nxt.alias("last"), F.concat(acc["arr"], F.array(nxt)).alias("arr")
+        )
+
+    with_chain = fps.withColumn(
+        "_chain", F.aggregate(toks, chain_init, chain_step, lambda a: a["arr"])
+    )
+    base = with_chain.select(
+        "conv_id",
+        "n_turns",
+        "fingerprint",
+        F.element_at("_chain", F.col("n_turns")).alias("_full"),
+        "_chain",
+    )
+    proper_prefixes = (
+        base.select(
+            F.posexplode(F.expr("slice(_chain, 1, n_turns - 1)")).alias(
+                "_k0", "_c"
+            )
+        )
+        .select((F.col("_k0") + 1).alias("_k"), "_c")
+        .distinct()
+    )
+    hit = proper_prefixes.withColumn("_m", F.lit(True))
+    return (
+        base.join(
+            hit,
+            (base["n_turns"] == hit["_k"]) & (base["_full"] == hit["_c"]),
+            "left",
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "fingerprint",
+            F.coalesce("_m", F.lit(False)).alias("is_prefix"),
+        )
+        .withColumn("keep", ~F.col("is_prefix"))
+    )
+
+
 def conversation_index(
     df: DataFrame, text_col: str = "clean_text", bucket_turns: int = 64
 ) -> DataFrame:

@@ -380,3 +380,66 @@ def test_conversation_repair_no_repeats_is_identity(spark):
     # repaired output passes the validate gate's alternation check
     v = conversation_validate(out).collect()[0]
     assert v["n_role_repeats"] == 0 and v["idx_ok"]
+
+
+@pytest.mark.parametrize("seed", [7, 11, 23, 41])
+def test_prefix_dedup_chained_equals_string_form(spark, seed):
+    """The bounded-key chain variant is output-identical to the
+    string-prefix form on randomized corpora with planted prefixes."""
+    from ocr_spark.operators.conversation import (
+        conversation_prefix_dedup_chained,
+    )
+
+    convs = _rand_corpus(seed)
+    df = _df(spark, convs)
+    a = {
+        (r["conv_id"], r["n_turns"], r["fingerprint"]): r["is_prefix"]
+        for r in conversation_prefix_dedup(df, bucket_turns=3).collect()
+    }
+    b = {
+        (r["conv_id"], r["n_turns"], r["fingerprint"]): r["is_prefix"]
+        for r in conversation_prefix_dedup_chained(
+            df, bucket_turns=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_prefix_dedup_chained_duplicate_chain(spark):
+    from ocr_spark.operators.conversation import (
+        conversation_prefix_dedup_chained,
+    )
+
+    convs = {
+        "s1": ["x", "y"],
+        "s2": ["x", "y"],
+        "ext": ["x", "y", "z"],
+        "solo": ["q"],
+    }
+    got = {
+        r["conv_id"]: (r["is_prefix"], r["keep"])
+        for r in conversation_prefix_dedup_chained(
+            _df(spark, convs)
+        ).collect()
+    }
+    assert got == {
+        "s1": (True, False),
+        "s2": (True, False),
+        "ext": (False, True),
+        "solo": (False, True),
+    }
+
+
+def test_prefix_dedup_chained_no_wide_sort_keys(spark):
+    """No window over turn_hashes: every exchange keys on 32-hex values
+    (the r3 watch item this variant exists to close)."""
+    from ocr_spark.operators.conversation import (
+        conversation_prefix_dedup_chained,
+    )
+
+    df = _df(spark, {"a": ["x", "y"], "b": ["x", "y", "z"]})
+    plan = (
+        conversation_prefix_dedup_chained(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
