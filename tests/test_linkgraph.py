@@ -123,3 +123,18 @@ def test_normalize_url_cases(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_pagerank_reuses_edge_exchanges(spark):
+    """The per-iteration e_w subtree dedupes at runtime (ReusedExchange):
+    edges shuffle ONCE across all iterations, and AQE broadcast-converts
+    the domain-cardinality rank joins — the scale shape that keeps k
+    iterations at ~one edge-table scan."""
+    df = spark.createDataFrame(
+        [(f"n{i % 11}", f"n{(3 * i + 1) % 11}") for i in range(100)],
+        ["src", "dst"],
+    )
+    out = linkgraph.pagerank_int(df, iterations=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
