@@ -4866,6 +4866,34 @@ from flagged
 """
 
 
+def q_conv_prefix_dedup_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-KEY production variant of prefix-containment dedup:
+    rolling md5 hash chains replace the wide ``turn_hashes`` sort keys
+    (a 5,000-turn conversation would carry a 160 KB key through the
+    string-prefix form's window — the r3 verdict's watch item), so every
+    wire key is 32 hex chars and detection is ONE hint-free semi-join on
+    ``(depth, chain)``. Output contract identical to
+    ``conversation_prefix_dedup`` (property-tested equal on randomized
+    corpora, tests/test_conversation.py); the oracle is therefore the
+    SAME independent pairwise-EXISTS formulation DuckDB runs for the
+    string form — hash-equality here proves the chained rewrite against
+    an oracle that never builds a chain."""
+    from ocr_spark.operators.conversation import (
+        conversation_prefix_dedup_chained,
+    )
+
+    out = conversation_prefix_dedup_chained(
+        _conv_corpus(spark, sf_dir), bucket_turns=4
+    )
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("int").alias("n_turns"),
+        "fingerprint",
+        "is_prefix",
+        "keep",
+    )
+
+
 def _conv_inc_corpora(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -5800,11 +5828,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_markdown": q_html_markdown,
     "conv_curate": q_conv_curate,
     "conv_dedup_incremental": q_conv_dedup_incremental,
+    "conv_prefix_dedup_chained": q_conv_prefix_dedup_chained,
     "sft_pairs": q_sft_pairs,
     "sft_pairs_bpe": q_sft_pairs_bpe,
     "snapshot_diff": q_snapshot_diff,
     "dsir": q_dsir,
-    "bm25": q_bm25,
     "key_profile": q_key_profile,
     "lm_bigram": q_lm_bigram,
     "dedup_bloom": q_dedup_bloom,
@@ -5827,6 +5855,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_emit": q_pack_emit,
     "pack_bins_bpe": q_pack_bins_bpe,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # bm25: green r3 (hash-match); its r4 touches are non-semantic —
+    # 6ef1db3 fixed a docstring citation path in q_bm25 (comment-only
+    # hunk, zero code lines), and 7a5f206 appended module-level items to
+    # retrieval.py (__all__ entry + the new hybrid_rrf function AFTER
+    # bm25_score); `git log -L :bm25_score` shows no body change since
+    # 93b48a6 (r3, the commit its green row verified); re-verified green
+    # via scripts/check_entry.py this session (r4 s5)
+    "bm25": q_bm25,
     # mix_temperature: green r3; operators/corpus.py:mixture_weights and
     # q_mix_temperature were last touched in 93b48a6 (r3 — the commit its
     # green row verified); the r4 corpus.py diff (d97f054..HEAD) has no
@@ -6134,6 +6170,10 @@ from corpus group by 1
         "ann_pq": OM.pq_sql(5, m=8, k_star=16),
         "conv_dedup": _sql_conv_dedup(),
         "conv_prefix_dedup": _sql_conv_prefix_dedup(),
+        # the chained variant's output contract is identical by design
+        # (property-tested equal to the string-prefix form), so the same
+        # chain-free pairwise-EXISTS oracle verifies it independently
+        "conv_prefix_dedup_chained": _sql_conv_prefix_dedup(),
         "conv_curate": _sql_conv_curate(),
         "conv_dedup_incremental": _sql_conv_dedup_incremental(),
         "conv_validate": _sql_conv_validate(),
