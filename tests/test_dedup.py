@@ -831,3 +831,54 @@ def test_ivf_incremental_append_equals_rebuild(vectors):
         batch, "vec_id", "embedding", cents
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_verify_jaccard_bit_identical_to_naive(spark):
+    """The r4 `_verify_jaccard` verify stage (lazy size-bound prune +
+    single intersect behind a generator barrier) must be BIT-identical to
+    the naive size(intersect)/size(union) form it replaced — including
+    exact threshold-boundary ratios the epsilon guards (J = min/max =
+    0.5 must survive the prune) and pairs the bound legitimately skips.
+    This equivalence is the rotation-ledger evidence that the prior-round
+    green rows for the MinHash family still describe the shipped verify
+    path."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    sets = {}
+    for k in range(40):
+        n = rng.randint(3, 25)
+        sets[k] = sorted(rng.sample(vocab, n))
+    # boundary pair: A strict subset of B with |A|/|B| == 0.5 exactly,
+    # so J == bound == threshold — the CaseWhen prune must evaluate it
+    sets[100] = sorted(rng.sample(vocab, 8))
+    sets[101] = sorted(set(sets[100]) | set(rng.sample(
+        [w for w in vocab if w not in sets[100]], 8)))
+    keys = sorted(sets)
+    cand = [(a, b) for i, a in enumerate(keys) for b in keys[i + 1:]]
+    pairs = spark.createDataFrame(cand, "ka long, kb long")
+    sh = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "k long, sh array<string>"
+    )
+    sha = sh.withColumnRenamed("k", "ka").withColumnRenamed("sh", "sha")
+    shb = sh.withColumnRenamed("k", "kb").withColumnRenamed("sh", "shb")
+
+    got = {
+        (r["ka"], r["kb"]): r["jaccard"]
+        for r in dedup._verify_jaccard(pairs, sha, shb, 0.5)
+        .select("ka", "kb", "jaccard").collect()
+    }
+    naive = {
+        (r["ka"], r["kb"]): r["jaccard"]
+        for r in pairs.join(sha, "ka").join(shb, "kb")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("ka", "kb", "jaccard").collect()
+    }
+    assert got == naive  # same pairs AND bit-identical float division
+    assert (100, 101) in got and got[(100, 101)] == 0.5  # boundary kept
