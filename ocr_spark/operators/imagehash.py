@@ -1,0 +1,235 @@
+"""Perceptual image hashing + image near-duplicate detection.
+
+The multimodal leg of corpus dedup: web-scale training sets carry the
+same image re-encoded, resized, or trivially retouched millions of
+times, and byte-level fingerprints miss every one of them. dHash (the
+public-domain *difference hash*: luma → fixed-grid resample → horizontal
+gradient signs) is robust to exactly those edits, and its 64 bits ride
+the SAME wire shape as ``operators/dedup.simhash_chunks`` — 4×16-bit
+chunks — so near-pairs come out of the same pigeonhole device: any pair
+within Hamming distance ≤ 3 agrees on ≥ 1 whole chunk, so a bucket join
+on ``(chunk_idx, chunk_value)`` finds every such pair without comparing
+the corpus against itself.
+
+Scale shape (the 100-TB contract):
+
+* hashing is row-local inside the Arrow decode stage — numpy fancy
+  indexing over the decoded raster, no per-pixel Python, no shuffle;
+* candidate generation touches only ``(key, chunk_idx, chunk_value)``
+  thin rows; buckets wider than ``max_bucket`` drop WITH counters
+  (:func:`ocr_spark.operators.dedup.cap_buckets` — errors-as-data);
+* verification is integer ``bit_count`` over the 4 chunk ints — no
+  payload bytes ever cross the candidate join.
+
+Reference parity: the reference repo (scrapperorg/ocr) has no image
+dedup — this module belongs to the beyond-reference training-data
+family, built on the REAL pixel decoders in ``operators/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.operators.dedup import bucket_cap_counters, cap_buckets
+
+#: dHash geometry: an 8×9 luma grid → 8×8 gradient-sign bits → 64-bit
+#: hash carried as 4×16-bit chunks (bit n = row n//8, col n%8; chunk c
+#: holds bits [16c, 16c+16) with bit m of the chunk = global bit 16c+m).
+GRID = 8
+N_CHUNKS = 4
+
+
+def dhash_chunks_px(px: np.ndarray) -> list[int]:
+    """4×16-bit dHash chunks of a decoded ``(h, w, 3)`` uint8 raster.
+
+    Integer end to end (engine-portable): luma in Rec.601 milli-units
+    ``299R + 587G + 114B`` (exact ints — float weights would make the
+    gradient comparisons reduction-order-sensitive), nearest-neighbor
+    sampled on the canonical integer mapping ``src = ((2i+1)·dim) //
+    (2·out)`` (the same midpoint mapping ``multimodal.resize_image``
+    uses — a 2× NN-rescaled copy hashes IDENTICALLY, property-tested,
+    and other rescales move only the few bits whose sample point lands
+    on a different source pixel), then bit
+    ``(j, i) = luma[j, i+1] > luma[j, i]`` over the 8×9 grid. All numpy
+    views + reductions — no per-pixel Python."""
+    h, w = px.shape[:2]
+    if h < 1 or w < 2:
+        raise ValueError(f"image too small to hash: {w}x{h}")
+    p = px.astype(np.int64)
+    luma = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+    ys = ((2 * np.arange(GRID) + 1) * h) // (2 * GRID)
+    xs = ((2 * np.arange(GRID + 1) + 1) * w) // (2 * (GRID + 1))
+    g = luma[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+    pow2 = 1 << np.arange(16, dtype=np.int64)
+    return [
+        int((bits[16 * c:16 * c + 16] * pow2).sum()) for c in range(N_CHUNKS)
+    ]
+
+
+DHASH_FIELDS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("chunks", T.ArrayType(T.IntegerType(), False), True),
+    ]
+)
+
+
+def with_image_dhash(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "dhash"
+) -> DataFrame:
+    """dHash Arrow stage over raw image payloads: decode via
+    :func:`ocr_spark.operators.multimodal.image_pixels` (BMP/PPM/PNG —
+    real rasters, not metadata), hash row-locally, errors are data
+    (``ok=false`` + ``err`` — the C3 rule). Same batch-bounded
+    ``mapInPandas`` shape as the decode/resize stages."""
+    import struct
+
+    from ocr_spark.operators.multimodal import image_pixels
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, DHASH_FIELDS)]
+    )
+
+    def one(p) -> dict:
+        try:
+            chunks = dhash_chunks_px(
+                image_pixels(bytes(p) if p is not None else b"")
+            )
+            return {"ok": True, "err": None, "chunks": chunks}
+        except (ValueError, NotImplementedError, struct.error) as e:
+            return {"ok": False, "err": str(e)[:200], "chunks": None}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [one(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _chunk_hamming(cha: Column, chb: Column) -> Column:
+    """Hamming distance between two chunk arrays — integer ``bit_count``
+    over per-chunk XORs, summed JVM-side."""
+    return F.aggregate(
+        F.zip_with(cha, chb, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, h: acc + h,
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    key: str,
+    chunks_col: str = "chunks",
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """(key_a, key_b, hamming) image near-dup pairs, key_a < key_b.
+
+    Pigeonhole over the 4 dHash chunks: distance ≤ 3 ⇒ ≥ 1 chunk equal,
+    so the candidate join buckets on ``(chunk_idx, chunk_value)`` and
+    never goes corpus². Over-wide buckets (flat-color boilerplate —
+    tracking pixels, solid banners) drop; use
+    :func:`image_neardup_pairs_with_counters` to record how much."""
+    return image_neardup_pairs_with_counters(
+        df, key, chunks_col=chunks_col, max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )[0]
+
+
+def image_neardup_pairs_with_counters(
+    df: DataFrame,
+    key: str,
+    chunks_col: str = "chunks",
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`image_neardup_pairs` plus the one-row dropped-bucket
+    counters (errors-as-data: a cap that silently drops reads as full
+    coverage when it isn't)."""
+    if not 0 <= max_hamming <= N_CHUNKS - 1:
+        # past N_CHUNKS-1 differing bits the pigeonhole guarantee breaks:
+        # a distance-4 pair can disagree on every chunk and never share a
+        # bucket — silently-partial recall, so refuse loudly instead
+        raise ValueError(
+            f"max_hamming={max_hamming} outside the pigeonhole guarantee "
+            f"of {N_CHUNKS} chunks (0..{N_CHUNKS - 1})"
+        )
+    base = df.select(
+        F.col(key).alias("k"), F.col(chunks_col).alias("ch")
+    ).filter(F.col("ch").isNotNull())
+    bt = base.select("k", F.posexplode("ch").alias("ci", "cv"))
+    bt, sizes = cap_buckets(bt, ["ci", "cv"], max_bucket)
+    counters = bucket_cap_counters(sizes, max_bucket, "image_neardup")
+    a, b = bt.alias("a"), bt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .distinct()
+    )
+    ch = base.select("k", "ch")
+    pairs_out = (
+        pairs.join(
+            ch.withColumnRenamed("k", "ka").withColumnRenamed("ch", "cha"),
+            "ka",
+        )
+        .join(
+            ch.withColumnRenamed("k", "kb").withColumnRenamed("ch", "chb"),
+            "kb",
+        )
+        .withColumn("hamming", _chunk_hamming(F.col("cha"), F.col("chb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("ka").alias("key_a"),
+            F.col("kb").alias("key_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+    return pairs_out, counters
+
+
+def synth_neardup_image_payload(doc_id: int) -> bytes:
+    """Deterministic image payload with PLANTED near-duplicate groups —
+    the harness twin of the ``media_dhash`` / ``media_neardup`` driver
+    rows (oracle recomputes everything from doc_id arithmetic alone).
+
+    Groups of 4 (``seed = doc_id // 4``): member 0 is the base 16×12
+    gray P6 raster ``v(x, y) = (s1·53 + s2·101 + x²·17 + y²·31 + x·y·13
+    + s1·x·7 + s2·y·11) % 256`` with ``s1 = seed % 256``, ``s2 = seed //
+    256`` (two seed components so distinct seeds give distinct wrap
+    patterns — a single ``seed % 256`` term would cap the corpus at 256
+    distinct images and explode bucket widths); member m > 0 bumps the
+    single pixel ``(x, y) = (3m, 5)`` by +128 mod 256. Member 1's bump
+    lands OFF the 8×9 sample grid (x=3 is never sampled) → hashes
+    identical to member 0 (distance 0); members 2 and 3 flip ≤ 2 bits
+    each (distance ≤ 2 from base, ≤ 4 from each other). Every 11th
+    doc truncates to 10 bytes (errors-as-data coverage)."""
+    seed, mem = doc_id // 4, doc_id % 4
+    s1, s2 = seed % 256, seed // 256
+    w0, h0 = 16, 12
+    y, x = np.mgrid[0:h0, 0:w0]
+    v = (
+        s1 * 53 + s2 * 101 + x * x * 17 + y * y * 31 + x * y * 13
+        + s1 * x * 7 + s2 * y * 11
+    )
+    if mem > 0:
+        v = v + 128 * ((x == 3 * mem) & (y == 5))
+    g = (v % 256).astype(np.uint8)
+    p = f"P6\n{w0} {h0}\n255\n".encode() + np.repeat(
+        g[:, :, None], 3, 2
+    ).tobytes()
+    return p[:10] if doc_id % 11 == 0 else p

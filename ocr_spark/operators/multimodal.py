@@ -590,6 +590,29 @@ def frame_sample_plan(
     )
 
 
+def image_pixels(payload: bytes) -> np.ndarray:
+    """Top-down RGB uint8 ``(h, w, 3)`` pixels for every format the
+    pure-stdlib decoders read (BMP / PPM / PNG; PNG gray(+alpha) expands
+    to RGB, alpha drops). The shared front door for every pixel-consuming
+    Arrow stage (resize, perceptual hashing). Compressed codecs raise
+    ``NotImplementedError`` (honest stub: no codec libs here); malformed
+    bytes raise ``ValueError`` — callers turn both into errors-as-data."""
+    if payload[:2] == b"BM":
+        return _bmp_pixels(payload)
+    if payload[:2] == b"P6":
+        return _ppm_pixels(payload)
+    if payload[:8] == PNG_SIG:
+        arr, ctype = _png_pixels(payload)
+        return (
+            np.repeat(arr[:, :, :1], 3, 2) if ctype in (0, 4)
+            else arr[:, :, :3]
+        )
+    raise NotImplementedError(
+        "compressed/unknown codec — wire Pillow into this Arrow stage "
+        "on a real cluster"
+    )
+
+
 def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
     """REAL image resize for every format the pure-stdlib decoders read
     (BMP / PPM / PNG): decode to pixels, nearest-neighbor resample with
@@ -604,18 +627,7 @@ def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
     into errors-as-data."""
     if out_w <= 0 or out_h <= 0:
         raise ValueError(f"invalid resize target {out_w}x{out_h}")
-    if payload[:2] == b"BM":
-        px = _bmp_pixels(payload)
-    elif payload[:2] == b"P6":
-        px = _ppm_pixels(payload)
-    elif payload[:8] == PNG_SIG:
-        arr, ctype = _png_pixels(payload)
-        px = np.repeat(arr[:, :, :1], 3, 2) if ctype in (0, 4) else arr[:, :, :3]
-    else:
-        raise NotImplementedError(
-            "resize: compressed/unknown codec — wire Pillow into this "
-            "Arrow stage on a real cluster"
-        )
+    px = image_pixels(payload)
     h, w = px.shape[:2]
     sy = ((2 * np.arange(out_h) + 1) * h) // (2 * out_h)
     sx = ((2 * np.arange(out_w) + 1) * w) // (2 * out_w)

@@ -2937,6 +2937,128 @@ from base b left join wav w using (doc_id)
 """
 
 
+def _synth_neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + deterministic planted-near-dup image payloads (the
+    imagehash harness twin; every 11th truncated)."""
+    from ocr_spark.operators.imagehash import synth_neardup_image_payload
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                synth_neardup_image_payload(int(d)) for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (dHash) via the REAL pixel decoders: gray
+    P6 payloads synthesized from doc_id (planted near-dup groups of 4,
+    every 11th truncated), decoded and hashed by the production Arrow
+    stage (integer luma → midpoint-NN 8×9 grid → gradient-sign bits →
+    4×16-bit chunks), while the oracle recomputes every chunk from
+    doc_id ARITHMETIC alone — an independent proof the numpy stage
+    inverts the synthesizer, errors-as-data rows included."""
+    from ocr_spark.operators.imagehash import with_image_dhash
+
+    d = F.col("dhash")
+    out = with_image_dhash(_synth_neardup_images(spark, sf_dir))
+    cols = [
+        F.element_at(d["chunks"], c + 1).cast("long").alias(f"c{c}")
+        for c in range(4)
+    ]
+    return out.select("doc_id", d["ok"].alias("ok"), *cols)
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the dHash chunks: pigeonhole
+    bucket join on (chunk_idx, chunk_value) + integer bit_count verify,
+    Hamming ≤ 3. The oracle is a BRUTE-FORCE O(n²) pair scan over the
+    arithmetic-recomputed hashes — hash-equality therefore also proves
+    the pigeonhole candidate generation loses no qualifying pair."""
+    from ocr_spark.operators.imagehash import (
+        image_neardup_pairs,
+        with_image_dhash,
+    )
+
+    d = F.col("dhash")
+    hashed = (
+        with_image_dhash(_synth_neardup_images(spark, sf_dir))
+        .filter(d["ok"])
+        .select("doc_id", d["chunks"].alias("chunks"))
+    )
+    return image_neardup_pairs(hashed, "doc_id")
+
+
+def _sql_dhash_chunks() -> str:
+    """Shared oracle CTE chain: the 8×9 sampled grid and the 4 dHash
+    chunks recomputed from the payload-construction arithmetic in
+    imagehash.synth_neardup_image_payload (gray raster ⇒ comparing v is
+    comparing luma; midpoint-NN sample x=((2i+1)·16)//18,
+    y=((2j+1)·12)//16; bit n=(j·8+i) ⇒ grid index j·9+i, 1-based)."""
+    sx = "(((2*(n%9)+1)*16)//18)"
+    sy = "(((2*(n//9)+1)*12)//16)"
+    v = (
+        f"(s1*53 + s2*101 + {sx}*{sx}*17 + {sy}*{sy}*31 + {sx}*{sy}*13"
+        f" + s1*{sx}*7 + s2*{sy}*11"
+        f" + case when mem > 0 and {sx} = 3*mem and {sy} = 5"
+        f" then 128 else 0 end) % 256"
+    )
+    return f"""
+base as (
+  select doc_id, (doc_id // 4) % 256 as s1, (doc_id // 4) // 256 as s2,
+         doc_id % 4 as mem, doc_id % 11 = 0 as corrupt
+  from documents
+),
+grid as (
+  select doc_id, corrupt, list_transform(range(72), n -> {v}) as g
+  from base
+),
+chunks as (
+  select doc_id, corrupt,
+    list_transform(range(4), c ->
+      list_sum(list_transform(range(16), m ->
+        case when g[((16*c+m)//8)*9 + ((16*c+m)%8) + 2]
+                > g[((16*c+m)//8)*9 + ((16*c+m)%8) + 1]
+             then (1 << m) else 0 end))) as ch
+  from grid
+)"""
+
+
+def _sql_media_dhash() -> str:
+    chunk_cols = ",\n  ".join(
+        f"cast(case when corrupt then null else ch[{c + 1}] end as bigint)"
+        f" as c{c}"
+        for c in range(4)
+    )
+    return f"""
+with {_sql_dhash_chunks()}
+select doc_id, not corrupt as ok,
+  {chunk_cols}
+from chunks
+"""
+
+
+def _sql_media_neardup() -> str:
+    hamming = """list_sum(list_transform(range(4), c ->
+      list_sum(list_transform(range(16), m ->
+        (xor(a.ch[c+1], b.ch[c+1]) >> m) & 1))))"""
+    return f"""
+with {_sql_dhash_chunks()}
+select key_a, key_b, hamming from (
+  select a.doc_id as key_a, b.doc_id as key_b,
+    cast({hamming} as bigint) as hamming
+  from chunks a join chunks b on a.doc_id < b.doc_id
+  where not a.corrupt and not b.corrupt
+)
+where hamming <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus curation: repetition, boilerplate grams, PII, URLs, sampling,
 # sequence packing (operators/corpus.py)
@@ -5803,6 +5925,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_project": q_embed_project,
     "media_decode": q_media_decode,
     "media_resize": q_media_resize,
+    "media_dhash": q_media_dhash,
+    "media_neardup": q_media_neardup,
     "source_percentiles_approx": q_source_percentiles_approx,
     "train_quality": q_train_quality,
     "bpe_train": q_bpe_train,
@@ -5836,10 +5960,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_profile": q_key_profile,
     "lm_bigram": q_lm_bigram,
     "dedup_bloom": q_dedup_bloom,
-    "dedup_minhash": q_dedup_minhash,
     "dedup_dropped": q_dedup_dropped,
     "dedup_incremental": q_dedup_incremental,
-    "dedup_apply": q_dedup_apply,
     "span_dedup_corpus": q_span_dedup,
     "semantic_dedup_text": q_semantic_dedup_text,
     "curate": q_curate,
@@ -5855,6 +5977,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_emit": q_pack_emit,
     "pack_bins_bpe": q_pack_bins_bpe,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # dedup_minhash: green r1+r2+r3 (hash-match all three rounds);
+    # q_dedup_minhash untouched since 90ad9cf (pre-r4). The one r4 touch
+    # on its callee chain is 9749142: the verify stage's arithmetic
+    # refactor into _verify_jaccard — bit-identical by construction
+    # (|A∪B| = |A|+|B|−|A∩B| over distinct shingle arrays; the same
+    # single IEEE divide) and property-tested bit-identical INCLUDING
+    # the exact threshold-boundary ratio (tests/test_dedup.py::
+    # test_verify_jaccard_bit_identical_to_naive, cf4f0df); re-verified
+    # green via scripts/check_entry.py this session (r4 s5)
+    "dedup_minhash": q_dedup_minhash,
+    # dedup_apply: green r3; q_dedup_apply untouched since 752ad4a
+    # (pre-r4); apply_dedup / connected_components_star have ZERO r4
+    # hunks (git diff d97f054..HEAD -- operators/dedup.py touches only
+    # _band_table / minhash_lsh_incremental / minhash_lsh_with_counters);
+    # the minhash_lsh leg carries the same bit-identical-refactor
+    # evidence as dedup_minhash above; re-verified green via
+    # scripts/check_entry.py this session (r4 s5)
+    "dedup_apply": q_dedup_apply,
     # bm25: green r3 (hash-match); its r4 touches are non-semantic —
     # 6ef1db3 fixed a docstring citation path in q_bm25 (comment-only
     # hunk, zero code lines), and 7a5f206 appended module-level items to
@@ -6140,6 +6280,8 @@ from corpus group by 1
         "media_features": _sql_media_features(),
         "media_decode": _sql_media_decode(),
         "media_resize": _sql_media_resize(),
+        "media_dhash": _sql_media_dhash(),
+        "media_neardup": _sql_media_neardup(),
         "summarize": _sql_summarize(),
         "shrink_levels": _sql_shrink_levels(),
         "vector_search": SQL_VECTOR_SEARCH,

@@ -1,0 +1,178 @@
+"""Image perceptual hashing (dHash) + near-dup pairs: numpy stage vs a
+pure-Python per-pixel twin, planted-group geometry, resize invariance,
+errors-as-data, and bucket-join parity vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.imagehash import (
+    GRID,
+    dhash_chunks_px,
+    image_neardup_pairs,
+    image_neardup_pairs_with_counters,
+    synth_neardup_image_payload,
+    with_image_dhash,
+)
+from ocr_spark.operators.multimodal import image_pixels, resize_image
+
+
+def _dhash_spec(px) -> list[int]:
+    """Frozen per-pixel pure-Python spec (the slow, obviously-correct
+    twin the vectorized stage is held to)."""
+    h, w = px.shape[0], px.shape[1]
+    luma = [
+        [
+            299 * int(px[y][x][0]) + 587 * int(px[y][x][1])
+            + 114 * int(px[y][x][2])
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    ys = [((2 * j + 1) * h) // (2 * GRID) for j in range(GRID)]
+    xs = [((2 * i + 1) * w) // (2 * (GRID + 1)) for i in range(GRID + 1)]
+    bits = []
+    for j in range(GRID):
+        for i in range(GRID):
+            bits.append(
+                1 if luma[ys[j]][xs[i + 1]] > luma[ys[j]][xs[i]] else 0
+            )
+    return [
+        sum(bits[16 * c + m] << m for m in range(16)) for c in range(4)
+    ]
+
+
+def _hamming(a: list[int], b: list[int]) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def test_dhash_matches_pure_python_spec_on_random_rasters():
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        h, w = int(rng.integers(2, 40)), int(rng.integers(2, 40))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = dhash_chunks_px(px)
+        assert got == _dhash_spec(px)
+        assert all(0 <= c < 1 << 16 for c in got)
+
+
+def test_dhash_invariant_under_2x_nn_resize():
+    """The midpoint source mapping composes exactly through a 2× NN
+    upscale: dhash(resize(img, 2w, 2h)) == dhash(img)."""
+    rng = np.random.default_rng(13)
+    for _ in range(10):
+        h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p6 = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+        up = image_pixels(resize_image(p6, 2 * w, 2 * h))
+        assert dhash_chunks_px(up) == dhash_chunks_px(px)
+
+
+def test_planted_group_geometry():
+    """Member 1's bump is off-grid (hash identical to base); members 2/3
+    flip bits only in chunk 1, ≤2 each — so every in-group distance ≤4
+    and (0,2)/(0,3) are within the pigeonhole threshold 3."""
+    for seed in (1, 7, 300, 5000):
+        if any((4 * seed + m) % 11 == 0 for m in range(4)):
+            continue  # truncated members decode-fail by design
+        chunks = [
+            dhash_chunks_px(
+                image_pixels(synth_neardup_image_payload(4 * seed + m))
+            )
+            for m in range(4)
+        ]
+        assert chunks[0] == chunks[1]
+        for m in (2, 3):
+            assert _hamming(chunks[0], chunks[m]) <= 2
+            # flips confined to chunk 1 (bits 26-29 live there)
+            assert chunks[m][0] == chunks[0][0]
+            assert chunks[m][2:] == chunks[0][2:]
+        assert _hamming(chunks[2], chunks[3]) <= 4
+
+
+def test_with_image_dhash_errors_are_data(spark):
+    rows = [(i,) for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                synth_neardup_image_payload(int(d)) for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    src = df.mapInPandas(synth, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r["dhash"]
+        for r in with_image_dhash(src).collect()
+    }
+    for i in range(24):
+        if i % 11 == 0:
+            assert not out[i]["ok"] and out[i]["chunks"] is None
+            assert out[i]["err"]
+        else:
+            assert out[i]["ok"] and len(out[i]["chunks"]) == 4
+
+
+def test_neardup_pairs_match_bruteforce(spark):
+    """Bucket-join pairs == brute-force O(n²) pairs at threshold ≤3
+    (pigeonhole soundness + no spurious extras), uncapped."""
+    ids = [i for i in range(80) if i % 11 != 0]
+    chunks = {
+        i: dhash_chunks_px(image_pixels(synth_neardup_image_payload(i)))
+        for i in ids
+    }
+    expect = {
+        (a, b, _hamming(chunks[a], chunks[b]))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if _hamming(chunks[a], chunks[b]) <= 3
+    }
+    df = spark.createDataFrame(
+        [(i, chunks[i]) for i in ids], "doc_id long, chunks array<int>"
+    )
+    got = {
+        (r["key_a"], r["key_b"], r["hamming"])
+        for r in image_neardup_pairs(df, "doc_id").collect()
+    }
+    assert got == expect
+    assert len(got) >= 15  # the planted groups actually produce pairs
+
+
+def test_neardup_bucket_cap_counts_drops(spark):
+    """A flat-color black hole (identical chunks) wider than the cap is
+    dropped AND counted; disjoint normal pairs still come out."""
+    rows = [(i, [1, 2, 3, 4]) for i in range(30)]  # one bucket of 30 ×4 bands
+    rows += [(100, [7, 8, 9, 10]), (101, [7, 8, 9, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, chunks array<int>")
+    pairs, counters = image_neardup_pairs_with_counters(
+        df, "doc_id", max_bucket=10
+    )
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}
+    c = counters.first()
+    assert c["n_buckets_dropped"] == 4 and c["n_entries_dropped"] == 120
+    assert c["max_width"] == 30
+
+
+def test_neardup_rejects_threshold_past_pigeonhole(spark):
+    df = spark.createDataFrame([(1, [0, 0, 0, 0])], "doc_id long, chunks array<int>")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(df, "doc_id", max_hamming=4)
+
+
+def test_neardup_plan_shape(spark):
+    """Candidate generation must stay a bucketed equi-join on
+    (chunk_idx, chunk_value) — never nested-loop/cartesian — and the
+    verify join fetches chunks by key equi-joins only."""
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [1, 9, 9, 9])], "doc_id long, chunks array<int>"
+    )
+    plan = (
+        image_neardup_pairs(df, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
