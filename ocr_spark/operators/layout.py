@@ -1,0 +1,130 @@
+"""Data-layout planning: Z-order clustering + bounded-file assignment —
+the ``OPTIMIZE ... ZORDER BY`` analog for the results table.
+
+Why this exists at 100 TB: min/max column statistics prune file scans
+only when values are CLUSTERED within files. A table written in arrival
+order interleaves every dimension, so every file's (min, max) spans the
+whole domain and nothing prunes. Sorting by the Morton (Z-order)
+interleave of two dimensions gives every file a small rectangle in
+(x, y) space — point/range predicates on EITHER dimension skip most
+files, which arrival order and single-column sorts cannot do for both
+at once.
+
+Scale shape: the Z-value is a pure Catalyst integer expression (bit
+interleave, exact, engine-portable); the global Z-rank uses the same
+bucket-prefix device as ``corpus.global_shuffle_rank`` — a monotone
+top-bits bucket split, one combiner count per bucket, a cum-sum window
+over the ≤``buckets``-row dim (bounded, never corpus-sized), and ONE
+balanced window shuffle for the within-bucket row_number. No
+single-partition corpus sort anywhere; re-running at any parallelism
+yields identical file assignments (integer z, key tie-break).
+
+Beyond-reference family (the reference repo has no storage-layout
+planner); the device composes with ``sources/tables.py`` compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Exact-integer Morton interleave of two dimension columns:
+    ``z = Σ_i ((x>>i)&1) << 2i  |  ((y>>i)&1) << (2i+1)``, ``i < bits``.
+
+    Inputs are masked to their low ``bits`` bits first (deterministic,
+    SQL-replayable wrap — callers pass pre-bucketed non-negative dims;
+    the mask keeps an out-of-range stray from poisoning the whole
+    layout job). Literal per-bit shifts unroll into one whole-stage-
+    codegen integer expression — no HOF, no Python, no floats (IEEE
+    would lose exactness near 2^53; everything here stays < 2^(2·bits)
+    in pure long arithmetic)."""
+    if not 1 <= bits <= 20:
+        raise ValueError(f"bits={bits} outside [1, 20]")
+    mask = (1 << bits) - 1
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
+    z: Column | None = None
+    for i in range(bits):
+        tx = F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(
+            F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        z = tx + ty if z is None else z + tx + ty
+    assert z is not None
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    key: str,
+    bits: int = 16,
+    rows_per_file: int = 1 << 20,
+    buckets: int = 256,
+) -> DataFrame:
+    """Assign every row a target file in Z-order: ``zval`` (Morton
+    interleave of ``x``/``y``), dense 0-based ``zrank`` in (zval, key)
+    order, and ``file_id = zrank // rows_per_file``.
+
+    The rank device: the bucket is the TOP ``log2(buckets)`` bits of
+    zval — a monotone prefix, so ordering by (bucket, zval) equals
+    ordering by zval and rank = within-bucket row_number + preceding
+    buckets' count prefix-sum. One tiny bounded broadcast (≤ ``buckets``
+    offset rows), one balanced window shuffle; identical output at any
+    parallelism. Skew note: unlike the md5-uniform shuffle-rank, zval
+    buckets inherit the DATA's distribution — size ``buckets`` so the
+    widest bucket still fits a task, or pre-bucket the dims (the same
+    lever Iceberg's sort-order transforms give you)."""
+    from pyspark.sql import Window
+
+    if not 1 <= buckets <= 65536 or buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of two in [1, 65536]")
+    if rows_per_file < 1:
+        raise ValueError("rows_per_file must be >= 1")
+    b_bits = buckets.bit_length() - 1
+    shift = max(0, 2 * bits - b_bits)
+    df2 = df.withColumn("zval", zorder_key(x, y, bits)).withColumn(
+        "_zb", F.shiftright(F.col("zval"), shift).cast("int")
+    )
+    counts = df2.groupBy("_zb").agg(F.count("*").alias("_n"))
+    wo = Window.orderBy("_zb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(wo), F.lit(0))
+    ).select("_zb", "_off")
+    w = Window.partitionBy("_zb").orderBy(F.col("zval"), F.col(key))
+    return (
+        df2.join(F.broadcast(offsets), "_zb")
+        .withColumn(
+            "zrank",
+            (F.row_number().over(w) + F.col("_off") - 1).cast("long"),
+        )
+        .withColumn(
+            "file_id",
+            F.expr(f"zrank div {int(rows_per_file)}").cast("long"),
+        )
+        .drop("_zb", "_off", "_n")
+    )
+
+
+def zorder_file_stats(
+    layout: DataFrame, x: Column, y: Column
+) -> DataFrame:
+    """Per-file min/max envelopes over the layout's dimensions — the
+    data-skipping evidence (and exactly the statistics a manifest would
+    carry): a predicate on x or y scans only files whose envelope
+    intersects it. One combiner-friendly aggregate on ``file_id``."""
+    return (
+        layout.withColumn("_x", x.cast("long"))
+        .withColumn("_y", y.cast("long"))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_x").alias("min_x"),
+            F.max("_x").alias("max_x"),
+            F.min("_y").alias("min_y"),
+            F.max("_y").alias("max_y"),
+        )
+    )

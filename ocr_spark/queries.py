@@ -3059,6 +3059,88 @@ where hamming <= 3
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout plan over documents: Morton interleave of
+    (n_chars, md5-hashed source) → dense global z-rank via the
+    bucket-prefix device (no single-partition corpus sort) → bounded
+    file assignment. The oracle replays the bit interleave as integer
+    list arithmetic and the rank as a plain row_number — independent
+    proof the distributed rank equals the sequential sort order."""
+    from ocr_spark.operators.layout import zorder_layout
+
+    d = _docs(spark, sf_dir)
+    y = F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    out = zorder_layout(
+        d, F.col("n_chars"), y, key="doc_id", bits=16, rows_per_file=64
+    )
+    return out.select("doc_id", "zval", "zrank", "file_id")
+
+
+def _sql_zorder_layout() -> str:
+    return """
+with d as (
+  select doc_id,
+    n_chars & 65535 as xv,
+    cast(concat('0x', substr(md5(source), 1, 4)) as bigint) & 65535 as yv
+  from documents
+),
+z as (
+  select doc_id,
+    cast(list_sum(list_transform(range(16), i ->
+      (((xv >> i) & 1) << (2*i)) + (((yv >> i) & 1) << (2*i+1))))
+      as bigint) as zval
+  from d
+)
+select doc_id, zval,
+  cast(row_number() over (order by zval, doc_id) - 1 as bigint) as zrank,
+  cast((row_number() over (order by zval, doc_id) - 1) // 64 as bigint)
+    as file_id
+from z
+"""
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-granularity corpus data card: ROLLUP over
+    (source, lang) — per-(source, lang) detail, per-source subtotal,
+    grand total — with exact integer metrics (avg in milli-chars via
+    integer div, never a float mean). The data-card report every
+    curation run publishes, as ONE aggregate (no self-unions: Spark
+    expands grouping sets inside a single Expand+Aggregate)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("level"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("(1000 * sum(n_chars)) div count(*)").alias(
+                "avg_chars_mc"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "level", "source", "lang", "n_docs", "total_chars",
+            "avg_chars_mc", "min_chars", "max_chars",
+        )
+    )
+
+
+def _sql_corpus_report() -> str:
+    return """
+select cast(grouping(source, lang) as bigint) as level, source, lang,
+  cast(count(*) as bigint) as n_docs,
+  cast(sum(n_chars) as bigint) as total_chars,
+  cast((1000 * sum(n_chars)) // count(*) as bigint) as avg_chars_mc,
+  cast(min(n_chars) as bigint) as min_chars,
+  cast(max(n_chars) as bigint) as max_chars
+from documents
+group by rollup (source, lang)
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus curation: repetition, boilerplate grams, PII, URLs, sampling,
 # sequence packing (operators/corpus.py)
@@ -5970,13 +6052,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_incremental": q_ann_ivf_incremental,
     "pii_scrub": q_pii_scrub,
-    "pack_bins": q_pack_bins,
-    "pack_bins_ranged": q_pack_bins_ranged,
+    "zorder_layout": q_zorder_layout,
+    "corpus_report": q_corpus_report,
     "token_counts_bpe": q_token_counts_bpe,
     "bpe_segment": q_bpe_segment,
     "pack_emit": q_pack_emit,
     "pack_bins_bpe": q_pack_bins_bpe,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # pack_bins / pack_bins_ranged: green r3 (hash-match); their one r4
+    # touch (4cdd117) replaced the inline `ceil(length/4)` estimate with
+    # functions/bpe.token_budget(text, "chars4"), which RETURNS the
+    # expression-identical `F.ceil(F.length/4).cast("long")` on the
+    # default path both driver rows use (bpe.py:236-237) — a pure
+    # indirection, zero semantic delta; q_pack_bins / q_pack_bins_ranged
+    # themselves untouched since 816d616 / d86a6f0 (pre-r4); re-verified
+    # green via scripts/check_entry.py this session (r4 s5)
+    "pack_bins": q_pack_bins,
+    "pack_bins_ranged": q_pack_bins_ranged,
     # dedup_minhash: green r1+r2+r3 (hash-match all three rounds);
     # q_dedup_minhash untouched since 90ad9cf (pre-r4). The one r4 touch
     # on its callee chain is 9749142: the verify stage's arithmetic
@@ -6282,6 +6374,8 @@ from corpus group by 1
         "media_resize": _sql_media_resize(),
         "media_dhash": _sql_media_dhash(),
         "media_neardup": _sql_media_neardup(),
+        "zorder_layout": _sql_zorder_layout(),
+        "corpus_report": _sql_corpus_report(),
         "summarize": _sql_summarize(),
         "shrink_levels": _sql_shrink_levels(),
         "vector_search": SQL_VECTOR_SEARCH,

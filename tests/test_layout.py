@@ -1,0 +1,118 @@
+"""Z-order layout planner: Morton key vs pure-Python spec, distributed
+rank == sequential sort order at any parallelism, file envelopes
+actually shrink (the data-skipping point), plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.layout import (
+    zorder_file_stats,
+    zorder_key,
+    zorder_layout,
+)
+
+
+def _morton(x: int, y: int, bits: int = 16) -> int:
+    x &= (1 << bits) - 1
+    y &= (1 << bits) - 1
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, rng.randrange(1 << 18), rng.randrange(1 << 18))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == _morton(x, y)
+
+
+def test_zorder_rank_is_sequential_sort_order_any_parallelism(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.randrange(1 << 16), rng.randrange(1 << 16))
+        for i in range(800)
+    ]
+    expect = sorted(rows, key=lambda r: (_morton(r[1], r[2]), r[0]))
+    expect_rank = {r[0]: k for k, r in enumerate(expect)}
+    for npart in (3, 13):
+        df = spark.createDataFrame(
+            rows, "id long, x long, y long"
+        ).repartition(npart)
+        out = zorder_layout(
+            df, F.col("x"), F.col("y"), key="id", rows_per_file=100
+        ).collect()
+        assert {r["id"]: r["zrank"] for r in out} == expect_rank
+        for r in out:
+            assert r["file_id"] == r["zrank"] // 100
+
+
+def test_zorder_envelopes_beat_arrival_order(spark):
+    """The point of the layout: per-file min/max envelopes under Z-order
+    are dramatically tighter than arrival order, on BOTH dimensions —
+    so min/max pruning actually skips files."""
+    rows = [(i, (i * 7919) % 1024, (i * 104729) % 1024) for i in range(2048)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    lay = zorder_layout(
+        df, F.col("x"), F.col("y"), key="id", bits=10, rows_per_file=128
+    )
+    z_stats = zorder_file_stats(lay, F.col("x"), F.col("y")).collect()
+    arrival = df.withColumn(
+        "file_id", F.expr("id div 128")
+    )
+    a_stats = zorder_file_stats(arrival, F.col("x"), F.col("y")).collect()
+
+    def mean_span(stats, lo, hi):
+        return sum(r[hi] - r[lo] for r in stats) / len(stats)
+
+    for lo, hi in (("min_x", "max_x"), ("min_y", "max_y")):
+        assert mean_span(z_stats, lo, hi) < mean_span(a_stats, lo, hi) / 2
+
+
+def test_zorder_layout_plan_shape(spark):
+    """No single-partition corpus sort: the only global window runs over
+    the bounded bucket-count dim; the corpus-side window partitions by
+    the z-bucket; offsets join is a broadcast."""
+    df = spark.createDataFrame(
+        [(1, 2, 3), (4, 5, 6)], "id long, x long, y long"
+    )
+    lay = zorder_layout(df, F.col("x"), F.col("y"), key="id")
+    plan = lay._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # the corpus window is partitioned by _zb (never a global sort of df)
+    assert "partitionBy=[_zb" not in plan  # name is dropped post-window
+    import re
+
+    # exactly one single-partition exchange (the <=buckets-row offsets
+    # window), never one feeding a corpus-sized sort
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1, plan
+
+
+def test_zorder_rejects_bad_geometry(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "id long, x long, y long")
+    with pytest.raises(ValueError, match="power of two"):
+        zorder_layout(df, F.col("x"), F.col("y"), key="id", buckets=200)
+    with pytest.raises(ValueError, match="rows_per_file"):
+        zorder_layout(
+            df, F.col("x"), F.col("y"), key="id", rows_per_file=0
+        )
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(F.col("x"), F.col("y"), bits=0)
