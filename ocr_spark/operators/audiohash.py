@@ -1,0 +1,161 @@
+"""Acoustic fingerprinting + audio near-duplicate detection.
+
+The audio leg of multimodal corpus dedup (the image leg is
+``operators/imagehash.py``): re-encoded or trivially-edited audio
+payloads defeat byte fingerprints, but the ENERGY ENVELOPE survives.
+The signature is the classic energy-delta fingerprint: split the PCM16
+stream into 65 equal sample windows, take the exact integer
+sum-of-squares per window, and emit bit ``i = E[i+1] > E[i]`` — 64
+gradient-sign bits carried as 4×16-bit chunks on the same wire shape as
+dHash/SimHash, so near-pairs come out of the same pigeonhole bucket
+join (Hamming ≤ 3 ⇒ ≥ 1 chunk equal; re-used from ``imagehash``).
+
+Integer end to end: sum-of-squares of int16 samples is exact in int64
+(a 10-minute / 28M-sample stream peaks at ~4.6·10¹⁴ per window —
+engine-portable, reduction-order-free), computed as a cumulative-sum
+difference over numpy views — no per-sample Python.
+
+Reference parity: the reference repo has no audio dedup — this module
+belongs to the beyond-reference training-data family, built on the
+REAL WAV decoder in ``operators/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ocr_spark.operators.imagehash import (
+    DHASH_FIELDS,
+    image_neardup_pairs_with_counters,
+)
+
+#: 65 energy windows → 64 delta bits → 4×16-bit chunks
+N_WINDOWS = 65
+
+
+def audio_energy_chunks(samples: np.ndarray) -> list[int]:
+    """4×16-bit energy-delta chunks of an int16 sample stream.
+
+    Window boundaries are the exact integer split ``b_w = (w·n) //
+    65`` (every window non-empty for ``n ≥ 65``; shorter streams raise
+    ``ValueError`` — too short to fingerprint). ``E_w`` is the exact
+    int64 sum of squares over ``[b_w, b_{w+1})`` via one cumulative
+    sum; bit ``i = E[i+1] > E[i]``, chunk ``c`` holds bits
+    ``[16c, 16c+16)`` with in-chunk bit ``m`` = global bit ``16c+m``
+    (the dHash convention)."""
+    n = len(samples)
+    if n < N_WINDOWS:
+        raise ValueError(
+            f"audio too short to fingerprint: {n} < {N_WINDOWS} samples"
+        )
+    sq = samples.astype(np.int64) ** 2
+    csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(sq)])
+    b = (np.arange(N_WINDOWS + 1, dtype=np.int64) * n) // N_WINDOWS
+    e = csum[b[1:]] - csum[b[:-1]]
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    pow2 = 1 << np.arange(16, dtype=np.int64)
+    return [int((bits[16 * c:16 * c + 16] * pow2).sum()) for c in range(4)]
+
+
+def with_audio_fingerprint(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "afp"
+) -> DataFrame:
+    """Acoustic-fingerprint Arrow stage over raw WAV payloads: decode
+    via :func:`ocr_spark.operators.multimodal.wav_samples` (real RIFF
+    walk, real PCM), fingerprint row-locally, errors are data
+    (``ok=false`` + ``err`` — the C3 rule). Same struct shape as the
+    image dHash stage, so downstream pair machinery is shared."""
+    import struct
+
+    from ocr_spark.operators.multimodal import wav_samples
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, DHASH_FIELDS)]
+    )
+
+    def one(p) -> dict:
+        try:
+            samples, _, _ = wav_samples(bytes(p) if p is not None else b"")
+            return {
+                "ok": True,
+                "err": None,
+                "chunks": audio_energy_chunks(samples),
+            }
+        except (ValueError, NotImplementedError, struct.error) as e:
+            return {"ok": False, "err": str(e)[:200], "chunks": None}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [one(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    key: str,
+    chunks_col: str = "chunks",
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """(key_a, key_b, hamming) audio near-dup pairs — the shared
+    pigeonhole device over the 4 fingerprint chunks (see
+    ``imagehash.image_neardup_pairs``), with audio-labelled counters."""
+    return audio_neardup_pairs_with_counters(
+        df, key, chunks_col=chunks_col, max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )[0]
+
+
+def audio_neardup_pairs_with_counters(
+    df: DataFrame,
+    key: str,
+    chunks_col: str = "chunks",
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`audio_neardup_pairs` plus the one-row dropped-bucket
+    counters."""
+    return image_neardup_pairs_with_counters(
+        df, key, chunks_col=chunks_col, max_hamming=max_hamming,
+        max_bucket=max_bucket, op="audio_neardup",
+    )
+
+
+def synth_neardup_audio_payload(doc_id: int) -> bytes:
+    """Deterministic WAV payload with PLANTED near-duplicate groups —
+    the harness twin of the ``media_audio_sig`` / ``media_audio_neardup``
+    driver rows (oracle recomputes everything from doc_id arithmetic).
+
+    Groups of 4 (``seed = doc_id // 4``): ``n = 650 + 13·(seed % 5)``
+    samples ``s_i = ((seed·7 + i·13 + i²·q) % 2001) − 1000`` with
+    ``q = 1 + seed % 5`` (the quadratic term gives distinct envelopes
+    per (seed mod 2001, q) — a purely linear ramp would collapse the
+    corpus onto 2001 signatures); member m > 0 adds +500 to the single
+    sample at index ``(5n)//65 + m`` — inside energy window 5, so every
+    member differs from every other by ≤ 2 fingerprint bits (the
+    E4/E5 and E5/E6 comparisons), all within the pigeonhole threshold.
+    Every 11th doc truncates to 10 bytes (errors-as-data coverage)."""
+    import struct
+
+    seed, mem = doc_id // 4, doc_id % 4
+    n, q = 650 + 13 * (seed % 5), 1 + seed % 5
+    i = np.arange(n, dtype=np.int64)
+    s = (seed * 7 + i * 13 + i * i * q) % 2001 - 1000
+    if mem > 0:
+        s = s + 500 * (i == (5 * n) // 65 + mem)
+    data = s.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    p = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return p[:10] if doc_id % 11 == 0 else p

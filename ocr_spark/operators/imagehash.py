@@ -152,10 +152,13 @@ def image_neardup_pairs_with_counters(
     chunks_col: str = "chunks",
     max_hamming: int = 3,
     max_bucket: int = 4096,
+    op: str = "image_neardup",
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`image_neardup_pairs` plus the one-row dropped-bucket
     counters (errors-as-data: a cap that silently drops reads as full
-    coverage when it isn't)."""
+    coverage when it isn't). The device is generic over any 4×16-bit
+    chunk fingerprint — ``operators/audiohash.py`` reuses it with
+    ``op="audio_neardup"`` for its counter label."""
     if not 0 <= max_hamming <= N_CHUNKS - 1:
         # past N_CHUNKS-1 differing bits the pigeonhole guarantee breaks:
         # a distance-4 pair can disagree on every chunk and never share a
@@ -169,7 +172,7 @@ def image_neardup_pairs_with_counters(
     ).filter(F.col("ch").isNotNull())
     bt = base.select("k", F.posexplode("ch").alias("ci", "cv"))
     bt, sizes = cap_buckets(bt, ["ci", "cv"], max_bucket)
-    counters = bucket_cap_counters(sizes, max_bucket, "image_neardup")
+    counters = bucket_cap_counters(sizes, max_bucket, op)
     a, b = bt.alias("a"), bt.alias("b")
     pairs = (
         a.join(

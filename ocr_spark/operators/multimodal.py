@@ -57,14 +57,12 @@ MEDIA_META = T.StructType(
 N_FEATURES = 8
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Pure-stdlib WAV/PCM16 decode: RIFF header walk + sample stats.
-
-    Returns kind/duration_s/sample_rate/n_samples/channels plus rms and
-    peak over the PCM16 stream (the audio-quality features a curation
-    gate filters on: silence → rms≈0, clipping → peak≈32767).
-    Raises ``ValueError`` on malformed bytes (callers in the Arrow stage
-    convert that to errors-as-data)."""
+def wav_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Raw PCM16 samples of a RIFF/WAVE stream as an ``int16`` numpy
+    view, plus ``(rate, channels)`` — the shared front door for every
+    sample-consuming stage (stats decode, acoustic fingerprinting).
+    Raises ``ValueError`` on malformed bytes (callers in the Arrow
+    stage convert that to errors-as-data)."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, fmt, data = 12, None, None
@@ -86,9 +84,21 @@ def decode_wav(payload: bytes) -> dict:
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
     n = len(data) // 2
+    return np.frombuffer(data, dtype="<i2", count=n), rate, channels
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-stdlib WAV/PCM16 decode: RIFF header walk + sample stats.
+
+    Returns kind/duration_s/sample_rate/n_samples/channels plus rms and
+    peak over the PCM16 stream (the audio-quality features a curation
+    gate filters on: silence → rms≈0, clipping → peak≈32767).
+    Raises ``ValueError`` on malformed bytes (callers in the Arrow stage
+    convert that to errors-as-data)."""
+    samples, rate, channels = wav_samples(payload)
+    n = len(samples)
     # vectorized sample stats: a 10-minute PCM16 stream is ~28M samples —
     # numpy views + float64 reductions, never a per-sample Python loop
-    samples = np.frombuffer(data, dtype="<i2", count=n)
     frames = n // max(channels, 1)
     f64 = samples.astype(np.float64)
     return {

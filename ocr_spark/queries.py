@@ -3059,6 +3059,97 @@ where hamming <= 3
 """
 
 
+def _synth_neardup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + deterministic planted-near-dup WAV payloads (the
+    audiohash harness twin; every 11th truncated)."""
+    from ocr_spark.operators.audiohash import synth_neardup_audio_payload
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                synth_neardup_audio_payload(int(d)) for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+def q_media_audio_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprint via the REAL WAV decoder: PCM16 payloads
+    synthesized from doc_id (planted near-dup groups of 4, every 11th
+    truncated), decoded and fingerprinted by the production Arrow stage
+    (RIFF walk → int64 sum-of-squares energy windows → delta-sign bits
+    → 4×16-bit chunks), while the oracle recomputes every chunk from
+    doc_id ARITHMETIC alone — including the exact integer window split
+    b_w = (w·n)//65 — errors-as-data rows included."""
+    from ocr_spark.operators.audiohash import with_audio_fingerprint
+
+    a = F.col("afp")
+    out = with_audio_fingerprint(_synth_neardup_audio(spark, sf_dir))
+    cols = [
+        F.element_at(a["chunks"], c + 1).cast("long").alias(f"c{c}")
+        for c in range(4)
+    ]
+    return out.select("doc_id", a["ok"].alias("ok"), *cols)
+
+
+def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs over the energy-delta fingerprints:
+    the shared pigeonhole bucket join (Hamming ≤ 3). Oracle is a
+    brute-force O(n²) scan over the arithmetic-recomputed fingerprints,
+    so hash-equality also proves pigeonhole recall for the audio leg."""
+    from ocr_spark.operators.audiohash import (
+        audio_neardup_pairs,
+        with_audio_fingerprint,
+    )
+
+    a = F.col("afp")
+    hashed = (
+        with_audio_fingerprint(_synth_neardup_audio(spark, sf_dir))
+        .filter(a["ok"])
+        .select("doc_id", a["chunks"].alias("chunks"))
+    )
+    return audio_neardup_pairs(hashed, "doc_id")
+
+
+def _sql_audio_chunks() -> str:
+    """Shared oracle CTE chain: energy windows + delta-sign chunks
+    recomputed from the payload-construction arithmetic in
+    audiohash.synth_neardup_audio_payload."""
+    ii = "((w*n)//65 + j)"
+    sv = (
+        f"((seed*7 + {ii}*13 + {ii}*{ii}*q) % 2001 - 1000"
+        f" + case when mem > 0 and {ii} = (5*n)//65 + mem then 500"
+        f" else 0 end)"
+    )
+    return f"""
+abase as (
+  select doc_id, doc_id // 4 as seed, doc_id % 4 as mem,
+    650 + 13 * ((doc_id // 4) % 5) as n, 1 + (doc_id // 4) % 5 as q,
+    doc_id % 11 = 0 as corrupt
+  from documents
+),
+energy as (
+  select doc_id, corrupt,
+    list_transform(range(65), w ->
+      list_sum(list_transform(
+        range(((w+1)*n)//65 - (w*n)//65), j -> {sv} * {sv}
+      ))) as e
+  from abase
+),
+achunks as (
+  select doc_id, corrupt,
+    list_transform(range(4), c ->
+      list_sum(list_transform(range(16), m ->
+        case when e[16*c+m+2] > e[16*c+m+1] then (1 << m) else 0 end)))
+      as ch
+  from energy
+)"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order data-layout plan over documents: Morton interleave of
     (n_chars, md5-hashed source) → dense global z-rank via the
@@ -3076,6 +3167,36 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, F.col("n_chars"), y, key="doc_id", bits=16, rows_per_file=64
     )
     return out.select("doc_id", "zval", "zrank", "file_id")
+
+
+def _sql_media_audio_sig() -> str:
+    chunk_cols = ",\n  ".join(
+        f"cast(case when corrupt then null else ch[{c + 1}] end as bigint)"
+        f" as c{c}"
+        for c in range(4)
+    )
+    return f"""
+with {_sql_audio_chunks()}
+select doc_id, not corrupt as ok,
+  {chunk_cols}
+from achunks
+"""
+
+
+def _sql_media_audio_neardup() -> str:
+    hamming = """list_sum(list_transform(range(4), c ->
+      list_sum(list_transform(range(16), m ->
+        (xor(a.ch[c+1], b.ch[c+1]) >> m) & 1))))"""
+    return f"""
+with {_sql_audio_chunks()}
+select key_a, key_b, hamming from (
+  select a.doc_id as key_a, b.doc_id as key_b,
+    cast({hamming} as bigint) as hamming
+  from achunks a join achunks b on a.doc_id < b.doc_id
+  where not a.corrupt and not b.corrupt
+)
+where hamming <= 3
+"""
 
 
 def _sql_zorder_layout() -> str:
@@ -6009,6 +6130,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "media_dhash": q_media_dhash,
     "media_neardup": q_media_neardup,
+    "media_audio_sig": q_media_audio_sig,
+    "media_audio_neardup": q_media_audio_neardup,
     "source_percentiles_approx": q_source_percentiles_approx,
     "train_quality": q_train_quality,
     "bpe_train": q_bpe_train,
@@ -6046,8 +6169,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "span_dedup_corpus": q_span_dedup,
     "semantic_dedup_text": q_semantic_dedup_text,
-    "curate": q_curate,
-    "curate_funnel": q_curate_funnel,
     "ann_lsh_mp": q_ann_lsh_mp,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_incremental": q_ann_ivf_incremental,
@@ -6069,6 +6190,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green via scripts/check_entry.py this session (r4 s5)
     "pack_bins": q_pack_bins,
     "pack_bins_ranged": q_pack_bins_ranged,
+    # curate / curate_funnel: green r3 (hash-match); their entire callee
+    # chain is pre-r4 by function-level git log -L — _curate_decision /
+    # _dup_corpus (queries.py, 1cea697/90ad9cf), quality_features /
+    # quality_class (textstats.py, ac5ee7b), exact_dedup /
+    # connected_components_star / apply_dedup (dedup.py, zero r4 hunks)
+    # — EXCEPT the minhash_lsh verify leg, which carries the same
+    # bit-identical _verify_jaccard evidence as dedup_minhash below
+    # (property test cf4f0df); re-verified green via
+    # scripts/check_entry.py this session (r4 s5)
+    "curate": q_curate,
+    "curate_funnel": q_curate_funnel,
     # dedup_minhash: green r1+r2+r3 (hash-match all three rounds);
     # q_dedup_minhash untouched since 90ad9cf (pre-r4). The one r4 touch
     # on its callee chain is 9749142: the verify stage's arithmetic
@@ -6376,6 +6508,8 @@ from corpus group by 1
         "media_neardup": _sql_media_neardup(),
         "zorder_layout": _sql_zorder_layout(),
         "corpus_report": _sql_corpus_report(),
+        "media_audio_sig": _sql_media_audio_sig(),
+        "media_audio_neardup": _sql_media_audio_neardup(),
         "summarize": _sql_summarize(),
         "shrink_levels": _sql_shrink_levels(),
         "vector_search": SQL_VECTOR_SEARCH,

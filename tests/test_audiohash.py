@@ -1,0 +1,119 @@
+"""Acoustic fingerprinting: numpy stage vs a pure-Python per-sample
+twin, planted-group geometry, errors-as-data, brute-force pair parity
+through the shared pigeonhole device."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.audiohash import (
+    N_WINDOWS,
+    audio_energy_chunks,
+    audio_neardup_pairs,
+    audio_neardup_pairs_with_counters,
+    synth_neardup_audio_payload,
+    with_audio_fingerprint,
+)
+from ocr_spark.operators.multimodal import wav_samples
+
+
+def _chunks_spec(samples) -> list[int]:
+    """Frozen per-sample pure-Python spec."""
+    n = len(samples)
+    e = []
+    for w in range(N_WINDOWS):
+        lo, hi = (w * n) // N_WINDOWS, ((w + 1) * n) // N_WINDOWS
+        e.append(sum(int(s) * int(s) for s in samples[lo:hi]))
+    bits = [1 if e[i + 1] > e[i] else 0 for i in range(64)]
+    return [sum(bits[16 * c + m] << m for m in range(16)) for c in range(4)]
+
+
+def _hamming(a, b) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def test_chunks_match_pure_python_spec():
+    rng = np.random.default_rng(17)
+    for _ in range(20):
+        n = int(rng.integers(N_WINDOWS, 4000))
+        s = rng.integers(-32768, 32768, n).astype(np.int16)
+        assert audio_energy_chunks(s) == _chunks_spec(s)
+
+
+def test_too_short_raises():
+    with pytest.raises(ValueError, match="too short"):
+        audio_energy_chunks(np.zeros(N_WINDOWS - 1, np.int16))
+
+
+def test_planted_group_geometry():
+    """Every in-group pair differs by ≤2 bits (single-sample bump inside
+    energy window 5 → only the E4/E5 and E5/E6 comparisons can flip),
+    all inside chunk 0."""
+    for seed in (1, 9, 412, 2100):
+        if any((4 * seed + m) % 11 == 0 for m in range(4)):
+            continue
+        chunks = [
+            audio_energy_chunks(
+                wav_samples(synth_neardup_audio_payload(4 * seed + m))[0]
+            )
+            for m in range(4)
+        ]
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert _hamming(chunks[a], chunks[b]) <= 2
+                assert chunks[a][1:] == chunks[b][1:]  # flips in chunk 0
+
+
+def test_fingerprint_stage_errors_are_data(spark):
+    df = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                synth_neardup_audio_payload(int(d)) for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    src = df.mapInPandas(synth, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["afp"] for r in with_audio_fingerprint(src).collect()}
+    for i in range(24):
+        if i % 11 == 0:
+            assert not out[i]["ok"] and out[i]["err"]
+        else:
+            assert out[i]["ok"] and len(out[i]["chunks"]) == 4
+
+
+def test_neardup_pairs_match_bruteforce(spark):
+    ids = [i for i in range(60) if i % 11 != 0]
+    chunks = {
+        i: audio_energy_chunks(
+            wav_samples(synth_neardup_audio_payload(i))[0]
+        )
+        for i in ids
+    }
+    expect = {
+        (a, b, _hamming(chunks[a], chunks[b]))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if _hamming(chunks[a], chunks[b]) <= 3
+    }
+    df = spark.createDataFrame(
+        [(i, chunks[i]) for i in ids], "doc_id long, chunks array<int>"
+    )
+    got = {
+        (r["key_a"], r["key_b"], r["hamming"])
+        for r in audio_neardup_pairs(df, "doc_id").collect()
+    }
+    assert got == expect
+    assert len(got) >= 20  # planted groups produce pairs
+
+
+def test_counters_carry_audio_label(spark):
+    df = spark.createDataFrame(
+        [(i, [1, 2, 3, 4]) for i in range(5)], "doc_id long, chunks array<int>"
+    )
+    _, counters = audio_neardup_pairs_with_counters(df, "doc_id", max_bucket=2)
+    c = counters.first()
+    assert c["op"] == "audio_neardup" and c["n_buckets_dropped"] == 4
