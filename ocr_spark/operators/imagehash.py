@@ -205,6 +205,107 @@ def image_neardup_pairs_with_counters(
     return pairs_out, counters
 
 
+def image_index(
+    df: DataFrame, key: str, payload_col: str = "payload"
+) -> DataFrame:
+    """The persistable image-fingerprint index: ``(k, chunks)`` via ONE
+    Arrow decode pass (:func:`with_image_dhash`). Failed decodes are
+    excluded — their errors-as-data rows belong to the decode stage's
+    output, not the dedup index. Write it alongside the corpus (ideally
+    exploded to the band table and bucketed by ``(ci, cv)`` at rest)
+    and each ingest batch joins against it via
+    :func:`image_neardup_incremental` — the committed corpus is never
+    re-decoded."""
+    d = F.col("_dh")
+    return (
+        with_image_dhash(df, payload_col, out_col="_dh")
+        .filter(d["ok"])
+        .select(F.col(key).alias("k"), d["chunks"].alias("chunks"))
+    )
+
+
+def image_neardup_incremental(
+    new_index: DataFrame,
+    index: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup a new ingest batch's images against the committed corpus
+    WITHOUT re-decoding it — the batch-vs-index shape every dedup family
+    here takes at 10¹² turns (cf. ``dedup.minhash_lsh_incremental``).
+
+    Both inputs are :func:`image_index`-shaped ``(k, chunks)``; keys
+    must be globally unique across batch and index. Returns
+    ``(pairs, counters)``:
+
+    * ``pairs`` — (key_a, key_b, hamming ≤ ``max_hamming``) where
+      ``key_a`` is ALWAYS from the new batch and ``key_b`` is any
+      duplicate partner: committed (new-vs-old) or in-batch
+      (new-vs-new, key_a < key_b);
+    * ``counters`` — cap metrics over the COMBINED bucket widths (a
+      bucket hot in the committed index stays dropped for new images
+      too — capping only within the batch would re-admit flat-color
+      black holes batch by batch).
+
+    Plan: candidate join is batch-band × combined-band on ``(ci, cv)``
+    (committed side shuffle-free when bucketed at rest); the verify
+    join fetches 4-int chunk arrays for candidates only."""
+    if not 0 <= max_hamming <= N_CHUNKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside the pigeonhole guarantee "
+            f"of {N_CHUNKS} chunks (0..{N_CHUNKS - 1})"
+        )
+
+    def bands(idx: DataFrame, is_new: bool) -> DataFrame:
+        return idx.select(
+            "k", F.posexplode("chunks").alias("ci", "cv")
+        ).withColumn("is_new", F.lit(is_new))
+
+    bt_all = bands(new_index, True).unionByName(bands(index, False))
+    bt_all, sizes = cap_buckets(bt_all, ["ci", "cv"], max_bucket)
+    counters = bucket_cap_counters(
+        sizes, max_bucket, "image_neardup_incremental"
+    )
+    a = bt_all.filter(F.col("is_new")).alias("a")
+    b = bt_all.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (
+                (F.col("b.is_new") & (F.col("a.k") < F.col("b.k")))
+                | (~F.col("b.is_new") & (F.col("a.k") != F.col("b.k")))
+            ),
+        )
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .distinct()
+    )
+    ch_all = new_index.unionByName(index)
+    pairs_out = (
+        pairs.join(
+            new_index.select(
+                F.col("k").alias("ka"), F.col("chunks").alias("cha")
+            ),
+            "ka",
+        )
+        .join(
+            ch_all.select(
+                F.col("k").alias("kb"), F.col("chunks").alias("chb")
+            ),
+            "kb",
+        )
+        .withColumn("hamming", _chunk_hamming(F.col("cha"), F.col("chb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("ka").alias("key_a"),
+            F.col("kb").alias("key_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+    return pairs_out, counters
+
+
 def synth_neardup_image_payload(doc_id: int) -> bytes:
     """Deterministic image payload with PLANTED near-duplicate groups —
     the harness twin of the ``media_dhash`` / ``media_neardup`` driver

@@ -3059,6 +3059,47 @@ where hamming <= 3
 """
 
 
+def q_media_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch-vs-index image near-dup: even doc_ids are the committed
+    corpus (persisted fingerprint index), odd doc_ids the new ingest
+    batch — each planted group of 4 splits across the waves, so the
+    batch carries exact cross-wave duplicates (member 1 ≡ member 0's
+    hash) AND in-batch near-dups (members 1 vs 3). The committed side
+    is never re-decoded: only the batch runs the Arrow stage. Oracle:
+    brute-force over the arithmetic-recomputed hashes with the same
+    batch/committed pair orientation."""
+    from ocr_spark.operators.imagehash import (
+        image_index,
+        image_neardup_incremental,
+    )
+
+    src = _synth_neardup_images(spark, sf_dir)
+    committed = image_index(src.filter(F.col("doc_id") % 2 == 0), "doc_id")
+    batch = image_index(src.filter(F.col("doc_id") % 2 == 1), "doc_id")
+    pairs, _ = image_neardup_incremental(batch, committed)
+    return pairs
+
+
+def _sql_media_neardup_incremental() -> str:
+    hamming = """list_sum(list_transform(range(4), c ->
+      list_sum(list_transform(range(16), m ->
+        (xor(a.ch[c+1], b.ch[c+1]) >> m) & 1))))"""
+    return f"""
+with {_sql_dhash_chunks()}
+select key_a, key_b, hamming from (
+  select a.doc_id as key_a, b.doc_id as key_b,
+    cast({hamming} as bigint) as hamming
+  from chunks a join chunks b
+    on a.doc_id % 2 = 1
+   and ((b.doc_id % 2 = 1 and a.doc_id < b.doc_id) or b.doc_id % 2 = 0)
+  where not a.corrupt and not b.corrupt
+)
+where hamming <= 3
+"""
+
+
 def _synth_neardup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + deterministic planted-near-dup WAV payloads (the
     audiohash harness twin; every 11th truncated)."""
@@ -6132,6 +6173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_neardup": q_media_neardup,
     "media_audio_sig": q_media_audio_sig,
     "media_audio_neardup": q_media_audio_neardup,
+    "media_neardup_incremental": q_media_neardup_incremental,
     "source_percentiles_approx": q_source_percentiles_approx,
     "train_quality": q_train_quality,
     "bpe_train": q_bpe_train,
@@ -6165,7 +6207,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_profile": q_key_profile,
     "lm_bigram": q_lm_bigram,
     "dedup_bloom": q_dedup_bloom,
-    "dedup_dropped": q_dedup_dropped,
     "dedup_incremental": q_dedup_incremental,
     "span_dedup_corpus": q_span_dedup,
     "semantic_dedup_text": q_semantic_dedup_text,
@@ -6190,6 +6231,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green via scripts/check_entry.py this session (r4 s5)
     "pack_bins": q_pack_bins,
     "pack_bins_ranged": q_pack_bins_ranged,
+    # dedup_dropped: green r3 (hash-match; DuckDB twin of the band-width
+    # computation); its output is ONLY the counters row, computed by
+    # cap_buckets / bucket_cap_counters and the signing chain — all with
+    # zero r4 hunks; the one r4 change on its call path (9749142's
+    # _verify_jaccard extraction in minhash_lsh_with_counters) rewired
+    # only the PAIRS output, which this query discards (`_, counters =`)
+    # — q_dedup_dropped itself untouched since b830e67 (pre-r4);
+    # re-verified green via scripts/check_entry.py this session (r4 s5)
+    "dedup_dropped": q_dedup_dropped,
     # curate / curate_funnel: green r3 (hash-match); their entire callee
     # chain is pre-r4 by function-level git log -L — _curate_decision /
     # _dup_corpus (queries.py, 1cea697/90ad9cf), quality_features /
@@ -6510,6 +6560,7 @@ from corpus group by 1
         "corpus_report": _sql_corpus_report(),
         "media_audio_sig": _sql_media_audio_sig(),
         "media_audio_neardup": _sql_media_audio_neardup(),
+        "media_neardup_incremental": _sql_media_neardup_incremental(),
         "summarize": _sql_summarize(),
         "shrink_levels": _sql_shrink_levels(),
         "vector_search": SQL_VECTOR_SEARCH,

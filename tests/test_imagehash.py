@@ -176,3 +176,60 @@ def test_neardup_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_neardup_incremental_orientation_and_parity(spark):
+    """Batch-vs-index pairs: key_a always from the batch; new-vs-new
+    ordered, new-vs-old unordered; equals brute force with the same
+    orientation. Committed corpus enters as a prebuilt (k, chunks)
+    index — only the batch is decoded."""
+    from ocr_spark.operators.imagehash import (
+        image_index,
+        image_neardup_incremental,
+    )
+
+    ids = [i for i in range(60) if i % 11 != 0]
+    chunks = {
+        i: dhash_chunks_px(image_pixels(synth_neardup_image_payload(i)))
+        for i in ids
+    }
+    old_ids = [i for i in ids if i % 2 == 0]
+    new_ids = [i for i in ids if i % 2 == 1]
+    expect = set()
+    for a in new_ids:
+        for b in ids:
+            if (b % 2 == 1 and a < b) or b % 2 == 0:
+                h = _hamming(chunks[a], chunks[b])
+                if h <= 3:
+                    expect.add((a, b, h))
+
+    def synth_df(id_list):
+        df = spark.createDataFrame([(i,) for i in id_list], "doc_id long")
+
+        def synth(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["payload"] = [
+                    synth_neardup_image_payload(int(d))
+                    for d in pdf["doc_id"]
+                ]
+                yield pdf
+
+        return df.mapInPandas(synth, "doc_id long, payload binary")
+
+    committed = image_index(synth_df(old_ids), "doc_id")
+    batch = image_index(synth_df(new_ids), "doc_id")
+    pairs, counters = image_neardup_incremental(batch, committed)
+    got = {
+        (r["key_a"], r["key_b"], r["hamming"]) for r in pairs.collect()
+    }
+    assert got == expect
+    # cross-wave exact dup planted: member 1 (odd, batch) == member 0
+    # (even, committed) whenever both decode
+    planted = [
+        (4 * s + 1, 4 * s, 0)
+        for s in range(15)
+        if (4 * s) % 11 != 0 and (4 * s + 1) % 11 != 0
+    ]
+    assert set(planted) <= got
+    assert counters.first()["op"] == "image_neardup_incremental"
