@@ -24,7 +24,7 @@ the calling code is identical on a real cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.schemas import TRANSCRIPTS
@@ -282,6 +282,70 @@ def read_results_incremental(
         .option("mergeSchema", str(merge_schema).lower())
         .parquet(*committed)
     )
+
+
+def optimize_results(
+    spark: SparkSession,
+    results_path: str,
+    out_path: str,
+    x: Column | None = None,
+    y: Column | None = None,
+    bits: int = 16,
+    rows_per_file: int = 1 << 20,
+) -> DataFrame:
+    """Clustered rewrite of the committed results table — the EXECUTING
+    half of Iceberg's ``rewrite_data_files(strategy => 'sort',
+    sort_order => zorder(...))`` (``compaction_plan`` is the planning
+    half for size, this is the layout half for pruning).
+
+    Reads every committed batch, Z-orders on ``(x, y)`` (default: the
+    16-bit md5 prefix of ``conv_id`` × ``turn_idx`` — the two columns
+    point lookups and turn-range scans filter on), and rewrites
+    ``out_path`` as ONE committed batch partitioned by ``file_id``:
+    each file_id is a contiguous Z-rank range, hash-repartitioned so it
+    lands in exactly one task → exactly one data file, sorted by zrank
+    within the file so parquet row-group min/max statistics are tight
+    too. The output root stays a valid results sink
+    (``batch_id=0/_SUCCESS`` commit marker; readers swap roots — the
+    source table is immutable, so a crashed rewrite is re-runnable).
+
+    Returns the per-file min/max envelope stats
+    (:func:`ocr_spark.operators.layout.zorder_file_stats`) and appends
+    them to ``out_path/_optimize_stats`` — the lineage sidecar a
+    manifest would carry (underscore-prefixed: invisible to data
+    reads)."""
+    from ocr_spark.operators.layout import zorder_file_stats, zorder_layout
+
+    try:
+        df = read_results_committed(spark, results_path)
+    except FileNotFoundError:
+        # the batch-mode sink appends flat parquet (no batch_id= dirs,
+        # one _SUCCESS at the root) — same table, simpler commit layout
+        df = spark.read.option("mergeSchema", "true").parquet(results_path)
+    if x is None:
+        x = F.conv(F.substring(F.md5(F.col("conv_id")), 1, 4), 16, 10).cast(
+            "long"
+        )
+    if y is None:
+        y = F.col("turn_idx").cast("long")
+    keyed = df.withColumn(
+        "_zk",
+        F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string")),
+    )
+    lay = zorder_layout(
+        keyed, x, y, key="_zk", bits=bits, rows_per_file=rows_per_file
+    )
+    (
+        lay.repartition(F.col("file_id"))
+        .sortWithinPartitions("zrank")
+        .drop("_zk", "zval", "zrank")
+        .write.mode("error")
+        .partitionBy("file_id")
+        .parquet(f"{out_path}/batch_id=0")
+    )
+    stats = zorder_file_stats(lay, x, y)
+    stats.write.mode("append").parquet(f"{out_path}/_optimize_stats")
+    return stats
 
 
 def write_text(df: DataFrame, path: str, text_col: str = "clean_text") -> None:

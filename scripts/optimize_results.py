@@ -1,0 +1,57 @@
+"""Cluster entry point for the clustered table rewrite (Z-order
+OPTIMIZE analog over the results sink).
+
+    spark-submit --master <...> --py-files pkg.zip \
+        scripts/optimize_results.py \
+        --results /path/extracted --output /path/extracted_zorder \
+        [--rows-per-file 1048576] [--bits 16]
+
+Reads every committed batch under --results, rewrites --output as one
+committed batch with one data file per contiguous Z-rank range
+(clustered on md5(conv_id)-prefix x turn_idx), and prints the per-file
+min/max envelope summary. The source table is immutable; re-running
+after a crash is safe (delete the partial --output and re-run).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--rows-per-file", type=int, default=1 << 20)
+    ap.add_argument("--bits", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources.tables import optimize_results
+
+    spark = SparkSession.builder.getOrCreate()
+    stats = optimize_results(
+        spark,
+        args.results,
+        args.output,
+        bits=args.bits,
+        rows_per_file=args.rows_per_file,
+    )
+    summary = stats.agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.avg(F.col("max_x") - F.col("min_x")).alias("mean_x_span"),
+        F.avg(F.col("max_y") - F.col("min_y")).alias("mean_y_span"),
+    ).first()
+    print(
+        f"optimized {summary['n_rows']} rows into {summary['n_files']} "
+        f"files; mean envelope spans x={summary['mean_x_span']:.1f} "
+        f"y={summary['mean_y_span']:.1f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -116,3 +116,54 @@ def test_zorder_rejects_bad_geometry(spark):
         )
     with pytest.raises(ValueError, match="bits"):
         zorder_key(F.col("x"), F.col("y"), bits=0)
+
+
+def test_optimize_results_rewrite(spark, tmp_path):
+    """End-to-end clustered rewrite of a results sink: content multiset
+    preserved, one data file per file_id, per-file turn_idx envelopes
+    disjoint-by-construction of the z-rank ranges, output root is a
+    valid committed sink, stats sidecar invisible to data reads."""
+    import glob
+    import os
+
+    from ocr_spark.sources.tables import (
+        optimize_results,
+        read_results_committed,
+    )
+
+    src = str(tmp_path / "results")
+    rows = [
+        (f"c{i % 37:03d}", i // 37, "extracted", f"text {i}")
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, status string, clean_text string"
+    )
+    # two committed batches, arrival order (interleaved conv_ids)
+    df.filter("turn_idx % 2 = 0").write.parquet(src + "/batch_id=0")
+    df.filter("turn_idx % 2 = 1").write.parquet(src + "/batch_id=1")
+
+    out = str(tmp_path / "optimized")
+    stats = optimize_results(
+        spark, src, out, rows_per_file=100
+    ).collect()
+
+    back = read_results_committed(spark, out)
+    assert sorted(
+        (r["conv_id"], r["turn_idx"], r["clean_text"])
+        for r in back.collect()
+    ) == sorted((r[0], r[1], r[3]) for r in rows)
+    # one data file per file_id dir
+    for d in glob.glob(out + "/batch_id=0/file_id=*"):
+        files = [
+            f for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        assert len(files) == 1, d
+    assert os.path.exists(out + "/batch_id=0/_SUCCESS")
+    assert {r["n_rows"] for r in stats if r["file_id"] < len(stats) - 1} == {
+        100
+    }
+    assert sum(r["n_rows"] for r in stats) == 600
+    # the sidecar is metadata, not data
+    assert "min_x" not in back.columns
