@@ -38,28 +38,37 @@ from ocr_spark.operators.imagehash import (
 N_WINDOWS = 65
 
 
-def audio_energy_chunks(samples: np.ndarray) -> list[int]:
-    """4×16-bit energy-delta chunks of an int16 sample stream.
-
-    Window boundaries are the exact integer split ``b_w = (w·n) //
-    65`` (every window non-empty for ``n ≥ 65``; shorter streams raise
-    ``ValueError`` — too short to fingerprint). ``E_w`` is the exact
-    int64 sum of squares over ``[b_w, b_{w+1})`` via one cumulative
-    sum; bit ``i = E[i+1] > E[i]``, chunk ``c`` holds bits
-    ``[16c, 16c+16)`` with in-chunk bit ``m`` = global bit ``16c+m``
-    (the dHash convention)."""
-    n = len(samples)
+def windowed_delta_chunks(vals: np.ndarray, what: str = "sequence") -> list[int]:
+    """The generic envelope fingerprint: 65 equal windows over an int64
+    value sequence (exact split ``b_w = (w·n) // 65``; sequences shorter
+    than 65 raise ``ValueError``), exact window sums via one cumulative
+    sum, bit ``i = E[i+1] > E[i]``, chunks on the dHash convention
+    (chunk ``c`` holds bits ``[16c, 16c+16)``, in-chunk bit ``m`` =
+    global bit ``16c+m``). Audio feeds squared samples (energy); video
+    feeds per-frame luma sums (brightness envelope / scene cuts)."""
+    n = len(vals)
     if n < N_WINDOWS:
         raise ValueError(
-            f"audio too short to fingerprint: {n} < {N_WINDOWS} samples"
+            f"{what} too short to fingerprint: {n} < {N_WINDOWS}"
         )
-    sq = samples.astype(np.int64) ** 2
-    csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(sq)])
+    csum = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(vals.astype(np.int64))]
+    )
     b = (np.arange(N_WINDOWS + 1, dtype=np.int64) * n) // N_WINDOWS
     e = csum[b[1:]] - csum[b[:-1]]
     bits = (e[1:] > e[:-1]).astype(np.int64)
     pow2 = 1 << np.arange(16, dtype=np.int64)
     return [int((bits[16 * c:16 * c + 16] * pow2).sum()) for c in range(4)]
+
+
+def audio_energy_chunks(samples: np.ndarray) -> list[int]:
+    """4×16-bit energy-delta chunks of an int16 sample stream —
+    :func:`windowed_delta_chunks` over the exact int64 squares (a
+    10-minute / 28M-sample stream peaks at ~4.6·10¹⁴ per window —
+    int64-safe)."""
+    return windowed_delta_chunks(
+        samples.astype(np.int64) ** 2, what="audio"
+    )
 
 
 def with_audio_fingerprint(

@@ -1,0 +1,154 @@
+"""Video fingerprinting + video near-duplicate detection — the third
+leg of multimodal corpus dedup (image: ``imagehash``, audio:
+``audiohash``).
+
+A re-encoded or re-containered video keeps its BRIGHTNESS ENVELOPE —
+the per-frame luma trajectory with its scene cuts — so the fingerprint
+is :func:`ocr_spark.operators.audiohash.windowed_delta_chunks` over the
+exact per-frame integer luma sums: 65 equal frame windows, delta-sign
+bits, 4×16-bit chunks on the shared wire shape, near-pairs through the
+same pigeonhole bucket join.
+
+Container: the environment has no video codec libraries, so the REAL
+decode here targets the repo's uncompressed stand-in container ``VID0``
+(magic + frame count/length + concatenated equal-size P6 frames —
+exactly the shape a decoded-frames column has after a codec stage on a
+real cluster; the per-frame raster math is the production path either
+way). Per-frame luma sums are numpy reductions; the only Python loop is
+per FRAME (bounded by frame count, never pixels).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ocr_spark.operators.audiohash import windowed_delta_chunks
+from ocr_spark.operators.imagehash import (
+    DHASH_FIELDS,
+    image_neardup_pairs_with_counters,
+)
+
+VID_MAGIC = b"VID0"
+
+
+def encode_vid(frames: list[bytes]) -> bytes:
+    """Pack equal-length P6 frames into the ``VID0`` container:
+    magic + ``<II`` (n_frames, frame_len) + concatenated frames."""
+    if not frames:
+        raise ValueError("empty frame list")
+    flen = len(frames[0])
+    if any(len(f) != flen for f in frames):
+        raise ValueError("VID0 frames must be equal-length")
+    return VID_MAGIC + struct.pack("<II", len(frames), flen) + b"".join(frames)
+
+
+def vid_frames(payload: bytes) -> list[bytes]:
+    """Split a ``VID0`` container back into its P6 frame payloads.
+    Raises ``ValueError`` on malformed bytes (errors-as-data at the
+    Arrow stage)."""
+    if len(payload) < 12 or payload[:4] != VID_MAGIC:
+        raise ValueError("not a VID0 stream")
+    n, flen = struct.unpack_from("<II", payload, 4)
+    need = 12 + n * flen
+    if n < 1 or flen < 1 or len(payload) < need:
+        raise ValueError("truncated VID0 stream")
+    return [payload[12 + i * flen:12 + (i + 1) * flen] for i in range(n)]
+
+
+def frame_luma_sums(payload: bytes) -> np.ndarray:
+    """Exact per-frame integer luma sums (Rec.601 milli-units,
+    ``299R + 587G + 114B`` summed over pixels) of a ``VID0`` container —
+    int64, reduction-order-free, engine-portable."""
+    from ocr_spark.operators.multimodal import _ppm_pixels
+
+    sums = []
+    for f in vid_frames(payload):
+        px = _ppm_pixels(f).astype(np.int64)
+        sums.append(
+            int(
+                (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2])
+                .sum()
+            )
+        )
+    return np.asarray(sums, np.int64)
+
+
+def video_luma_chunks(payload: bytes) -> list[int]:
+    """4×16-bit brightness-envelope chunks of a ``VID0`` payload —
+    :func:`windowed_delta_chunks` over the per-frame luma sums
+    (videos shorter than 65 frames raise — too short to fingerprint)."""
+    return windowed_delta_chunks(frame_luma_sums(payload), what="video")
+
+
+def with_video_fingerprint(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "vfp"
+) -> DataFrame:
+    """Video-fingerprint Arrow stage: decode frames, fingerprint the
+    luma envelope row-locally, errors are data (``ok=false`` + ``err``
+    — the C3 rule). Same struct shape as the image/audio stages, so
+    downstream pair machinery is shared."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, DHASH_FIELDS)]
+    )
+
+    def one(p) -> dict:
+        try:
+            chunks = video_luma_chunks(bytes(p) if p is not None else b"")
+            return {"ok": True, "err": None, "chunks": chunks}
+        except (ValueError, NotImplementedError, struct.error) as e:
+            return {"ok": False, "err": str(e)[:200], "chunks": None}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [one(p) for p in pdf[payload_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    key: str,
+    chunks_col: str = "chunks",
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """(key_a, key_b, hamming) video near-dup pairs — the shared
+    pigeonhole device with video-labelled counters."""
+    return image_neardup_pairs_with_counters(
+        df, key, chunks_col=chunks_col, max_hamming=max_hamming,
+        max_bucket=max_bucket, op="video_neardup",
+    )[0]
+
+
+def synth_neardup_video_payload(doc_id: int) -> bytes:
+    """Deterministic ``VID0`` payload with PLANTED near-duplicate
+    groups — the harness twin of the ``media_video_sig`` /
+    ``media_video_neardup`` driver rows.
+
+    Groups of 4 (``seed = doc_id // 4``): ``n = 130 + 13·(seed % 3)``
+    constant-gray 4×3 frames with frame value ``v(f) = (seed·31 + f·17
+    + f²·q) % 256``, ``q = 1 + seed % 7`` (quadratic wrap pattern —
+    distinct envelopes per seed); member m > 0 bumps the single frame
+    at index ``(5n)//65 + m`` by +100 mod 256 — at ~2-frame window
+    widths the three bumps land in frame windows 5-6, flipping only the
+    E4/E5, E5/E6, E6/E7 comparisons, so every in-group pair differs by
+    ≤ 3 fingerprint bits (inside the pigeonhole threshold). Every 11th
+    doc truncates to 10 bytes (errors-as-data coverage)."""
+    seed, mem = doc_id // 4, doc_id % 4
+    n, q = 130 + 13 * (seed % 3), 1 + seed % 7
+    frames = []
+    for f in range(n):
+        v = (seed * 31 + f * 17 + f * f * q) % 256
+        if mem > 0 and f == (5 * n) // 65 + mem:
+            v = (v + 100) % 256
+        frames.append(b"P6\n4 3\n255\n" + bytes((v,)) * 36)
+    p = encode_vid(frames)
+    return p[:10] if doc_id % 11 == 0 else p

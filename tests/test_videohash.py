@@ -1,0 +1,128 @@
+"""Video brightness-envelope fingerprinting: container round-trip,
+numpy stage vs pure-Python twin, planted-group geometry, errors-as-data,
+brute-force pair parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.videohash import (
+    encode_vid,
+    frame_luma_sums,
+    synth_neardup_video_payload,
+    vid_frames,
+    video_luma_chunks,
+    video_neardup_pairs,
+    with_video_fingerprint,
+)
+
+
+def _hamming(a, b) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def _chunks_spec(luma_sums) -> list[int]:
+    n = len(luma_sums)
+    e = []
+    for w in range(65):
+        lo, hi = (w * n) // 65, ((w + 1) * n) // 65
+        e.append(sum(int(v) for v in luma_sums[lo:hi]))
+    bits = [1 if e[i + 1] > e[i] else 0 for i in range(64)]
+    return [sum(bits[16 * c + m] << m for m in range(16)) for c in range(4)]
+
+
+def test_container_roundtrip_and_guards():
+    frames = [b"P6\n2 1\n255\n" + bytes((i, i, i, 0, 0, 0)) for i in range(70)]
+    p = encode_vid(frames)
+    assert vid_frames(p) == frames
+    with pytest.raises(ValueError, match="not a VID0"):
+        vid_frames(b"nope")
+    with pytest.raises(ValueError, match="truncated"):
+        vid_frames(p[:30])
+    with pytest.raises(ValueError, match="equal-length"):
+        encode_vid([b"aa", b"aaa"])
+    with pytest.raises(ValueError, match="too short"):
+        video_luma_chunks(encode_vid(frames[:64]))
+
+
+def test_luma_sums_and_chunks_match_pure_python():
+    rng = np.random.default_rng(23)
+    for _ in range(5):
+        n = int(rng.integers(65, 200))
+        rasters = rng.integers(0, 256, (n, 2, 3, 3), dtype=np.uint8)
+        frames = [
+            b"P6\n3 2\n255\n" + r.tobytes() for r in rasters
+        ]
+        p = encode_vid(frames)
+        sums = frame_luma_sums(p)
+        expect = [
+            sum(
+                299 * int(r[y][x][0]) + 587 * int(r[y][x][1])
+                + 114 * int(r[y][x][2])
+                for y in range(2)
+                for x in range(3)
+            )
+            for r in rasters
+        ]
+        assert list(sums) == expect
+        assert video_luma_chunks(p) == _chunks_spec(sums)
+
+
+def test_planted_group_geometry():
+    for seed in (1, 6, 333, 1500):
+        if any((4 * seed + m) % 11 == 0 for m in range(4)):
+            continue
+        chunks = [
+            video_luma_chunks(synth_neardup_video_payload(4 * seed + m))
+            for m in range(4)
+        ]
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert _hamming(chunks[a], chunks[b]) <= 3
+
+
+def test_stage_and_pairs_match_bruteforce(spark):
+    ids = [i for i in range(60) if i % 11 != 0]
+    chunks = {
+        i: video_luma_chunks(synth_neardup_video_payload(i)) for i in ids
+    }
+    expect = {
+        (a, b, _hamming(chunks[a], chunks[b]))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if _hamming(chunks[a], chunks[b]) <= 3
+    }
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                synth_neardup_video_payload(int(d)) for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    src = df.mapInPandas(synth, "doc_id long, payload binary")
+    v = with_video_fingerprint(src)
+    rows = {r["doc_id"]: r["vfp"] for r in v.collect()}
+    for i in range(60):
+        if i % 11 == 0:
+            assert not rows[i]["ok"] and rows[i]["err"]
+        else:
+            assert rows[i]["ok"] and list(rows[i]["chunks"]) == chunks[i]
+
+    from pyspark.sql import functions as F
+
+    hashed = v.filter(F.col("vfp")["ok"]).select(
+        "doc_id", F.col("vfp")["chunks"].alias("chunks")
+    )
+    got = {
+        (r["key_a"], r["key_b"], r["hamming"])
+        for r in video_neardup_pairs(hashed, "doc_id").collect()
+    }
+    assert got == expect
+    assert len(got) >= 20
