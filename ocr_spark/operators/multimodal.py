@@ -6,12 +6,14 @@ pipeline: schema, partitioning, Arrow batch shape, and UDF signatures are
 real and tested.
 
 Decoding is REAL for every format a pure-stdlib parser can handle —
-WAV/PCM16 audio, 24-bit BMP and binary PPM (P6) images, and **PNG**
+WAV/PCM16 audio, 24-bit BMP and binary PPM (P6) images, **PNG**
 (zlib IS stdlib: full inflate + filter reconstruction for 8-bit
-gray/RGB/gray-alpha/RGBA, filters 0-4) — dispatched by magic bytes in
-``decode_media``. Codecs whose entropy coders have no stdlib
-implementation (JPEG/MP3/MP4...) remain a clearly-marked
-``NotImplementedError`` stub: wire Pillow/torchaudio/PyAV into the same
+gray/RGB/gray-alpha/RGBA, filters 0-4), and **baseline JPEG** (a
+from-scratch T.81 Huffman + batched-numpy-IDCT decoder in
+:mod:`.jpegcodec` — no codec libraries) — dispatched by magic bytes in
+``decode_media``. Codecs whose entropy coders are genuinely out of
+reach here (MP3/MP4/HEIC...) remain a clearly-marked
+``NotImplementedError`` stub: wire torchaudio/PyAV into the same
 Arrow stage on a real cluster.
 
 * ``decode_media`` — magic-byte dispatch → typed feature dict
@@ -396,12 +398,39 @@ def encode_png(
     return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL baseline JPEG decode (see :mod:`.jpegcodec` — from-scratch
+    T.81 Huffman + batched-numpy IDCT, no codec libraries): pixels →
+    Rec.601 mean luma, same feature contract as the other decoders.
+    Grayscale JPEGs report the gray plane as luma directly (exactly the
+    PNG color-type-0 rule above)."""
+    from ocr_spark.operators.jpegcodec import decode_jpeg_pixels
+
+    arr = decode_jpeg_pixels(payload)
+    h, w = arr.shape[:2]
+    px = arr.astype(np.float64)
+    if arr.ndim == 2:
+        luma = px
+    else:
+        luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return {
+        "kind": "jpeg",
+        "width": w,
+        "height": h,
+        "duration_s": None,
+        "n_samples": None,
+        "rms": None,
+        "peak": None,
+        "mean_luma": float(luma.mean()),
+    }
+
+
 def decode_media(payload: bytes, media_type: str = "") -> dict:
     """REAL decode entry point: magic-byte dispatch to the pure-stdlib
-    parsers above (WAV/BMP/PPM/PNG). Codecs with no stdlib entropy coder
-    (JPEG/MP3/MP4...) remain a clearly-marked STUB — on a production
-    cluster wire Pillow / torchaudio / PyAV here, inside the same Arrow
-    stage."""
+    parsers above (WAV/BMP/PPM/PNG + baseline JPEG via
+    :mod:`.jpegcodec`). Codecs with no stdlib entropy coder (MP3/MP4/
+    HEIC...) remain a clearly-marked STUB — on a production cluster wire
+    torchaudio / PyAV here, inside the same Arrow stage."""
     p = payload or b""
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return decode_wav(p)
@@ -411,9 +440,11 @@ def decode_media(payload: bytes, media_type: str = "") -> dict:
         return decode_ppm(p)
     if p[:8] == PNG_SIG:
         return decode_png(p)
+    if p[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(p)
     raise NotImplementedError(
-        "JPEG/MP3/MP4 decoding requires entropy-coder libraries not present "
-        "in this environment (WAV/BMP/PPM/PNG decode IS implemented); use "
+        "MP3/MP4 decoding requires codec libraries not present in this "
+        "environment (WAV/BMP/PPM/PNG/JPEG decode IS implemented); use "
         "fake_decode_features for the deterministic oracle path"
     )
 
@@ -602,11 +633,12 @@ def frame_sample_plan(
 
 def image_pixels(payload: bytes) -> np.ndarray:
     """Top-down RGB uint8 ``(h, w, 3)`` pixels for every format the
-    pure-stdlib decoders read (BMP / PPM / PNG; PNG gray(+alpha) expands
-    to RGB, alpha drops). The shared front door for every pixel-consuming
-    Arrow stage (resize, perceptual hashing). Compressed codecs raise
-    ``NotImplementedError`` (honest stub: no codec libs here); malformed
-    bytes raise ``ValueError`` — callers turn both into errors-as-data."""
+    pure-stdlib decoders read (BMP / PPM / PNG / baseline JPEG; gray
+    planes expand to RGB, alpha drops). The shared front door for every
+    pixel-consuming Arrow stage (resize, perceptual hashing). Unknown
+    codecs raise ``NotImplementedError`` (honest stub: no codec libs
+    here); malformed bytes raise ``ValueError`` — callers turn both
+    into errors-as-data."""
     if payload[:2] == b"BM":
         return _bmp_pixels(payload)
     if payload[:2] == b"P6":
@@ -617,9 +649,14 @@ def image_pixels(payload: bytes) -> np.ndarray:
             np.repeat(arr[:, :, :1], 3, 2) if ctype in (0, 4)
             else arr[:, :, :3]
         )
+    if payload[:3] == b"\xff\xd8\xff":
+        from ocr_spark.operators.jpegcodec import decode_jpeg_pixels
+
+        arr = decode_jpeg_pixels(payload)
+        return np.repeat(arr[:, :, None], 3, 2) if arr.ndim == 2 else arr
     raise NotImplementedError(
-        "compressed/unknown codec — wire Pillow into this Arrow stage "
-        "on a real cluster"
+        "unknown/unsupported codec — wire Pillow into this Arrow stage "
+        "on a real cluster (BMP/PPM/PNG/baseline-JPEG decode natively)"
     )
 
 

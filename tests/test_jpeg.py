@@ -1,0 +1,173 @@
+"""Baseline JPEG codec tests (`ocr_spark.operators.jpegcodec`).
+
+Strategy mirrors the PNG leg (tests/test_textstats.py): the encoder twin
+synthesizes payloads, the decoder must invert them — EXACTLY on the
+quantization-exact fixture class (block-uniform even gray values, where
+every AC coefficient is 0 and the DC round-trips through the Annex K
+q=50 tables with no loss), and within a lossy bound on arbitrary pixels.
+Third-party JPEGs on the host (libjpeg-encoded) are decoded as a
+conformance check when present.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators import multimodal
+from ocr_spark.operators.jpegcodec import decode_jpeg_pixels, encode_jpeg
+
+
+def _block_gray(doc: int, bh: int, bw: int) -> np.ndarray:
+    """Per-8×8-block uniform EVEN gray values — the quantization-exact
+    class: even v ⇒ DC = 8·(v−128) divisible by the q=50 luma DC step 16,
+    all AC exactly zero, so decode(encode(img)) == img bit-for-bit."""
+    blocks = (2 * ((doc * 7 + np.arange(bh * bw).reshape(bh, bw) * 13) % 128)).astype(
+        np.uint8
+    )
+    return np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+
+
+def test_exact_roundtrip_gray():
+    img = _block_gray(3, 2, 4)
+    out = decode_jpeg_pixels(encode_jpeg(img))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+def test_exact_roundtrip_rgb_444_and_420_and_restart():
+    g = _block_gray(11, 2, 3)
+    img = np.repeat(g[:, :, None], 3, 2)  # gray-valued RGB: Cb=Cr=128 exact
+    for kwargs in (
+        {},
+        {"subsample": True},
+        {"restart_interval": 2},
+        {"subsample": True, "restart_interval": 1},
+    ):
+        out = decode_jpeg_pixels(encode_jpeg(img, **kwargs))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img), kwargs
+
+
+def test_lossy_roundtrip_bounded_error_random():
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)  # odd dims
+    for quality, subsample, bound in ((95, False, 40), (75, True, 255), (50, False, 255)):
+        out = decode_jpeg_pixels(encode_jpeg(img, quality=quality, subsample=subsample))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= bound
+        assert err.mean() < 70  # even worst-case noise stays plausible
+
+
+def test_lossy_roundtrip_smooth_content_is_tight():
+    # realistic low-frequency content: q85 must be visually lossless
+    y, x = np.mgrid[0:40, 0:56]
+    base = 127 + 100 * np.sin(x / 20.0) * np.cos(y / 25.0)
+    img = np.stack([base, 255 - base, base / 2 + 60], 2).clip(0, 255).astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(img, quality=85))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_grayscale_odd_dims_with_restart():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (19, 31), dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(img, quality=90, restart_interval=1))
+    assert out.shape == img.shape and out.ndim == 2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 60
+
+
+def test_determinism():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    a = encode_jpeg(img, quality=80)
+    assert a == encode_jpeg(img, quality=80)
+    assert np.array_equal(decode_jpeg_pixels(a), decode_jpeg_pixels(a))
+
+
+def test_malformed_raises_valueerror():
+    img = _block_gray(1, 1, 2)
+    good = encode_jpeg(np.repeat(img[:, :, None], 3, 2), restart_interval=1)
+    bads = [
+        b"",                                        # empty
+        b"BM123456",                                # other magic
+        b"\xff\xd8\xff",                            # SOI then nothing
+        good[:40],                                  # truncated in headers
+        good[: len(good) // 2],                     # truncated mid-scan
+        good[:-2],                                  # missing EOI
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF2
+        good.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x10", 1),
+    ]
+    for bad in bads:
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(bad)
+    # corrupt entropy bytes must fail loudly (invalid code / truncation),
+    # never return silently wrong pixels as a crash
+    scan = bytearray(good)
+    scan[-20:-10] = b"\x00" * 10
+    try:
+        decode_jpeg_pixels(bytes(scan))
+    except ValueError:
+        pass  # either outcome below is acceptable; crash is not
+    # 12-bit precision
+    sof = good.index(b"\xff\xc0")
+    twelve = bytearray(good)
+    twelve[sof + 4] = 12
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(twelve))
+
+
+THIRD_PARTY = [
+    # (path, expected (h, w), baseline?) — libjpeg-family encoders, a
+    # genuinely independent conformance source when the host has them
+    ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/pyparsing/"
+     "docs/_static/pyparsingClassDiagram_1.5.2.jpg", (1659, 1155), True),
+    ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/"
+     "ext/flower-of-life.jpg", (161, 161), True),
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", None, False),  # progressive
+]
+
+
+@pytest.mark.parametrize("path,shape,baseline", THIRD_PARTY)
+def test_third_party_conformance(path, shape, baseline):
+    if not os.path.exists(path):
+        pytest.skip(f"host fixture {path} absent")
+    data = open(path, "rb").read()
+    if not baseline:
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg_pixels(data)
+        return
+    px = decode_jpeg_pixels(data)
+    assert px.shape == (*shape, 3) and px.dtype == np.uint8
+    # both known fixtures are diagrams/line art on white paper
+    assert float(px.mean()) > 180.0
+
+
+def test_decode_media_dispatch_and_luma():
+    img = _block_gray(9, 1, 3)
+    d = multimodal.decode_media(encode_jpeg(img))
+    assert (d["kind"], d["width"], d["height"]) == ("jpeg", 24, 8)
+    assert d["mean_luma"] == pytest.approx(float(img.astype(np.float64).mean()), abs=1e-12)
+    rgb = np.repeat(img[:, :, None], 3, 2)
+    d2 = multimodal.decode_media(encode_jpeg(rgb, subsample=True))
+    px = rgb.astype(np.float64)
+    want = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
+    assert d2["mean_luma"] == pytest.approx(float(want), abs=1e-12)
+
+
+def test_image_pixels_feeds_hash_and_resize_stages():
+    # the shared pixel front door: JPEG payloads flow into the SAME
+    # downstream stages (dHash, resize) as BMP/PPM/PNG with no special case
+    img = _block_gray(21, 2, 2)
+    payload = encode_jpeg(np.repeat(img[:, :, None], 3, 2))
+    px = multimodal.image_pixels(payload)
+    assert px.shape == (*img.shape, 3)
+    assert np.array_equal(px[:, :, 0], img)
+    from ocr_spark.operators.imagehash import dhash_chunks_px
+
+    chunks = dhash_chunks_px(px)
+    assert len(chunks) == 4 and all(0 <= c < (1 << 16) for c in chunks)
+    resized = multimodal.resize_image(payload, 4, 3)
+    assert resized[:2] == b"P6"

@@ -104,9 +104,13 @@ def test_decode_media_stub_only_for_compressed():
     # ValueError, not the stub path
     with pytest.raises(ValueError):
         multimodal.decode_media(b"\x89PNG\r\n\x1a\n....", "image")
-    # entropy-coded codecs (JPEG here) stay a clearly-marked stub
-    with pytest.raises(NotImplementedError):
+    # JPEG now REALLY decodes too (jpegcodec): a malformed JPEG body is
+    # a ValueError, not the stub path
+    with pytest.raises(ValueError):
         multimodal.decode_media(b"\xff\xd8\xff\xe0JFIF....", "image")
+    # codecs with no stdlib entropy coder (MP3 here) stay a stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"ID3\x04\x00....", "audio")
 
 
 def _wav_bytes(samples, rate=8000, channels=1):
@@ -271,7 +275,7 @@ def test_with_decoded_media_errors_as_data(spark):
     rows = [
         (0, bytearray(_wav_bytes([10, -10, 20, -20]))),
         (1, bytearray(_bmp_bytes([[(10, 20, 30)]]))),
-        (2, bytearray(b"\xff\xd8\xffJPEG-ish")),   # compressed -> ok=false
+        (2, bytearray(b"\xff\xd8\xffJPEG-ish")),   # malformed JPEG -> ok=false
         (3, bytearray(b"RIFF\x04\x00\x00\x00WAVE")),  # corrupt -> ok=false
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -279,7 +283,7 @@ def test_with_decoded_media_errors_as_data(spark):
            multimodal.with_decoded_media(df).collect()}
     assert got[0]["ok"] and got[0]["kind"] == "wav" and got[0]["n_samples"] == 4
     assert got[1]["ok"] and got[1]["kind"] == "bmp" and got[1]["width"] == 1
-    assert not got[2]["ok"] and "entropy-coder" in got[2]["err"]
+    assert not got[2]["ok"] and "JPEG" in got[2]["err"]
     assert not got[3]["ok"] and got[3]["err"]
 
 
@@ -592,13 +596,13 @@ def test_with_resized_media_errors_as_data(spark):
 
     rows = [
         (0, synth_image_payload(3)),            # good PPM gradient
-        (1, b"\xff\xd8\xffJPEGISH" + b"x" * 64),  # compressed → stub err
+        (1, b"\xff\xd8\xffJPEGISH" + b"x" * 64),  # malformed JPEG → err
         (2, b"BM" + b"\x00" * 8),                # truncated BMP
         (3, None),                               # null payload
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r["resized"] for r in with_resized_media(df, 4, 3).collect()}
     assert out[0]["ok"] and _ppm_pixels(bytes(out[0]["payload"])).shape == (3, 4, 3)
-    assert not out[1]["ok"] and "codec" in out[1]["err"]
+    assert not out[1]["ok"] and "JPEG" in out[1]["err"]
     assert not out[2]["ok"] and out[2]["payload"] is None
     assert not out[3]["ok"]
