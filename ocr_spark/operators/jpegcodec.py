@@ -1,20 +1,28 @@
-"""REAL baseline JPEG codec in pure stdlib + numpy — no codec libraries.
+"""REAL JPEG codec in pure stdlib + numpy — no codec libraries.
 
 Round 3's verdict left compressed-codec decode as the repo's one honest
 stub ("the §beyond item a multimodal corpus hits constantly"). This module
-closes it for JPEG: a from-scratch baseline sequential DCT decoder
-(ITU-T T.81) and a deterministic encoder twin, mirroring the reference's
-payload-decode stage (`/root/reference/app/services/payload_io.py`) the
-same way `decode_png`/`decode_wav` in `multimodal.py` do for their
-formats.
+closes it for JPEG: a from-scratch baseline-sequential AND progressive
+DCT decoder (ITU-T T.81) plus a deterministic encoder twin, mirroring
+the reference's payload-decode stage
+(`/root/reference/app/services/payload_io.py`) the same way
+`decode_png`/`decode_wav` in `multimodal.py` do for their formats.
 
-Decoder coverage (everything a baseline JFIF file uses):
-  * marker parse: SOI / APPn / COM / DQT / DHT / SOF0 / DRI / SOS / EOI
+Decoder coverage (what real-world JFIF files actually use):
+  * marker parse: SOI / APPn / COM / DQT / DHT / SOF0/1/2 / DRI / SOS / EOI
   * 8-bit quantization tables, canonical Huffman tables (DC+AC)
-  * interleaved baseline scan, 1 (grayscale) or 3 (YCbCr) components
-  * sampling factors 1–2 per axis (4:4:4, 4:2:2, 4:2:0), restart markers
-  * progressive (SOF2), 12-bit, arithmetic coding → ``ValueError``
+  * baseline: interleaved full-band scan, 1 (gray) or 3 (YCbCr) components
+  * progressive (SOF2): multi-scan spectral selection + successive
+    approximation — DC initial/refine, AC initial/refine with EOB runs
+    and per-coefficient correction bits (T.81 Annex G), non-interleaved
+    single-component scan geometry, restart markers in every scan kind
+  * sampling factors 1–2 per axis (4:4:4, 4:2:2, 4:2:0)
+  * 12-bit, lossless, hierarchical, arithmetic coding → ``ValueError``
     (errors-as-data upstream, C3 rule) — NOT silent wrong pixels
+  * cross-path invariant (tested): progressive and baseline encodes of
+    the same pixels carry the same quantized coefficients, so both
+    decode BIT-IDENTICALLY — the progressive machinery is verified
+    against the sequential path, not just against itself
 
 Execution-model note (the "no per-element Python" north rule): JPEG
 entropy coding is an inherently serial bitstream — the Huffman loop is
@@ -249,6 +257,16 @@ class _BitReader:
             raise ValueError("truncated entropy-coded segment")
         self.acc &= (1 << self.nacc) - 1
 
+    def receive(self, n: int) -> int:
+        """Raw MSB-first bits (progressive correction bits / EOB-run
+        extensions / DC-refinement bits)."""
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self.acc >> (self.nacc - n)) & ((1 << n) - 1)
+        self._consume(n)
+        return v
+
     def decode_dc(self, table: _HuffDecoder) -> int:
         """Fused Huffman-symbol + magnitude-bits + EXTEND for a DC diff —
         one fill covers both reads (hot-loop call-count halving)."""
@@ -313,23 +331,251 @@ class _BitWriter:
 # decoder
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "coeffs", "bw", "bh", "pred")
+    __slots__ = (
+        "cid", "h", "v", "tq", "td", "ta", "coeffs", "bw", "bh",
+        "nw", "nh", "pred", "dct", "act",
+    )
 
     def __init__(self, cid: int, h: int, v: int, tq: int):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → top-down ``uint8`` pixels: ``(h, w)`` for a
-    single-component (grayscale) image, ``(h, w, 3)`` RGB for YCbCr.
-    Raises ``ValueError`` on anything malformed or outside baseline
-    sequential (progressive, 12-bit, arithmetic, >2 sampling) — callers
-    route that to errors-as-data, never a task failure."""
+    """Baseline-sequential OR progressive JPEG → top-down ``uint8``
+    pixels: ``(h, w)`` for a single-component (grayscale) image,
+    ``(h, w, 3)`` RGB for YCbCr. Raises ``ValueError`` on anything
+    malformed or outside those two DCT processes (12-bit, lossless,
+    arithmetic coding, >2 sampling) — callers route that to
+    errors-as-data, never a task failure."""
     try:
         return _decode(payload)
     except (IndexError, struct.error) as e:
         # any read past a truncated buffer is a malformed payload, not a bug
         raise ValueError(f"truncated JPEG stream: {e}") from None
+
+
+def _collect_entropy(p: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Slice one scan's entropy-coded data starting at ``pos``: returns
+    the restart intervals (raw, still byte-stuffed) and the offset of
+    the terminating marker's 0xFF. Fill bytes (0xFF runs before a
+    marker) are excluded from the data."""
+    intervals, start, ipos = [], pos, pos
+    while True:
+        if ipos + 1 >= len(p):
+            raise ValueError("unterminated scan")
+        if p[ipos] != 0xFF:
+            ipos += 1
+            continue
+        if p[ipos + 1] == 0x00:  # stuffed data byte
+            ipos += 2
+            continue
+        end = ipos
+        while ipos + 1 < len(p) and p[ipos + 1] == 0xFF:  # fill bytes
+            ipos += 1
+        if ipos + 1 >= len(p):
+            raise ValueError("unterminated scan")
+        m = p[ipos + 1]
+        if 0xD0 <= m <= 0xD7:  # restart boundary
+            intervals.append(p[start:end])
+            ipos += 2
+            start = ipos
+            continue
+        intervals.append(p[start:end])
+        return intervals, ipos
+
+
+def _block_ac_first(rdr, ac_t, row, ss, se, al, eobrun) -> int:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2 /
+    libjpeg ``decode_mcu_AC_first``); ``row`` is zigzag-ordered.
+    Returns the updated end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        r, val = rdr.decode_ac(ac_t)
+        if val == 0:
+            if r != 15:  # EOBn: run of (1<<r)+ext all-zero bands
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rdr.receive(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        row[k] = val << al
+        k += 1
+    return 0
+
+
+def _block_ac_refine(rdr, ac_t, row, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3 / libjpeg
+    ``decode_mcu_AC_refine``): newly-significant coefficients arrive as
+    ±1 symbols, already-significant ones get one correction bit each;
+    EOB runs still carry correction bits for their nonzero history."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            r, val = rdr.decode_ac(ac_t)
+            newval = 0
+            if val == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.receive(r)
+                    break  # fall through to the correction sweep
+                # ZRL: skip 16 zero-history positions
+            else:
+                if val not in (1, -1):
+                    raise ValueError("invalid AC refinement magnitude")
+                newval = p1 if val == 1 else m1
+            while k <= se:
+                cur = int(row[k])
+                if cur != 0:
+                    if rdr.receive(1) and (cur & p1) == 0:
+                        row[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                row[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits under the end-of-band run
+            cur = int(row[k])
+            if cur != 0:
+                if rdr.receive(1) and (cur & p1) == 0:
+                    row[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    body: bytes,
+    readers: list,
+    comps: list,
+    htables: dict,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    progressive: bool,
+) -> None:
+    """Entropy-decode one scan into the components' coefficient arrays.
+    Sequential scans are full-band; progressive scans dispatch on
+    (Ss, Ah) to DC/AC initial/refinement. A single-component scan is
+    non-interleaved: its units are the component's OWN block grid
+    (nh × nw), not the MCU-padded one (T.81 A.2.2)."""
+    ns = body[0]
+    if not 1 <= ns <= len(comps) or len(body) < 4 + 2 * ns:
+        raise ValueError("malformed SOS header")
+    by_id = {c.cid: c for c in comps}
+    scan_comps = []
+    for i in range(ns):
+        cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        c.td, c.ta = tdta >> 4, tdta & 0x0F
+        scan_comps.append(c)
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+
+    if progressive:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            kind = "dc_first" if ah == 0 else "dc_refine"
+        else:
+            if ns != 1:
+                raise ValueError("progressive AC scans are single-component")
+            if not ss <= se <= 63:
+                raise ValueError("invalid spectral band")
+            kind = "ac_first" if ah == 0 else "ac_refine"
+    else:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("sequential scan with progressive parameters")
+        kind = "seq"
+
+    for c in scan_comps:
+        c.dct = htables.get((0, c.td)) if kind in ("seq", "dc_first") else None
+        c.act = (
+            htables.get((1, c.ta))
+            if kind in ("seq", "ac_first", "ac_refine")
+            else None
+        )
+        if kind in ("seq", "dc_first") and c.dct is None:
+            raise ValueError("scan references missing DC Huffman table")
+        if kind in ("seq", "ac_first", "ac_refine") and c.act is None:
+            raise ValueError("scan references missing AC Huffman table")
+        c.pred = 0
+
+    interleaved = ns > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        c0 = scan_comps[0]
+        n_units = c0.nh * c0.nw
+    per = restart_interval or n_units
+    p1 = 1 << al
+    eobrun = 0
+    rdr_i = -1
+    rdr = None
+    for u in range(n_units):
+        if u % per == 0:
+            rdr_i += 1
+            if rdr_i >= len(readers):
+                raise ValueError("missing restart interval data")
+            rdr = readers[rdr_i]
+            for c in scan_comps:
+                c.pred = 0
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            unit = [
+                (c, (my * c.v + bv) * c.bw + mx * c.h + bh_)
+                for c in scan_comps
+                for bv in range(c.v)
+                for bh_ in range(c.h)
+            ]
+        else:
+            c0 = scan_comps[0]
+            row_, col = divmod(u, c0.nw)
+            unit = [(c0, row_ * c0.bw + col)]
+        for c, blk in unit:
+            row = c.coeffs[blk]
+            if kind == "seq":
+                c.pred += rdr.decode_dc(c.dct)
+                row[0] = c.pred
+                ac_t = c.act
+                k = 1
+                while k < 64:
+                    r, val = rdr.decode_ac(ac_t)
+                    if val == 0:  # s == 0: EOB or ZRL (value bits of
+                        if r == 15:  # s ≥ 1 can never EXTEND to 0)
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    row[k] = val
+                    k += 1
+            elif kind == "dc_first":
+                c.pred += rdr.decode_dc(c.dct)
+                row[0] = c.pred << al
+            elif kind == "dc_refine":
+                if rdr.receive(1):
+                    row[0] |= p1
+            elif kind == "ac_first":
+                eobrun = _block_ac_first(rdr, c.act, row, ss, se, al, eobrun)
+            else:
+                eobrun = _block_ac_refine(rdr, c.act, row, ss, se, al, eobrun)
 
 
 def _decode(payload: bytes) -> np.ndarray:
@@ -341,8 +587,10 @@ def _decode(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffDecoder] = {}  # (class, id)
     comps: list[_Component] = []
     h = w = 0
+    hmax = vmax = mcus_x = mcus_y = 0
     restart_interval = 0
-    scan_comps: list[_Component] = []
+    progressive = False
+    scans_seen = 0
 
     while True:
         if pos + 2 > len(p):
@@ -351,8 +599,13 @@ def _decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"expected marker at offset {pos}")
         marker = p[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("JPEG stream has no scan data")
+        if marker == 0xFF:  # fill byte before a marker
+            pos -= 1
+            continue
+        if marker == 0xD9:  # EOI
+            if scans_seen == 0:
+                raise ValueError("JPEG stream has no scan data")
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # TEM / stray RST between segments
         if pos + 2 > len(p):
@@ -387,111 +640,57 @@ def _decode(payload: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT")
                 htables[(tc, th)] = _HuffDecoder(bits, bytes(vals))
                 off += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if comps:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
-                raise ValueError(f"{prec}-bit JPEG unsupported (baseline is 8)")
+                raise ValueError(f"{prec}-bit JPEG unsupported (8-bit only)")
             if h == 0 or w == 0 or nc not in (1, 3):
-                raise ValueError(f"unsupported SOF0 geometry {w}x{h} nc={nc}")
-            comps = []
+                raise ValueError(f"unsupported SOF geometry {w}x{h} nc={nc}")
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 ch, cv = hv >> 4, hv & 0x0F
                 if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     raise ValueError(f"sampling {ch}x{cv} unsupported (1-2 only)")
                 comps.append(_Component(cid, ch, cv, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c.bw = mcus_x * c.h  # MCU-padded block grid (interleaved)
+                c.bh = mcus_y * c.v
+                # the component's OWN block grid (non-interleaved scans)
+                c.nw = -(-(-(-w * c.h // hmax)) // 8)
+                c.nh = -(-(-(-h * c.v // vmax)) // 8)
+                c.coeffs = np.zeros((c.bh * c.bw, 64), dtype=np.int32)
+                c.pred = 0
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) is supported")
+            raise ValueError(
+                "only baseline sequential (SOF0/1) and progressive (SOF2) "
+                "are supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             if not comps:
-                raise ValueError("SOS before SOF0")
-            ns = body[0]
-            if ns != len(comps):
-                raise ValueError("partial scans unsupported (baseline interleaved)")
-            by_id = {c.cid: c for c in comps}
-            scan_comps = []
-            for i in range(ns):
-                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
-                c = by_id.get(cs)
-                if c is None:
-                    raise ValueError(f"scan references unknown component {cs}")
-                c.td, c.ta = tdta >> 4, tdta & 0x0F
-                scan_comps.append(c)
-            break  # entropy-coded data follows
-        # APPn / COM / anything else with a length: skipped
-
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in comps:
-        c.bw = mcus_x * c.h
-        c.bh = mcus_y * c.v
-        c.coeffs = np.zeros((c.bh * c.bw, 64), dtype=np.int32)
-        c.pred = 0
-        if c.tq not in qtables:
-            raise ValueError(f"component quant table {c.tq} missing")
-
-    # split the entropy stream on RST/EOI markers, de-stuff each interval
-    intervals, ipos = [], pos
-    start = ipos
-    while True:
-        if ipos + 1 >= len(p):
-            raise ValueError("unterminated scan (no EOI)")
-        if p[ipos] == 0xFF and p[ipos + 1] != 0x00:
-            m = p[ipos + 1]
-            if 0xD0 <= m <= 0xD7:
-                intervals.append(p[start:ipos])
-                ipos += 2
-                start = ipos
-                continue
-            if m == 0xD9:
-                intervals.append(p[start:ipos])
-                break
-            raise ValueError(f"unexpected marker 0x{m:02x} inside scan")
-        ipos += 1 if p[ipos] != 0xFF else 2
-
-    readers = [_BitReader(seg.replace(b"\xff\x00", b"\xff")) for seg in intervals]
-    n_mcus = mcus_x * mcus_y
-    per = restart_interval or n_mcus
-    rdr_i = -1
-    rdr = None
-    for mcu in range(n_mcus):
-        if mcu % per == 0:
-            rdr_i += 1
-            if rdr_i >= len(readers):
-                raise ValueError("missing restart interval data")
-            rdr = readers[rdr_i]
+                raise ValueError("SOS before SOF")
             for c in comps:
-                c.pred = 0
-        my, mx = divmod(mcu, mcus_x)
-        for c in scan_comps:
-            dc_t = htables.get((0, c.td))
-            ac_t = htables.get((1, c.ta))
-            if dc_t is None or ac_t is None:
-                raise ValueError("scan references missing Huffman table")
-            for bv in range(c.v):
-                for bh_ in range(c.h):
-                    blk = (my * c.v + bv) * c.bw + (mx * c.h + bh_)
-                    row = c.coeffs[blk]
-                    c.pred += rdr.decode_dc(dc_t)
-                    row[0] = c.pred
-                    k = 1
-                    while k < 64:
-                        r, val = rdr.decode_ac(ac_t)
-                        if val == 0:  # s == 0: EOB or ZRL (value bits
-                            if r == 15:  # of s ≥ 1 can never EXTEND to 0)
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past end of block")
-                        row[k] = val
-                        k += 1
+                if c.tq not in qtables:
+                    raise ValueError(f"component quant table {c.tq} missing")
+            intervals, pos = _collect_entropy(p, pos)
+            readers = [
+                _BitReader(seg.replace(b"\xff\x00", b"\xff")) for seg in intervals
+            ]
+            _decode_scan(
+                body, readers, comps, htables, restart_interval,
+                mcus_x, mcus_y, progressive,
+            )
+            scans_seen += 1
+        # APPn / COM / DNL / anything else with a length: skipped
 
     # vectorized reconstruction: dequant → unzigzag → batched IDCT → plane
     planes = []
@@ -584,17 +783,231 @@ def _encode_block(
     return dc
 
 
+def _prog_ac_huff() -> tuple[list[int], list[int]]:
+    """Fixed Huffman table for the progressive AC scans: the Annex K
+    sequential tables have NO codes for EOBn (n ≥ 1) run symbols, which
+    progressive scans require — so the encoder ships its own flat
+    deterministic table covering every legal progressive AC symbol
+    (EOB0..EOB14, ZRL, all run/size pairs) at a uniform 9-bit code
+    length (240 codes in a 512-code space — canonically valid). Size
+    over speed is fine for a test/fixture twin; the decoder reads
+    whatever DHT the stream carries."""
+    vals = (
+        [rr << 4 for rr in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+    )
+    bits = [0] * 16
+    bits[8] = len(vals)  # all 9-bit codes
+    return bits, vals
+
+
+PROG_AC_BITS, PROG_AC_VALS = _prog_ac_huff()
+
+
+def _emit_prog_scans(
+    out: bytearray,
+    zz_rows: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    qsel: list[int],
+    dims: list[tuple[int, int]],
+    nc: int,
+    mcus_x: int,
+    mcus_y: int,
+    dc_tabs: list[dict],
+    restart_interval: int,
+    w: int,
+    h: int,
+) -> None:
+    """Progressive scan-script emission (the encode twin of the four
+    progressive decode paths, mirroring T.81 Annex G / libjpeg's
+    ``cjpeg`` entropy encoders): DC initial at Al=1, spectral-selection
+    AC initial scans at Al=1 (Y split 1-5 / 6-63 to exercise band
+    boundaries), then one successive-approximation refinement pass of
+    each back to Al=0 — so EVERY decoder branch (EOB runs, ZRL-in-
+    refine, correction bits, interleaved + single-component restarts)
+    is reachable from a deterministic round trip."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # the component's OWN block grid (non-interleaved scans); stride
+    # stays the MCU-padded width dims[ci][1]
+    nws = [-(-(-(-w * sh // hmax)) // 8) for sh, _ in samp]
+    nhs = [-(-(-(-h * sv // vmax)) // 8) for _, sv in samp]
+    ac_tab = _huff_encode_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    if nc == 1:
+        script = [
+            ("dc_first", [0], 0, 0, 0, 1),
+            ("ac_first", [0], 1, 5, 0, 1),
+            ("ac_first", [0], 6, 63, 0, 1),
+            ("dc_refine", [0], 0, 0, 1, 0),
+            ("ac_refine", [0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc_first", [0, 1, 2], 0, 0, 0, 1),
+            ("ac_first", [0], 1, 5, 0, 1),
+            ("ac_first", [2], 1, 63, 0, 1),
+            ("ac_first", [1], 1, 63, 0, 1),
+            ("ac_first", [0], 6, 63, 0, 1),
+            ("dc_refine", [0, 1, 2], 0, 0, 1, 0),
+            ("ac_refine", [0], 1, 63, 1, 0),
+            ("ac_refine", [2], 1, 63, 1, 0),
+            ("ac_refine", [1], 1, 63, 1, 0),
+        ]
+
+    for kind, cis, ss, se, ah, al in script:
+        sos = struct.pack(">B", len(cis))
+        for ci in cis:
+            ht = 0 if qsel[ci] == 0 else 1
+            sos += struct.pack(">BB", ci + 1, (ht << 4) | ht)
+        sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        interleaved = len(cis) > 1
+        if interleaved:
+            n_units = mcus_x * mcus_y
+        else:
+            n_units = nhs[cis[0]] * nws[cis[0]]
+        per = restart_interval or n_units
+
+        bwr = _BitWriter()
+        preds = [0] * nc
+        eobrun = 0
+        bbuf: list[int] = []  # correction bits pending under the EOB run
+        rst = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                rr = eobrun.bit_length() - 1
+                bwr.write(*ac_tab[rr << 4])
+                if rr:
+                    bwr.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+            for b in bbuf:
+                bwr.write(b, 1)
+            bbuf.clear()
+
+        for u in range(n_units):
+            if u and u % per == 0:  # restart boundary
+                if kind in ("ac_first", "ac_refine"):
+                    flush_eob()
+                bwr.flush()
+                out += bwr.buf
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bwr = _BitWriter()
+                preds = [0] * nc
+                eobrun = 0
+                bbuf.clear()
+            if interleaved:
+                my, mx = divmod(u, mcus_x)
+                unit = [
+                    (ci, (my * samp[ci][1] + bv) * dims[ci][1]
+                     + mx * samp[ci][0] + bh_)
+                    for ci in cis
+                    for bv in range(samp[ci][1])
+                    for bh_ in range(samp[ci][0])
+                ]
+            else:
+                ci0 = cis[0]
+                row_, col = divmod(u, nws[ci0])
+                unit = [(ci0, row_ * dims[ci0][1] + col)]
+            for ci, blk in unit:
+                row = zz_rows[ci][blk]
+                if kind == "dc_first":
+                    val = int(row[0]) >> al  # arithmetic shift (T.81 DC
+                    diff = val - preds[ci]  # point transform)
+                    preds[ci] = val
+                    mag = abs(diff)
+                    t = mag.bit_length()
+                    bwr.write(*dc_tabs[qsel[ci]][t])
+                    if t:
+                        bwr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                elif kind == "dc_refine":
+                    bwr.write((int(row[0]) >> al) & 1, 1)
+                elif kind == "ac_first":
+                    r = 0
+                    for k in range(ss, se + 1):
+                        v = int(row[k])
+                        # AC point transform truncates toward zero
+                        t = (v >> al) if v >= 0 else -((-v) >> al)
+                        if t == 0:
+                            r += 1
+                            continue
+                        flush_eob()
+                        while r > 15:
+                            bwr.write(*ac_tab[0xF0])  # ZRL
+                            r -= 16
+                        s = abs(t).bit_length()
+                        bwr.write(*ac_tab[(r << 4) | s])
+                        bwr.write(t if t >= 0 else t + (1 << s) - 1, s)
+                        r = 0
+                    if r > 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                else:  # ac_refine (libjpeg encode_mcu_AC_refine shape)
+                    absv = [0] * (se + 1)
+                    eob_k = ss - 1  # last newly-significant index
+                    for k in range(ss, se + 1):
+                        v = int(row[k])
+                        t = (v >> al) if v >= 0 else (-v) >> al
+                        absv[k] = t
+                        if t == 1:
+                            eob_k = k
+                    r = 0
+                    br: list[int] = []  # this block's correction bits
+                    for k in range(ss, se + 1):
+                        t = absv[k]
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob_k:
+                            flush_eob()
+                            bwr.write(*ac_tab[0xF0])
+                            r -= 16
+                            for b in br:
+                                bwr.write(b, 1)
+                            br.clear()
+                        if t > 1:  # already significant: one correction bit
+                            br.append(t & 1)
+                            continue
+                        flush_eob()
+                        bwr.write(*ac_tab[(r << 4) | 1])
+                        bwr.write(1 if int(row[k]) > 0 else 0, 1)
+                        for b in br:
+                            bwr.write(b, 1)
+                        br.clear()
+                        r = 0
+                    if r > 0 or br:
+                        eobrun += 1
+                        bbuf.extend(br)
+                        if eobrun == 0x7FFF or len(bbuf) > 900:
+                            flush_eob()
+        if kind in ("ac_first", "ac_refine"):
+            flush_eob()
+        bwr.flush()
+        out += bwr.buf
+
+
 def encode_jpeg(
     px: np.ndarray,
     quality: int = 50,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Deterministic baseline JPEG encoder — the decode twin used by
-    tests and fixture synthesis (exactly the role ``encode_png`` plays
-    for the PNG leg). ``px`` is uint8 ``(h, w)`` grayscale or
-    ``(h, w, 3)`` RGB; ``subsample=True`` writes 4:2:0 chroma (integer
-    2×2 box mean), ``restart_interval`` emits DRI + RSTn markers.
+    """Deterministic JPEG encoder — the decode twin used by tests and
+    fixture synthesis (exactly the role ``encode_png`` plays for the
+    PNG leg). ``px`` is uint8 ``(h, w)`` grayscale or ``(h, w, 3)``
+    RGB; ``subsample=True`` writes 4:2:0 chroma (integer 2×2 box mean),
+    ``restart_interval`` emits DRI + RSTn markers, ``progressive=True``
+    writes SOF2 with a spectral-selection + successive-approximation
+    scan script (the same QUANTIZED COEFFICIENTS as the sequential
+    path, so progressive and baseline encodes of one image must decode
+    to identical pixels — a cross-path invariant the tests assert).
     Annex K Huffman + quality-scaled Annex K quant tables; zero RNG —
     the same pixels always produce the same bytes."""
     px = np.asarray(px)
@@ -679,20 +1092,33 @@ def encode_jpeg(
     for i in range(nc):
         sh, sv = samp[i]
         sof += struct.pack(">BBB", i + 1, (sh << 4) | sv, qsel[i])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">H", 2 + len(sof)) + sof
 
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
         body = struct.pack(">B", (tc << 4) | th) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
     out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    # progressive AC scans need EOBn codes the Annex K tables lack —
+    # ship the module's flat progressive table instead (see _prog_ac_huff)
+    out += dht(1, 0, *( (PROG_AC_BITS, PROG_AC_VALS) if progressive
+                        else (AC_LUMA_BITS, AC_LUMA_VALS) ))
     if not gray:
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        out += dht(1, 1, *( (PROG_AC_BITS, PROG_AC_VALS) if progressive
+                            else (AC_CHROMA_BITS, AC_CHROMA_VALS) ))
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    if progressive:
+        _emit_prog_scans(
+            out, zz_rows, samp, qsel, dims, nc, mcus_x, mcus_y,
+            dc_tabs, restart_interval, w, h,
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     sos = struct.pack(">B", nc)
     for i in range(nc):
@@ -743,22 +1169,30 @@ def synth_jpeg_payload(doc_id: int) -> bytes:
     construction pixels BIT-EXACTLY and a DuckDB oracle can replay the
     whole feature set in integer arithmetic without ever decoding.
 
-    doc_id % 3 rotates grayscale / RGB-4:4:4-with-restarts / RGB-4:2:0
-    (gray-valued RGB keeps Cb=Cr=128 exact through subsampling); every
-    11th payload is truncated mid-headers (errors-as-data row)."""
+    doc_id % 4 rotates grayscale / RGB-4:4:4-with-restarts / RGB-4:2:0
+    / PROGRESSIVE (SOF2 multi-scan, successive approximation) — the
+    quantization-exact class survives the progressive path because the
+    quantized coefficients are identical to the sequential encode
+    (cross-path invariant, tests/test_jpeg.py). Gray-valued RGB keeps
+    Cb=Cr=128 exact through subsampling; every 11th payload is
+    truncated (errors-as-data row)."""
     bw = 2 + doc_id % 3
     bh = 1 + doc_id % 2
     blocks = (
         2 * ((doc_id * 7 + np.arange(bh * bw).reshape(bh, bw) * 13) % 128)
     ).astype(np.uint8)
     img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
-    mode = doc_id % 3
+    mode = doc_id % 4
     if mode == 0:
         data = encode_jpeg(img)
     elif mode == 1:
         data = encode_jpeg(np.repeat(img[:, :, None], 3, 2), restart_interval=2)
-    else:
+    elif mode == 2:
         data = encode_jpeg(np.repeat(img[:, :, None], 3, 2), subsample=True)
+    else:
+        data = encode_jpeg(
+            np.repeat(img[:, :, None], 3, 2), subsample=True, progressive=True
+        )
     if doc_id % 11 == 0:
         return data[: len(data) // 2]
     return data

@@ -120,29 +120,73 @@ def test_malformed_raises_valueerror():
 
 
 THIRD_PARTY = [
-    # (path, expected (h, w), baseline?) — libjpeg-family encoders, a
-    # genuinely independent conformance source when the host has them
+    # (path, expected (h, w)) — libjpeg-family encoders, a genuinely
+    # independent conformance source when the host has them: two
+    # baseline-sequential files and two PROGRESSIVE (SOF2, successive
+    # approximation — the libjpeg default script) files
     ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/pyparsing/"
-     "docs/_static/pyparsingClassDiagram_1.5.2.jpg", (1659, 1155), True),
+     "docs/_static/pyparsingClassDiagram_1.5.2.jpg", (1659, 1155)),
     ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/"
-     "ext/flower-of-life.jpg", (161, 161), True),
-    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", None, False),  # progressive
+     "ext/flower-of-life.jpg", (161, 161)),
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", (58, 493)),
+    ("/usr/share/doc/nodejs/full-white-stripe.jpg", (312, 493)),
 ]
 
 
-@pytest.mark.parametrize("path,shape,baseline", THIRD_PARTY)
-def test_third_party_conformance(path, shape, baseline):
+@pytest.mark.parametrize("path,shape", THIRD_PARTY)
+def test_third_party_conformance(path, shape):
     if not os.path.exists(path):
         pytest.skip(f"host fixture {path} absent")
     data = open(path, "rb").read()
-    if not baseline:
-        with pytest.raises(ValueError, match="baseline"):
-            decode_jpeg_pixels(data)
-        return
     px = decode_jpeg_pixels(data)
     assert px.shape == (*shape, 3) and px.dtype == np.uint8
-    # both known fixtures are diagrams/line art on white paper
+    # all known fixtures are diagrams/line art on white backgrounds
     assert float(px.mean()) > 180.0
+
+
+PROG_CONFIGS = [
+    {},
+    {"subsample": True},
+    {"quality": 90},
+    {"restart_interval": 2},
+    {"subsample": True, "restart_interval": 3},
+]
+
+
+@pytest.mark.parametrize("kwargs", PROG_CONFIGS)
+def test_progressive_decodes_identical_to_baseline(kwargs):
+    """The cross-path invariant: progressive and baseline encodes carry
+    the same quantized coefficients, so decoding both must produce
+    BIT-IDENTICAL pixels — EOB runs, ZRL-in-refine, correction bits,
+    and non-interleaved restart geometry all verified against the
+    independent sequential path."""
+    rng = np.random.default_rng(99)
+    for shape in ((19, 31), (37, 53, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg(img, **kwargs))
+        prog = decode_jpeg_pixels(encode_jpeg(img, progressive=True, **kwargs))
+        assert np.array_equal(base, prog), (shape, kwargs)
+
+
+def test_progressive_exact_roundtrip_on_quantization_exact_class():
+    g = _block_gray(17, 2, 3)
+    img = np.repeat(g[:, :, None], 3, 2)
+    for kwargs in ({}, {"subsample": True}, {"restart_interval": 1}):
+        out = decode_jpeg_pixels(encode_jpeg(img, progressive=True, **kwargs))
+        assert np.array_equal(out, img), kwargs
+
+
+def test_progressive_determinism_and_truncation():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    a = encode_jpeg(img, progressive=True)
+    assert a == encode_jpeg(img, progressive=True)
+    assert a.index(b"\xff\xc2") > 0  # really SOF2
+    # truncating inside any of the later scans must raise, never return
+    # silently-partial pixels
+    for cut in (len(a) // 3, len(a) // 2, len(a) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(a[:cut])
 
 
 def test_decode_media_dispatch_and_luma():
