@@ -1,0 +1,391 @@
+"""REAL GIF codec in pure stdlib + numpy — no codec libraries.
+
+Companion to :mod:`.jpegcodec`: the second compressed image codec a web
+crawl hits constantly. GIF's LZW is lossless, so unlike the JPEG twin
+the round trip here is EXACT for every image — which makes the
+conformance story simple: decode(encode(px)) == px bit-for-bit, plus
+third-party libxslt doc GIFs on the host as an independent source.
+
+Decoder coverage:
+  * GIF87a + GIF89a, global and local color tables, interlaced frames
+  * full LZW: variable code width 3–12 bits, clear/EOI codes, table
+    growth and reset, the KwKwK self-referential case
+  * multi-frame animations: frames composed onto the canvas honoring
+    left/top sub-rectangles, transparency index, and disposal methods
+    1 (keep) / 2 (restore background); per-frame delays accumulate
+    into a duration
+  * malformed bytes → ``ValueError`` (errors-as-data upstream, C3 rule)
+
+Execution model: LZW is an inherently serial code stream — the
+per-code loop is Python (bounded per payload, inside the Arrow batch
+stage exactly like the JPEG Huffman loop); palette lookup, interlace
+reordering, transparency masking, and frame composition are whole-array
+numpy. No RNG anywhere: two decodes are byte-identical, and the encoder
+twin always produces the same bytes for the same pixels, so driver
+oracles can replay fixture constructions in integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_gif_frames", "decode_gif_pixels", "encode_gif"]
+
+
+def _subblocks(p: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the 0-terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(p):
+            raise ValueError("truncated GIF sub-block chain")
+        n = p[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(p):
+            raise ValueError("truncated GIF sub-block")
+        out += p[pos : pos + n]
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code: int, expect: int) -> np.ndarray:
+    """GIF LZW → index stream (uint8), LSB-first variable-width codes
+    (3–12 bits), clear/EOI handling, KwKwK case. Stops after ``expect``
+    indices (some encoders omit the explicit EOI)."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"invalid LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nacc = dpos = 0
+
+    def reset() -> tuple[list[bytes | None], int, int]:
+        return (
+            [bytes([i]) for i in range(clear)] + [None, None],
+            min_code + 1,
+            -1,
+        )
+
+    table, width, prev = reset()
+    while len(out) < expect:
+        while nacc < width:
+            if dpos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[dpos] << nacc  # LSB-first packing
+            dpos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table, width, prev = reset()
+            continue
+        if code == eoi:
+            break
+        if prev < 0:  # first code after (implicit) clear
+            if code >= len(table) or table[code] is None:
+                raise ValueError("LZW stream starts with an undefined code")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+            new = table[prev] + entry[:1]
+        elif code == len(table):  # KwKwK
+            new = table[prev] + table[prev][:1]
+            entry = new
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if len(table) < 4096:
+            table.append(new)
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if len(out) < expect:
+        raise ValueError("LZW stream ended before the raster was complete")
+    return np.frombuffer(bytes(out[:expect]), dtype=np.uint8)
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(idx: np.ndarray, h: int) -> np.ndarray:
+    rows = np.empty(h, dtype=np.int64)
+    src = 0
+    for start, step in _INTERLACE_PASSES:
+        for y in range(start, h, step):
+            rows[y] = src
+            src += 1
+    return idx[rows]
+
+
+def decode_gif_frames(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Decode every frame of a GIF: returns ``([frame_rgb...],
+    duration_s)`` where each frame is the COMPOSED canvas state
+    (``(h, w, 3)`` uint8) after that image is drawn — sub-rectangle
+    placement, transparency, and disposal 1/2 applied. Duration is the
+    sum of the Graphic Control delays."""
+    p = payload
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, bg, _ = struct.unpack_from("<HHBBB", p, 6)
+    if w == 0 or h == 0:
+        raise ValueError("invalid GIF dimensions")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(p):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(p[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    bg_canvas = canvas.copy()
+
+    frames: list[np.ndarray] = []
+    duration = 0.0
+    transparent = -1
+    disposal = 0
+    while True:
+        if pos >= len(p):
+            raise ValueError("GIF stream missing trailer")
+        b = p[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos >= len(p):
+                raise ValueError("truncated GIF extension")
+            label = p[pos]
+            pos += 1
+            data, pos = _subblocks(p, pos)
+            if label == 0xF9 and len(data) >= 4:  # Graphic Control
+                gpacked, delay, tidx = struct.unpack_from("<BHB", data, 0)
+                disposal = (gpacked >> 2) & 0x07
+                transparent = tidx if gpacked & 0x01 else -1
+                duration += delay / 100.0
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        # image descriptor
+        if pos + 9 > len(p):
+            raise ValueError("truncated image descriptor")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", p, pos)
+        pos += 9
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            raise ValueError("frame rectangle outside the canvas")
+        ct = gct
+        if fpacked & 0x80:  # local color table
+            n = 2 << (fpacked & 0x07)
+            if pos + 3 * n > len(p):
+                raise ValueError("truncated local color table")
+            ct = np.frombuffer(p[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("frame has no color table")
+        if pos >= len(p):
+            raise ValueError("truncated LZW header")
+        min_code = p[pos]
+        pos += 1
+        data, pos = _subblocks(p, pos)
+        idx = _lzw_decode(data, min_code, fw * fh).reshape(fh, fw)
+        if fpacked & 0x40:
+            idx = _deinterlace(idx, fh)
+        if int(idx.max()) >= len(ct):
+            raise ValueError("pixel index outside the color table")
+        rgb = ct[idx]  # (fh, fw, 3) — whole-array palette lookup
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent >= 0:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore to background
+            canvas[top : top + fh, left : left + fw] = (
+                bg_canvas[top : top + fh, left : left + fw]
+            )
+        # disposal 0/1: keep; 3 (restore previous) is treated as keep —
+        # vanishingly rare and never emitted by our encoder twin
+        transparent = -1
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames, duration
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """First composed frame as ``(h, w, 3)`` uint8 RGB — the
+    ``image_pixels`` front-door contract."""
+    return decode_gif_frames(payload)[0][0]
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Feature-dict contract shared with the other media decoders:
+    ``n_samples`` carries the frame count, ``duration_s`` the summed
+    Graphic Control delays, ``mean_luma`` the Rec.601 mean of the first
+    composed frame."""
+    frames, duration = decode_gif_frames(payload)
+    first = frames[0].astype(np.float64)
+    luma = 0.299 * first[:, :, 0] + 0.587 * first[:, :, 1] + 0.114 * first[:, :, 2]
+    return {
+        "kind": "gif",
+        "width": int(first.shape[1]),
+        "height": int(first.shape[0]),
+        "duration_s": float(duration),
+        "n_samples": len(frames),
+        "rms": None,
+        "peak": None,
+        "mean_luma": float(luma.mean()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoder twin
+
+def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """GIF LZW encoder: LSB-first variable-width codes, clear code up
+    front, dictionary reset at 4096 — the exact inverse of
+    :func:`_lzw_decode` (round trip asserted in tests)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    cur = b""
+    for ix in indices.tolist():
+        nxt = cur + bytes([ix])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            # width grows when next_code exceeds the current code space
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([ix])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: list[np.ndarray] | np.ndarray,
+    delay_cs: int = 4,
+    interlace: bool = False,
+) -> bytes:
+    """Deterministic GIF89a encoder twin: full-canvas frames, one global
+    color table built from the sorted unique colors (≤256 or
+    ``ValueError``), a Graphic Control block per frame carrying
+    ``delay_cs`` centiseconds. LZW is lossless, so
+    ``decode_gif_frames(encode_gif(f))`` returns ``f`` exactly."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("no frames")
+    for f in frames:
+        if f.dtype != np.uint8 or f.ndim != 3 or f.shape[2] != 3:
+            raise ValueError("frames must be uint8 (h, w, 3)")
+        if f.shape != frames[0].shape:
+            raise ValueError("all frames must share one geometry")
+    h, w = frames[0].shape[:2]
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors = np.unique(flat, axis=0)  # lexicographically sorted — stable
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors exceed the 256-entry table")
+    # palette size = next power of two ≥ max(2, n); LZW needs min_code ≥ 2
+    bits = max(2, int(len(colors) - 1).bit_length() or 1)
+    n = 1 << bits
+    palette = np.zeros((n, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    # color → index via a dense key table (whole-array, no Python loop)
+    key = (
+        colors[:, 0].astype(np.int64) << 16
+    ) | (colors[:, 1].astype(np.int64) << 8) | colors[:, 2].astype(np.int64)
+    lookup = dict(zip(key.tolist(), range(len(colors))))
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += palette.tobytes()
+    for f in frames:
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        fk = (
+            (f[:, :, 0].astype(np.int64) << 16)
+            | (f[:, :, 1].astype(np.int64) << 8)
+            | f[:, :, 2].astype(np.int64)
+        ).reshape(-1)
+        idx = np.array([lookup[int(k)] for k in fk], dtype=np.uint8).reshape(h, w)
+        if interlace:
+            order = []
+            for start, step in _INTERLACE_PASSES:
+                order.extend(range(start, h, step))
+            idx = idx[np.array(order, dtype=np.int64)]
+        data = _lzw_encode(idx.reshape(-1), bits)
+        out.append(bits)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# driver-oracle fixture synthesis (construction-arithmetic contract shared
+# with jpegcodec.synth_jpeg_payload)
+
+def synth_gif_payload(doc_id: int) -> bytes:
+    """Deterministic per-doc animated GIF: ``1 + doc_id % 3`` full-canvas
+    gray frames of ``(5 + doc_id % 7) × (3 + doc_id % 5)`` with pixel
+    value ``(doc_id·37 + x·11 + y·23 + f·41) mod 256``, interlaced on
+    odd doc_ids, per-frame delay ``1 + doc_id % 20`` centiseconds. LZW
+    is lossless, so a DuckDB oracle recomputes the decoded first-frame
+    pixel sum, frame count, and duration from doc_id arithmetic alone.
+    Every 11th payload is truncated (errors-as-data row)."""
+    w = 5 + doc_id % 7
+    h = 3 + doc_id % 5
+    n_frames = 1 + doc_id % 3
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    frames = []
+    for f in range(n_frames):
+        v = ((doc_id * 37 + x * 11 + y * 23 + f * 41) % 256).astype(np.uint8)
+        frames.append(np.repeat(v[:, :, None], 3, 2))
+    data = encode_gif(
+        frames, delay_cs=1 + doc_id % 20, interlace=doc_id % 2 == 1
+    )
+    if doc_id % 11 == 0:
+        return data[: max(14, len(data) * 2 // 3)]
+    return data

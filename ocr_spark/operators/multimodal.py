@@ -8,13 +8,14 @@ real and tested.
 Decoding is REAL for every format a pure-stdlib parser can handle —
 WAV/PCM16 audio, 24-bit BMP and binary PPM (P6) images, **PNG**
 (zlib IS stdlib: full inflate + filter reconstruction for 8-bit
-gray/RGB/gray-alpha/RGBA, filters 0-4), and **baseline JPEG** (a
-from-scratch T.81 Huffman + batched-numpy-IDCT decoder in
-:mod:`.jpegcodec` — no codec libraries) — dispatched by magic bytes in
-``decode_media``. Codecs whose entropy coders are genuinely out of
-reach here (MP3/MP4/HEIC...) remain a clearly-marked
-``NotImplementedError`` stub: wire torchaudio/PyAV into the same
-Arrow stage on a real cluster.
+gray/RGB/gray-alpha/RGBA, filters 0-4), **JPEG** (a from-scratch T.81
+decoder in :mod:`.jpegcodec` — Huffman + batched-numpy IDCT, baseline
+AND progressive), and **GIF** (full LZW + animation composition in
+:mod:`.gifcodec`) — dispatched by magic bytes in ``decode_media``.
+Codecs whose entropy coders are genuinely out of reach here
+(MP3/MP4/HEIC...) remain a clearly-marked ``NotImplementedError``
+stub: wire torchaudio/PyAV into the same Arrow stage on a real
+cluster.
 
 * ``decode_media`` — magic-byte dispatch → typed feature dict
   (dimensions / duration / RMS / mean luma), or ``NotImplementedError``
@@ -442,9 +443,13 @@ def decode_media(payload: bytes, media_type: str = "") -> dict:
         return decode_png(p)
     if p[:3] == b"\xff\xd8\xff":
         return decode_jpeg(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from ocr_spark.operators.gifcodec import decode_gif
+
+        return decode_gif(p)
     raise NotImplementedError(
         "MP3/MP4 decoding requires codec libraries not present in this "
-        "environment (WAV/BMP/PPM/PNG/JPEG decode IS implemented); use "
+        "environment (WAV/BMP/PPM/PNG/JPEG/GIF decode IS implemented); use "
         "fake_decode_features for the deterministic oracle path"
     )
 
@@ -654,9 +659,13 @@ def image_pixels(payload: bytes) -> np.ndarray:
 
         arr = decode_jpeg_pixels(payload)
         return np.repeat(arr[:, :, None], 3, 2) if arr.ndim == 2 else arr
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ocr_spark.operators.gifcodec import decode_gif_pixels
+
+        return decode_gif_pixels(payload)
     raise NotImplementedError(
         "unknown/unsupported codec — wire Pillow into this Arrow stage "
-        "on a real cluster (BMP/PPM/PNG/baseline-JPEG decode natively)"
+        "on a real cluster (BMP/PPM/PNG/JPEG/GIF decode natively)"
     )
 
 

@@ -1,0 +1,138 @@
+"""GIF codec tests (`ocr_spark.operators.gifcodec`).
+
+LZW is lossless, so the headline property is simple and strong:
+``decode_gif_frames(encode_gif(frames)) == frames`` BIT-EXACTLY for any
+uint8 RGB input with ≤256 distinct colors — interlaced or not, animated
+or not. Third-party libxslt doc GIFs on the host are the independent
+conformance source (skipped when absent).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators import multimodal
+from ocr_spark.operators.gifcodec import (
+    decode_gif_frames,
+    decode_gif_pixels,
+    encode_gif,
+    synth_gif_payload,
+)
+
+
+def test_exact_roundtrip_single_frame_plain_and_interlaced():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 6, (23, 37, 3), dtype=np.uint8) * 40
+    for interlace in (False, True):
+        out = decode_gif_pixels(encode_gif(img, interlace=interlace))
+        assert np.array_equal(out, img), interlace
+
+
+def test_exact_roundtrip_256_colors_exercises_table_growth():
+    # 64×64 of all 256 gray levels: the LZW dictionary grows through
+    # every code width and resets at 4096 — still bit-exact
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    img = np.stack([g, g, g], 2)
+    assert np.array_equal(decode_gif_pixels(encode_gif(img)), img)
+
+
+def test_too_many_colors_raises():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)  # ~257+ colors
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(img)
+
+
+def test_animation_roundtrip_and_duration():
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 4, (16, 16, 3), dtype=np.uint8) * 80 for _ in range(5)]
+    payload = encode_gif(frames, delay_cs=10)
+    dec, dur = decode_gif_frames(payload)
+    assert len(dec) == 5 and dur == pytest.approx(0.5)
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+
+
+def test_transparency_and_disposal_compose():
+    # hand-build: frame 1 full red canvas; frame 2 a 1×1 sub-rectangle
+    # with transparency — composition must keep the red below it
+    red = np.zeros((4, 4, 3), np.uint8)
+    red[:, :] = (200, 0, 0)
+    base = encode_gif(red)
+    # splice a second image block before the trailer: 2×1 at (1,1) with a
+    # local 4-color table, index 0 transparent, index 1 = blue
+    lct = bytes([0, 0, 0, 0, 0, 200, 7, 7, 7, 9, 9, 9])
+    import struct as _s
+
+    gce = b"\x21\xf9\x04" + _s.pack("<BHB", 0x01, 4, 0) + b"\x00"
+    desc = b"\x2c" + _s.pack("<HHHHB", 1, 1, 2, 1, 0x80 | 1) + lct
+    # LZW for indices [0, 1] at min_code 2: clear(4), 0, 1, eoi(5), 3-bit codes
+    acc = 4 | (0 << 3) | (1 << 6) | (5 << 9)
+    lzw = bytes([2, 2, acc & 0xFF, (acc >> 8) & 0xFF, 0])
+    payload = base[:-1] + gce + desc + lzw + b"\x3b"
+    frames, dur = decode_gif_frames(payload)
+    # base frame's own GCE (4 cs) + the spliced frame's 4 cs
+    assert len(frames) == 2 and dur == pytest.approx(0.08)
+    f2 = frames[1]
+    assert tuple(f2[1, 1]) == (200, 0, 0)   # transparent → red shows
+    assert tuple(f2[1, 2]) == (0, 0, 200)   # opaque blue
+    assert tuple(f2[0, 0]) == (200, 0, 0)
+
+
+def test_determinism_and_malformed():
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 4, (9, 13, 3), dtype=np.uint8) * 60 for _ in range(2)]
+    a = encode_gif(frames)
+    assert a == encode_gif(frames)
+    for bad in (b"", b"GIF89a", a[:15], a[: len(a) // 2], a[:-1],
+                a.replace(b"GIF89a", b"JIF89a", 1)):
+        with pytest.raises(ValueError):
+            decode_gif_pixels(bad)
+
+
+def test_synth_payload_construction_arithmetic():
+    for d in list(range(0, 40)) + [497, 498, 499]:
+        p = synth_gif_payload(d)
+        if d % 11 == 0:
+            with pytest.raises(ValueError):
+                multimodal.image_pixels(p)
+            continue
+        px = multimodal.image_pixels(p)
+        w, h = 5 + d % 7, 3 + d % 5
+        want = 3 * sum(
+            (d * 37 + x * 11 + y * 23) % 256 for x in range(w) for y in range(h)
+        )
+        assert int(px.astype(np.int64).sum()) == want
+        m = multimodal.decode_media(p)
+        assert (m["kind"], m["width"], m["height"]) == ("gif", w, h)
+        assert m["n_samples"] == 1 + d % 3
+
+
+THIRD_PARTY = sorted(glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif"))[:4]
+
+
+@pytest.mark.parametrize("path", THIRD_PARTY or ["<absent>"])
+def test_third_party_conformance(path):
+    if not os.path.exists(path):
+        pytest.skip("host GIF fixtures absent")
+    px = decode_gif_pixels(open(path, "rb").read())
+    assert px.dtype == np.uint8 and px.ndim == 3 and px.shape[2] == 3
+    assert px.shape[0] > 0 and px.shape[1] > 0
+
+
+def test_image_pixels_feeds_downstream_stages():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 4, (24, 24, 3), dtype=np.uint8) * 70
+    payload = encode_gif(img)
+    px = multimodal.image_pixels(payload)
+    assert np.array_equal(px, img)
+    from ocr_spark.operators.imagehash import dhash_chunks_px
+
+    chunks = dhash_chunks_px(px)
+    assert len(chunks) == 4
+    resized = multimodal.resize_image(payload, 4, 3)
+    assert resized[:2] == b"P6"
