@@ -60,12 +60,40 @@ MEDIA_META = T.StructType(
 N_FEATURES = 8
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """G.711 µ-law byte → int16 expansion table (the standard BIAS=0x84
+    segment algorithm, vectorized over all 256 codes)."""
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    mag = t - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """G.711 A-law byte → int16 expansion table (even-bit inversion +
+    segment expansion, vectorized over all 256 codes)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                                           (t + 0x108) << (seg - 1)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_ULAW_LUT = _g711_ulaw_table()
+_ALAW_LUT = _g711_alaw_table()
+
+
 def wav_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Raw PCM16 samples of a RIFF/WAVE stream as an ``int16`` numpy
-    view, plus ``(rate, channels)`` — the shared front door for every
+    """Samples of a RIFF/WAVE stream as ``int16`` numpy, plus
+    ``(rate, channels)`` — the shared front door for every
     sample-consuming stage (stats decode, acoustic fingerprinting).
-    Raises ``ValueError`` on malformed bytes (callers in the Arrow
-    stage convert that to errors-as-data)."""
+    Handles PCM16, unsigned PCM8, and G.711 µ-law/A-law telephony
+    encodings (format tags 1/6/7 — the µ/A expansion is one 256-entry
+    LUT gather, fully vectorized). ADPCM (0x11) and compressed codecs
+    raise ``ValueError`` honestly. Malformed bytes raise ``ValueError``
+    (callers in the Arrow stage convert that to errors-as-data)."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, fmt, data = 12, None, None
@@ -84,10 +112,16 @@ def wav_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
-    n = len(data) // 2
-    return np.frombuffer(data, dtype="<i2", count=n), rate, channels
+    if audio_fmt == 1 and bits == 16:
+        n = len(data) // 2
+        return np.frombuffer(data, dtype="<i2", count=n), rate, channels
+    if audio_fmt == 1 and bits == 8:  # unsigned PCM8 → int16 scale
+        b = np.frombuffer(data, dtype=np.uint8)
+        return (b.astype(np.int16) - 128) << 8, rate, channels
+    if audio_fmt in (6, 7) and bits == 8:  # G.711: 6=A-law, 7=µ-law
+        lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
+        return lut[np.frombuffer(data, dtype=np.uint8)], rate, channels
+    raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
 
 
 def decode_wav(payload: bytes) -> dict:

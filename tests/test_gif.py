@@ -136,3 +136,70 @@ def test_image_pixels_feeds_downstream_stages():
     assert len(chunks) == 4
     resized = multimodal.resize_image(payload, 4, 3)
     assert resized[:2] == b"P6"
+
+
+# ---------------------------------------------------------------------------
+# G.711 / PCM8 WAV variants (multimodal.wav_samples) — grouped here with the
+# session's codec additions
+
+
+def _wav(data: bytes, fmt: int, bits: int, rate: int = 8000, ch: int = 1) -> bytes:
+    import struct
+
+    f = struct.pack("<HHIIHH", fmt, ch, rate, rate * ch * bits // 8,
+                    ch * bits // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 28 + len(f) + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(f)) + f
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _ulaw_compress(x: int) -> int:
+    # independent spec twin (G.711 µ-law, BIAS 0x84)
+    sign = 0x80 if x < 0 else 0
+    x = min(abs(x), 32635) + 0x84
+    exp = x.bit_length() - 8
+    mant = (x >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def _alaw_compress(x: int) -> int:
+    sign = 0x80 if x >= 0 else 0
+    ax = abs(x)
+    if ax < 0x100:
+        code = ax >> 4
+    else:
+        seg = ax.bit_length() - 8
+        code = (seg << 4) | ((ax >> (seg + 3)) & 0x0F)
+    return (code | sign) ^ 0x55
+
+
+def test_g711_expansion_is_a_bijection():
+    """compress(decode(code)) == code for every byte — proves the LUTs
+    land exactly on the G.711 quantization lattice. µ-law has the one
+    spec-inherent ±0 collision (0x7F and 0xFF both decode to 0)."""
+    ulaw = multimodal._ULAW_LUT
+    alaw = multimodal._ALAW_LUT
+    for b in range(256):
+        if b != 0x7F:  # -0: collapses onto +0 (0xFF) by design
+            assert _ulaw_compress(int(ulaw[b])) == b, ("ulaw", b)
+        assert _alaw_compress(int(alaw[b])) == b, ("alaw", b)
+    assert int(ulaw[0x7F]) == 0 and int(ulaw[0xFF]) == 0
+
+
+def test_wav_variants_decode_through_the_shared_front_door():
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
+    for fmt, lut in ((7, multimodal._ULAW_LUT), (6, multimodal._ALAW_LUT)):
+        s, rate, ch = multimodal.wav_samples(_wav(codes, fmt, 8))
+        assert rate == 8000 and ch == 1 and s.dtype == np.int16
+        assert np.array_equal(s, lut[np.frombuffer(codes, np.uint8)])
+        d = multimodal.decode_media(_wav(codes, fmt, 8))
+        assert d["kind"] == "wav" and d["n_samples"] == 400
+    # unsigned PCM8
+    s, _, _ = multimodal.wav_samples(_wav(codes, 1, 8))
+    assert np.array_equal(
+        s, (np.frombuffer(codes, np.uint8).astype(np.int16) - 128) << 8
+    )
+    # ADPCM stays an honest error
+    with pytest.raises(ValueError, match="unsupported WAV encoding"):
+        multimodal.wav_samples(_wav(codes, 0x11, 4))
