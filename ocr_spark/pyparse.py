@@ -31,6 +31,8 @@ block's contribution to ``extracted`` exactly:
           stripped ``[INFO]``-class prefix);
 - plain:  one span covering the whole payload;
 - wrapped: inner-kind spans shifted past the envelope head.
+- zlibbed: inner-kind spans index the DECOMPRESSED payload (the inner
+          text has no byte identity inside the base64 outer).
 
 Under ``second_pass=True`` the offsets refer to the noise-stripped text
 (the re-OCR analog rewrites its input before parsing).
@@ -38,7 +40,10 @@ Under ``second_pass=True`` the offsets refer to the noise-stripped text
 
 from __future__ import annotations
 
+import base64
+import binascii
 import re
+import zlib
 from typing import NamedTuple
 
 #: block-level container tags that delimit DOM blocks
@@ -95,6 +100,10 @@ _LOG_KEEP = re.compile(r"^\[(?:INFO|WARN|ERROR)\] ")
 
 WRAP_HEAD = "BEGIN-WRAP v1\n"
 WRAP_TAIL = "\nEND-WRAP"
+#: compressed envelope: base64 of a zlib (RFC 1950) stream — the shape
+#: agent tool outputs use to smuggle large HTML/markup bodies through a
+#: text channel. Decoded text re-enters the normal kind dispatch.
+ZLIB_HEAD = "ZLIB-B64 v1\n"
 
 
 class ParseResult(NamedTuple):
@@ -116,6 +125,8 @@ def detect_kind(text: str | None) -> str:
         return "undecodable"
     if text.startswith(WRAP_HEAD):
         return "wrapped"
+    if text.startswith(ZLIB_HEAD):
+        return "zlibbed"
     if text.startswith("%PDF-SIM"):
         return "pdfish"
     head = text[:200].lower()
@@ -330,6 +341,23 @@ def parse_payload(text: str | None, second_pass: bool = False) -> ParseResult:
         return ParseResult("wrapped:" + r.kind, r.parse_ok, r.parse_warn or tail < 0,
                            r.blocks_kept, r.blocks_dropped, r.extracted,
                            tuple((s + h, e + h) for s, e in r.spans))
+    if kind == "zlibbed":
+        # compressed envelope: base64 → zlib inflate → normal dispatch.
+        # Corrupt base64 / stream / UTF-8 is DATA (a failed parse row),
+        # never a task crash — the C3 rule, same as the media decoders.
+        try:
+            inner_text = zlib.decompress(
+                base64.b64decode(text[len(ZLIB_HEAD):], validate=True)
+            ).decode("utf-8")
+        except (binascii.Error, zlib.error, UnicodeDecodeError, ValueError):
+            return ParseResult("zlibbed:undecodable", False, False, 0, 0, "")
+        r = parse_payload(inner_text, second_pass)
+        # spans index the DECOMPRESSED inner payload: the inner text has
+        # no byte identity inside the base64 outer, so outer offsets
+        # cannot exist (unlike the plain `wrapped` envelope above)
+        return ParseResult("zlibbed:" + r.kind, r.parse_ok, r.parse_warn,
+                           r.blocks_kept, r.blocks_dropped, r.extracted,
+                           r.spans)
     if second_pass:
         text = NOISE_CLASS.sub("", text)
     if kind == "pdfish":

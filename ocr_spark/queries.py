@@ -702,6 +702,71 @@ from (
 """
 
 
+def q_parse_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-envelope parse (ZLIB-B64 tool-output blobs, new r4 s6):
+    every document's 8-family payload (the SAME construction the green
+    `parse_extract` row verifies) is deflated + base64-wrapped by the
+    synth stage, every 11th corrupted; the production Arrow parse stage
+    must inflate and land on EXACTLY the same extraction — the oracle is
+    the full `_sql_parse_extract` twin run on the UNCOMPRESSED
+    construction with the kind prefixed, so a decode bug anywhere in the
+    envelope path hash-mismatches."""
+    import base64 as _b64
+    import zlib as _zlib
+
+    from ocr_spark.operators import parse as parse_op
+    from ocr_spark.pyparse import ZLIB_HEAD
+
+    df = _docs(spark, sf_dir).withColumn(
+        "inner", payloads.parse_payload_col(F.col("doc_id"), F.col("text"))
+    )
+
+    def wrap(batches):
+        for pdf in batches:
+            outs = []
+            for d, t in zip(pdf["doc_id"], pdf["inner"]):
+                b = _b64.b64encode(
+                    _zlib.compress((t or "").encode("utf-8"), 6)
+                ).decode("ascii")
+                if int(d) % 11 == 0:
+                    b = b[: max(0, len(b) - 4)] + "!!!!"  # corrupt base64
+                outs.append(ZLIB_HEAD + b)
+            out = pdf[["doc_id"]].copy()
+            out["p"] = outs
+            yield out
+
+    src = df.select("doc_id", "inner").mapInPandas(wrap, "doc_id long, p string")
+    out = parse_op.with_parsed(src, text_col="p")
+    return out.select(
+        "doc_id", "kind",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        F.col("parse_warn").cast("int").alias("parse_warn"),
+        F.col("blocks_kept").cast("int").alias("blocks_kept"),
+        F.col("blocks_dropped").cast("int").alias("blocks_dropped"),
+        "extracted",
+    )
+
+
+def _sql_parse_zlib() -> str:
+    # the inner extraction twin verbatim, kind-prefixed; corrupt-envelope
+    # rows (doc_id % 11 = 0) override to the errors-as-data shape
+    return f"""
+with inner_doc as ({_sql_parse_extract()})
+select doc_id,
+  case when doc_id % 11 = 0 then 'zlibbed:undecodable'
+       else 'zlibbed:' || kind end as kind,
+  cast(case when doc_id % 11 = 0 then 0 else parse_ok end as int) as parse_ok,
+  cast(case when doc_id % 11 = 0 then 0 else parse_warn end as int)
+    as parse_warn,
+  cast(case when doc_id % 11 = 0 then 0 else blocks_kept end as int)
+    as blocks_kept,
+  cast(case when doc_id % 11 = 0 then 0 else blocks_dropped end as int)
+    as blocks_dropped,
+  case when doc_id % 11 = 0 then '' else extracted end as extracted
+from inner_doc
+"""
+
+
 # --------------------------------------------------------------------------
 # Link graph: anchor extraction from the DOM pass + integer PageRank.
 # The payload construction is the shared ground truth: Spark EXTRACTS
@@ -6530,6 +6595,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tested (tests/test_gif.py) — judge: `python scripts/check_entry.py
     # media_gif` replicates the driver compare
     "media_gif": q_media_gif,
+    # parse_zlib: ADDED r4 s6, outside the window for the same reason as
+    # media_gif; its oracle IS the windowed parse_extract twin run on the
+    # uncompressed construction (kind-prefixed), so the inner extraction
+    # semantics are already driver-verified — the envelope inflate is the
+    # only new code, and it is pytest-pinned to pyparse plus verified
+    # green locally via scripts/check_entry.py this session
+    "parse_zlib": q_parse_zlib,
     # pack_bins / pack_bins_ranged: green r3 (hash-match); their one r4
     # touch (4cdd117) replaced the inline `ceil(length/4)` estimate with
     # functions/bpe.token_budget(text, "chars4"), which RETURNS the
@@ -6881,6 +6953,7 @@ from corpus group by 1
         "media_resize": _sql_media_resize(),
         "media_jpeg": _sql_media_jpeg(),
         "media_gif": _sql_media_gif(),
+        "parse_zlib": _sql_parse_zlib(),
         "media_dhash": _sql_media_dhash(),
         "media_neardup": _sql_media_neardup(),
         "zorder_layout": _sql_zorder_layout(),

@@ -280,3 +280,48 @@ def test_domscore_plan_zero_shuffle(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_zlibbed_envelope_unwraps_every_kind():
+    """Compressed tool-output envelope (ZLIB-B64): inflate then normal
+    dispatch; result equals parsing the inner payload directly, with
+    the kind prefixed and spans indexing the decompressed text."""
+    import base64
+    import zlib
+
+    from ocr_spark import pyparse
+
+    def wrap(inner: str) -> str:
+        return pyparse.ZLIB_HEAD + base64.b64encode(
+            zlib.compress(inner.encode("utf-8"), 6)
+        ).decode("ascii")
+
+    inners = [
+        "plain body with words",
+        "<html><p>real content here</p><script>x=1</script></html>",
+        "%PDF-SIM\npage 1\nblock 10 20\nhello block\n",
+        "```tool:grep\n[INFO] kept line\n[TRACE] dropped\n```",
+        "",
+    ]
+    for inner in inners:
+        direct = pyparse.parse_payload(inner)
+        wrapped = pyparse.parse_payload(wrap(inner))
+        assert wrapped.kind == "zlibbed:" + direct.kind
+        assert wrapped.extracted == direct.extracted
+        assert wrapped.parse_ok == direct.parse_ok
+        assert wrapped.spans == direct.spans  # index the inflated text
+    # second_pass flows through to the inner payload
+    noisy = "noisy §pla§in text"
+    assert (
+        pyparse.parse_payload(wrap(noisy), second_pass=True).extracted
+        == pyparse.parse_payload(noisy, second_pass=True).extracted
+    )
+    # corrupt envelope variants are data, not crashes
+    good = wrap("hello")
+    for bad in (
+        pyparse.ZLIB_HEAD + "!!!not-base64!!!",
+        pyparse.ZLIB_HEAD + base64.b64encode(b"not zlib").decode(),
+        good[:-6] + "AAAA==",
+    ):
+        r = pyparse.parse_payload(bad)
+        assert r.kind == "zlibbed:undecodable" and not r.parse_ok
