@@ -1,0 +1,771 @@
+"""From-scratch real-PDF text extraction — no PDF libraries.
+
+The reference extracts per-page words from real PDF byte streams with
+PyMuPDF (``fitz.open`` + ``page.get_text_words``,
+/root/reference/app/services/doc_analysis.py:196-201); the sandbox has no
+PDF library, so this module rebuilds the text-extraction leg natively,
+the same way jpegcodec.py rebuilds T.81: a COS tokenizer (literal/hex
+strings, names, numbers, dicts, arrays, indirect refs), classic
+cross-reference tables with ``/Prev`` incremental-update chains (plus a
+raw ``N G obj`` scan fallback for truncated tails — recovered files set
+``warn``, the reference's force-rotate-retry spirit), ``/FlateDecode``
+stream inflate via stdlib zlib, the page-tree walk, and a content-stream
+interpreter for the text-positioning/showing operators
+(``BT ET Tf TL Td TD Tm T* Tj TJ ' "``).
+
+Layout reconstruction mirrors :func:`ocr_spark.pyparse.parse_pdfish`
+(the north star's "column/reading-order reconstruction"): text runs are
+clustered into columns by the same 1-D x-gap device
+(``pyparse._column_of``), lines group into paragraph blocks wherever the
+baseline gap exceeds ``BLOCK_GAP``, and blocks read column-major —
+left column top-to-bottom first.  PDF user space points y UP, so
+"top-to-bottom" is descending y (parse_pdfish's markup units point
+down, ascending y — the one deliberate sign flip).
+
+Simplifications (documented, not silent): text matrices are consumed as
+translations (``Tm`` contributes its e/f origin; rotated/sheared text is
+out of scope for transcript payloads), TJ kerning numbers do not insert
+spaces, and strings decode as Latin-1 (PDFDocEncoding's printable range).
+Everything malformed raises ``ValueError`` so the Arrow parse stage can
+turn it into errors-as-data (C3), never a task crash.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import NamedTuple
+
+# --------------------------------------------------------------------------
+# COS object model
+# --------------------------------------------------------------------------
+
+
+class Ref(NamedTuple):
+    num: int
+    gen: int
+
+
+class Name(str):
+    """A /Name token — distinct from string objects (which lex to bytes)."""
+
+    __slots__ = ()
+
+
+class Stream(NamedTuple):
+    sdict: dict
+    raw: bytes
+
+
+_WS_SET = frozenset(b"\x00\t\n\x0c\r ")
+
+#: one regex drives the tokenizer: whitespace runs and comments are
+#: skipped by _skip_ws; everything else must match here or at '(' / EOF
+_TOK_RE = re.compile(
+    rb"<<|>>|\[|\]"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|[+-]?(?:\d+\.\d*|\.\d+|\d+)"
+    rb"|<([0-9A-Fa-f\x00\t\n\x0c\r ]*)>"
+    rb"|[A-Za-z'\"][A-Za-z0-9*'\"]*"
+)
+
+_ESC = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+
+
+class _Lex:
+    """Cursor tokenizer over the raw bytes (shared by the object parser,
+    the xref reader, and the content-stream interpreter)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n, p = self.data, len(self.data), self.pos
+        while p < n:
+            c = d[p]
+            if c in _WS_SET:
+                p += 1
+            elif c == 0x25:  # % comment to end of line
+                while p < n and d[p] not in (0x0A, 0x0D):
+                    p += 1
+            else:
+                break
+        self.pos = p
+
+    def token(self):
+        """Next token as ``(kind, value)`` — kinds: num, name, str,
+        dict_open/close, arr_open/close, kw; None at EOF."""
+        self._skip_ws()
+        d, p = self.data, self.pos
+        if p >= len(d):
+            return None
+        if d[p] == 0x28:  # ( literal string — balanced scan with escapes
+            s, self.pos = self._lit_string(p)
+            return ("str", s)
+        m = _TOK_RE.match(d, p)
+        if m is None:
+            raise ValueError(f"PDF lex error at byte {p}")
+        self.pos = m.end()
+        t = m.group(0)
+        if m.group(1) is not None:
+            return ("name", Name(m.group(1).decode("latin-1")))
+        if m.group(2) is not None:  # <hex string>
+            h = bytes(c for c in m.group(2) if c not in _WS_SET)
+            if len(h) % 2:
+                h += b"0"
+            return ("str", bytes.fromhex(h.decode("ascii")))
+        if t == b"<<":
+            return ("dict_open", None)
+        if t == b">>":
+            return ("dict_close", None)
+        if t == b"[":
+            return ("arr_open", None)
+        if t == b"]":
+            return ("arr_close", None)
+        c = t[0]
+        if c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:
+            return ("num", float(t) if b"." in t else int(t))
+        return ("kw", t)
+
+    def _lit_string(self, p: int) -> tuple[bytes, int]:
+        d, n = self.data, len(self.data)
+        depth, out, p = 1, bytearray(), p + 1
+        while p < n and depth:
+            c = d[p]
+            if c == 0x5C:  # backslash escape
+                p += 1
+                if p >= n:
+                    break
+                e = d[p]
+                if e in _ESC:
+                    out.append(_ESC[e])
+                    p += 1
+                elif 0x30 <= e <= 0x37:  # \ooo — up to three octal digits
+                    v, k = 0, 0
+                    while k < 3 and p < n and 0x30 <= d[p] <= 0x37:
+                        v = v * 8 + (d[p] - 0x30)
+                        p += 1
+                        k += 1
+                    out.append(v & 0xFF)
+                elif e == 0x0A:  # line continuation
+                    p += 1
+                elif e == 0x0D:
+                    p += 1
+                    if p < n and d[p] == 0x0A:
+                        p += 1
+                else:  # \( \) \\ and "ignore the backslash" for the rest
+                    out.append(e)
+                    p += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                p += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth:
+                    out.append(c)
+                p += 1
+            else:
+                out.append(c)
+                p += 1
+        if depth:
+            raise ValueError("unterminated literal string")
+        return bytes(out), p
+
+
+def _value(lx: _Lex, tok=None, depth: int = 0):
+    """Parse one COS value; ``num num R`` lookahead folds into a Ref."""
+    if depth > 32:
+        raise ValueError("COS nesting too deep")
+    if tok is None:
+        tok = lx.token()
+    if tok is None:
+        raise ValueError("unexpected EOF in object")
+    kind, v = tok
+    if kind == "num":
+        if isinstance(v, int) and v >= 0:
+            save = lx.pos
+            t2 = lx.token()
+            if t2 is not None and t2[0] == "num" and isinstance(t2[1], int) \
+                    and t2[1] >= 0:
+                t3 = lx.token()
+                if t3 == ("kw", b"R"):
+                    return Ref(v, t2[1])
+            lx.pos = save
+        return v
+    if kind in ("str", "name"):
+        return v
+    if kind == "dict_open":
+        d: dict = {}
+        while True:
+            t = lx.token()
+            if t is None:
+                raise ValueError("unterminated dict")
+            if t[0] == "dict_close":
+                return d
+            if t[0] != "name":
+                raise ValueError("dict key is not a name")
+            d[str(t[1])] = _value(lx, depth=depth + 1)
+    if kind == "arr_open":
+        arr: list = []
+        while True:
+            t = lx.token()
+            if t is None:
+                raise ValueError("unterminated array")
+            if t[0] == "arr_close":
+                return arr
+            arr.append(_value(lx, t, depth=depth + 1))
+    if kind == "kw":
+        if v == b"true":
+            return True
+        if v == b"false":
+            return False
+        if v == b"null":
+            return None
+    raise ValueError(f"unexpected token {kind} in object")
+
+
+# --------------------------------------------------------------------------
+# Document: xref chains, object resolution, streams, page tree
+# --------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+
+
+class PdfDoc:
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF stream")
+        self.data = data
+        self.warn = False
+        self.xref: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._resolving: set[int] = set()
+        try:
+            self._load_xref()
+        except ValueError:
+            self._scan_fallback()
+            self.warn = True
+        if "Root" not in self.trailer:
+            self._find_root_by_scan()
+        if "Root" not in self.trailer:
+            raise ValueError("no document catalog")
+
+    # -- xref -------------------------------------------------------------
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        hits = list(_STARTXREF_RE.finditer(tail))
+        if not hits:
+            raise ValueError("no startxref")
+        pos: int | None = int(hits[-1].group(1))
+        seen: set[int] = set()
+        while pos is not None and pos not in seen and 0 <= pos < len(self.data):
+            seen.add(pos)
+            trailer = self._read_xref_table(pos)
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)  # newest section wins
+            prev = trailer.get("Prev")
+            pos = prev if isinstance(prev, int) else None
+
+    def _read_xref_table(self, pos: int) -> dict:
+        lx = _Lex(self.data, pos)
+        if lx.token() != ("kw", b"xref"):
+            raise ValueError("xref keyword missing (xref streams unsupported)")
+        while True:
+            t = lx.token()
+            if t == ("kw", b"trailer"):
+                break
+            if t is None or t[0] != "num":
+                raise ValueError("malformed xref section")
+            start = t[1]
+            t2 = lx.token()
+            if t2 is None or t2[0] != "num":
+                raise ValueError("malformed xref section header")
+            for i in range(t2[1]):
+                off_t, _gen_t, kind_t = lx.token(), lx.token(), lx.token()
+                if (off_t is None or off_t[0] != "num"
+                        or kind_t is None or kind_t[0] != "kw"
+                        or kind_t[1] not in (b"n", b"f")):
+                    raise ValueError("malformed xref entry")
+                if kind_t[1] == b"n":
+                    # newest-first traversal: earlier (newer) wins
+                    self.xref.setdefault(start + i, off_t[1])
+        trailer = _value(lx)
+        if not isinstance(trailer, dict):
+            raise ValueError("malformed trailer")
+        return trailer
+
+    def _scan_fallback(self) -> None:
+        """No usable xref: index every ``N G obj`` header directly.  Later
+        occurrences overwrite earlier ones — incremental updates append,
+        so last-in-file is newest (the same winner the /Prev chain picks)."""
+        self.xref.clear()
+        for m in _OBJ_RE.finditer(self.data):
+            self.xref[int(m.group(1))] = m.start()
+        if not self.xref:
+            raise ValueError("no objects found")
+        # a trailer dict may still exist even when startxref is gone
+        t = self.data.rfind(b"trailer")
+        if t >= 0:
+            lx = _Lex(self.data, t + len(b"trailer"))
+            try:
+                d = _value(lx)
+                if isinstance(d, dict):
+                    self.trailer = d
+            except ValueError:
+                pass
+
+    def _find_root_by_scan(self) -> None:
+        for num in sorted(self.xref):
+            try:
+                o = self.obj(Ref(num, 0))
+            except ValueError:
+                continue
+            base = o.sdict if isinstance(o, Stream) else o
+            if isinstance(base, dict) and base.get("Type") == "Catalog":
+                self.trailer["Root"] = Ref(num, 0)
+                return
+
+    # -- objects ----------------------------------------------------------
+    def obj(self, ref):
+        """Resolve (possibly indirect) ``ref`` to its value, cached."""
+        if not isinstance(ref, Ref):
+            return ref
+        num = ref.num
+        if num in self._cache:
+            return self._cache[num]
+        if num in self._resolving:
+            raise ValueError(f"object cycle at {num}")
+        off = self.xref.get(num)
+        if off is None:
+            raise ValueError(f"missing object {num}")
+        self._resolving.add(num)
+        try:
+            val = self._parse_obj_at(off, num)
+        finally:
+            self._resolving.discard(num)
+        self._cache[num] = val
+        return val
+
+    def _parse_obj_at(self, off: int, num: int):
+        lx = _Lex(self.data, off)
+        t1, t2, t3 = lx.token(), lx.token(), lx.token()
+        if (t1 is None or t1[0] != "num" or t1[1] != num
+                or t2 is None or t2[0] != "num" or t3 != ("kw", b"obj")):
+            raise ValueError(f"bad object header for {num}")
+        val = _value(lx)
+        save = lx.pos
+        t = lx.token()
+        if t == ("kw", b"stream"):
+            if not isinstance(val, dict):
+                raise ValueError("stream without a dict")
+            d, p = self.data, lx.pos
+            # the keyword is followed by CRLF or LF before the stream body
+            if p < len(d) and d[p] == 0x0D:
+                p += 1
+            if p < len(d) and d[p] == 0x0A:
+                p += 1
+            length = self.obj(val.get("Length"))
+            if isinstance(length, int) and 0 <= length and \
+                    p + length <= len(d) and \
+                    d.find(b"endstream", p + length,
+                           p + length + 32) != -1:
+                raw = d[p:p + length]
+            else:
+                # broken /Length: recover to the endstream keyword, warn
+                e = d.find(b"endstream", p)
+                if e < 0:
+                    raise ValueError("unterminated stream")
+                raw = d[p:e].rstrip(b"\r\n")
+                self.warn = True
+            return Stream(val, raw)
+        lx.pos = save
+        return val
+
+    def decoded(self, st: Stream) -> bytes:
+        filt = self.obj(st.sdict.get("Filter"))
+        if filt is None:
+            return st.raw
+        if self.obj(st.sdict.get("DecodeParms")) is not None:
+            raise ValueError("DecodeParms predictors unsupported")
+        data = st.raw
+        for f in filt if isinstance(filt, list) else [filt]:
+            f = self.obj(f)
+            if f == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as exc:
+                    raise ValueError(f"bad Flate stream: {exc}") from exc
+            else:
+                raise ValueError(f"unsupported stream filter /{f}")
+        return data
+
+    # -- page tree ----------------------------------------------------------
+    def pages(self) -> list[dict]:
+        root = self.obj(self.trailer["Root"])
+        if isinstance(root, Stream) or not isinstance(root, dict):
+            raise ValueError("catalog is not a dict")
+        out: list[dict] = []
+        stack = [root.get("Pages")]
+        visited: set[int] = set()
+        steps = 0
+        while stack:
+            steps += 1
+            if steps > 100_000:
+                raise ValueError("page tree too large or cyclic")
+            ref = stack.pop()
+            if isinstance(ref, Ref):
+                if ref.num in visited:
+                    raise ValueError("page tree cycle")
+                visited.add(ref.num)
+            node = self.obj(ref)
+            if not isinstance(node, dict):
+                raise ValueError("page tree node is not a dict")
+            t = node.get("Type")
+            if t == "Pages":
+                kids = self.obj(node.get("Kids"))
+                if not isinstance(kids, list):
+                    raise ValueError("Pages without Kids")
+                stack.extend(reversed(kids))  # pre-order = document order
+            elif t == "Page":
+                out.append(node)
+            else:
+                raise ValueError(f"unexpected page-tree node type {t}")
+        return out
+
+    def content_bytes(self, page: dict) -> bytes:
+        c = self.obj(page.get("Contents"))
+        if c is None:
+            return b""
+        parts = c if isinstance(c, list) else [c]
+        out = []
+        for p in parts:
+            s = self.obj(p)
+            if not isinstance(s, Stream):
+                raise ValueError("page contents is not a stream")
+            out.append(self.decoded(s))
+        # streams in a /Contents array concatenate with a separator
+        return b"\n".join(out)
+
+
+# --------------------------------------------------------------------------
+# Content-stream text interpreter
+# --------------------------------------------------------------------------
+
+
+def _shown(v) -> str:
+    """TJ element / Tj operand → shown text (kerning numbers drop)."""
+    if isinstance(v, bytes):
+        return v.decode("latin-1")
+    return ""
+
+
+def text_runs(content: bytes) -> list[tuple[float, float, str]]:
+    """All text shows as ``(x, y, text)`` at their text-line origin."""
+    lx = _Lex(content, 0)
+    runs: list[tuple[float, float, str]] = []
+    stack: list = []
+    tx = ty = 0.0  # text line matrix origin (translations only)
+    leading = 0.0
+    while True:
+        try:
+            t = lx.token()
+        except ValueError:
+            raise ValueError("malformed content stream")
+        if t is None:
+            break
+        kind, v = t
+        if kind != "kw":
+            try:
+                stack.append(_value(lx, t))
+            except ValueError:
+                raise ValueError("malformed content operand")
+            continue
+        op = v
+        try:
+            if op == b"BT":
+                tx = ty = 0.0
+            elif op == b"Td":
+                tx += float(stack[-2])
+                ty += float(stack[-1])
+            elif op == b"TD":
+                leading = -float(stack[-1])
+                tx += float(stack[-2])
+                ty += float(stack[-1])
+            elif op == b"Tm":
+                tx = float(stack[-2])
+                ty = float(stack[-1])
+            elif op == b"TL":
+                leading = float(stack[-1])
+            elif op == b"T*":
+                ty -= leading
+            elif op == b"Tj":
+                runs.append((tx, ty, _shown(stack[-1])))
+            elif op == b"'":
+                ty -= leading
+                runs.append((tx, ty, _shown(stack[-1])))
+            elif op == b'"':
+                ty -= leading
+                runs.append((tx, ty, _shown(stack[-1])))
+            elif op == b"TJ":
+                arr = stack[-1]
+                if not isinstance(arr, list):
+                    raise IndexError
+                runs.append((tx, ty, "".join(_shown(e) for e in arr)))
+            # ET, Tf, Tc, Tw, Tz, Ts, Tr, q, Q, cm, ...: no text effect here
+        except (IndexError, TypeError):
+            raise ValueError(f"missing operands for {op!r}") from None
+        stack.clear()
+    return runs
+
+
+# --------------------------------------------------------------------------
+# Layout assembly: columns → lines → blocks, reading order
+# --------------------------------------------------------------------------
+
+#: baseline gap beyond which two lines belong to different blocks
+BLOCK_GAP = 24.0
+
+
+def _blocks_of(runs: list[tuple[float, float, str]]) -> list[str]:
+    """Reading-ordered block bodies (pdfish parity: lines join with a
+    space, bodies strip; empty bodies stay — the caller counts drops)."""
+    from ocr_spark.pyparse import _column_of
+
+    if not runs:
+        return []
+    col = _column_of([int(round(x)) for x, _, _ in runs])
+    per_col: dict[int, dict[float, list[tuple[float, int, str]]]] = {}
+    for i, (x, y, s) in enumerate(runs):
+        c = per_col.setdefault(col[int(round(x))], {})
+        c.setdefault(float(y), []).append((x, i, s))
+    blocks: list[str] = []
+    for c in sorted(per_col):
+        lines_at = per_col[c]
+        cur: list[str] = []
+        prev_y: float | None = None
+        for yv in sorted(lines_at, reverse=True):  # PDF y points UP
+            line = "".join(
+                s for _x, _i, s in sorted(lines_at[yv], key=lambda t: (t[0], t[1]))
+            )
+            if prev_y is not None and prev_y - yv > BLOCK_GAP:
+                blocks.append(" ".join(cur).strip())
+                cur = []
+            cur.append(line)
+            prev_y = yv
+        if cur:
+            blocks.append(" ".join(cur).strip())
+    return blocks
+
+
+class PdfText(NamedTuple):
+    n_pages: int
+    blocks_kept: int
+    blocks_dropped: int
+    warn: bool
+    extracted: str
+    #: per kept block (extracted order), offsets into ``extracted`` itself:
+    #: block bodies have no contiguous byte identity inside a binary PDF
+    #: container (per-glyph positioning, TJ splits, Flate), so unlike the
+    #: text kinds the span channel here IS the extracted text
+    spans: tuple[tuple[int, int], ...]
+
+
+def extract_pdf(data: bytes) -> PdfText:
+    """Parse real PDF bytes → reading-ordered main-content text.
+
+    Raises ``ValueError`` on anything unparseable; recoverable damage
+    (missing/garbled xref, wrong /Length) extracts with ``warn=True``."""
+    doc = PdfDoc(data)
+    pages = doc.pages()
+    page_bodies: list[list[str]] = []
+    kept = dropped = 0
+    for page in pages:
+        bodies = _blocks_of(text_runs(doc.content_bytes(page)))
+        keep = [b for b in bodies if b]
+        dropped += len(bodies) - len(keep)
+        kept += len(keep)
+        page_bodies.append(keep)
+    parts: list[str] = []
+    spans: list[tuple[int, int]] = []
+    off = 0
+    for bodies in page_bodies:
+        if not bodies:
+            continue
+        for b in bodies:
+            spans.append((off, off + len(b)))
+            off += len(b) + 1  # the "\n" after every body (join + page tail)
+        parts.append("\n".join(bodies) + "\n")
+    return PdfText(len(pages), kept, dropped, doc.warn,
+                   "".join(parts), tuple(spans))
+
+
+# --------------------------------------------------------------------------
+# Deterministic PDF builder (tests + driver fixture) — a real writer:
+# objects, page tree, content streams, classic xref table, trailer.
+# --------------------------------------------------------------------------
+
+
+def _esc_lit(s: str) -> bytes:
+    b = s.encode("latin-1")
+    return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+
+
+def _show_ops(line: str, hexstr: bool, use_tj: bool) -> bytes:
+    if use_tj:
+        h = len(line) // 2
+        a, b = line[:h], line[h:]
+        if hexstr:
+            ea = a.encode("latin-1").hex().encode()
+            eb = b.encode("latin-1").hex().encode()
+            return b"[<" + ea + b"> -120 <" + eb + b">] TJ"
+        return b"[(" + _esc_lit(a) + b") -120 (" + _esc_lit(b) + b")] TJ"
+    if hexstr:
+        return b"<" + line.encode("latin-1").hex().encode() + b"> Tj"
+    return b"(" + _esc_lit(line) + b") Tj"
+
+
+def _content_for(blocks, *, leading: float, hexstr: bool, use_tj: bool,
+                 use_tm: bool, use_prime: bool) -> bytes:
+    out: list[bytes] = []
+    for (x, y, lines) in blocks:
+        ops = [b"BT /F1 12 Tf %g TL" % leading]
+        if use_tm:
+            ops.append(b"1 0 0 1 %g %g Tm" % (x, y))
+        else:
+            ops.append(b"%g %g Td" % (x, y))
+        for j, ln in enumerate(lines):
+            if j == 0:
+                ops.append(_show_ops(ln, hexstr, use_tj))
+            elif use_prime and not use_tj and not hexstr:
+                ops.append(b"(" + _esc_lit(ln) + b") '")
+            else:
+                ops.append(b"T*")
+                ops.append(_show_ops(ln, hexstr, use_tj))
+        ops.append(b"ET")
+        out.append(b"\n".join(ops))
+    return b"\n".join(out)
+
+
+def build_pdf(pages, *, flate: bool = False, hexstr: bool = False,
+              use_tj: bool = False, use_tm: bool = False,
+              use_prime: bool = False, multi_content: bool = False,
+              strip_xref: bool = False, leading: float = 14.0) -> bytes:
+    """Write a complete one-generation PDF.
+
+    ``pages``: list of pages, each a list of blocks ``(x, y_top, [lines])``
+    with in-block line pitch ``leading`` (keep inter-block y gaps >
+    ``BLOCK_GAP``).  Feature flags change the ENCODING only — extracted
+    text is invariant under all of them (the driver oracle leans on this).
+    ``strip_xref`` drops the xref/trailer/startxref tail: the parser must
+    recover through the object-scan fallback and set ``warn``."""
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    font_num = 3  # fixed slot: pages/contents number from 4 upward
+    kid_refs = []
+    num = 4
+    for blocks in pages:
+        page_num = num
+        if multi_content and len(blocks) > 1:
+            h = len(blocks) // 2
+            parts = [blocks[:h], blocks[h:]]
+        else:
+            parts = [blocks]
+        c_refs = []
+        body_nums = list(range(num + 1, num + 1 + len(parts)))
+        for part, bn in zip(parts, body_nums):
+            body = _content_for(part, leading=leading, hexstr=hexstr,
+                                use_tj=use_tj, use_tm=use_tm,
+                                use_prime=use_prime)
+            filt = b""
+            if flate:
+                body = zlib.compress(body, 6)
+                filt = b" /Filter /FlateDecode"
+            objs[bn] = (b"<< /Length %d%s >>\nstream\n" % (len(body), filt)
+                        + body + b"\nendstream")
+            c_refs.append(b"%d 0 R" % bn)
+        contents = (c_refs[0] if len(c_refs) == 1
+                    else b"[" + b" ".join(c_refs) + b"]")
+        objs[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %s >>"
+            % (font_num, contents)
+        )
+        kid_refs.append(b"%d 0 R" % page_num)
+        num = body_nums[-1] + 1
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (b"<< /Type /Pages /Kids [" + b" ".join(kid_refs)
+               + b"] /Count %d >>" % n_pages)
+    objs[font_num] = (b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for n in sorted(objs):
+        offsets[n] = len(out)
+        out += b"%d 0 obj\n" % n
+        out += objs[n]
+        out += b"\nendobj\n"
+    if strip_xref:
+        return bytes(out)
+    xref_off = len(out)
+    size = max(objs) + 1
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for n in range(1, size):
+        out += b"%010d %05d n \n" % (offsets[n], 0)
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (size, xref_off))
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Driver fixture: the construction the parse_pdf oracle replays in SQL
+# --------------------------------------------------------------------------
+
+#: envelope head carrying PDF bytes through the string payload channel
+#: (base64, like pyparse.ZLIB_HEAD — binary has no UTF-8 identity)
+PDF_HEAD = "PDF-B64 v1\n"
+
+
+def synth_pdf_payload(d: int, text: str) -> str:
+    """Deterministic real-PDF payload for doc ``d`` — block texts are
+    FIXED SLICES of ``text`` so the DuckDB twin recomputes the extraction
+    as pure string arithmetic (it never parses PDF): any decode bug in
+    the lexer, xref walk, Flate, TJ/hex/Tm handling, or reading order
+    hash-mismatches.  Feature matrix rotates on small moduli; corrupt
+    (%11) and recovered-tail (%13) rows exercise errors-as-data and the
+    scan fallback."""
+    import base64
+
+    if d % 11 == 0:
+        # mangled header: extract_pdf must refuse → parse_ok=0 data row
+        return PDF_HEAD + base64.b64encode(b"%FDP-broken garbage").decode()
+    b1 = "B1:" + text[0:40]
+    b2a = "B2:" + text[40:60]
+    b2b = text[60:80]
+    b3 = "B3:" + text[80:120]
+    b4 = "P2:" + str(d % 97)
+    page1 = [
+        (72.0, 700.0, [b1]),
+        (72.0, 560.0, [b2a, b2b]),   # two-line paragraph, pitch 14
+        (340.0, 700.0, [b3]),        # second column (gap 268 > COLUMN_GAP)
+        (340.0, 560.0, ["   "]),     # whitespace-only block → dropped
+    ]
+    page2 = [(72.0, 700.0, [b4])]
+    raw = build_pdf(
+        [page1, page2],
+        flate=d % 2 == 0,
+        hexstr=d % 3 == 0,
+        use_tj=d % 5 == 0,
+        use_tm=d % 7 == 0,
+        use_prime=d % 17 == 0,
+        multi_content=d % 9 == 0,
+        strip_xref=d % 13 == 0,
+    )
+    return PDF_HEAD + base64.b64encode(raw).decode()

@@ -33,6 +33,11 @@ block's contribution to ``extracted`` exactly:
 - wrapped: inner-kind spans shifted past the envelope head.
 - zlibbed: inner-kind spans index the DECOMPRESSED payload (the inner
           text has no byte identity inside the base64 outer).
+- pdf:    spans index the EXTRACTED text itself (``extracted[s:e]`` ==
+          block body) — block bodies have no contiguous byte identity
+          inside a binary PDF container (per-glyph positioning, TJ
+          splits, Flate), so the span channel for real PDF is the
+          extracted text (ocr_spark.operators.pdfcodec).
 
 Under ``second_pass=True`` the offsets refer to the noise-stripped text
 (the re-OCR analog rewrites its input before parsing).
@@ -104,6 +109,12 @@ WRAP_TAIL = "\nEND-WRAP"
 #: agent tool outputs use to smuggle large HTML/markup bodies through a
 #: text channel. Decoded text re-enters the normal kind dispatch.
 ZLIB_HEAD = "ZLIB-B64 v1\n"
+#: real-PDF envelope: base64 of actual PDF bytes (%PDF-...%%EOF) — binary
+#: containers have no UTF-8 identity, so like zlibbed they ride base64
+#: through the string payload channel. Decoded by the from-scratch codec
+#: in ocr_spark.operators.pdfcodec (PyMuPDF-leg analog,
+#: /root/reference/app/services/doc_analysis.py:196-201).
+PDF_HEAD = "PDF-B64 v1\n"
 
 
 class ParseResult(NamedTuple):
@@ -127,6 +138,8 @@ def detect_kind(text: str | None) -> str:
         return "wrapped"
     if text.startswith(ZLIB_HEAD):
         return "zlibbed"
+    if text.startswith(PDF_HEAD):
+        return "pdfb64"
     if text.startswith("%PDF-SIM"):
         return "pdfish"
     head = text[:200].lower()
@@ -358,6 +371,20 @@ def parse_payload(text: str | None, second_pass: bool = False) -> ParseResult:
         return ParseResult("zlibbed:" + r.kind, r.parse_ok, r.parse_warn,
                            r.blocks_kept, r.blocks_dropped, r.extracted,
                            r.spans)
+    if kind == "pdfb64":
+        # real PDF bytes under a base64 envelope → the from-scratch codec.
+        # Corrupt base64 / malformed PDF is DATA (parse_ok=false), never a
+        # task crash — the C3 rule; recovered-but-damaged files (xref
+        # gone, bad /Length) extract with parse_warn, the F2/F3 analog.
+        from ocr_spark.operators import pdfcodec  # local: avoids a cycle
+
+        try:
+            raw = base64.b64decode(text[len(PDF_HEAD):], validate=True)
+            r2 = pdfcodec.extract_pdf(raw)
+        except (binascii.Error, ValueError):
+            return ParseResult("pdf", False, False, 0, 0, "")
+        return ParseResult("pdf", True, r2.warn, r2.blocks_kept,
+                           r2.blocks_dropped, r2.extracted, r2.spans)
     if second_pass:
         text = NOISE_CLASS.sub("", text)
     if kind == "pdfish":

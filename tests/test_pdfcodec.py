@@ -1,0 +1,248 @@
+"""Real-PDF codec tests (`ocr_spark.operators.pdfcodec`).
+
+The builder writes complete one-generation PDFs (objects, page tree,
+content streams, classic xref, trailer); the extractor must recover the
+exact block texts in column-major reading order under every encoding
+feature (Flate, hex strings, TJ arrays, Tm vs Td positioning, the '
+combined operator, /Contents arrays) and through damage it is documented
+to survive (missing xref tail → object-scan fallback + warn, wrong
+/Length → endstream recovery + warn, incremental updates → newest xref
+section wins).
+"""
+
+from __future__ import annotations
+
+import base64
+import itertools
+import re
+import zlib
+
+import pytest
+
+from ocr_spark import pyparse
+from ocr_spark.operators.pdfcodec import (
+    PDF_HEAD,
+    PdfDoc,
+    build_pdf,
+    extract_pdf,
+    synth_pdf_payload,
+    text_runs,
+)
+
+TWO_COL = [
+    [
+        (72.0, 700.0, ["left top line one", "left top line two"]),
+        (72.0, 560.0, ["left lower paragraph"]),
+        (340.0, 700.0, ["right column first"]),
+        (340.0, 540.0, ["right column second"]),
+    ],
+    [(72.0, 700.0, ["second page body"])],
+]
+
+TWO_COL_TEXT = (
+    "left top line one left top line two\n"
+    "left lower paragraph\n"
+    "right column first\n"
+    "right column second\n"
+    "second page body\n"
+)
+
+
+def test_feature_matrix_is_extraction_invariant():
+    # every encoding feature changes bytes, never the extracted text
+    for flate, hexstr, use_tj, use_tm, use_prime, multi in \
+            itertools.product((False, True), repeat=6):
+        raw = build_pdf(TWO_COL, flate=flate, hexstr=hexstr, use_tj=use_tj,
+                        use_tm=use_tm, use_prime=use_prime,
+                        multi_content=multi)
+        r = extract_pdf(raw)
+        assert r.extracted == TWO_COL_TEXT, (flate, hexstr, use_tj,
+                                             use_tm, use_prime, multi)
+        assert (r.n_pages, r.blocks_kept, r.blocks_dropped) == (2, 5, 0)
+        assert not r.warn
+
+
+def test_reading_order_is_column_major_not_y_interleaved():
+    # y-sorted order would interleave the columns: assert column-major
+    r = extract_pdf(build_pdf(TWO_COL))
+    bodies = r.extracted.splitlines()
+    assert bodies.index("left lower paragraph") < bodies.index(
+        "right column first"
+    )
+
+
+def test_spans_index_extracted_text():
+    r = extract_pdf(build_pdf(TWO_COL, flate=True, use_tj=True))
+    assert [r.extracted[s:e] for s, e in r.spans] == [
+        b for b in TWO_COL_TEXT.splitlines()
+    ]
+
+
+def test_literal_string_escapes_and_octal():
+    # \( \) \\ \n octal \101 == 'A', and a paren-balanced nested group
+    page = [[(72.0, 700.0, ["keep (parens) and \\ slash A-as-octal"])]]
+    raw = build_pdf(page)
+    # hand-inject an octal escape: replace the literal A with \101
+    raw = raw.replace(b"A-as-octal", b"\\101-as-octal")
+    r = extract_pdf(raw)
+    assert r.extracted == "keep (parens) and \\ slash A-as-octal\n"
+
+
+def test_hex_string_odd_digits_pad_and_whitespace_ok():
+    raw = build_pdf([[(72.0, 700.0, ["hi"])]])
+    # 'hi' = 6869; odd-digit form 686 9 with whitespace → 'hi' too ('i'=69)
+    raw2 = raw.replace(b"(hi) Tj", b"<68 69> Tj")
+    assert extract_pdf(raw2).extracted == "hi\n"
+
+
+def test_strip_xref_recovers_via_object_scan_with_warn():
+    raw = build_pdf(TWO_COL, strip_xref=True)
+    assert b"xref" not in raw and b"trailer" not in raw
+    r = extract_pdf(raw)
+    assert r.extracted == TWO_COL_TEXT
+    assert r.warn
+
+
+def test_bad_length_recovers_to_endstream_with_warn():
+    raw = build_pdf([[(72.0, 700.0, ["recover me"])]])
+    raw2 = re.sub(rb"/Length \d+", b"/Length 999999", raw, count=1)
+    r = extract_pdf(raw2)
+    assert r.extracted == "recover me\n"
+    assert r.warn
+
+
+def test_incremental_update_newest_xref_wins():
+    base = build_pdf([[(72.0, 700.0, ["old body"])]])
+    # find the content object number and the old startxref offset
+    m = re.search(rb"(\d+) 0 obj\n<< /Length", base)
+    cnum = int(m.group(1))
+    old_xref = int(re.search(rb"startxref\n(\d+)", base).group(1))
+    body = b"BT /F1 12 Tf 14 TL 72 700 Td (new body) Tj ET"
+    upd = bytearray(base)
+    obj_off = len(upd)
+    upd += b"%d 0 obj\n<< /Length %d >>\nstream\n" % (cnum, len(body))
+    upd += body + b"\nendstream\nendobj\n"
+    xref_off = len(upd)
+    upd += b"xref\n%d 1\n%010d 00000 n \n" % (cnum, obj_off)
+    upd += b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n" % (
+        cnum + 1, old_xref)
+    upd += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    r = extract_pdf(bytes(upd))
+    assert r.extracted == "new body\n"
+    assert not r.warn
+
+
+def test_contents_array_concatenates_streams():
+    raw = build_pdf([TWO_COL[0]], multi_content=True)
+    assert extract_pdf(raw).extracted == "".join(
+        b + "\n" for b in TWO_COL_TEXT.splitlines()[:4]
+    )
+
+
+def test_malformed_raises_valueerror_not_other():
+    cases = [
+        b"not a pdf at all",
+        b"%PDF-1.4\njunk with no objects",
+        # truncated mid-stream: header fine, body cut before endstream
+        build_pdf(TWO_COL)[:120],
+    ]
+    for c in cases:
+        with pytest.raises(ValueError):
+            extract_pdf(c)
+    # corrupt Flate body inside an intact container
+    raw = build_pdf(TWO_COL, flate=True)
+    m = re.search(rb"stream\n", raw)
+    bad = raw[:m.end()] + b"\x00\x01\x02\x03" + raw[m.end() + 4:]
+    with pytest.raises(ValueError):
+        extract_pdf(bad)
+
+
+def test_unsupported_filter_raises():
+    raw = build_pdf(TWO_COL, flate=True).replace(
+        b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    with pytest.raises(ValueError):
+        extract_pdf(raw)
+
+
+def test_object_cycle_raises_not_hangs():
+    raw = build_pdf([[(72.0, 700.0, ["x"])]])
+    # point /Length at an object whose value is a ref back to itself:
+    # easiest cycle — make Length reference the catalog, and the catalog
+    # reference itself
+    raw2 = re.sub(rb"/Length \d+", b"/Length 1 0 R", raw, count=1)
+    raw2 = raw2.replace(b"<< /Type /Catalog /Pages 2 0 R >>", b"1 0 R" + b" " * 26)
+    with pytest.raises(ValueError):
+        extract_pdf(raw2)
+
+
+def test_text_runs_operator_coverage():
+    content = (b"BT /F1 12 Tf 14 TL 100 700 Td (a) Tj T* (b) Tj "
+               b"1 0 0 1 300 700 Tm (c) Tj 0 -40 TD (d) Tj (e) ' "
+               b"2 2 (f) \" [(g) -50 (h)] TJ ET")
+    runs = text_runs(content)
+    assert [(x, y, s) for x, y, s in runs] == [
+        (100.0, 700.0, "a"), (100.0, 686.0, "b"),
+        (300.0, 700.0, "c"), (300.0, 660.0, "d"),
+        (300.0, 620.0, "e"), (300.0, 580.0, "f"),
+        (300.0, 580.0, "gh"),
+    ]
+
+
+def test_pyparse_dispatch_pdf_kind_and_errors_as_data():
+    good = PDF_HEAD + base64.b64encode(build_pdf(TWO_COL)).decode()
+    r = pyparse.parse_payload(good)
+    assert r.kind == "pdf" and r.parse_ok and not r.parse_warn
+    assert r.extracted == TWO_COL_TEXT
+    assert [r.extracted[s:e] for s, e in r.spans] == \
+        TWO_COL_TEXT.splitlines()
+    # corrupt base64 and corrupt PDF are rows, not crashes
+    bad64 = pyparse.parse_payload(PDF_HEAD + "!!notbase64!!")
+    assert bad64.kind == "pdf" and not bad64.parse_ok
+    badpdf = pyparse.parse_payload(
+        PDF_HEAD + base64.b64encode(b"%FDP nope").decode())
+    assert badpdf.kind == "pdf" and not badpdf.parse_ok
+    # warn path: stripped xref recovered by the scan fallback
+    warned = pyparse.parse_payload(
+        PDF_HEAD
+        + base64.b64encode(build_pdf(TWO_COL, strip_xref=True)).decode())
+    assert warned.parse_ok and warned.parse_warn
+    assert warned.extracted == TWO_COL_TEXT
+
+
+def test_synth_payload_matches_slice_arithmetic():
+    text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " \
+           "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    for d in range(1, 120):
+        r = pyparse.parse_payload(synth_pdf_payload(d, text))
+        if d % 11 == 0:
+            assert (r.kind, r.parse_ok, r.extracted) == ("pdf", False, "")
+            continue
+        exp = (
+            ("B1:" + text[0:40]).strip() + "\n"
+            + ("B2:" + text[40:60] + " " + text[60:80]).strip() + "\n"
+            + ("B3:" + text[80:120]).strip() + "\n"
+            + "P2:" + str(d % 97) + "\n"
+        )
+        assert r.extracted == exp, d
+        assert (r.blocks_kept, r.blocks_dropped) == (4, 1)
+        assert r.parse_warn == (d % 13 == 0)
+
+
+def test_flate_stream_really_flate():
+    raw = build_pdf(TWO_COL, flate=True)
+    m = re.search(rb"/Filter /FlateDecode >>\nstream\n", raw)
+    assert m is not None
+    tail = raw[m.end():]
+    end = tail.find(b"\nendstream")
+    assert b"BT" in zlib.decompress(tail[:end])
+
+
+def test_pdfdoc_page_count_parity_with_reference_shape():
+    # reference reads pdfDoc.page_count (doc_analysis.py:197); n_pages is
+    # the analog and must count ALL pages, kept blocks or not
+    blank = [[(72.0, 700.0, ["   "])], [(72.0, 700.0, ["real"])]]
+    r = extract_pdf(build_pdf(blank))
+    assert r.n_pages == 2
+    assert r.extracted == "real\n"
+    assert (r.blocks_kept, r.blocks_dropped) == (1, 1)
+    assert PdfDoc(build_pdf(blank)).trailer["Root"].num == 1
