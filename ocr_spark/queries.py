@@ -767,6 +767,94 @@ from inner_doc
 """
 
 
+def q_parse_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-PDF extraction end to end (new r4 s7): the synth stage builds
+    an ACTUAL PDF per document — xref table, page tree, content streams —
+    with a feature matrix rotating on doc_id (Flate %2, hex strings %3,
+    TJ arrays %5, Tm positioning %7, multi-stream /Contents %9, the '
+    operator %17), a corrupt class (%11 → errors-as-data row) and a
+    stripped-xref class (%13 → object-scan fallback, parse_warn). The
+    production Arrow parse stage must reconstruct two pages in
+    column-major reading order through the from-scratch codec
+    (operators/pdfcodec.py; the reference's PyMuPDF leg,
+    /root/reference/app/services/doc_analysis.py:196-201).
+
+    Oracle: the block texts are FIXED SLICES of the row's text, so the
+    DuckDB twin recomputes the whole extraction — including the span
+    offsets into the extracted channel — as pure string arithmetic; it
+    never parses PDF, so a decode bug anywhere (lexer, xref, Flate,
+    TJ/hex/Tm, reading order, span math) hash-mismatches."""
+    from ocr_spark.operators import parse as parse_op
+    from ocr_spark.operators.pdfcodec import synth_pdf_payload
+
+    docs = _docs(spark, sf_dir)
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["p"] = [
+                synth_pdf_payload(int(d), t or "")
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield out
+
+    src = docs.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, p string"
+    )
+    out = parse_op.with_parsed(src, text_col="p")
+    return out.select(
+        "doc_id", "kind",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        F.col("parse_warn").cast("int").alias("parse_warn"),
+        F.col("blocks_kept").cast("int").alias("blocks_kept"),
+        F.col("blocks_dropped").cast("int").alias("blocks_dropped"),
+        "extracted",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "block_spans",
+                lambda p: F.concat_ws(":", p[0].cast("string"),
+                                      p[1].cast("string")),
+            ),
+        ).alias("spans_str"),
+    )
+
+
+def _sql_parse_pdf() -> str:
+    # the construction's four kept bodies, replayed as slice arithmetic;
+    # span offsets follow from the body lengths (each body + "\n")
+    return """
+with bodies as (
+  select doc_id,
+    trim('B1:' || substr(text, 1, 40)) as b1,
+    trim('B2:' || substr(text, 41, 20) || ' ' || substr(text, 61, 20)) as b2,
+    trim('B3:' || substr(text, 81, 40)) as b3,
+    'P2:' || cast(doc_id % 97 as varchar) as b4
+  from documents
+)
+select doc_id,
+  'pdf' as kind,
+  cast(case when doc_id % 11 = 0 then 0 else 1 end as int) as parse_ok,
+  cast(case when doc_id % 11 <> 0 and doc_id % 13 = 0 then 1 else 0 end
+       as int) as parse_warn,
+  cast(case when doc_id % 11 = 0 then 0 else 4 end as int) as blocks_kept,
+  cast(case when doc_id % 11 = 0 then 0 else 1 end as int)
+    as blocks_dropped,
+  case when doc_id % 11 = 0 then ''
+       else b1 || chr(10) || b2 || chr(10) || b3 || chr(10) || b4 || chr(10)
+  end as extracted,
+  case when doc_id % 11 = 0 then ''
+       else '0:' || length(b1)
+         || ',' || (length(b1) + 1) || ':' || (length(b1) + 1 + length(b2))
+         || ',' || (length(b1) + length(b2) + 2) || ':'
+                || (length(b1) + length(b2) + 2 + length(b3))
+         || ',' || (length(b1) + length(b2) + length(b3) + 3) || ':'
+                || (length(b1) + length(b2) + length(b3) + 3 + length(b4))
+  end as spans_str
+from bodies
+"""
+
+
 # --------------------------------------------------------------------------
 # Link graph: anchor extraction from the DOM pass + integer PageRank.
 # The payload construction is the shared ground truth: Spark EXTRACTS
@@ -6548,12 +6636,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows no longer describe the shipped code: html_blocks/parse_spans
     # are new; parse_extract's oracle is new (was rows-only) and its
     # all-kinds twin subsumes the per-kind tool/pdfish fragments (those
-    # two entries sit in the tail with that justification); parse_kind
-    # re-verifies the classification leg
+    # two entries sit in the tail with that justification, and
+    # parse_kind joined them in r4 s7 — parse_extract emits the same
+    # doc_id/kind/parse_ok/parse_warn columns per row, a strict
+    # superset); parse_pdf (r4 s7) drives the brand-new real-PDF codec
+    # end to end and so takes the freed slot
     "html_blocks": q_html_blocks,
     "parse_spans": q_parse_spans,
     "parse_extract": q_parse_extract,
-    "parse_kind": q_parse_kind,
+    "parse_pdf": q_parse_pdf,
     "html_tables": q_html_tables,
     "html_markdown": q_html_markdown,
     "conv_curate": q_conv_curate,
@@ -6602,6 +6693,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # only new code, and it is pytest-pinned to pyparse plus verified
     # green locally via scripts/check_entry.py this session
     "parse_zlib": q_parse_zlib,
+    # parse_kind: green r2 (hash-match) — rotated out r4 s7 to window the
+    # brand-new parse_pdf codec row. Its output (doc_id, kind, parse_ok,
+    # parse_warn over the 8-family construction) is a STRICT SUBSET of
+    # the windowed parse_extract row's columns over the SAME construction
+    # and the SAME _parsed_docs call, so the driver re-verifies the
+    # classification leg per-row through parse_extract every round this
+    # stays windowed. q_parse_kind/SQL_PARSE_KIND untouched since their
+    # introduction; the r4 s7 pyparse touch on its chain (8c30f55) adds
+    # only a new PDF-B64 head branch in detect_kind/parse_payload — no
+    # construction payload carries that head, so every existing kind's
+    # behavior is bit-identical (the live green below is the proof);
+    # re-verified green via scripts/check_entry.py this session (r4 s7,
+    # after the pdf branch landed)
+    "parse_kind": q_parse_kind,
     # pack_bins / pack_bins_ranged: green r3 (hash-match); their one r4
     # touch (4cdd117) replaced the inline `ceil(length/4)` estimate with
     # functions/bpe.token_budget(text, "chars4"), which RETURNS the
@@ -6879,6 +6984,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only parse gap: extraction, block verdicts, and raw-payload
         # spans are all value-hash verified now
         "parse_extract": _sql_parse_extract(),
+        "parse_pdf": _sql_parse_pdf(),
         "html_blocks": _sql_html_blocks(),
         "parse_spans": _sql_parse_spans(),
         # link graph: oracles derive rows from the payload-construction
