@@ -5,13 +5,15 @@ PyMuPDF (``fitz.open`` + ``page.get_text_words``,
 /root/reference/app/services/doc_analysis.py:196-201); the sandbox has no
 PDF library, so this module rebuilds the text-extraction leg natively,
 the same way jpegcodec.py rebuilds T.81: a COS tokenizer (literal/hex
-strings, names, numbers, dicts, arrays, indirect refs), classic
-cross-reference tables with ``/Prev`` incremental-update chains (plus a
-raw ``N G obj`` scan fallback for truncated tails — recovered files set
-``warn``, the reference's force-rotate-retry spirit), ``/FlateDecode``
-stream inflate via stdlib zlib, the page-tree walk, and a content-stream
-interpreter for the text-positioning/showing operators
-(``BT ET Tf TL Td TD Tm T* Tj TJ ' "``).
+strings, names, numbers, dicts, arrays, indirect refs), BOTH
+cross-reference forms — classic tables and PDF-1.5 xref STREAMS
+(``/W``-packed binary entries, PNG-predictor unfiltering, ``/XRefStm``
+hybrids) — with ``/Prev`` incremental-update chains, PDF-1.5 object
+streams (``/ObjStm``), a raw ``N G obj`` scan fallback for truncated
+tails (recovered files set ``warn``, the reference's force-rotate-retry
+spirit), ``/FlateDecode`` stream inflate via stdlib zlib, the page-tree
+walk, and a content-stream interpreter for the text-positioning/showing
+operators (``BT ET Tf TL Td TD Tm T* Tj TJ ' "``).
 
 Layout reconstruction mirrors :func:`ocr_spark.pyparse.parse_pdfish`
 (the north star's "column/reading-order reconstruction"): text runs are
@@ -24,8 +26,10 @@ down, ascending y — the one deliberate sign flip).
 
 Simplifications (documented, not silent): text matrices are consumed as
 translations (``Tm`` contributes its e/f origin; rotated/sheared text is
-out of scope for transcript payloads), TJ kerning numbers do not insert
-spaces, and strings decode as Latin-1 (PDFDocEncoding's printable range).
+out of scope for transcript payloads), TJ kerning inserts a word space
+only at or below ``TJ_SPACE_KERN`` (true kerns pass through), and
+strings decode as Latin-1 (PDFDocEncoding's printable range; custom
+font /Differences encodings are not remapped).
 Everything malformed raises ``ValueError`` so the Arrow parse stage can
 turn it into errors-as-data (C3), never a task crash.
 """
@@ -245,6 +249,7 @@ class PdfDoc:
         self.xref: dict[int, int] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm: dict[int, tuple[bytes, list, int]] = {}
         self._resolving: set[int] = set()
         try:
             self._load_xref()
@@ -257,6 +262,8 @@ class PdfDoc:
             raise ValueError("no document catalog")
 
     # -- xref -------------------------------------------------------------
+    # entries are ("o", byte_offset) for regular objects and
+    # ("s", container_num, index) for objects inside an /ObjStm
     def _load_xref(self) -> None:
         tail = self.data[-2048:]
         hits = list(_STARTXREF_RE.finditer(tail))
@@ -266,16 +273,69 @@ class PdfDoc:
         seen: set[int] = set()
         while pos is not None and pos not in seen and 0 <= pos < len(self.data):
             seen.add(pos)
-            trailer = self._read_xref_table(pos)
+            trailer = self._read_xref_section(pos)
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)  # newest section wins
             prev = trailer.get("Prev")
             pos = prev if isinstance(prev, int) else None
 
+    def _read_xref_section(self, pos: int) -> dict:
+        lx = _Lex(self.data, pos)
+        if lx.token() == ("kw", b"xref"):
+            trailer = self._read_xref_table(pos)
+            # hybrid-reference file: the classic trailer points at a
+            # parallel xref stream carrying the ObjStm-resident entries
+            xs = trailer.get("XRefStm")
+            if isinstance(xs, int):
+                try:
+                    self._read_xref_stream_at(xs)
+                except ValueError:
+                    self.warn = True
+            return trailer
+        return self._read_xref_stream_at(pos)
+
+    def _read_xref_stream_at(self, pos: int) -> dict:
+        """PDF-1.5 cross-reference STREAM: /W-packed binary entries."""
+        lx = _Lex(self.data, pos)
+        t1 = lx.token()
+        if t1 is None or t1[0] != "num":
+            raise ValueError("not an xref stream")
+        st = self._parse_obj_at(pos, t1[1])
+        if not isinstance(st, Stream) or st.sdict.get("Type") != "XRef":
+            raise ValueError("not an xref stream")
+        data = self.decoded(st)
+        w = [int(self.obj(x)) for x in self.obj(st.sdict.get("W")) or []]
+        if len(w) != 3 or any(x < 0 or x > 8 for x in w):
+            raise ValueError("bad /W in xref stream")
+        size = self.obj(st.sdict.get("Size"))
+        index = self.obj(st.sdict.get("Index")) or [0, size]
+        if not isinstance(index, list) or len(index) % 2:
+            raise ValueError("bad /Index in xref stream")
+        rw = sum(w)
+        p = 0
+        for k in range(0, len(index), 2):
+            start, count = int(self.obj(index[k])), int(self.obj(index[k + 1]))
+            for i in range(count):
+                if p + rw > len(data):
+                    raise ValueError("truncated xref stream")
+                f = []
+                for wi in w:
+                    f.append(int.from_bytes(data[p:p + wi], "big") if wi
+                             else None)
+                    p += wi
+                etype = 1 if f[0] is None else f[0]
+                objnum = start + i
+                if etype == 1:
+                    self.xref.setdefault(objnum, ("o", f[1] or 0))
+                elif etype == 2:
+                    self.xref.setdefault(objnum, ("s", f[1] or 0, f[2] or 0))
+                # type 0 (free) and unknown types: skip
+        return dict(st.sdict)
+
     def _read_xref_table(self, pos: int) -> dict:
         lx = _Lex(self.data, pos)
         if lx.token() != ("kw", b"xref"):
-            raise ValueError("xref keyword missing (xref streams unsupported)")
+            raise ValueError("xref keyword missing")
         while True:
             t = lx.token()
             if t == ("kw", b"trailer"):
@@ -294,7 +354,7 @@ class PdfDoc:
                     raise ValueError("malformed xref entry")
                 if kind_t[1] == b"n":
                     # newest-first traversal: earlier (newer) wins
-                    self.xref.setdefault(start + i, off_t[1])
+                    self.xref.setdefault(start + i, ("o", off_t[1]))
         trailer = _value(lx)
         if not isinstance(trailer, dict):
             raise ValueError("malformed trailer")
@@ -303,12 +363,26 @@ class PdfDoc:
     def _scan_fallback(self) -> None:
         """No usable xref: index every ``N G obj`` header directly.  Later
         occurrences overwrite earlier ones — incremental updates append,
-        so last-in-file is newest (the same winner the /Prev chain picks)."""
+        so last-in-file is newest (the same winner the /Prev chain picks).
+        Object streams found by the scan are expanded so PDF-1.5 files
+        with a destroyed tail still recover their ObjStm-resident
+        objects (catalog and page nodes usually live there)."""
         self.xref.clear()
         for m in _OBJ_RE.finditer(self.data):
-            self.xref[int(m.group(1))] = m.start()
+            self.xref[int(m.group(1))] = ("o", m.start())
         if not self.xref:
             raise ValueError("no objects found")
+        for num in sorted(self.xref):
+            try:
+                o = self.obj(Ref(num, 0))
+            except ValueError:
+                continue
+            if isinstance(o, Stream) and o.sdict.get("Type") == "ObjStm":
+                try:
+                    for idx, inner in enumerate(self._objstm_pairs(num)):
+                        self.xref.setdefault(inner, ("s", num, idx))
+                except ValueError:
+                    continue
         # a trailer dict may still exist even when startxref is gone
         t = self.data.rfind(b"trailer")
         if t >= 0:
@@ -341,16 +415,57 @@ class PdfDoc:
             return self._cache[num]
         if num in self._resolving:
             raise ValueError(f"object cycle at {num}")
-        off = self.xref.get(num)
-        if off is None:
+        ent = self.xref.get(num)
+        if ent is None:
             raise ValueError(f"missing object {num}")
         self._resolving.add(num)
         try:
-            val = self._parse_obj_at(off, num)
+            if ent[0] == "o":
+                val = self._parse_obj_at(ent[1], num)
+            else:
+                val = self._objstm_value(ent[1], ent[2], num)
         finally:
             self._resolving.discard(num)
         self._cache[num] = val
         return val
+
+    def _objstm_load(self, container: int) -> tuple[bytes, list, int]:
+        """Decoded bytes + (objnum, offset) header pairs of an /ObjStm."""
+        cached = self._objstm.get(container)
+        if cached is not None:
+            return cached
+        st = self.obj(Ref(container, 0))
+        if not isinstance(st, Stream) or st.sdict.get("Type") != "ObjStm":
+            raise ValueError(f"object {container} is not an ObjStm")
+        data = self.decoded(st)
+        n = int(self.obj(st.sdict.get("N")) or 0)
+        first = int(self.obj(st.sdict.get("First")) or 0)
+        lx = _Lex(data, 0)
+        pairs = []
+        for _ in range(n):
+            a, b = lx.token(), lx.token()
+            if (a is None or a[0] != "num" or b is None or b[0] != "num"):
+                raise ValueError("malformed ObjStm header")
+            pairs.append((a[1], b[1]))
+        out = (data, pairs, first)
+        self._objstm[container] = out
+        return out
+
+    def _objstm_pairs(self, container: int) -> list[int]:
+        return [num for num, _off in self._objstm_load(container)[1]]
+
+    def _objstm_value(self, container: int, idx: int, num: int):
+        data, pairs, first = self._objstm_load(container)
+        if not 0 <= idx < len(pairs):
+            raise ValueError(f"ObjStm index {idx} out of range")
+        onum, off = pairs[idx]
+        if onum != num:
+            # tolerate producers whose /Index slots drifted: find by number
+            hit = [o for o in pairs if o[0] == num]
+            if not hit:
+                raise ValueError(f"object {num} not in ObjStm {container}")
+            off = hit[0][1]
+        return _value(_Lex(data, first + off))
 
     def _parse_obj_at(self, off: int, num: int):
         lx = _Lex(self.data, off)
@@ -391,16 +506,28 @@ class PdfDoc:
         filt = self.obj(st.sdict.get("Filter"))
         if filt is None:
             return st.raw
-        if self.obj(st.sdict.get("DecodeParms")) is not None:
-            raise ValueError("DecodeParms predictors unsupported")
+        filters = filt if isinstance(filt, list) else [filt]
+        parms = self.obj(st.sdict.get("DecodeParms"))
+        parms = parms if isinstance(parms, list) else [parms] * len(filters)
         data = st.raw
-        for f in filt if isinstance(filt, list) else [filt]:
-            f = self.obj(f)
+        for f, pm in zip(filters, parms):
+            f, pm = self.obj(f), self.obj(pm)
             if f == "FlateDecode":
                 try:
                     data = zlib.decompress(data)
                 except zlib.error as exc:
                     raise ValueError(f"bad Flate stream: {exc}") from exc
+                if isinstance(pm, dict):
+                    pred = int(self.obj(pm.get("Predictor")) or 1)
+                    if pred >= 10:  # PNG row predictors (xref streams)
+                        data = _png_unpredict(
+                            data,
+                            int(self.obj(pm.get("Columns")) or 1),
+                            int(self.obj(pm.get("Colors")) or 1),
+                            int(self.obj(pm.get("BitsPerComponent")) or 8),
+                        )
+                    elif pred != 1:
+                        raise ValueError(f"unsupported predictor {pred}")
             else:
                 raise ValueError(f"unsupported stream filter /{f}")
         return data
@@ -451,6 +578,49 @@ class PdfDoc:
             out.append(self.decoded(s))
         # streams in a /Contents array concatenate with a separator
         return b"\n".join(out)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Reverse PNG row filters (RFC 2083 §6) — every row carries a filter
+    tag byte: 0 none, 1 sub, 2 up, 3 average, 4 paeth."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
+        raise ValueError("bad predictor columns")
+    out = bytearray()
+    prev = bytes(rowlen)
+    i, n = 0, len(data)
+    while i < n:
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        if len(row) < rowlen:
+            raise ValueError("truncated predictor row")
+        i += 1 + rowlen
+        if ft == 1:
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad predictor filter {ft}")
+        prev = bytes(row)
+        out += row
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
@@ -516,7 +686,16 @@ def text_runs(content: bytes) -> list[tuple[float, float, str]]:
                 arr = stack[-1]
                 if not isinstance(arr, list):
                     raise IndexError
-                runs.append((tx, ty, "".join(_shown(e) for e in arr)))
+                parts: list[str] = []
+                for e in arr:
+                    if isinstance(e, bytes):
+                        parts.append(e.decode("latin-1"))
+                    elif isinstance(e, (int, float)) and e <= TJ_SPACE_KERN:
+                        # a gap this wide is a word break, not a kern
+                        # (TeX emits interword space as ~-250/1000 em)
+                        if parts and not parts[-1].endswith(" "):
+                            parts.append(" ")
+                runs.append((tx, ty, "".join(parts)))
             # ET, Tf, Tc, Tw, Tz, Ts, Tr, q, Q, cm, ...: no text effect here
         except (IndexError, TypeError):
             raise ValueError(f"missing operands for {op!r}") from None
@@ -530,6 +709,14 @@ def text_runs(content: bytes) -> list[tuple[float, float, str]]:
 
 #: baseline gap beyond which two lines belong to different blocks
 BLOCK_GAP = 24.0
+
+#: TJ kern (thousandths of an em, negative = rightward gap) at or below
+#: which the gap reads as a WORD BREAK: TeX-family producers emit
+#: interword space as ~-250 kerns (measured: the host conformance PDFs
+#: are exactly -250 with true kerns all > -150); real kerning stays in
+#: (-150, 0). The builder's TJ split uses -120 — deliberately below the
+#: threshold so fixture texts concatenate exactly.
+TJ_SPACE_KERN = -180.0
 
 
 def _blocks_of(runs: list[tuple[float, float, str]]) -> list[str]:

@@ -246,3 +246,128 @@ def test_pdfdoc_page_count_parity_with_reference_shape():
     assert r.extracted == "real\n"
     assert (r.blocks_kept, r.blocks_dropped) == (1, 1)
     assert PdfDoc(build_pdf(blank)).trailer["Root"].num == 1
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5: xref streams, object streams, PNG predictors
+# ---------------------------------------------------------------------------
+
+
+def _build_pdf15(text: str, predictor: bool = False) -> bytes:
+    """Hand-built modern PDF: catalog/pages/page live in an /ObjStm,
+    the cross-reference is a /Type /XRef STREAM (optionally PNG
+    up-predicted) — the layout pdfTeX and most post-2005 producers emit."""
+    content = b"BT /F1 12 Tf 72 700 Td (" + text.encode() + b") Tj ET"
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 3 0 R >>"),
+    ]
+    hdr, body, off = [], [], 0
+    for num, b in inner:
+        hdr.append(b"%d %d" % (num, off))
+        body.append(b)
+        off += len(b) + 1
+    stm = b" ".join(hdr) + b"\n" + b"\n".join(body) + b"\n"
+    first = len(b" ".join(hdr)) + 1
+    objstm = zlib.compress(stm)
+
+    out = bytearray(b"%PDF-1.5\n%\xd0\xd4\xc5\xd8\n")
+    offsets = {}
+
+    def emit(num: int, payload: bytes):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + payload + b"\nendobj\n")
+
+    emit(3, b"<< /Length %d >>\nstream\n" % len(content) + content
+         + b"\nendstream")
+    emit(5, b"<< /Type /ObjStm /N 3 /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n" % (first, len(objstm))
+         + objstm + b"\nendstream")
+    # xref stream entries, W=[1 4 2]: obj0 free, 1/2/4 in ObjStm 5,
+    # 3/5/6 regular
+    xref_off_pos = len(out)  # offset of object 6 itself
+    rows = [
+        (0, 0, 65535),
+        (2, 5, 0), (2, 5, 1),
+        (1, offsets[3], 0),
+        (2, 5, 2),
+        (1, offsets[5], 0),
+        (1, xref_off_pos, 0),
+    ]
+    packed = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    parms = b""
+    if predictor:
+        rowlen = 7
+        prev = bytes(rowlen)
+        filtered = bytearray()
+        for i in range(0, len(packed), rowlen):
+            row = packed[i:i + rowlen]
+            filtered.append(2)  # PNG "up"
+            filtered.extend((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+            prev = row
+        packed = bytes(filtered)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    xstm = zlib.compress(packed)
+    emit(6, b"<< /Type /XRef /Size 7 /W [1 4 2] /Index [0 7] /Root 1 0 R "
+            b"/Filter /FlateDecode%s /Length %d >>\nstream\n"
+         % (parms, len(xstm)) + xstm + b"\nendstream")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_off_pos)
+    return bytes(out)
+
+
+def test_pdf15_xref_stream_and_objstm():
+    for predictor in (False, True):
+        r = extract_pdf(_build_pdf15("modern xref path", predictor=predictor))
+        assert r.extracted == "modern xref path\n", predictor
+        assert r.n_pages == 1 and not r.warn
+
+
+def test_pdf15_destroyed_tail_recovers_objstm_objects_via_scan():
+    raw = _build_pdf15("objstm scan recovery")
+    cut = raw[:raw.rfind(b"startxref")]
+    r = extract_pdf(cut)
+    assert r.extracted == "objstm scan recovery\n"
+    assert r.warn
+
+
+def test_tj_word_space_threshold():
+    # -250 (TeX interword) inserts a space; -120 (builder split) does not
+    content = (b"BT /F1 12 Tf 72 700 Td "
+               b"[(one) -250 (two) -120 (three)] TJ ET")
+    runs = text_runs(content)
+    assert runs == [(72.0, 700.0, "one twothree")]
+
+
+HOST_PDFS = [
+    "/usr/share/doc/libtasn1-doc/libtasn1.pdf",
+    "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf",
+]
+
+
+@pytest.mark.parametrize("path", HOST_PDFS)
+def test_third_party_conformance(path):
+    """Independent conformance: real pdfTeX 1.5 files shipped with the OS
+    (xref streams + ObjStms + TJ word gaps), not produced by our builder."""
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip("host PDF absent")
+    r = extract_pdf(open(path, "rb").read())
+    assert r.n_pages > 10 and r.blocks_kept > 50
+    assert len(r.extracted) > 10_000
+    if "libtasn1" in path:
+        assert "Abstract Syntax Notation One" in r.extracted
+        assert r.n_pages == 36
+    else:
+        assert "Shared MIME-info Database" in r.extracted
+        assert r.n_pages == 17
+    # spans contract holds on real files too
+    assert all(r.extracted[s:e] == r.extracted[s:e].strip("\n")
+               for s, e in r.spans)
+    bodies = [r.extracted[s:e] for s, e in r.spans]
+    assert all(b and "\n" not in b for b in bodies)
