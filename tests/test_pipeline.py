@@ -166,3 +166,49 @@ def test_metric_ratios_projection(spark, transcripts_df, vocab):
         + row["pct_forbidden_chars"]
     )
     assert skipped >= 0
+
+
+def test_real_pdf_payloads_through_the_full_pipeline(spark, vocab):
+    """North-star leg: PDF byte-stream payloads extract through the SAME
+    distributed plan as every other kind — good files to `extracted`,
+    scan-fallback recoveries to `extracted_warn`, mangled bytes to
+    `parse_failed` — and per-turn equality vs the single-process oracle
+    holds (the oracle routes through the same pyparse dispatch)."""
+    import base64
+
+    import pandas as pd
+
+    from ocr_spark.operators.pdfcodec import build_pdf
+    from ocr_spark.pyparse import PDF_HEAD
+
+    def env(**kw):
+        blocks = [[(72.0, 700.0, ["mentiune importanta despre dosar"]),
+                   (72.0, 560.0, ["al doilea paragraf util aici"])]]
+        return PDF_HEAD + base64.b64encode(build_pdf(blocks, **kw)).decode()
+
+    payloads = [
+        env(),                          # → extracted
+        env(flate=True, use_tj=True),   # → extracted (encoding-invariant)
+        env(strip_xref=True),           # → extracted_warn (scan fallback)
+        PDF_HEAD + base64.b64encode(b"%FDP mangled").decode(),  # → failed
+    ]
+    pdf = pd.DataFrame({
+        "conv_id": ["cpdf"] * 4,
+        "turn_idx": pd.array(range(4), dtype="int32"),
+        "role": ["user", "assistant", "tool", "user"],
+        "text": payloads,
+        "tool": [None, None, "parser", None],
+        "ts": pd.to_datetime("2025-01-01") + pd.to_timedelta(range(4), "min"),
+    })
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+    out = {r["turn_idx"]: r for r in pipeline.extract(df, vocab).collect()}
+    assert [out[i]["kind"] for i in range(4)] == ["pdf"] * 4
+    assert [out[i]["status"] for i in range(4)] == [
+        "extracted", "extracted", "extracted_warn", "parse_failed"]
+    assert out[0]["clean_text"] == out[1]["clean_text"] != ""
+    exp = _expected(pdf, vocab)
+    for i in range(4):
+        e = exp[("cpdf", i)]
+        assert out[i]["clean_text"] == e.clean_text
+        assert (out[i]["blocks_kept"], out[i]["blocks_dropped"]) == (
+            e.blocks_kept, e.blocks_dropped)
