@@ -239,6 +239,10 @@ def _value(lx: _Lex, tok=None, depth: int = 0):
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
 
+#: per-stream inflate ceiling — transcript-payload PDFs are KB-to-MB;
+#: anything claiming to inflate past this is hostile or broken
+MAX_STREAM_BYTES = 64 * 1024 * 1024
+
 
 class PdfDoc:
     def __init__(self, data: bytes) -> None:
@@ -514,7 +518,13 @@ class PdfDoc:
             f, pm = self.obj(f), self.obj(pm)
             if f == "FlateDecode":
                 try:
-                    data = zlib.decompress(data)
+                    # cap the inflate: a kilobyte payload must not be able
+                    # to expand into gigabytes inside an executor (C3 —
+                    # malformed/hostile payloads are data, never an OOM)
+                    d = zlib.decompressobj()
+                    data = d.decompress(data, MAX_STREAM_BYTES)
+                    if d.unconsumed_tail:
+                        raise ValueError("stream inflates past the cap")
                 except zlib.error as exc:
                     raise ValueError(f"bad Flate stream: {exc}") from exc
                 if isinstance(pm, dict):
@@ -586,7 +596,9 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1,
     tag byte: 0 none, 1 sub, 2 up, 3 average, 4 paeth."""
     bpp = max(1, (colors * bpc + 7) // 8)
     rowlen = (columns * colors * bpc + 7) // 8
-    if rowlen <= 0:
+    if rowlen <= 0 or rowlen > len(data):
+        # a row wider than the whole stream is hostile /Columns — refuse
+        # before allocating anything proportional to it
         raise ValueError("bad predictor columns")
     out = bytearray()
     prev = bytes(rowlen)
@@ -767,7 +779,19 @@ def extract_pdf(data: bytes) -> PdfText:
     """Parse real PDF bytes → reading-ordered main-content text.
 
     Raises ``ValueError`` on anything unparseable; recoverable damage
-    (missing/garbled xref, wrong /Length) extracts with ``warn=True``."""
+    (missing/garbled xref, wrong /Length) extracts with ``warn=True``.
+    Like decode_jpeg (jpegcodec.py): structurally-impossible shapes a
+    fuzzer can reach through low-level errors are converted here, so
+    callers in the Arrow stage can treat ValueError as THE malformed
+    signal — a hostile payload is data, never a task crash."""
+    try:
+        return _extract(data)
+    except (IndexError, TypeError, KeyError, RecursionError,
+            OverflowError) as e:
+        raise ValueError(f"malformed PDF structure: {e}") from None
+
+
+def _extract(data: bytes) -> PdfText:
     doc = PdfDoc(data)
     pages = doc.pages()
     page_bodies: list[list[str]] = []

@@ -371,3 +371,53 @@ def test_third_party_conformance(path):
                for s, e in r.spans)
     bodies = [r.extracted[s:e] for s, e in r.spans]
     assert all(b and "\n" not in b for b in bodies)
+
+
+def test_fuzz_mutations_never_escape_valueerror():
+    """C3 hard requirement: ANY byte-level damage yields extraction or
+    ValueError — no other exception class (which would crash a Spark
+    task), no hang. 600 seeded mutations across both container styles."""
+    import random
+
+    rng = random.Random(4242)
+    corpus = [
+        build_pdf(TWO_COL),
+        build_pdf(TWO_COL, flate=True, use_tj=True, multi_content=True),
+        _build_pdf15("fuzz target", predictor=True),
+    ]
+    for trial in range(600):
+        raw = bytearray(rng.choice(corpus))
+        for _ in range(rng.randint(1, 8)):
+            kind = rng.random()
+            if kind < 0.5:  # flip a byte
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif kind < 0.8:  # truncate
+                del raw[rng.randrange(1, len(raw)):]
+            else:  # splice a chunk from elsewhere in the file
+                a = rng.randrange(len(raw))
+                b = min(len(raw), a + rng.randint(1, 64))
+                raw[a:b] = rng.choice(corpus)[a:b][::-1]
+        try:
+            extract_pdf(bytes(raw))
+        except ValueError:
+            pass  # the one allowed escape
+
+
+def test_zip_bomb_and_hostile_predictor_refused():
+    # a stream whose /Length is honest but whose inflate explodes
+    bomb = zlib.compress(b"\x00" * (80 * 1024 * 1024), 9)
+    raw = build_pdf([[(72.0, 700.0, ["x"])]], flate=True)
+    m = re.search(rb"<< /Length (\d+) /Filter /FlateDecode >>\nstream\n(.*?)\nendstream",
+                  raw, re.S)
+    raw2 = raw[:m.start()] + b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(bomb) \
+        + bomb + b"\nendstream" + raw[m.end():]
+    with pytest.raises(ValueError):
+        extract_pdf(raw2)
+    # hostile /Columns must not allocate proportionally: the predictor
+    # refuses (ValueError inside the xref-stream read), the document
+    # recovers through the object-scan fallback — extraction succeeds
+    # WITH warn, and no rowlen-sized buffer was ever built
+    raw3 = _build_pdf15("x", predictor=True).replace(
+        b"/Columns 7", b"/Columns 99999999999")
+    r = extract_pdf(raw3)
+    assert r.warn and r.extracted == "x\n"
