@@ -1,0 +1,468 @@
+"""WARC ingestion — the canonical 100-TB web-crawl container format.
+
+A crawl corpus at scale arrives as ``.warc.gz`` files (ISO 28500): a
+concatenation of independently-gzipped members, one WARC record per
+member, so any record can be fetched by ``(offset, length)`` without
+inflating the rest of the file — that per-record framing is exactly
+what makes the format splittable at 100 TB, and this module preserves
+it end to end (every expanded record carries its member offset/length,
+and :func:`cdx_index` emits the standard CDX-style lookup table).
+
+Layers, all from scratch on stdlib ``zlib`` primitives (the same
+dependency the PDF codec's FlateDecode leg uses):
+
+  * :func:`gzip_members` — RFC 1952 member framing: magic/CM/FLG walk
+    (FEXTRA/FNAME/FCOMMENT/FHCRC all handled, reserved FLG bits
+    refused), raw-DEFLATE inflate via ``zlib.decompressobj(-15)`` with
+    the 64 MiB expansion cap (a kilobyte of hostile bytes must never
+    OOM an executor), then **verified** CRC32 + ISIZE trailers — a
+    flipped payload bit is a ``ValueError``, never silent corruption.
+  * :func:`parse_warc` — WARC/1.0/1.1 record grammar: version line,
+    CRLF header block (case-insensitive names), ``Content-Length``
+    bytes of block, CRLF CRLF separator.
+  * :func:`split_http_response` — the ``application/http`` block of a
+    response record: status line, header block, body bytes.
+  * builder twins (:func:`build_warc_gz`, :func:`build_http_response`,
+    :func:`gzip_wrap`) — the encode direction, used by tests for exact
+    round trips and by :func:`synth_warc_payload` for driver-oracle
+    construction fixtures. ``gzip_wrap`` frames with its own header +
+    ``compressobj(-15)`` + trailer so the decoder is also cross-checked
+    against stdlib ``gzip`` output (and vice versa) in tests.
+
+Spark-side, :func:`warc_expand` is a batch-bounded ``mapInPandas``
+stage: one input payload row (a whole ``.warc.gz`` file, e.g. from the
+``binaryFile`` source) fans out to one output row per WARC record.
+Errors are data (C3 rule): a truncated member, bad CRC, or malformed
+record grammar yields a single ``ok=false`` row with the error text —
+a hostile crawl file can never fail a task. Reference behavior: the
+reference ingests documents one file at a time
+(`/root/reference/app/services/document_processor.py`); WARC is the
+shape those files take when the corpus is a web crawl.
+
+Scale notes: the stage is embarrassingly parallel over files with no
+shuffle; per-file memory is bounded by the member cap times one batch.
+For whale archives, the CDX table (one row per record, tiny) is the
+index that lets downstream stages re-read single records by byte range
+instead of re-inflating whole files.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator, NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: hard cap on a single inflated gzip member (matches the PDF codec's
+#: stream cap — hostile bytes are data, never an executor OOM)
+MAX_MEMBER_BYTES = 64 * 1024 * 1024
+
+_FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
+
+
+class GzipMember(NamedTuple):
+    data: bytes  #: inflated payload
+    offset: int  #: byte offset of the member in the source stream
+    length: int  #: compressed length of the member (header..trailer)
+
+
+def gzip_members(payload: bytes, max_out: int = MAX_MEMBER_BYTES) -> list[GzipMember]:
+    """Parse a concatenation of gzip members (RFC 1952) with verified
+    trailers. Raises ``ValueError`` on any malformation: bad magic,
+    non-DEFLATE CM, reserved FLG bits, truncated optional fields,
+    FHCRC mismatch, inflate error, member past the expansion cap,
+    CRC32 or ISIZE trailer mismatch, or trailing garbage."""
+    out: list[GzipMember] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        start = pos
+        if n - pos < 10:
+            raise ValueError("truncated gzip header")
+        if payload[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError("bad gzip magic")
+        cm, flg = payload[pos + 2], payload[pos + 3]
+        if cm != 8:
+            raise ValueError(f"unsupported gzip compression method {cm}")
+        if flg & 0xE0:
+            raise ValueError("reserved gzip FLG bits set")
+        pos += 10  # magic, CM, FLG, MTIME(4), XFL, OS
+        if flg & _FEXTRA:
+            if n - pos < 2:
+                raise ValueError("truncated gzip FEXTRA length")
+            xlen = struct.unpack_from("<H", payload, pos)[0]
+            pos += 2 + xlen
+        if flg & _FNAME:
+            end = payload.find(b"\x00", pos)
+            if end < 0:
+                raise ValueError("unterminated gzip FNAME")
+            pos = end + 1
+        if flg & _FCOMMENT:
+            end = payload.find(b"\x00", pos)
+            if end < 0:
+                raise ValueError("unterminated gzip FCOMMENT")
+            pos = end + 1
+        if pos > n:
+            raise ValueError("truncated gzip optional fields")
+        if flg & _FHCRC:
+            if n - pos < 2:
+                raise ValueError("truncated gzip FHCRC")
+            want = struct.unpack_from("<H", payload, pos)[0]
+            if zlib.crc32(payload[start:pos]) & 0xFFFF != want:
+                raise ValueError("gzip header CRC16 mismatch")
+            pos += 2
+        d = zlib.decompressobj(-15)
+        try:
+            data = d.decompress(payload[pos:], max_out)
+        except zlib.error as exc:
+            raise ValueError(f"bad DEFLATE stream: {exc}") from exc
+        if d.unconsumed_tail:
+            raise ValueError("gzip member inflates past the cap")
+        if not d.eof:
+            raise ValueError("truncated DEFLATE stream")
+        if len(d.unused_data) < 8:
+            raise ValueError("truncated gzip trailer")
+        crc, isize = struct.unpack_from("<II", d.unused_data, 0)
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError("gzip CRC32 mismatch")
+        if len(data) & 0xFFFFFFFF != isize:
+            raise ValueError("gzip ISIZE mismatch")
+        pos = (n - len(d.unused_data)) + 8
+        out.append(GzipMember(data, start, pos - start))
+    return out
+
+
+def gzip_wrap(data: bytes, level: int = 6) -> bytes:
+    """One gzip member framing ``data`` — from-scratch header (MTIME=0,
+    XFL=0, OS=255/unknown: byte-deterministic for a given zlib) + raw
+    DEFLATE + CRC32/ISIZE trailer."""
+    c = zlib.compressobj(level, zlib.DEFLATED, -15)
+    body = c.compress(data) + c.flush()
+    head = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+    tail = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF)
+    return head + body + tail
+
+
+class WarcRecord(NamedTuple):
+    rec_type: str  #: WARC-Type (response, request, warcinfo, ...)
+    uri: str | None  #: WARC-Target-URI
+    date: str | None  #: WARC-Date
+    record_id: str | None  #: WARC-Record-ID
+    content_type: str | None  #: the record's Content-Type header
+    block: bytes  #: Content-Length bytes of record block
+
+
+def _parse_header_block(data: bytes) -> tuple[dict[str, str], int]:
+    """``(headers, position-after-blank-line)`` of a CRLF header block
+    starting at offset 0. Names lowercased; no continuation lines (WARC
+    forbids obs-fold in practice; a folded line is a ValueError)."""
+    headers: dict[str, str] = {}
+    pos = 0
+    while True:
+        end = data.find(b"\r\n", pos)
+        if end < 0:
+            raise ValueError("unterminated header block")
+        line = data[pos:end]
+        pos = end + 2
+        if not line:
+            return headers, pos
+        if line[:1] in (b" ", b"\t"):
+            raise ValueError("folded header line")
+        sep = line.find(b":")
+        if sep <= 0:
+            raise ValueError("malformed header line")
+        name = line[:sep].decode("ascii", "strict").strip().lower()
+        headers[name] = line[sep + 1 :].decode("utf-8", "replace").strip()
+
+
+def parse_warc(data: bytes) -> list[WarcRecord]:
+    """All records of an (uncompressed) WARC stream. Grammar: version
+    line ``WARC/1.0`` or ``WARC/1.1``, header block, ``Content-Length``
+    bytes of block, CRLF CRLF. ``ValueError`` on malformation."""
+    out: list[WarcRecord] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        end = data.find(b"\r\n", pos)
+        if end < 0:
+            raise ValueError("truncated WARC version line")
+        version = data[pos:end]
+        if version not in (b"WARC/1.0", b"WARC/1.1"):
+            raise ValueError(f"bad WARC version line {version[:20]!r}")
+        headers, hlen = _parse_header_block(data[end + 2 :])
+        body_at = end + 2 + hlen
+        if "warc-type" not in headers or "content-length" not in headers:
+            raise ValueError("missing WARC-Type/Content-Length header")
+        try:
+            clen = int(headers["content-length"])
+        except ValueError:
+            raise ValueError("non-integer Content-Length") from None
+        if clen < 0 or body_at + clen > n:
+            raise ValueError("WARC block past end of stream")
+        block = data[body_at : body_at + clen]
+        pos = body_at + clen
+        if data[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError("missing WARC record separator")
+        pos += 4
+        out.append(
+            WarcRecord(
+                headers["warc-type"],
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                headers.get("warc-record-id"),
+                headers.get("content-type"),
+                block,
+            )
+        )
+    return out
+
+
+def split_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """``(status, headers, body)`` of an ``application/http`` response
+    block. ``ValueError`` on malformation."""
+    end = block.find(b"\r\n")
+    if end < 0:
+        raise ValueError("truncated HTTP status line")
+    parts = block[:end].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError("malformed HTTP status line")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError("non-integer HTTP status") from None
+    headers, hlen = _parse_header_block(block[end + 2 :])
+    return status, headers, block[end + 2 + hlen :]
+
+
+def _mime_of(content_type: str | None) -> str | None:
+    """The bare media type of a Content-Type value (parameters such as
+    ``; charset=`` stripped, lowercased), or None."""
+    if not content_type:
+        return None
+    return content_type.split(";", 1)[0].strip().lower() or None
+
+
+# --------------------------------------------------------------------------
+# Builder twins (tests + driver-oracle construction)
+# --------------------------------------------------------------------------
+
+
+def build_http_response(
+    status: int, headers: list[tuple[str, str]], body: bytes
+) -> bytes:
+    reason = {200: "OK", 404: "Not Found"}.get(status, "X")
+    head = f"HTTP/1.1 {status} {reason}\r\n".encode("ascii")
+    for k, v in headers:
+        head += f"{k}: {v}\r\n".encode("utf-8")
+    return head + b"\r\n" + body
+
+
+def build_warc_record(
+    rec_type: str,
+    block: bytes,
+    uri: str | None = None,
+    date: str = "2026-01-01T00:00:00Z",
+    record_id: str | None = None,
+    content_type: str | None = None,
+) -> bytes:
+    lines = [b"WARC/1.0", f"WARC-Type: {rec_type}".encode("ascii")]
+    if uri is not None:
+        lines.append(f"WARC-Target-URI: {uri}".encode("utf-8"))
+    lines.append(f"WARC-Date: {date}".encode("ascii"))
+    if record_id is not None:
+        lines.append(f"WARC-Record-ID: {record_id}".encode("ascii"))
+    if content_type is not None:
+        lines.append(f"Content-Type: {content_type}".encode("ascii"))
+    lines.append(f"Content-Length: {len(block)}".encode("ascii"))
+    return b"\r\n".join(lines) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def build_warc_gz(records: list[bytes], per_record: bool = True) -> bytes:
+    """Frame serialized records as ``.warc.gz`` bytes — one gzip member
+    per record (the seekable-crawl convention) or a single member."""
+    if per_record:
+        return b"".join(gzip_wrap(r) for r in records)
+    return gzip_wrap(b"".join(records))
+
+
+def synth_warc_payload(doc_id: int) -> bytes:
+    """Deterministic ``.warc.gz`` construction for the driver oracle —
+    every field below is replayed in pure SQL arithmetic by
+    ``queries._sql_warc_records``; keep the two in lockstep.
+
+    * ``1 + doc_id % 3`` records per archive;
+    * record 0 is a ``warcinfo`` block when ``doc_id % 5 == 0``;
+    * response: raw uri ``https://EX{doc_id%7}.org:443/p/{doc_id}/{r}#s{r}``
+      (deliberately non-canonical — uppercase host, default port,
+      fragment — so the CDX urikey leg proves ``normalize_url`` does
+      real work), status 404 iff ``(doc_id+r) % 13 == 0`` else 200,
+      Content-Type ``text/plain`` iff ``(doc_id+r) % 2`` else
+      ``text/html``, body ``resp {doc_id} {r} `` + ``ab`` ×
+      ``(doc_id+3r) % 40``;
+    * corrupt legs: ``doc_id % 11 == 0`` truncates the stream mid-
+      trailer; else ``doc_id % 17 == 0`` flips a CRC32 trailer bit —
+      the second leg exists PRECISELY to prove trailer verification
+      fires (an unverified decoder would pass it).
+    """
+    recs = []
+    for r in range(1 + doc_id % 3):
+        if r == 0 and doc_id % 5 == 0:
+            block = b"software: ocr-spark/1.0"
+            recs.append(
+                build_warc_record(
+                    "warcinfo",
+                    block,
+                    record_id=f"<urn:warcinfo:{doc_id}>",
+                    content_type="application/warc-fields",
+                )
+            )
+            continue
+        body = f"resp {doc_id} {r} " + "ab" * ((doc_id + 3 * r) % 40)
+        status = 404 if (doc_id + r) % 13 == 0 else 200
+        mime = "text/plain" if (doc_id + r) % 2 else "text/html"
+        block = build_http_response(
+            status, [("Content-Type", mime)], body.encode("utf-8")
+        )
+        recs.append(
+            build_warc_record(
+                "response",
+                block,
+                uri=f"https://EX{doc_id % 7}.org:443/p/{doc_id}/{r}#s{r}",
+                record_id=f"<urn:resp:{doc_id}-{r}>",
+                content_type="application/http; msgtype=response",
+            )
+        )
+    gz = build_warc_gz(recs)
+    if doc_id % 11 == 0:
+        return gz[:-5]  # mid-trailer truncation
+    if doc_id % 17 == 0:
+        return gz[:-6] + bytes([gz[-6] ^ 0x01]) + gz[-5:]  # CRC32 bit flip
+    return gz
+
+
+# --------------------------------------------------------------------------
+# Spark stage
+# --------------------------------------------------------------------------
+
+WARC_FIELDS = T.StructType(
+    [
+        T.StructField("rec_idx", T.IntegerType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("rec_type", T.StringType(), True),
+        T.StructField("uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("body", T.BinaryType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("length", T.LongType(), True),
+    ]
+)
+
+
+def expand_warc_payload(payload: bytes) -> list[dict]:
+    """One dict per WARC record of a ``.warc.gz`` payload (plus member
+    offset/length for CDX); a malformed payload is ONE ``ok=false``
+    row. Per-record HTTP-split failures are per-row errors-as-data —
+    one rotten record never hides its siblings."""
+    try:
+        members = gzip_members(bytes(payload or b""))
+        records: list[tuple[WarcRecord, int, int]] = []
+        for m in members:
+            for rec in parse_warc(m.data):
+                records.append((rec, m.offset, m.length))
+    except ValueError as exc:
+        return [
+            {
+                "rec_idx": None,
+                "ok": False,
+                "err": str(exc)[:200],
+                "rec_type": None,
+                "uri": None,
+                "warc_date": None,
+                "http_status": None,
+                "mime": None,
+                "body": None,
+                "offset": None,
+                "length": None,
+            }
+        ]
+    out = []
+    for i, (rec, off, ln) in enumerate(records):
+        row = {
+            "rec_idx": i,
+            "ok": True,
+            "err": None,
+            "rec_type": rec.rec_type,
+            "uri": rec.uri,
+            "warc_date": rec.date,
+            "http_status": None,
+            "mime": _mime_of(rec.content_type),
+            "body": rec.block,
+            "offset": off,
+            "length": ln,
+        }
+        if rec.rec_type == "response" and (row["mime"] or "").startswith(
+            "application/http"
+        ):
+            try:
+                status, headers, body = split_http_response(rec.block)
+                row["http_status"] = status
+                row["mime"] = _mime_of(headers.get("content-type"))
+                row["body"] = body
+            except ValueError as exc:
+                row["ok"] = False
+                row["err"] = str(exc)[:200]
+        out.append(row)
+    return out
+
+
+def warc_expand(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fan a column of ``.warc.gz`` payloads out to one row per WARC
+    record (Arrow ``mapInPandas`` — batch-bounded, shuffle-free,
+    embarrassingly parallel over files). Output: ``id_col`` + the
+    :data:`WARC_FIELDS` columns flattened."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(WARC_FIELDS.fields)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                for r in expand_warc_payload(p):
+                    rows.append({id_col: did, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def cdx_index(records: DataFrame, file_col: str = "doc_id") -> DataFrame:
+    """CDX-style lookup table over :func:`warc_expand` output: one row
+    per fetched response — canonical urikey (the link-graph
+    :func:`~ocr_spark.operators.linkgraph.normalize_url` form), status,
+    mime, body digest, and the ``(offset, length)`` member coordinates
+    that make single-record random access possible without inflating
+    the archive. Pure Catalyst projection — no shuffle; sort/partition
+    downstream by urikey if serving lookups."""
+    from ocr_spark.operators.linkgraph import normalize_url
+
+    return (
+        records.filter(F.col("ok") & (F.col("rec_type") == "response"))
+        .select(
+            F.col(file_col),
+            normalize_url(F.col("uri")).alias("urikey"),
+            F.col("http_status"),
+            F.col("mime"),
+            F.md5(F.col("body")).alias("digest"),
+            F.col("offset"),
+            F.col("length"),
+        )
+    )

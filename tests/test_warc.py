@@ -1,0 +1,268 @@
+"""WARC ingestion tests: RFC 1952 member framing (round trips BOTH ways
+against stdlib gzip, verified trailers, hostile-byte fuzz), WARC record
+grammar, HTTP splitting, the Arrow expand stage, and the CDX random-
+access property (re-slicing the archive at [offset, offset+length)
+re-inflates to the same record)."""
+
+from __future__ import annotations
+
+import gzip as stdgzip
+import random
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.warc import (
+    build_http_response,
+    build_warc_gz,
+    build_warc_record,
+    cdx_index,
+    expand_warc_payload,
+    gzip_members,
+    gzip_wrap,
+    parse_warc,
+    split_http_response,
+    synth_warc_payload,
+    warc_expand,
+)
+
+# --------------------------------------------------------------------------
+# gzip framing
+# --------------------------------------------------------------------------
+
+
+def test_gzip_round_trip_and_stdlib_cross_check():
+    data = b"the quick brown fox " * 500
+    ours = gzip_wrap(data)
+    # our decoder inverts our encoder
+    ms = gzip_members(ours)
+    assert len(ms) == 1 and ms[0].data == data
+    assert ms[0].offset == 0 and ms[0].length == len(ours)
+    # stdlib decodes our framing; we decode stdlib framing (incl. the
+    # FNAME/MTIME fields stdlib emits)
+    assert stdgzip.decompress(ours) == data
+    assert gzip_members(stdgzip.compress(data, 6))[0].data == data
+
+
+def test_gzip_optional_header_fields():
+    data = b"payload"
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = c.compress(data) + c.flush()
+    # FEXTRA + FNAME + FCOMMENT + FHCRC all at once
+    head = bytearray(b"\x1f\x8b\x08" + bytes([1 | 2 | 4 | 8 | 16]) + b"\x00" * 6)
+    head += struct.pack("<H", 4) + b"XTRA"
+    head += b"name.txt\x00" + b"a comment\x00"
+    head += struct.pack("<H", zlib.crc32(bytes(head)) & 0xFFFF)
+    tail = struct.pack("<II", zlib.crc32(data), len(data))
+    ms = gzip_members(bytes(head) + body + tail)
+    assert ms[0].data == data
+    # a wrong header CRC16 must be refused
+    bad = bytes(head[:-2]) + struct.pack("<H", (struct.unpack_from("<H", head, len(head) - 2)[0] ^ 1))
+    with pytest.raises(ValueError, match="CRC16"):
+        gzip_members(bad + body + tail)
+
+
+def test_gzip_multi_member_offsets_slice_back():
+    parts = [b"alpha" * 40, b"beta" * 99, b"gamma"]
+    blob = b"".join(gzip_wrap(p) for p in parts)
+    ms = gzip_members(blob)
+    assert [m.data for m in ms] == parts
+    for m in ms:
+        # the CDX random-access property: a member re-read by byte range
+        # is self-contained
+        again = gzip_members(blob[m.offset : m.offset + m.length])
+        assert len(again) == 1 and again[0].data == m.data
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda b: b"xx" + b[2:], "magic"),
+        (lambda b: b[:2] + b"\x07" + b[3:], "compression method"),
+        (lambda b: b[:3] + bytes([b[3] | 0x20]) + b[4:], "reserved"),
+        (lambda b: b[:-5], "trailer"),
+        (lambda b: b[:-6] + bytes([b[-6] ^ 1]) + b[-5:], "CRC32 mismatch"),
+        (lambda b: b[:-1] + bytes([b[-1] ^ 1]), "ISIZE mismatch"),
+        (lambda b: b[:12], "DEFLATE"),
+    ],
+)
+def test_gzip_malformations_raise_value_error(mutate, msg):
+    good = gzip_wrap(b"some payload bytes " * 20)
+    with pytest.raises(ValueError, match=msg):
+        gzip_members(mutate(good))
+
+
+def test_gzip_expansion_cap():
+    bomb = gzip_wrap(b"\x00" * (1 << 20))
+    with pytest.raises(ValueError, match="cap"):
+        gzip_members(bomb, max_out=1 << 16)
+
+
+def test_gzip_fuzz_value_error_only():
+    """600 random single-byte mutations: every escape is ValueError (the
+    errors-as-data funnel), never a raw struct/zlib/Index error."""
+    good = build_warc_gz(
+        [build_warc_record("response", build_http_response(200, [("Content-Type", "text/html")], b"body"))]
+    )
+    rng = random.Random(4242)
+    for _ in range(600):
+        b = bytearray(good)
+        op = rng.randrange(3)
+        if op == 0:
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            del b[rng.randrange(len(b))]
+        else:
+            b = b[: rng.randrange(len(b))]
+        try:
+            for m in gzip_members(bytes(b)):
+                parse_warc(m.data)
+        except ValueError:
+            pass  # the one permitted escape
+
+
+# --------------------------------------------------------------------------
+# WARC grammar + HTTP split
+# --------------------------------------------------------------------------
+
+
+def test_warc_record_round_trip():
+    block = build_http_response(200, [("Content-Type", "text/html; charset=utf-8")], b"<p>hi</p>")
+    raw = build_warc_record("response", block, uri="https://a.org/x", record_id="<urn:1>")
+    (rec,) = parse_warc(raw)
+    assert rec.rec_type == "response" and rec.uri == "https://a.org/x"
+    assert rec.block == block
+    status, headers, body = split_http_response(rec.block)
+    assert status == 200 and headers["content-type"].startswith("text/html")
+    assert body == b"<p>hi</p>"
+
+
+def test_warc_concatenated_records():
+    raws = [
+        build_warc_record("warcinfo", b"software: x", content_type="application/warc-fields"),
+        build_warc_record("response", b"HTTP/1.1 200 OK\r\n\r\nok", uri="https://b.org/"),
+    ]
+    recs = parse_warc(b"".join(raws))
+    assert [r.rec_type for r in recs] == ["warcinfo", "response"]
+
+
+@pytest.mark.parametrize(
+    "raw,msg",
+    [
+        (b"WARC/2.0\r\nWARC-Type: x\r\nContent-Length: 0\r\n\r\n\r\n\r\n", "version"),
+        (b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n", "WARC-Type"),
+        (b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 99\r\n\r\n\r\n\r\n", "past end"),
+        (b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: -1\r\n\r\n\r\n\r\n", "past end"),
+        (b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: z\r\n\r\n\r\n\r\n", "integer"),
+        (b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 0\r\n\r\nXY", "separator"),
+        (b"WARC/1.0\r\nWARC-Type: x\r\n badfold\r\n\r\n\r\n\r\n", "folded|malformed"),
+    ],
+)
+def test_warc_malformations(raw, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_warc(raw)
+
+
+def test_http_split_malformations():
+    with pytest.raises(ValueError, match="status line"):
+        split_http_response(b"not http at all\r\n\r\n")
+    with pytest.raises(ValueError, match="status"):
+        split_http_response(b"HTTP/1.1 abc OK\r\n\r\n")
+
+
+# --------------------------------------------------------------------------
+# expand + synth construction
+# --------------------------------------------------------------------------
+
+
+def test_expand_matches_construction_arithmetic():
+    for d in range(60):
+        rows = expand_warc_payload(synth_warc_payload(d))
+        if d % 11 == 0 or d % 17 == 0:
+            assert len(rows) == 1 and rows[0]["ok"] is False
+            continue
+        assert len(rows) == 1 + d % 3
+        for i, r in enumerate(rows):
+            assert r["ok"] and r["rec_idx"] == i
+            if r["rec_type"] == "warcinfo":
+                assert d % 5 == 0 and i == 0
+            else:
+                assert r["http_status"] == (404 if (d + i) % 13 == 0 else 200)
+                assert r["body"].decode() == f"resp {d} {i} " + "ab" * ((d + 3 * i) % 40)
+
+
+def test_expand_is_record_granular_on_http_errors():
+    """One rotten HTTP block never hides its sibling records."""
+    good = build_warc_record(
+        "response",
+        build_http_response(200, [], b"fine"),
+        uri="https://a.org/1",
+        content_type="application/http; msgtype=response",
+    )
+    rotten = build_warc_record(
+        "response", b"GARBAGE-NO-CRLF", uri="https://a.org/2",
+        content_type="application/http; msgtype=response",
+    )
+    rows = expand_warc_payload(build_warc_gz([good, rotten]))
+    assert [r["ok"] for r in rows] == [True, False]
+    assert rows[1]["err"] and rows[1]["uri"] == "https://a.org/2"
+
+
+# --------------------------------------------------------------------------
+# Spark stage + CDX
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def warc_src(spark):
+    from ocr_spark.operators.warc import synth_warc_payload as synth
+
+    rows = [(d, synth(d)) for d in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_warc_expand_stage(spark, warc_src):
+    out = warc_expand(warc_src).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        want = expand_warc_payload(synth_warc_payload(d))
+        assert len(rows) == len(want)
+        got_ok = sorted((r.rec_idx, r.ok, r.uri) for r in rows)
+        exp_ok = sorted((w["rec_idx"], w["ok"], w["uri"]) for w in want)
+        assert got_ok == exp_ok
+
+
+def test_cdx_random_access(spark, warc_src):
+    """The 100-TB story: every CDX (offset, length) coordinate re-read
+    from the raw archive bytes re-inflates to a record whose md5 digest
+    matches the index row — single-record access with no full-file
+    inflate."""
+    payloads = {r.doc_id: bytes(r.payload) for r in warc_src.collect()}
+    cdx = cdx_index(
+        warc_expand(warc_src)
+    ).collect()
+    assert cdx, "no CDX rows"
+    import hashlib
+
+    for row in cdx:
+        blob = payloads[row.doc_id]
+        member = gzip_members(blob[row.offset : row.offset + row.length])
+        assert len(member) == 1
+        recs = parse_warc(member[0].data)
+        hit = [r for r in recs if r.rec_type == "response"]
+        assert len(hit) == 1
+        _, _, body = split_http_response(hit[0].block)
+        assert hashlib.md5(body).hexdigest() == row.digest
+        assert row.urikey.startswith("https://ex") and "#" not in row.urikey
+        assert ":443" not in row.urikey
+
+
+def test_cdx_excludes_failures_and_nonresponses(spark, warc_src):
+    cdx = cdx_index(warc_expand(warc_src))
+    assert cdx.filter(F.col("urikey").isNull()).count() == 0
+    docs = {r.doc_id for r in cdx.select("doc_id").distinct().collect()}
+    assert all(d % 11 != 0 and d % 17 != 0 for d in docs)
