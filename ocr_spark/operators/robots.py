@@ -1,0 +1,227 @@
+"""robots.txt crawl-policy evaluation — fully relational, no UDFs.
+
+A web-scale corpus pipeline must be able to answer "was this fetch
+allowed?" retroactively over billions of (url, robots.txt) pairs —
+for takedown audits, for filtering polite-crawl training sets, and for
+frontier planning. Both stages here are pure Catalyst dataflow, so the
+policy evaluation runs as whole-stage-codegen'd joins/aggregations at
+any corpus size (reference analog: the reference filters documents by
+per-source config before processing,
+`/root/reference/app/services/document_processor.py`; robots rules are
+that gate's shape on a crawl).
+
+Semantics implemented (the classic REP as standardized by RFC 9309,
+minus in-pattern wildcards):
+
+  * line grammar: ``field: value`` with ``#`` comments, blank lines,
+    case-insensitive field names, surrounding whitespace;
+  * group assembly: consecutive ``User-agent`` lines head ONE group
+    that owns the following Allow/Disallow rules (a UA line after a
+    rule line starts a NEW group);
+  * group selection: if any group names the literal agent token, only
+    those groups apply; otherwise the ``*`` groups apply;
+  * rule matching: path-prefix match, optional trailing ``$`` anchor
+    (exact match); the LONGEST matching pattern wins; ``Allow`` wins
+    length ties; no matching rule → allowed (REP default);
+  * empty rule values are no-ops (spec: ``Disallow:`` = allow all);
+  * **scope cut, stated honestly**: RFC 9309 in-pattern ``*``
+    wildcards are NOT evaluated — rules containing ``*`` are emitted
+    flagged (``wildcard=true``) and excluded from decisions, so the
+    evaluation is deliberately permissive-on-wildcard rather than
+    silently wrong (the flag lets callers count the exclusions).
+
+Scale notes: parsing windows partition by host and touch only the
+lines of one robots.txt each (bounded by file size, never corpus
+size); the decision join is an equi-join on host (hint-free — AQE
+sizes it; rules-per-host is small and naturally bounded) followed by
+ONE combiner-friendly ``max(struct(...))`` aggregation per URL — no
+window over the URL corpus, no row explosion beyond candidate rules
+per host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_FIELD_RE = r"^([A-Za-z][A-Za-z-]*)\s*:\s*(.*)$"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^#]*)?"
+
+
+def robots_rules(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into the rule set that applies to
+    ``agent``: one row per applicable Allow/Disallow rule —
+    ``(host, prefix, anchored, allow, spec, wildcard)`` where ``spec``
+    is the pattern length used for longest-match resolution and
+    ``wildcard`` flags (unevaluated) RFC 9309 ``*`` patterns.
+
+    Three narrow windows, all partitioned by host (one robots.txt of
+    lines each): group-start detection (lag), group-id assignment
+    (running sum), and group-agent scoping happen entirely within a
+    single file's lines."""
+    byline = Window.partitionBy(host_col).orderBy("line_no")
+    lines = (
+        robots.select(
+            F.col(host_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+        )
+        .select(
+            host_col,
+            "line_no",
+            F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+        )
+        .filter(F.col("line") != "")
+        .select(
+            host_col,
+            "line_no",
+            F.lower(F.regexp_extract("line", _FIELD_RE, 1)).alias("field"),
+            F.trim(F.regexp_extract("line", _FIELD_RE, 2)).alias("value"),
+        )
+        .filter(F.col("field") != "")
+    )
+    is_ua = F.col("field") == "user-agent"
+    grouped = lines.withColumn(
+        "group_start",
+        (is_ua & ~F.coalesce(F.lag(is_ua).over(byline), F.lit(False))).cast("int"),
+    ).withColumn(
+        "group_id",
+        F.sum("group_start").over(byline.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agents = (
+        grouped.filter(is_ua)
+        .groupBy(host_col, "group_id")
+        .agg(
+            F.max(F.lower(F.col("value")) == agent.lower()).alias("named"),
+            F.max(F.col("value") == "*").alias("star"),
+        )
+        # if ANY group names the agent literally, * groups do not apply
+        .withColumn(
+            "host_has_named",
+            F.max("named").over(Window.partitionBy(host_col)),
+        )
+        .filter(
+            (F.col("named") & F.col("host_has_named"))
+            | (F.col("star") & ~F.col("host_has_named"))
+        )
+        .select(host_col, "group_id")
+    )
+    rules = grouped.filter(
+        F.col("field").isin("allow", "disallow") & (F.col("value") != "")
+    )
+    anchored = F.col("value").endswith("$")
+    return (
+        rules.join(agents, [host_col, "group_id"])
+        .select(
+            host_col,
+            F.when(anchored, F.expr("substring(value, 1, length(value) - 1)"))
+            .otherwise(F.col("value"))
+            .alias("prefix"),
+            anchored.alias("anchored"),
+            (F.col("field") == "allow").alias("allow"),
+            F.length("value").alias("spec"),
+            F.col("value").contains("*").alias("wildcard"),
+        )
+    )
+
+
+def synth_robots_txt(k: int) -> str:
+    """Deterministic robots.txt construction for the driver oracle
+    (``queries._sql_robots_filter`` replays the DECISIONS from host/
+    doc_id arithmetic; keep in lockstep). Host ``ex{k}.org``:
+
+    * ``k == 5`` — empty file (REP default-allow leg);
+    * ``k == 3`` — no ``databot`` group, only ``*``/Disallow-all (star
+      fallback leg);
+    * otherwise — a ``*``/Disallow-all group FIRST (proving named-group
+      selection ignores it), then a databot group (headed by TWO
+      user-agent lines when k is even — the group-merge case) with
+      ``Disallow: /p/`` / ``Allow: /p/{k}`` / ``Disallow: /p/{k}{k}``
+      (longest-match laddering on the doc_id's leading decimal digits),
+      an UPPERCASE field name, a comment, an unknown field, and an
+      empty-value no-op rule;
+    * ``k == 6`` adds the anchored ``Allow: /p/76/1$`` (doc 76 exists
+      at every test SF, sits on host 6, and is otherwise DISallowed by
+      the ``/p/`` fallback — the anchor flips exactly its rec 1);
+    * ``k == 2`` adds ``Allow: /p/*`` — the wildcard-flagged rule the
+      evaluator must EXCLUDE (its exclusion is pinned by pytest; no
+      synth path contains ``*``, so it cannot affect decisions).
+    """
+    if k == 5:
+        return ""
+    if k == 3:
+        return "User-agent: *\nDisallow: /\n"
+    ua = "User-agent: otherbot\nUser-agent: databot" if k % 2 == 0 else (
+        "User-agent: databot"
+    )
+    extra = ""
+    if k == 6:
+        extra = "Allow: /p/76/1$\n"
+    if k == 2:
+        extra = "Allow: /p/*\n"
+    return (
+        f"# crawl policy for ex{k}.org\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "\n"
+        f"{ua}\n"
+        "DISALLOW: /p/\n"
+        f"Allow: /p/{k}\n"
+        f"disallow: /p/{k}{k}\n"
+        f"{extra}"
+        "Crawl-delay: 5\n"
+        "Disallow:\n"
+    )
+
+
+def _url_host(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def _url_path(url: Column) -> Column:
+    p = F.regexp_extract(url, _PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_allowed(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Decide every URL against the rule set: input columns + ``allowed``
+    + ``rule_prefix`` (the winning pattern, NULL when no rule matched —
+    the REP default-allow). Longest pattern wins, Allow wins ties —
+    encoded as one ``max(struct(spec, allow, prefix))`` combiner
+    aggregation, so the whole decision is join + agg, no URL-corpus
+    window. Wildcard-flagged rules are excluded (module docstring)."""
+    u = urls.withColumn("_host", _url_host(F.col(url_col))).withColumn(
+        "_path", _url_path(F.col(url_col))
+    )
+    r = rules.filter(~F.col("wildcard")).select(
+        F.col("host").alias("_host"), "prefix", "anchored", "allow", "spec"
+    )
+    matched = F.when(
+        F.col("anchored"), F.col("_path") == F.col("prefix")
+    ).otherwise(F.col("_path").startswith(F.col("prefix")))
+    best = F.max(
+        F.when(
+            matched,
+            F.struct(
+                F.col("spec"), F.col("allow"), F.col("prefix").alias("prefix")
+            ),
+        )
+    ).alias("_best")
+    out_cols = [F.col(c) for c in urls.columns]
+    return (
+        u.join(r, "_host", "left")
+        .groupBy(*[F.col(c) for c in u.columns])
+        .agg(best)
+        .select(
+            *out_cols,
+            F.coalesce(F.col("_best.allow"), F.lit(True)).alias("allowed"),
+            F.col("_best.prefix").alias("rule_prefix"),
+        )
+    )

@@ -6736,6 +6736,76 @@ from recs
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy audit over the CDX table (new r4 s8): the fully
+    relational robots.txt evaluator (`operators/robots.py` — line
+    grammar with comments/case/unknown fields, consecutive-UA group
+    merge, named-beats-star group selection, longest-match with
+    allow-wins-ties, `$` anchors, REP default-allow) decides every
+    urikey the WARC→CDX chain produced. The robots bodies are a 7-host
+    construction covering an empty file, a star-only host, group-merge
+    heads, an anchored override that flips exactly one record's
+    outcome, and a decimal-digit prefix ladder (`/p/` < `/p/k` <
+    `/p/kk`) whose decisions the oracle replays from doc_id arithmetic
+    alone — the SQL twin never parses a robots line, so a grammar/
+    grouping/selection/tie-break bug anywhere hash-mismatches."""
+    from ocr_spark.operators.robots import (
+        robots_allowed,
+        robots_rules,
+        synth_robots_txt,
+    )
+    from ocr_spark.operators.warc import cdx_index, warc_expand
+
+    robots = spark.createDataFrame(
+        [(f"ex{k}.org", synth_robots_txt(k)) for k in range(7)],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots, "databot")
+    urls = cdx_index(warc_expand(_synth_warc(spark, sf_dir))).select(
+        "doc_id", F.col("urikey").alias("url")
+    )
+    return robots_allowed(urls, rules).select(
+        "doc_id", "url", "allowed", "rule_prefix"
+    )
+
+
+def _sql_robots_filter() -> str:
+    return """
+with base as (
+  select doc_id, 1 + doc_id % 3 as n,
+    doc_id % 11 = 0 or doc_id % 17 = 0 as corrupt,
+    doc_id % 5 = 0 as info0
+  from documents
+),
+urls as (
+  select b.doc_id, cast(r.r as int) as rec_idx, b.doc_id % 7 as k,
+    cast(b.doc_id as varchar) as s, cast(b.doc_id % 7 as varchar) as k1,
+    'https://ex' || cast(b.doc_id % 7 as varchar) || '.org/p/'
+      || cast(b.doc_id as varchar) || '/' || cast(r.r as varchar) as url
+  from base b join (values (0), (1), (2)) r(r) on r.r < b.n
+  where not b.corrupt and not (b.info0 and r.r = 0)
+)
+select doc_id, url,
+  case
+    when k = 5 then true
+    when k = 3 then false
+    when k = 6 and doc_id = 76 and rec_idx = 1 then true
+    when starts_with(s, k1 || k1) then false
+    when starts_with(s, k1) then true
+    else false
+  end as allowed,
+  case
+    when k = 5 then null
+    when k = 3 then '/'
+    when k = 6 and doc_id = 76 and rec_idx = 1 then '/p/76/1'
+    when starts_with(s, k1 || k1) then '/p/' || k1 || k1
+    when starts_with(s, k1) then '/p/' || k1
+    else '/p/'
+  end as rule_prefix
+from urls
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7120,6 +7190,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the driver compare
     "warc_records": q_warc_records,
     "warc_cdx": q_warc_cdx,
+    # robots_filter: ADDED r4 s8, same tail rationale as warc_* above —
+    # pure-relational robots.txt evaluation chained over the warc_cdx
+    # construction; oracle replays the crawl-policy DECISIONS from
+    # doc_id arithmetic without parsing a single robots line; verified
+    # green via scripts/check_entry.py this session + grammar/grouping/
+    # tie-break pytests (tests/test_robots.py)
+    "robots_filter": q_robots_filter,
 }
 
 
@@ -7272,4 +7349,5 @@ from corpus group by 1
         "top_terms": _sql_top_terms(),
         "warc_records": _sql_warc_records(),
         "warc_cdx": _sql_warc_cdx(),
+        "robots_filter": _sql_robots_filter(),
     }

@@ -1,0 +1,169 @@
+"""robots.txt evaluator tests: line grammar, group assembly/selection,
+longest-match + allow-wins-ties resolution, anchors, wildcard
+exclusion, and the REP default-allow — all through the relational
+operators (no reference parser exists to twin; the spec cases below
+ARE the frozen expectations)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.robots import (
+    robots_allowed,
+    robots_rules,
+    synth_robots_txt,
+)
+
+
+def _rules(spark, text, agent="databot", host="h.org"):
+    df = spark.createDataFrame([(host, text)], "host string, robots_txt string")
+    return robots_rules(df, agent)
+
+
+def _decide(spark, text, urls, agent="databot"):
+    u = spark.createDataFrame([(x,) for x in urls], "url string")
+    out = robots_allowed(u, _rules(spark, text, agent))
+    return {r.url: (r.allowed, r.rule_prefix) for r in out.collect()}
+
+
+def test_grammar_comments_case_unknown_fields(spark):
+    text = (
+        "# header comment\n"
+        "USER-AGENT: DataBot  # trailing comment\n"
+        "DISALLOW: /private/\n"
+        "crawl-delay: 5\n"
+        "Disallow:\n"  # empty value = no-op
+    )
+    rows = _rules(spark, text).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.prefix, r.allow, r.anchored, r.wildcard) == ("/private/", False, False, False)
+
+
+def test_group_merge_and_group_boundary(spark):
+    # two UA lines head ONE group; a UA line after rules starts a NEW group
+    text = (
+        "User-agent: a\n"
+        "User-agent: databot\n"
+        "Disallow: /x/\n"
+        "User-agent: b\n"
+        "Disallow: /y/\n"
+    )
+    prefixes = {r.prefix for r in _rules(spark, text).collect()}
+    assert prefixes == {"/x/"}
+
+
+def test_named_group_beats_star(spark):
+    text = "User-agent: *\nDisallow: /\nUser-agent: databot\nDisallow: /only/\n"
+    assert {r.prefix for r in _rules(spark, text).collect()} == {"/only/"}
+    # without a named group, the star group applies
+    assert {r.prefix for r in _rules(spark, text, agent="nobody").collect()} == {"/"}
+
+
+def test_longest_match_wins_and_allow_wins_ties(spark):
+    text = (
+        "User-agent: databot\n"
+        "Disallow: /a/\n"
+        "Allow: /a/b/\n"
+        "Disallow: /a/c/\n"
+        "Allow: /a/c/\n"  # exact tie with the line above: Allow wins
+    )
+    d = _decide(
+        spark,
+        text,
+        [
+            "https://h.org/a/x",
+            "https://h.org/a/b/x",
+            "https://h.org/a/c/x",
+            "https://h.org/elsewhere",
+        ],
+    )
+    assert d["https://h.org/a/x"] == (False, "/a/")
+    assert d["https://h.org/a/b/x"] == (True, "/a/b/")
+    assert d["https://h.org/a/c/x"] == (True, "/a/c/")  # allow wins the tie
+    assert d["https://h.org/elsewhere"] == (True, None)  # REP default-allow
+
+
+def test_anchor_exact_match_only(spark):
+    text = "User-agent: databot\nDisallow: /\nAllow: /page$\n"
+    d = _decide(spark, text, ["https://h.org/page", "https://h.org/page2"])
+    assert d["https://h.org/page"] == (True, "/page")
+    assert d["https://h.org/page2"] == (False, "/")
+
+
+def test_wildcard_rules_flagged_and_excluded(spark):
+    text = "User-agent: databot\nDisallow: /a*b/\nDisallow: /plain/\n"
+    rows = _rules(spark, text).collect()
+    assert {(r.prefix, r.wildcard) for r in rows} == {("/a*b/", True), ("/plain/", False)}
+    d = _decide(spark, text, ["https://h.org/a*b/x", "https://h.org/plain/x"])
+    # the wildcard rule is excluded even where it would literally match
+    assert d["https://h.org/a*b/x"] == (True, None)
+    assert d["https://h.org/plain/x"] == (False, "/plain/")
+
+
+def test_empty_robots_and_unknown_host_default_allow(spark):
+    d = _decide(spark, "", ["https://h.org/x"])
+    assert d["https://h.org/x"] == (True, None)
+    # rules exist for h.org only; other hosts are unconstrained
+    u = spark.createDataFrame([("https://other.org/x",)], "url string")
+    out = robots_allowed(u, _rules(spark, "User-agent: databot\nDisallow: /\n"))
+    assert out.collect()[0].allowed is True
+
+
+def test_host_matching_is_case_insensitive_on_url(spark):
+    text = "User-agent: databot\nDisallow: /x/\n"
+    u = spark.createDataFrame([("https://H.ORG/x/1",)], "url string")
+    out = robots_allowed(u, _rules(spark, text))
+    assert out.collect()[0].allowed is False
+
+
+def test_synth_anchor_leg_flips_doc76(spark):
+    """The driver fixture's anchored override: doc 76 (host ex6.org,
+    leading digit 7 → the /p/ fallback disallows) has exactly rec 1
+    re-allowed by `Allow: /p/76/1$`."""
+    rules = robots_rules(
+        spark.createDataFrame(
+            [(f"ex{k}.org", synth_robots_txt(k)) for k in range(7)],
+            "host string, robots_txt string",
+        ),
+        "databot",
+    )
+    urls = spark.createDataFrame(
+        [(f"https://ex6.org/p/76/{r}",) for r in range(2)], "url string"
+    )
+    d = {r.url: (r.allowed, r.rule_prefix) for r in robots_allowed(urls, rules).collect()}
+    assert d["https://ex6.org/p/76/0"] == (False, "/p/")
+    assert d["https://ex6.org/p/76/1"] == (True, "/p/76/1")
+
+
+def test_plan_has_no_url_corpus_window(spark):
+    """Scale shape: the decision is join + ONE aggregation — no Window
+    over the URL corpus (windows appear only in rule PARSING, bounded
+    per robots.txt)."""
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("h.org", "User-agent: databot\nDisallow: /x/\n")],
+            "host string, robots_txt string",
+        ),
+        "databot",
+    )
+    urls = spark.range(100).select(
+        F.concat(F.lit("https://h.org/x/"), F.col("id")).alias("url")
+    )
+    plan = robots_allowed(urls, rules)._jdf.queryExecution().optimizedPlan().toString()
+    # every Window partitions by host (a robots.txt's own lines or its
+    # groups) — none is keyed by anything from the url relation
+    import re
+
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "host#" in line, line
+            # no window references the url relation's columns (`id` from
+            # range or `url`); \b keeps group_id#/line_no# from matching
+            assert not re.search(r"\b(url|id)#", line), line
+    # and the url side reaches the join through plain Projects: exactly
+    # one Aggregate sits above it (the max(struct) decision)
+    assert plan.count("Aggregate [url#") + plan.count("Aggregate [_host#") + plan.count(
+        "Aggregate [host#"
+    ) >= 1
