@@ -1,0 +1,229 @@
+"""Sitemap (sitemaps.org protocol) parsing + crawl-frontier planning —
+fully relational, no UDFs.
+
+The third leg of the web-crawl ingest family (WARC archives in
+`operators/warc.py`, robots.txt policy in `operators/robots.py`): a
+crawl at 100 TB discovers its work from sitemap files, filters it by
+robots policy, and skips what the CDX index says was already fetched.
+Both operators here are pure Catalyst dataflow — regexp extraction,
+explode, joins — so they run as whole-stage-codegen'd stages at any
+corpus size (reference analog: the reference enumerates its input
+documents from a directory listing,
+`/root/reference/app/services/document_processor.py`; a sitemap is
+that listing's shape on the public web).
+
+Protocol scope (sitemaps.org, complete for the spec's own grammar):
+
+  * root detection: ``<urlset>`` (entry file) vs ``<sitemapindex>``
+    (index file, whose children are other sitemaps — the protocol
+    forbids indexes of indexes, so ONE join level resolves any tree);
+    namespace prefixes on element names are accepted; anything else is
+    an ``ok=false`` row (errors-as-data, C3 rule);
+  * per entry: ``<loc>`` (required — a block without one is its own
+    ``ok=false`` row, never a silent drop), ``<lastmod>``,
+    ``<changefreq>``, ``<priority>`` (spec default 0.5 applied in
+    :func:`crawl_frontier`, preserved as NULL here);
+  * XML entity decoding: exactly the five named entities the protocol
+    mandates for escaping (``&amp; &lt; &gt; &quot; &apos;``) —
+    ``&amp;`` decoded LAST so ``&amp;lt;`` correctly yields the
+    literal text ``&lt;``.
+
+Scale notes: parsing is a per-row projection (regexp + posexplode) —
+no shuffle, no window; a sitemap file bounds its own work (the spec
+caps files at 50k entries). The frontier is one hash anti-join on the
+canonical urikey against the CDX table plus the robots decision join —
+both equi-joins AQE sizes; nothing is ever keyed by raw payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ROOT_RE = r"<\s*([A-Za-z][A-Za-z0-9:_-]*)"
+_URL_BLOCK = r"(?s)<(?:\w+:)?url\b[^>]*>(.*?)</(?:\w+:)?url\s*>"
+_MAP_BLOCK = r"(?s)<(?:\w+:)?sitemap\b[^>]*>(.*?)</(?:\w+:)?sitemap\s*>"
+
+
+def _tag_text(block: Column, tag: str) -> Column:
+    pat = rf"(?s)<(?:\w+:)?{tag}\b[^>]*>(.*?)</(?:\w+:)?{tag}\s*>"
+    # trim() strips only U+0020; tag text legally wraps with newlines/tabs
+    return F.regexp_replace(
+        F.regexp_extract(block, pat, 1), r"^\s+|\s+$", ""
+    )
+
+
+def xml_unescape(col: Column) -> Column:
+    """Decode the five named XML entities (the exact set the sitemap
+    protocol requires producers to escape). ``&amp;`` last, so escaped
+    entity text survives literally."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'")):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return F.replace(col, F.lit("&amp;"), F.lit("&"))
+
+
+def sitemap_entries(
+    df: DataFrame, id_col: str = "doc_id", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Parse sitemap XML bodies into one row per entry:
+    ``(id, kind, entry_idx, ok, err, loc, lastmod, changefreq,
+    priority)`` where ``kind`` is ``url`` (urlset entry), ``sitemap``
+    (index child), or ``invalid`` (unrecognized root — one errors-as-
+    data row). ``lastmod`` stays the raw W3C-datetime string (callers
+    cast; date-only and full forms both occur in the wild);
+    ``priority`` is ``try_cast`` so a malformed number is NULL, not a
+    task failure. Pure projection + posexplode — shuffle-free."""
+    root = F.lower(F.regexp_extract(F.col(xml_col), _ROOT_RE, 1))
+    kind = (
+        F.when(root.endswith("urlset"), F.lit("url"))
+        .when(root.endswith("sitemapindex"), F.lit("sitemap"))
+        .otherwise(F.lit("invalid"))
+    )
+    blocks = F.when(
+        kind == "url", F.regexp_extract_all(F.col(xml_col), F.lit(_URL_BLOCK), F.lit(1))
+    ).otherwise(
+        F.regexp_extract_all(F.col(xml_col), F.lit(_MAP_BLOCK), F.lit(1))
+    )
+    base = df.select(
+        id_col,
+        kind.alias("kind"),
+        # an invalid root emits exactly one (errors-as-data) row
+        F.when(kind == "invalid", F.array(F.lit(""))).otherwise(blocks).alias("_blocks"),
+    )
+    loc = xml_unescape(_tag_text(F.col("_block"), "loc"))
+    ok = (F.col("kind") != "invalid") & (loc != "")
+    return (
+        base.select(
+            id_col,
+            "kind",
+            F.posexplode("_blocks").alias("entry_idx", "_block"),
+        )
+        .select(
+            id_col,
+            "kind",
+            F.col("entry_idx").cast("int").alias("entry_idx"),
+            ok.alias("ok"),
+            F.when(F.col("kind") == "invalid", F.lit("not a sitemap root"))
+            .when(loc == "", F.lit("missing loc"))
+            .alias("err"),
+            F.when(ok, loc).alias("loc"),
+            F.when(ok & (_tag_text(F.col("_block"), "lastmod") != ""),
+                   _tag_text(F.col("_block"), "lastmod")).alias("lastmod"),
+            F.when(ok & (F.col("kind") == "url"),
+                   F.when(_tag_text(F.col("_block"), "changefreq") != "",
+                          F.lower(_tag_text(F.col("_block"), "changefreq"))))
+            .alias("changefreq"),
+            F.when(ok & (F.col("kind") == "url"),
+                   _tag_text(F.col("_block"), "priority").try_cast("double"))
+            .alias("priority"),
+        )
+    )
+
+
+def crawl_frontier(
+    entries: DataFrame,
+    rules: DataFrame,
+    cdx: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frontier planning: sitemap URL entries that robots policy allows
+    and the CDX index has not already fetched —
+    ``(id, urikey, priority, lastmod)`` with the spec's 0.5 default
+    priority applied. One robots decision join + one hash anti-join on
+    the canonical urikey; both AQE-sized equi-joins, no window over the
+    URL corpus."""
+    from ocr_spark.operators.linkgraph import normalize_url
+    from ocr_spark.operators.robots import robots_allowed
+
+    urls = (
+        entries.filter((F.col("kind") == "url") & F.col("ok"))
+        .select(
+            id_col,
+            normalize_url(F.col("loc")).alias("urikey"),
+            F.coalesce(F.col("priority"), F.lit(0.5)).alias("priority"),
+            F.col("lastmod"),
+        )
+        .filter(F.col("urikey").isNotNull())
+    )
+    allowed = robots_allowed(urls, rules, url_col="urikey").filter(
+        F.col("allowed")
+    )
+    fetched = cdx.select(F.col("urikey")).distinct()
+    return allowed.join(fetched, "urikey", "left_anti").select(
+        id_col, "urikey", "priority", "lastmod"
+    )
+
+
+# --------------------------------------------------------------------------
+# Builder twin (tests + driver-oracle construction)
+# --------------------------------------------------------------------------
+
+
+def synth_sitemap_xml(doc_id: int) -> str:
+    """Deterministic sitemap construction for the driver oracle
+    (``queries._sql_sitemap_urls`` / ``_sql_crawl_frontier`` replay
+    every emitted field from doc_id arithmetic; keep in lockstep).
+    Host ``ex{doc_id % 7}.org``:
+
+    * ``doc_id % 13 == 5`` — an HTML page, not a sitemap (the
+      errors-as-data root leg);
+    * else ``doc_id % 9 == 0`` — a ``<sitemapindex>`` of two child
+      sitemaps with date-only lastmod;
+    * else — a ``<urlset>`` (xmlns attribute on the root, an XML
+      declaration, a comment, namespace-prefixed ``<x:loc>`` when
+      ``doc_id % 8 == 2``) of ``1 + doc_id % 4`` entries, entry ``r``:
+
+      - no ``<loc>`` at all when ``doc_id % 10 == 1 and r == 0``
+        (the missing-loc error row);
+      - loc ``https://ex{k}.org/p/{doc_id}/{r}``, plus the
+        entity-escaped query ``?a={r}&amp;b=2`` when
+        ``(doc_id + r) % 5 == 0`` (proves the five-entity decode) and
+        whitespace padding inside the tag when r is odd;
+      - ``<lastmod>`` present iff ``(doc_id + r) % 3 > 0``:
+        ``2026-{1 + doc_id % 12:02d}-{1 + r:02d}``;
+      - ``<changefreq>`` present iff ``r < 2``:
+        ``(daily|weekly|monthly)[(doc_id + r) % 3]``, uppercased when
+        ``r == 1`` (parser lowercases);
+      - ``<priority>`` present iff ``(doc_id + r) % 2 == 0``:
+        ``((doc_id + r) % 11) / 10``.
+    """
+    k = doc_id % 7
+    if doc_id % 13 == 5:
+        return "<!doctype html><html><body>not a sitemap</body></html>"
+    if doc_id % 9 == 0:
+        maps = "".join(
+            f"<sitemap><loc>https://ex{k}.org/sitemap_{doc_id}_{j}.xml</loc>"
+            f"<lastmod>2026-0{1 + j}-15</lastmod></sitemap>"
+            for j in range(2)
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{maps}</sitemapindex>"
+        )
+    p = "x:" if doc_id % 8 == 2 else ""
+    cf = ("daily", "weekly", "monthly")
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        "<!-- synthesized crawl fixture -->",
+        f'<{p}urlset xmlns{":x" if p else ""}='
+        '"http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for r in range(1 + doc_id % 4):
+        out.append(f"<{p}url>")
+        if not (doc_id % 10 == 1 and r == 0):
+            q = f"?a={r}&amp;b=2" if (doc_id + r) % 5 == 0 else ""
+            pad = "\n    " if r % 2 else ""
+            out.append(
+                f"<{p}loc>{pad}https://ex{k}.org/p/{doc_id}/{r}{q}{pad}</{p}loc>"
+            )
+        if (doc_id + r) % 3 > 0:
+            out.append(f"<{p}lastmod>2026-{1 + doc_id % 12:02d}-{1 + r:02d}</{p}lastmod>")
+        if r < 2:
+            v = cf[(doc_id + r) % 3]
+            out.append(f"<{p}changefreq>{v.upper() if r == 1 else v}</{p}changefreq>")
+        if (doc_id + r) % 2 == 0:
+            out.append(f"<{p}priority>{((doc_id + r) % 11) / 10:.1f}</{p}priority>")
+        out.append(f"</{p}url>")
+    out.append(f"</{p}urlset>")
+    return "\n".join(out)

@@ -6806,6 +6806,167 @@ from urls
 """
 
 
+def _synth_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + deterministic sitemap XML (the sitemap harness twin;
+    doc_id%13==5 invalid root, doc_id%9==0 sitemapindex, else urlset
+    with entity/whitespace/ns-prefix/missing-loc quirk legs)."""
+    from ocr_spark.operators.sitemap import synth_sitemap_xml
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["sitemap_xml"] = [synth_sitemap_xml(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    return docs.mapInPandas(synth, "doc_id long, sitemap_xml string")
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol parsing (new r4 s8): each document synthesizes
+    a sitemaps.org file — urlset / sitemapindex / invalid-root legs,
+    XML declaration + comment, an xmlns'd root, namespace-prefixed
+    element names every 8th doc, entity-escaped query strings
+    (`&amp;` — the five-entity decode with amp-last ordering),
+    newline-padded tag text, UPPERCASE changefreq, a missing-loc error
+    row, and absent optional fields. The fully relational parser
+    (`operators/sitemap.sitemap_entries` — regexp + posexplode, no
+    UDF, no shuffle) must reproduce every field; the oracle replays
+    kind/ok/err/loc/lastmod/changefreq/priority from doc_id arithmetic
+    without touching a byte of XML."""
+    from ocr_spark.operators.sitemap import sitemap_entries
+
+    return sitemap_entries(_synth_sitemaps(spark, sf_dir)).select(
+        "doc_id", "kind", "entry_idx", "ok", "err", "loc",
+        "lastmod", "changefreq", "priority",
+    )
+
+
+def _sql_sitemap_urls() -> str:
+    return """
+with base as (
+  select doc_id as d, doc_id % 7 as k, 1 + doc_id % 4 as n,
+    cast(doc_id as varchar) as s, cast(doc_id % 7 as varchar) as k1
+  from documents
+),
+inv as (
+  select d, 'invalid' as kind, 0 as entry_idx, false as ok,
+    'not a sitemap root' as err, cast(null as varchar) as loc,
+    cast(null as varchar) as lastmod, cast(null as varchar) as changefreq,
+    cast(null as double) as priority
+  from base where d % 13 = 5
+),
+idx as (
+  select d, 'sitemap' as kind, cast(j.j as int) as entry_idx, true as ok,
+    cast(null as varchar) as err,
+    'https://ex' || k1 || '.org/sitemap_' || s || '_'
+      || cast(j.j as varchar) || '.xml' as loc,
+    '2026-0' || cast(1 + j.j as varchar) || '-15' as lastmod,
+    cast(null as varchar) as changefreq, cast(null as double) as priority
+  from base join (values (0), (1)) j(j) on true
+  where d % 13 <> 5 and d % 9 = 0
+),
+urls as (
+  select b.d, 'url' as kind, cast(r.r as int) as entry_idx,
+    not (b.d % 10 = 1 and r.r = 0) as ok,
+    case when b.d % 10 = 1 and r.r = 0 then 'missing loc' end as err,
+    case when not (b.d % 10 = 1 and r.r = 0) then
+      'https://ex' || b.k1 || '.org/p/' || b.s || '/' || cast(r.r as varchar)
+      || case when (b.d + r.r) % 5 = 0
+              then '?a=' || cast(r.r as varchar) || '&b=2' else '' end
+    end as loc,
+    case when not (b.d % 10 = 1 and r.r = 0) and (b.d + r.r) % 3 > 0 then
+      '2026-' || lpad(cast(1 + b.d % 12 as varchar), 2, '0')
+      || '-' || lpad(cast(1 + r.r as varchar), 2, '0')
+    end as lastmod,
+    case when not (b.d % 10 = 1 and r.r = 0) and r.r < 2 then
+      case (b.d + r.r) % 3 when 0 then 'daily' when 1 then 'weekly'
+           else 'monthly' end
+    end as changefreq,
+    case when not (b.d % 10 = 1 and r.r = 0) and (b.d + r.r) % 2 = 0
+         then cast((b.d + r.r) % 11 as double) / 10 end as priority
+  from base b join (values (0), (1), (2), (3)) r(r) on r.r < b.n
+  where b.d % 13 <> 5 and b.d % 9 <> 0
+)
+select d as doc_id, * exclude (d) from inv
+union all select d as doc_id, * exclude (d) from idx
+union all select d as doc_id, * exclude (d) from urls
+"""
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier planning end to end (new r4 s8) — the whole web-crawl
+    ingest family chained: sitemap parsing (`sitemap_entries` over the
+    synth urlsets) discovers candidate URLs, the relational robots.txt
+    evaluator (`robots_rules`/`robots_allowed`, 7-host synth policy)
+    gates them, and the WARC→CDX index (`warc_expand`/`cdx_index` over
+    ACTUAL .warc.gz bytes) anti-joins away what the crawl already
+    fetched — emitting (urikey, spec-default-coalesced priority,
+    lastmod) for every allowed unfetched URL. Three operator families
+    must agree for the hash to match; the oracle replays discovery,
+    policy, and fetch-history from doc_id arithmetic alone (sitemap
+    query-string URLs are never fetched — the urikey carries the query
+    — and corrupt archives fetch nothing, so their sitemap URLs all
+    stay frontier-eligible)."""
+    from ocr_spark.operators.robots import robots_rules, synth_robots_txt
+    from ocr_spark.operators.sitemap import crawl_frontier, sitemap_entries
+    from ocr_spark.operators.warc import cdx_index, warc_expand
+
+    entries = sitemap_entries(_synth_sitemaps(spark, sf_dir))
+    rules = robots_rules(
+        spark.createDataFrame(
+            [(f"ex{k}.org", synth_robots_txt(k)) for k in range(7)],
+            "host string, robots_txt string",
+        ),
+        "databot",
+    )
+    cdx = cdx_index(warc_expand(_synth_warc(spark, sf_dir)))
+    return crawl_frontier(entries, rules, cdx).select(
+        "doc_id", "urikey", "priority", "lastmod"
+    )
+
+
+def _sql_crawl_frontier() -> str:
+    return """
+with base as (
+  select doc_id as d, doc_id % 7 as k, 1 + doc_id % 4 as n,
+    doc_id % 11 = 0 or doc_id % 17 = 0 as corrupt,
+    1 + doc_id % 3 as nf, doc_id % 5 = 0 as info0,
+    cast(doc_id as varchar) as s, cast(doc_id % 7 as varchar) as k1
+  from documents
+  where doc_id % 13 <> 5 and doc_id % 9 <> 0
+),
+urls as (
+  select b.*, cast(r.r as int) as r, (b.d + r.r) % 5 = 0 as hasq
+  from base b join (values (0), (1), (2), (3)) r(r) on r.r < b.n
+  where not (b.d % 10 = 1 and r.r = 0)
+),
+dec as (
+  select *,
+    'https://ex' || k1 || '.org/p/' || s || '/' || cast(r as varchar)
+      || case when hasq then '?a=' || cast(r as varchar) || '&b=2'
+              else '' end as urikey,
+    case when k = 5 then true
+         when k = 3 then false
+         when starts_with(s, k1 || k1) then false
+         when starts_with(s, k1) then true
+         else false end as allowed,
+    not hasq and r < nf and not corrupt and not (info0 and r = 0)
+      as fetched
+  from urls
+)
+select d as doc_id, urikey,
+  case when (d + r) % 2 = 0 then cast((d + r) % 11 as double) / 10
+       else 0.5 end as priority,
+  case when (d + r) % 3 > 0
+       then '2026-' || lpad(cast(1 + d % 12 as varchar), 2, '0')
+            || '-' || lpad(cast(1 + r as varchar), 2, '0')
+  end as lastmod
+from dec where allowed and not fetched
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7197,6 +7358,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green via scripts/check_entry.py this session + grammar/grouping/
     # tie-break pytests (tests/test_robots.py)
     "robots_filter": q_robots_filter,
+    # sitemap_urls / crawl_frontier: ADDED r4 s8, same tail rationale —
+    # relational sitemap-protocol parsing and the three-family frontier
+    # chain (sitemap × robots × warc/cdx); oracles replay discovery,
+    # policy, and fetch-history from doc_id arithmetic (never touching
+    # XML/robots/gzip bytes); verified green via scripts/check_entry.py
+    # this session + leg-roundtrip/entity/plan pytests
+    # (tests/test_sitemap.py)
+    "sitemap_urls": q_sitemap_urls,
+    "crawl_frontier": q_crawl_frontier,
 }
 
 
@@ -7350,4 +7520,6 @@ from corpus group by 1
         "warc_records": _sql_warc_records(),
         "warc_cdx": _sql_warc_cdx(),
         "robots_filter": _sql_robots_filter(),
+        "sitemap_urls": _sql_sitemap_urls(),
+        "crawl_frontier": _sql_crawl_frontier(),
     }

@@ -1,0 +1,164 @@
+"""Sitemap parser + crawl-frontier tests: root detection (urlset /
+sitemapindex / invalid), namespace prefixes, the five-entity decode,
+missing-loc errors-as-data, field extraction (lastmod raw, changefreq
+lowercased, priority try_cast), the builder-twin legs, and the frontier
+chain (robots-allowed minus CDX-fetched) — plus the plan-shape guard
+(parse is projection-only; the frontier adds no URL-corpus window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.robots import robots_rules, synth_robots_txt
+from ocr_spark.operators.sitemap import (
+    crawl_frontier,
+    sitemap_entries,
+    synth_sitemap_xml,
+)
+
+
+def _parse(spark, xml, doc_id=1):
+    df = spark.createDataFrame(
+        [(doc_id, xml)], "doc_id long, sitemap_xml string"
+    )
+    return sitemap_entries(df).collect()
+
+
+def test_urlset_fields_and_entities(spark):
+    xml = (
+        '<?xml version="1.0"?>\n<!-- c -->\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>\n  https://h.org/a?x=1&amp;y=&quot;2&quot;  </loc>"
+        "<lastmod>2026-01-02</lastmod><changefreq>DAILY</changefreq>"
+        "<priority>0.8</priority></url>\n"
+        "<url><loc>https://h.org/b</loc><priority>bogus</priority></url>\n"
+        "</urlset>"
+    )
+    rows = _parse(spark, xml)
+    assert [r.kind for r in rows] == ["url", "url"]
+    a, b = rows
+    assert a.ok and a.loc == 'https://h.org/a?x=1&y="2"'
+    assert (a.lastmod, a.changefreq, a.priority) == ("2026-01-02", "daily", 0.8)
+    assert b.ok and b.loc == "https://h.org/b"
+    assert b.lastmod is None and b.changefreq is None and b.priority is None
+
+
+def test_amp_decoded_last(spark):
+    # &amp;lt; is the literal text "&lt;", never "<"
+    xml = "<urlset><url><loc>https://h.org/?q=&amp;lt;tag</loc></url></urlset>"
+    assert _parse(spark, xml)[0].loc == "https://h.org/?q=&lt;tag"
+
+
+def test_sitemapindex_and_ns_prefix(spark):
+    xml = (
+        '<x:sitemapindex xmlns:x="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<x:sitemap><x:loc>https://h.org/s1.xml</x:loc>"
+        "<x:lastmod>2026-02-15</x:lastmod></x:sitemap>"
+        "<x:sitemap><x:loc>https://h.org/s2.xml</x:loc></x:sitemap>"
+        "</x:sitemapindex>"
+    )
+    rows = _parse(spark, xml)
+    assert [(r.kind, r.loc, r.lastmod) for r in rows] == [
+        ("sitemap", "https://h.org/s1.xml", "2026-02-15"),
+        ("sitemap", "https://h.org/s2.xml", None),
+    ]
+
+
+def test_invalid_root_and_missing_loc_are_rows(spark):
+    rows = _parse(spark, "<html><body>404</body></html>")
+    assert len(rows) == 1 and not rows[0].ok and rows[0].kind == "invalid"
+    assert rows[0].err == "not a sitemap root"
+    rows = _parse(spark, "<urlset><url><lastmod>2026-01-01</lastmod></url></urlset>")
+    assert len(rows) == 1 and not rows[0].ok and rows[0].err == "missing loc"
+    assert rows[0].loc is None
+
+
+def test_synth_legs_roundtrip(spark):
+    """Every builder leg parses back to exactly the documented fields."""
+    df = spark.createDataFrame(
+        [(d, synth_sitemap_xml(d)) for d in range(60)],
+        "doc_id long, sitemap_xml string",
+    )
+    got = {
+        (r.doc_id, r.entry_idx): r for r in sitemap_entries(df).collect()
+    }
+    for d in range(60):
+        k = d % 7
+        if d % 13 == 5:
+            r = got[(d, 0)]
+            assert r.kind == "invalid" and not r.ok
+            continue
+        if d % 9 == 0:
+            for j in range(2):
+                r = got[(d, j)]
+                assert r.kind == "sitemap" and r.ok
+                assert r.loc == f"https://ex{k}.org/sitemap_{d}_{j}.xml"
+                assert r.lastmod == f"2026-0{1 + j}-15"
+            continue
+        for i in range(1 + d % 4):
+            r = got[(d, i)]
+            assert r.kind == "url"
+            if d % 10 == 1 and i == 0:
+                assert not r.ok and r.err == "missing loc"
+                continue
+            q = f"?a={i}&b=2" if (d + i) % 5 == 0 else ""
+            assert r.ok and r.loc == f"https://ex{k}.org/p/{d}/{i}{q}"
+            assert r.lastmod == (
+                f"2026-{1 + d % 12:02d}-{1 + i:02d}" if (d + i) % 3 > 0 else None
+            )
+            assert r.changefreq == (
+                ("daily", "weekly", "monthly")[(d + i) % 3] if i < 2 else None
+            )
+            want_p = ((d + i) % 11) / 10 if (d + i) % 2 == 0 else None
+            assert r.priority == want_p
+
+
+def test_frontier_allowed_minus_fetched(spark):
+    entries = sitemap_entries(
+        spark.createDataFrame(
+            [(20, synth_sitemap_xml(20))], "doc_id long, sitemap_xml string"
+        )
+    )
+    # doc 20: host ex6.org, 1 entry (r=0), loc /p/20/0?a=0&b=2 (20%5==0)
+    rules = robots_rules(
+        spark.createDataFrame(
+            [(f"ex{k}.org", synth_robots_txt(k)) for k in range(7)],
+            "host string, robots_txt string",
+        ),
+        "databot",
+    )
+    empty_cdx = spark.createDataFrame([], "urikey string")
+    rows = crawl_frontier(entries, rules, empty_cdx).collect()
+    # path starts with /p/2 → ex6's Allow:/p/6 does NOT apply; /p/ disallows
+    assert rows == []
+    # doc 13: host ex6.org, 4 entries /p/13/0..3 — disallowed by /p/ except
+    # none start with 6 → all disallowed; doc 27 (ex6, index) no urls;
+    # doc 62: host ex6, entries r=0..2, /p/62/r → starts with 6 → allowed,
+    # /p/66 ladder not hit; fetched kills one of them via cdx
+    entries62 = sitemap_entries(
+        spark.createDataFrame(
+            [(62, synth_sitemap_xml(62))], "doc_id long, sitemap_xml string"
+        )
+    )
+    cdx = spark.createDataFrame(
+        [("https://ex6.org/p/62/1",)], "urikey string"
+    )
+    got = sorted(
+        (r.urikey, r.priority)
+        for r in crawl_frontier(entries62, rules, cdx).collect()
+    )
+    assert got == [
+        ("https://ex6.org/p/62/0", 0.7),
+        ("https://ex6.org/p/62/2", 0.9),
+    ]
+
+
+def test_parse_plan_is_projection_only(spark):
+    df = spark.createDataFrame(
+        [(1, synth_sitemap_xml(1))], "doc_id long, sitemap_xml string"
+    )
+    plan = (
+        sitemap_entries(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "Generate posexplode" in plan
