@@ -1,0 +1,252 @@
+"""Charset sniffing + transcoding — the step every web-scale text
+pipeline runs before anything else can read a byte.
+
+A crawl's payloads arrive as raw bytes in whatever encoding the origin
+server chose (or mis-declared); the corpus text model downstream is
+UTF-8 strings. This module resolves the encoding the way the WHATWG
+Encoding standard and real crawl pipelines do, then transcodes —
+errors as data (C3 rule), never a task failure:
+
+  * **BOM** wins: UTF-8 / UTF-16LE / UTF-16BE byte-order marks
+    (stripped from the output text);
+  * else the **transport declaration** (HTTP ``Content-Type``'s
+    ``charset=`` parameter);
+  * else an **ASCII prescan of the first 1024 bytes** for an HTML
+    ``<meta charset=…>`` declaration (the WHATWG prescan — legal
+    because every supported encoding is ASCII-compatible in the range
+    the regex touches);
+  * else **content detection**: strict-valid UTF-8 → UTF-8, anything
+    else → windows-1252 (the web's actual default).
+
+Label resolution follows WHATWG: ``iso-8859-1``/``latin1``/
+``us-ascii`` and friends are ALL decoded as windows-1252 (its
+superset, what browsers really do); unknown labels fall back to
+content detection rather than failing. A declared-or-detected UTF-8
+payload that fails strict validation is re-decoded as windows-1252
+(the mojibake-avoidance move: mis-declared UTF-8 on the web is almost
+always cp1252) and reported ``source='detected'`` so the
+mis-declaration is countable. Malformed UTF-16 (odd length, unpaired
+surrogate) is the one genuine error leg: reinterpreting UTF-16 bytes
+in a single-byte charset is never text, so those rows come back
+``ok=false`` with the error string.
+
+Spark-side, :func:`with_decoded_text` is an Arrow ``mapInPandas``
+stage over the payload column — batch-bounded, shuffle-free,
+embarrassingly parallel, the same shape as the WARC/PDF/media payload
+stages (per-payload byte work is this engine's one sanctioned Python
+path; everything row-relational stays in Catalyst). Reference analog:
+the reference assumes its inputs are already decoded text
+(`/root/reference/app/services/text_processing.py`); a 100-TB crawl
+has to earn that assumption here first.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8", 3),
+    (b"\xff\xfe", "utf-16le", 2),
+    (b"\xfe\xff", "utf-16be", 2),
+)
+
+#: WHATWG label → canonical decoder (subset: the encodings that occur
+#: at meaningful rates in web crawls; unknown labels → detection)
+LABELS = {
+    **{k: "utf-8" for k in ("utf-8", "utf8", "unicode-1-1-utf-8", "unicode20utf8", "x-unicode20utf8")},
+    **{
+        k: "windows-1252"
+        for k in (
+            "windows-1252", "cp1252", "x-cp1252", "iso-8859-1", "iso8859-1",
+            "iso_8859-1", "iso88591", "latin1", "latin-1", "l1", "ascii",
+            "us-ascii", "ansi_x3.4-1968", "cp819", "ibm819",
+        )
+    },
+    **{k: "utf-16le" for k in ("utf-16", "utf-16le", "utf16", "unicodefeff")},
+    "utf-16be": "utf-16be",
+}
+
+_CT_RE = re.compile(r"(?i)charset\s*=\s*\"?\s*([A-Za-z0-9._:-]+)")
+_META_RE = re.compile(rb"(?i)<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9._:-]+)")
+
+# windows-1252 with WHATWG's five unmapped C1 bytes as identity (what
+# browsers emit), so cp1252 decode of arbitrary bytes NEVER fails
+_CP1252 = "".join(
+    bytes([b]).decode("cp1252") if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) else chr(b)
+    for b in range(256)
+)
+
+
+def declared_charset(content_type: str | None) -> str | None:
+    """The raw ``charset=`` parameter of a Content-Type value (quotes
+    stripped, lowercased), or None."""
+    if not content_type:
+        return None
+    m = _CT_RE.search(content_type)
+    return m.group(1).lower() if m else None
+
+
+def sniff_charset(payload: bytes, content_type: str | None = None) -> tuple[str, str]:
+    """``(charset, source)`` for a payload: BOM > HTTP declaration >
+    meta prescan > content detection. ``source`` ∈ ``bom | http |
+    meta | detected``; unknown labels fall through to detection."""
+    for bom, name, _ in _BOMS:
+        if payload.startswith(bom):
+            return name, "bom"
+    label = declared_charset(content_type)
+    if label in LABELS:
+        return LABELS[label], "http"
+    m = _META_RE.search(payload[:1024])
+    if m:
+        meta = LABELS.get(m.group(1).decode("ascii", "replace").lower())
+        if meta:
+            return meta, "meta"
+    try:
+        payload.decode("utf-8", "strict")
+        return "utf-8", "detected"
+    except UnicodeDecodeError:
+        return "windows-1252", "detected"
+
+
+def decode_payload(payload: bytes, content_type: str | None = None) -> dict:
+    """Resolve + transcode one payload → ``{charset, source, ok, err,
+    text}``. UTF-8 that fails strict validation falls back to
+    windows-1252 with ``source='detected'`` (countable
+    mis-declarations); malformed UTF-16 is the one ``ok=false`` leg;
+    windows-1252 decodes every byte string by construction."""
+    payload = bytes(payload or b"")
+    charset, source = sniff_charset(payload, content_type)
+    body = payload
+    for bom, name, skip in _BOMS:
+        if source == "bom" and name == charset:
+            body = payload[skip:]
+            break
+    if charset == "utf-8":
+        try:
+            text = body.decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            charset, source, body = "windows-1252", "detected", payload
+    if charset in ("utf-16le", "utf-16be"):
+        try:
+            text = body.decode(charset.replace("utf-16", "utf-16-"), "strict")
+        except UnicodeDecodeError as exc:
+            return {
+                "charset": charset,
+                "source": source,
+                "ok": False,
+                "err": f"malformed {charset}: {exc.reason}"[:200],
+                "text": None,
+            }
+    if charset == "windows-1252":
+        text = _cp1252_decode(body)
+    return {"charset": charset, "source": source, "ok": True, "err": None, "text": text}
+
+
+# latin-1 decode is a C memcpy; only the 32 C1 bytes differ under cp1252
+_C1_MAP = {b: ord(_CP1252[b]) for b in range(0x80, 0xA0)}
+
+
+def _cp1252_decode(body: bytes) -> str:
+    return body.decode("latin-1").translate(_C1_MAP)
+
+
+CHARSET_FIELDS = T.StructType(
+    [
+        T.StructField("charset", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def with_decoded_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    content_type_col: str | None = None,
+) -> DataFrame:
+    """Append ``charset/source/ok/err/text`` for a column of raw byte
+    payloads (Arrow ``mapInPandas`` — batch-bounded, shuffle-free).
+    ``content_type_col`` optionally carries the HTTP declaration."""
+    import pandas as pd
+
+    in_cols = df.columns
+    out_schema = T.StructType(
+        [df.schema[c] for c in in_cols] + list(CHARSET_FIELDS.fields)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            cts = pdf[content_type_col] if content_type_col else [None] * len(pdf)
+            rows = []
+            for (_, row), ct in zip(pdf.iterrows(), cts):
+                d = decode_payload(row[payload_col], ct)
+                rows.append({**{c: row[c] for c in in_cols}, **d})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Builder twin (tests + driver-oracle construction)
+# --------------------------------------------------------------------------
+
+
+def synth_charset_payload(doc_id: int) -> tuple[bytes, str | None]:
+    """Deterministic ``(payload, content_type)`` for the driver oracle
+    (``queries._sql_charset_decode`` replays charset/source/ok/err/text
+    from doc_id arithmetic; keep in lockstep).
+
+    * ``doc_id % 9 == 4`` — no transport charset; an HTML meta prescan
+      leg: ``<meta charset="windows-1252">`` head + cp1252 curly-quote
+      bytes ``0x93 0x94``;
+    * else by ``doc_id % 8``:
+      0. plain ASCII, no declaration → detected utf-8;
+      1. multibyte UTF-8 (``café — ✓``), no declaration → detected;
+      2. UTF-8 BOM + the same text → bom/utf-8, BOM stripped;
+      3. UTF-16LE BOM — plus a trailing odd byte when ``doc_id % 7 ==
+         0`` (the malformed-UTF-16 ``ok=false`` leg);
+      4. UTF-16BE BOM;
+      5. ``charset=Windows-1252`` declared (case quirk), bytes ``0x80
+         0xe9`` (€é) → http/windows-1252;
+      6. ``charset=utf-8`` DECLARED but byte ``0xff`` appended — the
+         mis-declaration leg: strict UTF-8 fails → re-decoded as
+         windows-1252 (0xff → ÿ), ``source='detected'``;
+      7. unknown label ``charset=x-fake-enc`` on ASCII → detected
+         utf-8.
+    """
+    base = f"charset {doc_id} "
+    if doc_id % 9 == 4:
+        return (
+            b'<meta charset="windows-1252">' + base.encode("ascii") + b"\x93\x94",
+            "text/html",
+        )
+    leg = doc_id % 8
+    if leg == 0:
+        return base.encode("ascii") + b"plain", None
+    text = base + "café — ✓"
+    if leg == 1:
+        return text.encode("utf-8"), None
+    if leg == 2:
+        return b"\xef\xbb\xbf" + text.encode("utf-8"), None
+    if leg == 3:
+        p = b"\xff\xfe" + text.encode("utf-16-le")
+        if doc_id % 7 == 0:
+            p += b"A"
+        return p, None
+    if leg == 4:
+        return b"\xfe\xff" + text.encode("utf-16-be"), None
+    if leg == 5:
+        return (
+            base.encode("ascii") + b"\x80\xe9",
+            "text/html; charset=Windows-1252",
+        )
+    if leg == 6:
+        return base.encode("ascii") + b"x\xff", "text/plain; charset=utf-8"
+    return base.encode("ascii") + b"ok", "text/plain; charset=x-fake-enc"

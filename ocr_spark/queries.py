@@ -6967,6 +6967,73 @@ from dec where allowed and not fetched
 """
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset resolution + transcoding (new r4 s8): each document
+    synthesizes a raw-bytes payload exercising the full WHATWG-order
+    resolution chain (`operators/charset.with_decoded_text`) — UTF-8 /
+    UTF-16LE / UTF-16BE BOMs (stripped from output), an HTTP
+    `charset=Windows-1252` declaration with the latin1-family label
+    fold, an HTML `<meta charset>` ASCII-prescan leg, an unknown-label
+    fallback, content detection (strict-UTF-8 vs windows-1252), the
+    mis-declared-UTF-8 → cp1252 mojibake-avoidance fallback (0xff →
+    ÿ), cp1252 C1 bytes (€ “ ” é), and the one genuine error leg —
+    truncated UTF-16 comes back ok=false (errors-as-data). The oracle
+    replays charset/source/ok/err/text from doc_id arithmetic with
+    UTF-8 literals — it never sees a payload byte, so a sniffing-
+    precedence or transcoding bug anywhere hash-mismatches."""
+    from ocr_spark.operators.charset import synth_charset_payload, with_decoded_text
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            pairs = [synth_charset_payload(int(d)) for d in pdf["doc_id"]]
+            out["payload"] = [p for p, _ in pairs]
+            out["content_type"] = [c for _, c in pairs]
+            yield out
+
+    raw = docs.mapInPandas(
+        synth, "doc_id long, payload binary, content_type string"
+    )
+    return with_decoded_text(raw, "payload", content_type_col="content_type").select(
+        "doc_id", "charset", "source", "ok", "err", "text"
+    )
+
+
+def _sql_charset_decode() -> str:
+    return """
+with base as (
+  select doc_id as d, doc_id % 8 as leg,
+    'charset ' || cast(doc_id as varchar) || ' ' as b
+  from documents
+)
+select d as doc_id,
+  case when d % 9 = 4 then 'windows-1252'
+       when leg in (0, 1, 2, 7) then 'utf-8'
+       when leg = 3 then 'utf-16le'
+       when leg = 4 then 'utf-16be'
+       else 'windows-1252' end as charset,
+  case when d % 9 = 4 then 'meta'
+       when leg in (2, 3, 4) then 'bom'
+       when leg = 5 then 'http'
+       else 'detected' end as source,
+  not (d % 9 <> 4 and leg = 3 and d % 7 = 0) as ok,
+  case when d % 9 <> 4 and leg = 3 and d % 7 = 0
+       then 'malformed utf-16le: truncated data' end as err,
+  case
+    when d % 9 = 4 then '<meta charset="windows-1252">' || b || '“”'
+    when leg = 0 then b || 'plain'
+    when leg in (1, 2, 4) then b || 'café — ✓'
+    when leg = 3 then case when d % 7 <> 0 then b || 'café — ✓' end
+    when leg = 5 then b || '€é'
+    when leg = 6 then b || 'xÿ'
+    else b || 'ok'
+  end as text
+from base
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7367,6 +7434,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tests/test_sitemap.py)
     "sitemap_urls": q_sitemap_urls,
     "crawl_frontier": q_crawl_frontier,
+    # charset_decode: ADDED r4 s8, same tail rationale — WHATWG-order
+    # charset resolution (bom>http>meta>detection) + transcoding over
+    # construction payload bytes; oracle replays charset/source/ok/err/
+    # text from doc_id arithmetic with UTF-8 literals; verified green
+    # via scripts/check_entry.py this session + precedence/label-fold/
+    # error-leg pytests (tests/test_charset.py)
+    "charset_decode": q_charset_decode,
 }
 
 
@@ -7522,4 +7596,5 @@ from corpus group by 1
         "robots_filter": _sql_robots_filter(),
         "sitemap_urls": _sql_sitemap_urls(),
         "crawl_frontier": _sql_crawl_frontier(),
+        "charset_decode": _sql_charset_decode(),
     }

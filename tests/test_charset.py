@@ -1,0 +1,125 @@
+"""Charset resolution + transcoding tests: BOM > http > meta > detection
+precedence, WHATWG label folding (latin1 family → windows-1252),
+mis-declared UTF-8 fallback, malformed UTF-16 errors-as-data, cp1252
+C1 mapping (incl. WHATWG's five identity bytes), and the Spark Arrow
+stage over the builder-twin legs."""
+
+from __future__ import annotations
+
+from ocr_spark.operators.charset import (
+    decode_payload,
+    declared_charset,
+    sniff_charset,
+    synth_charset_payload,
+    with_decoded_text,
+)
+
+
+def test_precedence_bom_http_meta_detected():
+    assert sniff_charset(b"\xef\xbb\xbfhi", "text/html; charset=utf-16le") == (
+        "utf-8", "bom",
+    )
+    assert sniff_charset(b"hi", "text/plain; charset=ISO-8859-1") == (
+        "windows-1252", "http",
+    )
+    assert sniff_charset(b'<meta charset="utf-8">hi', None) == ("utf-8", "meta")
+    assert sniff_charset(b"hi", None) == ("utf-8", "detected")
+    assert sniff_charset(b"hi\xff", None) == ("windows-1252", "detected")
+    # unknown labels (http and meta) fall through to detection
+    assert sniff_charset(b"hi", "text/plain; charset=x-fake") == ("utf-8", "detected")
+    assert sniff_charset(b'<meta charset="x-fake">\xff', None) == (
+        "windows-1252", "detected",
+    )
+    # meta prescan only reads the first 1024 bytes
+    assert sniff_charset(b" " * 1024 + b'<meta charset="utf-16le">', None) == (
+        "utf-8", "detected",
+    )
+
+
+def test_declared_charset_parsing():
+    assert declared_charset('text/html; charset="UTF-8"') == "utf-8"
+    assert declared_charset("text/html;charset = Windows-1252; x=y") == "windows-1252"
+    assert declared_charset("text/html") is None
+    assert declared_charset(None) is None
+
+
+def test_bom_stripped_and_utf16_decodes():
+    t = "héllo — ✓"
+    assert decode_payload(b"\xef\xbb\xbf" + t.encode("utf-8"))["text"] == t
+    d = decode_payload(b"\xff\xfe" + t.encode("utf-16-le"))
+    assert (d["charset"], d["source"], d["text"]) == ("utf-16le", "bom", t)
+    d = decode_payload(b"\xfe\xff" + t.encode("utf-16-be"))
+    assert (d["charset"], d["source"], d["text"]) == ("utf-16be", "bom", t)
+
+
+def test_misdeclared_utf8_falls_back_to_cp1252():
+    d = decode_payload(b"caf\xe9", "text/plain; charset=utf-8")
+    assert (d["charset"], d["source"], d["ok"]) == ("windows-1252", "detected", True)
+    assert d["text"] == "café"
+
+
+def test_malformed_utf16_is_error_row():
+    d = decode_payload(b"\xff\xfeA\x00B")  # odd byte count after BOM
+    assert not d["ok"] and d["text"] is None
+    assert d["err"].startswith("malformed utf-16le")
+    d = decode_payload(b"\x00\xd8\x00\x00", "x; charset=utf-16le")  # lone surrogate
+    assert not d["ok"] and d["charset"] == "utf-16le" and d["source"] == "http"
+
+
+def test_cp1252_c1_mapping_and_identity_bytes():
+    d = decode_payload(b"\x80\x93\x94\x9f", "x; charset=latin1")
+    assert d["text"] == "€“”Ÿ"  # € “ ” Ÿ
+    # WHATWG's five unmapped bytes decode to themselves, never fail
+    d = decode_payload(bytes([0x81, 0x8D, 0x8F, 0x90, 0x9D]), "x; charset=cp1252")
+    assert d["ok"] and d["text"] == "\x81\x8d\x8f\x90\x9d"
+
+
+def test_empty_payload():
+    d = decode_payload(b"")
+    assert d["ok"] and d["text"] == "" and d["charset"] == "utf-8"
+
+
+def test_spark_stage_over_synth_legs(spark):
+    rows = [(d, *synth_charset_payload(d)) for d in range(80)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, content_type string"
+    )
+    got = {
+        r.doc_id: r
+        for r in with_decoded_text(
+            df, "payload", content_type_col="content_type"
+        ).collect()
+    }
+    for d in range(80):
+        r = got[d]
+        base = f"charset {d} "
+        if d % 9 == 4:
+            assert (r.charset, r.source) == ("windows-1252", "meta")
+            assert r.text == f'<meta charset="windows-1252">{base}“”'
+            continue
+        leg = d % 8
+        if leg == 0:
+            assert (r.charset, r.source, r.text) == ("utf-8", "detected", base + "plain")
+        elif leg == 1:
+            assert (r.charset, r.source, r.text) == ("utf-8", "detected", base + "café — ✓")
+        elif leg == 2:
+            assert (r.charset, r.source, r.text) == ("utf-8", "bom", base + "café — ✓")
+        elif leg == 3:
+            if d % 7 == 0:
+                assert not r.ok and r.text is None and "malformed" in r.err
+            else:
+                assert (r.charset, r.source, r.text) == (
+                    "utf-16le", "bom", base + "café — ✓",
+                )
+        elif leg == 4:
+            assert (r.charset, r.source, r.text) == (
+                "utf-16be", "bom", base + "café — ✓",
+            )
+        elif leg == 5:
+            assert (r.charset, r.source) == ("windows-1252", "http")
+            assert r.text == base + "€é"
+        elif leg == 6:
+            assert (r.charset, r.source) == ("windows-1252", "detected")
+            assert r.text == base + "xÿ"
+        else:
+            assert (r.charset, r.source, r.text) == ("utf-8", "detected", base + "ok")
