@@ -235,12 +235,88 @@ def split_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
     return status, headers, block[end + 2 + hlen :]
 
 
+def dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` body (RFC 9112
+    §7.1): hex size line (chunk extensions after ``;`` ignored), CRLF,
+    data, CRLF, …, 0-size terminator, optional trailer fields, final
+    CRLF. ``ValueError`` on malformation — a crawl stores what the
+    socket produced, and truncated chunk frames are routine."""
+    out, pos, n = [], 0, len(body)
+    while True:
+        end = body.find(b"\r\n", pos)
+        if end < 0:
+            raise ValueError("truncated chunk size line")
+        size_tok = body[pos:end].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError("bad chunk size") from None
+        pos = end + 2
+        if size == 0:
+            # trailer section: header lines until the blank line
+            while True:
+                end = body.find(b"\r\n", pos)
+                if end < 0:
+                    raise ValueError("truncated chunk trailer")
+                if end == pos:
+                    return b"".join(out)
+                pos = end + 2
+        if pos + size + 2 > n:
+            raise ValueError("truncated chunk data")
+        out.append(body[pos : pos + size])
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("missing chunk data CRLF")
+        pos = pos + size + 2
+
+
+def decode_http_body(headers: dict[str, str], body: bytes) -> bytes:
+    """Apply the response's ``Transfer-Encoding`` then
+    ``Content-Encoding`` to recover the logical payload bytes:
+    ``chunked`` de-framing, ``gzip``/``x-gzip`` via the verified member
+    walk, ``deflate`` accepting both the zlib-wrapped form and the
+    bare-DEFLATE form broken servers actually send (tried in that
+    order), ``identity``/absent as-is. Unknown codings raise
+    ``ValueError`` — upstream turns that into an errors-as-data row,
+    never a silent wrong body."""
+    te = headers.get("transfer-encoding", "").strip().lower()
+    if te:
+        if te != "chunked":
+            raise ValueError(f"unsupported transfer-encoding {te[:40]}")
+        body = dechunk(body)
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce in ("", "identity"):
+        return body
+    if ce in ("gzip", "x-gzip"):
+        return b"".join(m.data for m in gzip_members(body))
+    if ce == "deflate":
+        for wbits in (15, -15):  # zlib-wrapped, then the bare form
+            d = zlib.decompressobj(wbits)
+            try:
+                data = d.decompress(body, MAX_MEMBER_BYTES)
+            except zlib.error:
+                continue
+            if d.unconsumed_tail:
+                raise ValueError("deflate body inflates past the cap")
+            if d.eof and not d.unused_data:
+                return data
+        raise ValueError("bad deflate body")
+    raise ValueError(f"unsupported content-encoding {ce[:40]}")
+
+
 def _mime_of(content_type: str | None) -> str | None:
     """The bare media type of a Content-Type value (parameters such as
     ``; charset=`` stripped, lowercased), or None."""
     if not content_type:
         return None
     return content_type.split(";", 1)[0].strip().lower() or None
+
+
+def _charset_of(content_type: str | None) -> str | None:
+    """The raw ``charset=`` parameter of a Content-Type value, for the
+    transcoding stage (`operators/charset.with_decoded_text`)."""
+    from ocr_spark.operators.charset import declared_charset
+
+    return declared_charset(content_type)
 
 
 # --------------------------------------------------------------------------
@@ -278,6 +354,19 @@ def build_warc_record(
     return b"\r\n".join(lines) + b"\r\n\r\n" + block + b"\r\n\r\n"
 
 
+def chunk_wrap(data: bytes, size: int = 7) -> bytes:
+    """Frame ``data`` as a chunked transfer coding — multiple chunks, a
+    chunk extension on the first, and a trailer field the decoder must
+    skip."""
+    out = []
+    for i in range(0, len(data), size):
+        c = data[i : i + size]
+        ext = b";x=y" if i == 0 else b""
+        out.append(f"{len(c):x}".encode("ascii") + ext + b"\r\n" + c + b"\r\n")
+    out.append(b"0\r\nX-Trailer: t\r\n\r\n")
+    return b"".join(out)
+
+
 def build_warc_gz(records: list[bytes], per_record: bool = True) -> bytes:
     """Frame serialized records as ``.warc.gz`` bytes — one gzip member
     per record (the seekable-crawl convention) or a single member."""
@@ -298,8 +387,16 @@ def synth_warc_payload(doc_id: int) -> bytes:
       fragment — so the CDX urikey leg proves ``normalize_url`` does
       real work), status 404 iff ``(doc_id+r) % 13 == 0`` else 200,
       Content-Type ``text/plain`` iff ``(doc_id+r) % 2`` else
-      ``text/html``, body ``resp {doc_id} {r} `` + ``ab`` ×
+      ``text/html`` (with a ``; charset=utf-8`` parameter when
+      ``(doc_id+r) % 6 == 0`` — stripped by ``_mime_of``, surfaced in
+      the ``charset`` column), body ``resp {doc_id} {r} `` + ``ab`` ×
       ``(doc_id+3r) % 40``;
+    * HTTP codings by ``(doc_id + 2r) % 4`` — 0 identity, 1
+      ``Transfer-Encoding: chunked`` (multi-chunk, extension, trailer),
+      2 ``Content-Encoding: gzip``, 3 both (CE under TE, wire order).
+      Every coding wraps the SAME logical body, so the oracle's
+      body-md5 arithmetic is untouched while hash-equality now proves
+      the de-chunk/inflate path;
     * corrupt legs: ``doc_id % 11 == 0`` truncates the stream mid-
       trailer; else ``doc_id % 17 == 0`` flips a CRC32 trailer bit —
       the second leg exists PRECISELY to prove trailer verification
@@ -321,9 +418,18 @@ def synth_warc_payload(doc_id: int) -> bytes:
         body = f"resp {doc_id} {r} " + "ab" * ((doc_id + 3 * r) % 40)
         status = 404 if (doc_id + r) % 13 == 0 else 200
         mime = "text/plain" if (doc_id + r) % 2 else "text/html"
-        block = build_http_response(
-            status, [("Content-Type", mime)], body.encode("utf-8")
-        )
+        if (doc_id + r) % 6 == 0:
+            mime += "; charset=utf-8"
+        raw = body.encode("utf-8")
+        hdrs = [("Content-Type", mime)]
+        e = (doc_id + 2 * r) % 4
+        if e in (2, 3):
+            raw = gzip_wrap(raw)
+            hdrs.append(("Content-Encoding", "gzip"))
+        if e in (1, 3):
+            raw = chunk_wrap(raw)
+            hdrs.append(("transfer-encoding", "chunked"))
+        block = build_http_response(status, hdrs, raw)
         recs.append(
             build_warc_record(
                 "response",
@@ -355,6 +461,7 @@ WARC_FIELDS = T.StructType(
         T.StructField("warc_date", T.StringType(), True),
         T.StructField("http_status", T.IntegerType(), True),
         T.StructField("mime", T.StringType(), True),
+        T.StructField("charset", T.StringType(), True),
         T.StructField("body", T.BinaryType(), True),
         T.StructField("offset", T.LongType(), True),
         T.StructField("length", T.LongType(), True),
@@ -384,6 +491,7 @@ def expand_warc_payload(payload: bytes) -> list[dict]:
                 "warc_date": None,
                 "http_status": None,
                 "mime": None,
+                "charset": None,
                 "body": None,
                 "offset": None,
                 "length": None,
@@ -400,6 +508,7 @@ def expand_warc_payload(payload: bytes) -> list[dict]:
             "warc_date": rec.date,
             "http_status": None,
             "mime": _mime_of(rec.content_type),
+            "charset": None,
             "body": rec.block,
             "offset": off,
             "length": ln,
@@ -411,10 +520,13 @@ def expand_warc_payload(payload: bytes) -> list[dict]:
                 status, headers, body = split_http_response(rec.block)
                 row["http_status"] = status
                 row["mime"] = _mime_of(headers.get("content-type"))
-                row["body"] = body
+                row["charset"] = _charset_of(headers.get("content-type"))
+                row["body"] = decode_http_body(headers, body)
             except ValueError as exc:
+                # the body is untrustworthy past a framing/coding error
                 row["ok"] = False
                 row["err"] = str(exc)[:200]
+                row["body"] = None
         out.append(row)
     return out
 

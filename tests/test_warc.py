@@ -19,6 +19,9 @@ from ocr_spark.operators.warc import (
     build_warc_gz,
     build_warc_record,
     cdx_index,
+    chunk_wrap,
+    dechunk,
+    decode_http_body,
     expand_warc_payload,
     gzip_members,
     gzip_wrap,
@@ -190,7 +193,103 @@ def test_expand_matches_construction_arithmetic():
                 assert d % 5 == 0 and i == 0
             else:
                 assert r["http_status"] == (404 if (d + i) % 13 == 0 else 200)
+                # identical logical body no matter which HTTP coding leg
+                # ((d+2i)%4: identity/chunked/gzip/both) framed it
                 assert r["body"].decode() == f"resp {d} {i} " + "ab" * ((d + 3 * i) % 40)
+                assert r["charset"] == ("utf-8" if (d + i) % 6 == 0 else None)
+
+
+def test_dechunk_grammar():
+    data = b"hello chunked world!"
+    assert dechunk(chunk_wrap(data)) == data
+    assert dechunk(chunk_wrap(b"")) == b""
+    # extensions + trailers skipped; sizes are hex
+    assert dechunk(b"a;k=v\r\n0123456789\r\n0\r\nT: t\r\n\r\n") == b"0123456789"
+    for bad, msg in [
+        (b"5\r\nabc", "truncated chunk data"),
+        (b"zz\r\nabc\r\n0\r\n\r\n", "bad chunk size"),
+        (b"3\r\nabcX\r\n0\r\n\r\n", "missing chunk data CRLF"),
+        (b"3\r\nabc\r\n0\r\n", "truncated chunk trailer"),
+        (b"3", "truncated chunk size line"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            dechunk(bad)
+
+
+def test_decode_http_body_codings():
+    data = b"payload bytes " * 9
+    assert decode_http_body({}, data) == data
+    assert decode_http_body({"content-encoding": "identity"}, data) == data
+    assert decode_http_body({"content-encoding": "gzip"}, gzip_wrap(data)) == data
+    z = __import__("zlib")
+    assert decode_http_body({"content-encoding": "deflate"}, z.compress(data)) == data
+    raw = z.compressobj(6, z.DEFLATED, -15)
+    bare = raw.compress(data) + raw.flush()
+    assert decode_http_body({"content-encoding": "deflate"}, bare) == data
+    both = {"transfer-encoding": "chunked", "content-encoding": "gzip"}
+    assert decode_http_body(both, chunk_wrap(gzip_wrap(data))) == data
+    with pytest.raises(ValueError, match="unsupported content-encoding"):
+        decode_http_body({"content-encoding": "br"}, data)
+    with pytest.raises(ValueError, match="unsupported transfer-encoding"):
+        decode_http_body({"transfer-encoding": "gzip, chunked"}, data)
+    with pytest.raises(ValueError, match="bad deflate"):
+        decode_http_body({"content-encoding": "deflate"}, b"not deflate")
+
+
+def test_encoded_body_failure_is_errors_as_data():
+    """A declared-chunked body with a truncated frame yields ok=false,
+    err set, body nulled — and never hides sibling records."""
+    good = build_warc_record(
+        "response",
+        build_http_response(200, [("Content-Type", "text/html")], b"fine"),
+        uri="https://h.org/good",
+        content_type="application/http; msgtype=response",
+    )
+    bad = build_warc_record(
+        "response",
+        build_http_response(
+            200,
+            [("Content-Type", "text/html"), ("Transfer-Encoding", "chunked")],
+            b"5\r\ntrunc",
+        ),
+        uri="https://h.org/bad",
+        content_type="application/http; msgtype=response",
+    )
+    rows = expand_warc_payload(gzip_wrap(good + bad))
+    assert [r["ok"] for r in rows] == [True, False]
+    assert rows[0]["body"] == b"fine"
+    assert rows[1]["body"] is None and "truncated chunk" in rows[1]["err"]
+    assert rows[1]["http_status"] == 200  # status line parsed before the coding failed
+
+
+def test_warc_body_chains_into_charset_decode(spark, warc_src):
+    """The crawl text path end to end: WARC expand (de-chunked,
+    inflated) → charset transcode keyed by the Content-Type parameter
+    the expansion surfaces."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.charset import with_decoded_text
+
+    rec = warc_expand(warc_src).filter(
+        F.col("ok") & (F.col("rec_type") == "response")
+    )
+    out = with_decoded_text(
+        rec.select(
+            "doc_id",
+            F.col("rec_idx").cast("int").alias("rec_idx"),
+            F.concat(
+                F.lit("text/plain; charset="),
+                F.coalesce(F.col("charset"), F.lit("utf-8")),
+            ).alias("ct"),
+            F.col("body").alias("payload"),
+        ),
+        "payload",
+        content_type_col="ct",
+    ).collect()
+    assert out
+    for r in out:
+        assert r.ok and r.charset == "utf-8" and r.source == "http"
+        assert r.text.startswith(f"resp {r.doc_id} {r.rec_idx} ")
 
 
 def test_expand_is_record_granular_on_http_errors():
@@ -255,7 +354,8 @@ def test_cdx_random_access(spark, warc_src):
         recs = parse_warc(member[0].data)
         hit = [r for r in recs if r.rec_type == "response"]
         assert len(hit) == 1
-        _, _, body = split_http_response(hit[0].block)
+        _, headers, body = split_http_response(hit[0].block)
+        body = decode_http_body(headers, body)
         assert hashlib.md5(body).hexdigest() == row.digest
         assert row.urikey.startswith("https://ex") and "#" not in row.urikey
         assert ":443" not in row.urikey
