@@ -21,26 +21,36 @@ minus in-pattern wildcards):
   * group selection: if any group names the literal agent token, only
     those groups apply; otherwise the ``*`` groups apply;
   * rule matching: path-prefix match, optional trailing ``$`` anchor
-    (exact match); the LONGEST matching pattern wins; ``Allow`` wins
-    length ties; no matching rule → allowed (REP default);
+    (whole-path match), in-pattern ``*`` wildcards (RFC 9309 §2.2.3)
+    matching any character run; the LONGEST pattern wins (pattern
+    octet count, the Googlebot convention); ``Allow`` wins length
+    ties (further ties resolve to the lexicographically greatest
+    pattern — a deterministic refinement the RFC leaves open);
   * empty rule values are no-ops (spec: ``Disallow:`` = allow all);
-  * **scope cut, stated honestly**: RFC 9309 in-pattern ``*``
-    wildcards are NOT evaluated — rules containing ``*`` are emitted
-    flagged (``wildcard=true``) and excluded from decisions, so the
-    evaluation is deliberately permissive-on-wildcard rather than
-    silently wrong (the flag lets callers count the exclusions).
+  * no matching rule → allowed (REP default).
+
+Wildcard evaluation is deliberately NOT regex: hostile robots.txt
+patterns like ``/a*b*c*…`` would make a backtracking regex engine
+exponential on long URLs (a ReDoS against the crawl's own executors).
+Plain rules (the overwhelming majority) are decided relationally
+(``startswith``/equality, whole-stage codegen); rules carrying ``*``
+are flagged at parse time and their (url × rule) candidate pairs —
+bounded by wildcard-rules-per-host, never the corpus — route through
+a vectorized Arrow UDF running the classic two-pointer glob matcher,
+worst-case O(|path|·|pattern|) per pair with zero backtracking blowup.
 
 Scale notes: parsing windows partition by host and touch only the
 lines of one robots.txt each (bounded by file size, never corpus
-size); the decision join is an equi-join on host (hint-free — AQE
-sizes it; rules-per-host is small and naturally bounded) followed by
-ONE combiner-friendly ``max(struct(...))`` aggregation per URL — no
+size); the decision is two equi-joins on host (hint-free — AQE sizes
+them; rules-per-host is small and naturally bounded) unioned into ONE
+combiner-friendly ``max(struct(...))`` aggregation per URL — no
 window over the URL corpus, no row explosion beyond candidate rules
 per host.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,7 +69,8 @@ def robots_rules(
     ``agent``: one row per applicable Allow/Disallow rule —
     ``(host, prefix, anchored, allow, spec, wildcard)`` where ``spec``
     is the pattern length used for longest-match resolution and
-    ``wildcard`` flags (unevaluated) RFC 9309 ``*`` patterns.
+    ``wildcard`` routes the rule to the glob slow path in
+    :func:`robots_allowed` (plain rules stay fully relational).
 
     Three narrow windows, all partitioned by host (one robots.txt of
     lines each): group-start detection (lag), group-id assignment
@@ -148,9 +159,13 @@ def synth_robots_txt(k: int) -> str:
     * ``k == 6`` adds the anchored ``Allow: /p/76/1$`` (doc 76 exists
       at every test SF, sits on host 6, and is otherwise DISallowed by
       the ``/p/`` fallback — the anchor flips exactly its rec 1);
-    * ``k == 2`` adds ``Allow: /p/*`` — the wildcard-flagged rule the
-      evaluator must EXCLUDE (its exclusion is pinned by pytest; no
-      synth path contains ``*``, so it cannot affect decisions).
+    * ``k == 2`` adds ``Allow: /p/*`` — the wildcard rule, evaluated
+      via the glob slow path. On host 2 it flips the ladder's default
+      leg: any ``/p/…`` path not starting ``/p/2`` now resolves to
+      (spec 4, Allow, ``/p/*``) over (spec 3, Disallow, ``/p/``);
+      paths under ``/p/2`` tie it at spec 4 where ``/p/2`` wins the
+      lexicographic tie-break, and ``/p/22`` still disallows at
+      spec 5.
     """
     if k == 5:
         return ""
@@ -188,37 +203,83 @@ def _url_path(url: Column) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+def glob_match(path: str, pattern: str, anchored: bool) -> bool:
+    """RFC 9309 pattern match: ``*`` matches any character run; an
+    un-anchored pattern matches any PREFIX of the path (equivalent to
+    appending ``*``), an anchored one must consume the whole path.
+    Classic two-pointer glob — O(len·len) worst case, no backtracking
+    explosion, immune to hostile patterns by construction."""
+    p = pattern if anchored else pattern + "*"
+    si = pi = 0
+    star, ss = -1, 0
+    while si < len(path):
+        if pi < len(p) and p[pi] == "*":
+            star, ss, pi = pi, si, pi + 1
+        elif pi < len(p) and p[pi] == path[si]:
+            si += 1
+            pi += 1
+        elif star >= 0:
+            ss += 1
+            si, pi = ss, star + 1
+        else:
+            return False
+    while pi < len(p) and p[pi] == "*":
+        pi += 1
+    return pi == len(p)
+
+
+def _glob_match_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def matched(path: pd.Series, pattern: pd.Series, anchored: pd.Series) -> pd.Series:
+        return pd.Series(
+            [glob_match(s, p, bool(a)) for s, p, a in zip(path, pattern, anchored)]
+        )
+
+    return matched
+
+
 def robots_allowed(
     urls: DataFrame, rules: DataFrame, url_col: str = "url"
 ) -> DataFrame:
     """Decide every URL against the rule set: input columns + ``allowed``
     + ``rule_prefix`` (the winning pattern, NULL when no rule matched —
-    the REP default-allow). Longest pattern wins, Allow wins ties —
-    encoded as one ``max(struct(spec, allow, prefix))`` combiner
-    aggregation, so the whole decision is join + agg, no URL-corpus
-    window. Wildcard-flagged rules are excluded (module docstring)."""
+    the REP default-allow). Longest pattern wins, Allow wins ties,
+    lexicographically greatest pattern breaks exact ties — encoded as
+    one ``max(struct(spec, allow, prefix))`` combiner aggregation over
+    the union of the relational plain-rule matches (left join, so
+    rule-less URLs survive to default-allow) and the Arrow glob
+    matches for wildcard rules (inner join — candidate pairs only).
+    No URL-corpus window; Python touches only (url × wildcard-rule)
+    pairs."""
     u = urls.withColumn("_host", _url_host(F.col(url_col))).withColumn(
         "_path", _url_path(F.col(url_col))
     )
-    r = rules.filter(~F.col("wildcard")).select(
-        F.col("host").alias("_host"), "prefix", "anchored", "allow", "spec"
+    rule_cols = ["prefix", "anchored", "allow", "spec"]
+    plain = rules.filter(~F.col("wildcard")).select(
+        F.col("host").alias("_host"), *rule_cols
     )
-    matched = F.when(
+    wild = rules.filter(F.col("wildcard")).select(
+        F.col("host").alias("_host"), *rule_cols
+    )
+    hit = F.struct(F.col("spec"), F.col("allow"), F.col("prefix").alias("prefix"))
+    plain_matched = F.when(
         F.col("anchored"), F.col("_path") == F.col("prefix")
     ).otherwise(F.col("_path").startswith(F.col("prefix")))
-    best = F.max(
-        F.when(
-            matched,
-            F.struct(
-                F.col("spec"), F.col("allow"), F.col("prefix").alias("prefix")
-            ),
-        )
-    ).alias("_best")
+    p_leg = u.join(plain, "_host", "left").select(
+        *u.columns, F.when(plain_matched, hit).alias("_m")
+    )
+    w_leg = (
+        u.join(wild, "_host", "inner")
+        .filter(_glob_match_udf()(F.col("_path"), F.col("prefix"), F.col("anchored")))
+        .select(*u.columns, hit.alias("_m"))
+    )
     out_cols = [F.col(c) for c in urls.columns]
     return (
-        u.join(r, "_host", "left")
+        p_leg.unionByName(w_leg)
         .groupBy(*[F.col(c) for c in u.columns])
-        .agg(best)
+        .agg(F.max("_m").alias("_best"))
         .select(
             *out_cols,
             F.coalesce(F.col("_best.allow"), F.lit(True)).alias("allowed"),

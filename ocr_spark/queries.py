@@ -6741,8 +6741,12 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational robots.txt evaluator (`operators/robots.py` — line
     grammar with comments/case/unknown fields, consecutive-UA group
     merge, named-beats-star group selection, longest-match with
-    allow-wins-ties, `$` anchors, REP default-allow) decides every
-    urikey the WARC→CDX chain produced. The robots bodies are a 7-host
+    allow-wins-ties, `$` anchors, RFC 9309 `*` wildcards via the
+    linear-glob Arrow slow path, REP default-allow) decides every
+    urikey the WARC→CDX chain produced. Host 2's `Allow: /p/*` is
+    decision-live: it flips every non-`/p/2…` path on that host to
+    allowed, so the hash proves wildcard evaluation AND its spec-length
+    interplay with the plain-rule ladder. The robots bodies are a 7-host
     construction covering an empty file, a star-only host, group-merge
     heads, an anchored override that flips exactly one record's
     outcome, and a decimal-digit prefix ladder (`/p/` < `/p/k` <
@@ -6792,6 +6796,8 @@ select doc_id, url,
     when k = 6 and doc_id = 76 and rec_idx = 1 then true
     when starts_with(s, k1 || k1) then false
     when starts_with(s, k1) then true
+    -- host 2's wildcard Allow /p/* (spec 4) beats Disallow /p/ (spec 3)
+    when k = 2 then true
     else false
   end as allowed,
   case
@@ -6800,6 +6806,7 @@ select doc_id, url,
     when k = 6 and doc_id = 76 and rec_idx = 1 then '/p/76/1'
     when starts_with(s, k1 || k1) then '/p/' || k1 || k1
     when starts_with(s, k1) then '/p/' || k1
+    when k = 2 then '/p/*'
     else '/p/'
   end as rule_prefix
 from urls
@@ -6951,6 +6958,7 @@ dec as (
          when k = 3 then false
          when starts_with(s, k1 || k1) then false
          when starts_with(s, k1) then true
+         when k = 2 then true
          else false end as allowed,
     not hasq and r < nf and not corrupt and not (info0 and r = 0)
       as fetched

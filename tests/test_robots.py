@@ -92,14 +92,73 @@ def test_anchor_exact_match_only(spark):
     assert d["https://h.org/page2"] == (False, "/")
 
 
-def test_wildcard_rules_flagged_and_excluded(spark):
-    text = "User-agent: databot\nDisallow: /a*b/\nDisallow: /plain/\n"
-    rows = _rules(spark, text).collect()
-    assert {(r.prefix, r.wildcard) for r in rows} == {("/a*b/", True), ("/plain/", False)}
-    d = _decide(spark, text, ["https://h.org/a*b/x", "https://h.org/plain/x"])
-    # the wildcard rule is excluded even where it would literally match
-    assert d["https://h.org/a*b/x"] == (True, None)
+def test_glob_match_semantics():
+    from ocr_spark.operators.robots import glob_match
+
+    # un-anchored = prefix match with * runs
+    assert glob_match("/a/bxc/d", "/a/b*c/", False)
+    assert glob_match("/a/bc/d", "/a/b*c/", False)  # * matches empty
+    assert not glob_match("/a/bx/d", "/a/b*c/", False)
+    assert glob_match("/x/deep/file.pdf", "/*/*.pdf", False)
+    # anchored = whole-path match
+    assert glob_match("/a/b.pdf", "/a/*.pdf$", True) is False  # $ literal inside
+    assert glob_match("/a/b.pdf", "/a/*.pdf", True)
+    assert not glob_match("/a/b.pdfx", "/a/*.pdf", True)
+    # hostile many-star pattern stays linear-ish and correct
+    assert glob_match("/" + "a" * 5000 + "b", "/*a*a*a*a*a*b", False)
+    assert not glob_match("/" + "a" * 5000, "/*a*a*a*a*a*b", True)
+
+
+def test_wildcard_rules_evaluated_via_glob_path(spark):
+    text = (
+        "User-agent: databot\n"
+        "Disallow: /a*b/\n"
+        "Disallow: /plain/\n"
+        "Allow: /a/private-b/ok\n"
+        "Disallow: /*.pdf$\n"
+    )
+    rows = {r.prefix: r.wildcard for r in _rules(spark, text).collect()}
+    assert rows == {
+        "/a*b/": True, "/plain/": False, "/a/private-b/ok": False, "/*.pdf": True,
+    }
+    d = _decide(
+        spark,
+        text,
+        [
+            "https://h.org/a/secret-b/x",     # wildcard disallow matches
+            "https://h.org/a/private-b/ok1",  # longer plain Allow beats it
+            "https://h.org/plain/x",
+            "https://h.org/doc.pdf",          # anchored wildcard
+            "https://h.org/doc.pdfx",         # anchor must consume whole path
+            "https://h.org/elsewhere",
+        ],
+    )
+    assert d["https://h.org/a/secret-b/x"] == (False, "/a*b/")
+    assert d["https://h.org/a/private-b/ok1"] == (True, "/a/private-b/ok")
     assert d["https://h.org/plain/x"] == (False, "/plain/")
+    assert d["https://h.org/doc.pdf"] == (False, "/*.pdf")
+    assert d["https://h.org/doc.pdfx"] == (True, None)
+    assert d["https://h.org/elsewhere"] == (True, None)
+
+
+def test_wildcard_tie_breaks(spark):
+    # spec ties: Allow wins over Disallow; equal-allow ties go to the
+    # lexicographically greatest pattern (deterministic refinement)
+    text = (
+        "User-agent: databot\n"
+        "Disallow: /p/\n"
+        "Allow: /p/2\n"
+        "Allow: /p/*\n"
+        "Disallow: /p/22\n"
+    )
+    d = _decide(
+        spark,
+        text,
+        ["https://h.org/p/2x", "https://h.org/p/22x", "https://h.org/p/9"],
+    )
+    assert d["https://h.org/p/2x"] == (True, "/p/2")  # '/p/2' > '/p/*'
+    assert d["https://h.org/p/22x"] == (False, "/p/22")
+    assert d["https://h.org/p/9"] == (True, "/p/*")
 
 
 def test_empty_robots_and_unknown_host_default_allow(spark):
