@@ -59,23 +59,15 @@ _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^#]*)?"
 
 
-def robots_rules(
-    robots: DataFrame,
-    agent: str,
-    host_col: str = "host",
-    text_col: str = "robots_txt",
+def _applicable_lines(
+    robots: DataFrame, agent: str, host_col: str, text_col: str
 ) -> DataFrame:
-    """Parse robots.txt bodies into the rule set that applies to
-    ``agent``: one row per applicable Allow/Disallow rule —
-    ``(host, prefix, anchored, allow, spec, wildcard)`` where ``spec``
-    is the pattern length used for longest-match resolution and
-    ``wildcard`` routes the rule to the glob slow path in
-    :func:`robots_allowed` (plain rules stay fully relational).
-
-    Three narrow windows, all partitioned by host (one robots.txt of
-    lines each): group-start detection (lag), group-id assignment
-    (running sum), and group-agent scoping happen entirely within a
-    single file's lines."""
+    """The parsed ``(host, line_no, field, value)`` lines belonging to
+    the groups that apply to ``agent`` (named groups if any name it,
+    else the ``*`` groups). Three narrow windows, all partitioned by
+    host (one robots.txt of lines each): group-start detection (lag),
+    group-id assignment (running sum), and group-agent scoping happen
+    entirely within a single file's lines."""
     byline = Window.partitionBy(host_col).orderBy("line_no")
     lines = (
         robots.select(
@@ -122,22 +114,56 @@ def robots_rules(
         )
         .select(host_col, "group_id")
     )
-    rules = grouped.filter(
+    return grouped.join(agents, [host_col, "group_id"])
+
+
+def robots_rules(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into the rule set that applies to
+    ``agent``: one row per applicable Allow/Disallow rule —
+    ``(host, prefix, anchored, allow, spec, wildcard)`` where ``spec``
+    is the pattern length used for longest-match resolution and
+    ``wildcard`` routes the rule to the glob slow path in
+    :func:`robots_allowed` (plain rules stay fully relational)."""
+    rules = _applicable_lines(robots, agent, host_col, text_col).filter(
         F.col("field").isin("allow", "disallow") & (F.col("value") != "")
     )
     anchored = F.col("value").endswith("$")
+    return rules.select(
+        host_col,
+        F.when(anchored, F.expr("substring(value, 1, length(value) - 1)"))
+        .otherwise(F.col("value"))
+        .alias("prefix"),
+        anchored.alias("anchored"),
+        (F.col("field") == "allow").alias("allow"),
+        F.length("value").alias("spec"),
+        F.col("value").contains("*").alias("wildcard"),
+    )
+
+
+def robots_delays(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host politeness interval for ``agent``: one row per host
+    that declares a ``Crawl-delay`` in an applicable group —
+    ``(host, crawl_delay)`` seconds, the max across applicable groups,
+    non-numeric values ignored via ``try_cast``. (Crawl-delay is the
+    de-facto extension Bing/Yandex honor, not part of RFC 9309 — the
+    de-facto semantics are what a polite crawler needs.)"""
     return (
-        rules.join(agents, [host_col, "group_id"])
-        .select(
-            host_col,
-            F.when(anchored, F.expr("substring(value, 1, length(value) - 1)"))
-            .otherwise(F.col("value"))
-            .alias("prefix"),
-            anchored.alias("anchored"),
-            (F.col("field") == "allow").alias("allow"),
-            F.length("value").alias("spec"),
-            F.col("value").contains("*").alias("wildcard"),
-        )
+        _applicable_lines(robots, agent, host_col, text_col)
+        .filter(F.col("field") == "crawl-delay")
+        .select(host_col, F.col("value").try_cast("double").alias("_d"))
+        .filter(F.col("_d").isNotNull())
+        .groupBy(host_col)
+        .agg(F.max("_d").alias("crawl_delay"))
     )
 
 

@@ -37,7 +37,7 @@ both equi-joins AQE sizes; nothing is ever keyed by raw payload.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _ROOT_RE = r"<\s*([A-Za-z][A-Za-z0-9:_-]*)"
@@ -152,6 +152,49 @@ def crawl_frontier(
     return allowed.join(fetched, "urikey", "left_anti").select(
         id_col, "urikey", "priority", "lastmod"
     )
+
+
+def frontier_schedule(
+    frontier: DataFrame,
+    per_host: int = 100,
+    delays: DataFrame | None = None,
+    salt: int = 32,
+) -> DataFrame:
+    """Politeness-capped fetch schedule: the ``per_host``
+    highest-priority frontier URLs per host, ranked — plus each host's
+    ``crawl_delay`` when a :func:`~ocr_spark.operators.robots
+    .robots_delays` dim is supplied (NULL = no declared delay).
+
+    Skew-safe top-N per key: a single ``row_number() over (partition
+    by host)`` would funnel a mega-host (10⁸ frontier URLs behind one
+    aggregator site) into one task. Instead rank twice over the same
+    total order (priority desc, urikey asc — urikey is unique, so the
+    order is total and both engines agree): first within ``(host,
+    salt)`` — spreading any host over ``salt`` tasks — keeping each
+    salt's top ``per_host`` (a superset of the host's true top-N by
+    the pigeonhole), then within host over the ≤ ``salt × per_host``
+    survivors. The second window touches a bounded row count per host
+    no matter how whale the frontier."""
+    from ocr_spark.operators.robots import _url_host
+
+    order = [F.desc("priority"), F.asc("urikey")]
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    capped = (
+        frontier.withColumn("host", _url_host(F.col("urikey")))
+        .withColumn("_salt", F.pmod(F.xxhash64("urikey"), F.lit(salt)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= per_host)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= per_host)
+        .drop("_salt", "_r1")
+    )
+    if delays is not None:
+        # hint-free by contract: the delays dim is robots-corpus-derived
+        # (one row per declaring host — unbounded at web scale); AQE
+        # picks broadcast when it is actually small
+        capped = capped.join(delays, "host", "left")
+    return capped
 
 
 # --------------------------------------------------------------------------

@@ -6975,6 +6975,98 @@ from dec where allowed and not fetched
 """
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-capped fetch schedule (new r4 s8): the crawl_frontier
+    chain (sitemap discovery × robots policy × CDX fetch history)
+    capped to the top-20 URLs per host by the skew-safe salted
+    two-stage rank (`sitemap.frontier_schedule` — a whale host spreads
+    over `salt` tasks before the bounded per-host window), joined
+    hint-free to the per-host `Crawl-delay` dim (`robots.robots_delays`
+    — max across applicable groups, star groups ignored where a named
+    group exists, non-numeric values dropped by try_cast). The oracle
+    replays the whole thing — frontier membership, the exact top-20
+    rank order (priority desc, urikey asc; urikey unique so the order
+    is total), and each host's declared delay — from doc_id arithmetic;
+    the empty-robots host (ex5) pins the NULL-delay leg."""
+    from ocr_spark.operators.robots import (
+        robots_delays,
+        robots_rules,
+        synth_robots_txt,
+    )
+    from ocr_spark.operators.sitemap import (
+        crawl_frontier,
+        frontier_schedule,
+        sitemap_entries,
+    )
+    from ocr_spark.operators.warc import cdx_index, warc_expand
+
+    robots = spark.createDataFrame(
+        [(f"ex{k}.org", synth_robots_txt(k)) for k in range(7)],
+        "host string, robots_txt string",
+    )
+    entries = sitemap_entries(_synth_sitemaps(spark, sf_dir))
+    cdx = cdx_index(warc_expand(_synth_warc(spark, sf_dir)))
+    fr = crawl_frontier(entries, robots_rules(robots, "databot"), cdx)
+    return frontier_schedule(
+        fr, per_host=20, delays=robots_delays(robots, "databot")
+    ).select(
+        "doc_id", "host", "urikey", "priority", "lastmod",
+        F.col("rank").cast("int").alias("rank"), "crawl_delay",
+    )
+
+
+def _sql_frontier_schedule() -> str:
+    return """
+with base as (
+  select doc_id as d, doc_id % 7 as k, 1 + doc_id % 4 as n,
+    doc_id % 11 = 0 or doc_id % 17 = 0 as corrupt,
+    1 + doc_id % 3 as nf, doc_id % 5 = 0 as info0,
+    cast(doc_id as varchar) as s, cast(doc_id % 7 as varchar) as k1
+  from documents
+  where doc_id % 13 <> 5 and doc_id % 9 <> 0
+),
+urls as (
+  select b.*, cast(r.r as int) as r, (b.d + r.r) % 5 = 0 as hasq
+  from base b join (values (0), (1), (2), (3)) r(r) on r.r < b.n
+  where not (b.d % 10 = 1 and r.r = 0)
+),
+dec as (
+  select *,
+    'https://ex' || k1 || '.org/p/' || s || '/' || cast(r as varchar)
+      || case when hasq then '?a=' || cast(r as varchar) || '&b=2'
+              else '' end as urikey,
+    case when k = 5 then true
+         when k = 3 then false
+         when starts_with(s, k1 || k1) then false
+         when starts_with(s, k1) then true
+         when k = 2 then true
+         else false end as allowed,
+    not hasq and r < nf and not corrupt and not (info0 and r = 0)
+      as fetched
+  from urls
+),
+frontier as (
+  select d as doc_id, k, 'ex' || k1 || '.org' as host, urikey,
+    case when (d + r) % 2 = 0 then cast((d + r) % 11 as double) / 10
+         else 0.5 end as priority,
+    case when (d + r) % 3 > 0
+         then '2026-' || lpad(cast(1 + d % 12 as varchar), 2, '0')
+              || '-' || lpad(cast(1 + r as varchar), 2, '0')
+    end as lastmod
+  from dec where allowed and not fetched
+),
+ranked as (
+  select *, cast(row_number() over (
+    partition by host order by priority desc, urikey asc
+  ) as int) as rank
+  from frontier
+)
+select doc_id, host, urikey, priority, lastmod, rank,
+  case when k <> 5 then cast(5.0 as double) end as crawl_delay
+from ranked where rank <= 20
+"""
+
+
 def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset resolution + transcoding (new r4 s8): each document
     synthesizes a raw-bytes payload exercising the full WHATWG-order
@@ -7453,6 +7545,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # via scripts/check_entry.py this session + precedence/label-fold/
     # error-leg pytests (tests/test_charset.py)
     "charset_decode": q_charset_decode,
+    # frontier_schedule: ADDED r4 s8, same tail rationale — the salted
+    # two-stage skew-safe per-host top-N over the crawl_frontier chain
+    # + the Crawl-delay dim; oracle replays membership, exact rank
+    # order, and delays from doc_id arithmetic; verified green via
+    # scripts/check_entry.py this session + whale-host/top-N pytests
+    # (tests/test_sitemap.py)
+    "frontier_schedule": q_frontier_schedule,
 }
 
 
@@ -7609,4 +7708,5 @@ from corpus group by 1
         "sitemap_urls": _sql_sitemap_urls(),
         "crawl_frontier": _sql_crawl_frontier(),
         "charset_decode": _sql_charset_decode(),
+        "frontier_schedule": _sql_frontier_schedule(),
     }

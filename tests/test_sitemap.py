@@ -153,6 +153,57 @@ def test_frontier_allowed_minus_fetched(spark):
     ]
 
 
+def test_robots_delays(spark):
+    from ocr_spark.operators.robots import robots_delays
+
+    text = (
+        "User-agent: *\nCrawl-delay: 99\n"          # star group: ignored (named exists)
+        "User-agent: databot\nCrawl-delay: 2\n"
+        "User-agent: databot\nCrawl-delay: bogus\n"  # non-numeric ignored
+        "User-agent: databot\nCrawl-delay: 7\n"      # max across applicable groups
+    )
+    df = spark.createDataFrame(
+        [("h.org", text), ("none.org", "User-agent: databot\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    rows = {r.host: r.crawl_delay for r in robots_delays(df, "databot").collect()}
+    assert rows == {"h.org": 7.0}  # none.org declares nothing → absent
+
+
+def test_frontier_schedule_salted_topn(spark):
+    from ocr_spark.operators.sitemap import frontier_schedule
+
+    # 60 urls on one whale host + 2 on a small host; priority encodes
+    # the desired order (url i gets priority i/100)
+    rows = [
+        (1, f"https://whale.org/u{i:03d}", i / 100.0, None) for i in range(60)
+    ] + [
+        (2, "https://tiny.org/a", 0.9, None),
+        (2, "https://tiny.org/b", 0.1, None),
+    ]
+    fr = spark.createDataFrame(
+        rows, "doc_id long, urikey string, priority double, lastmod string"
+    )
+    delays = spark.createDataFrame(
+        [("whale.org", 5.0)], "host string, crawl_delay double"
+    )
+    got = frontier_schedule(fr, per_host=5, delays=delays, salt=4).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    assert sorted(r.rank for r in by_host["whale.org"]) == [1, 2, 3, 4, 5]
+    # exact global top-5 of the whale host despite the salted two-stage
+    assert {r.urikey for r in by_host["whale.org"]} == {
+        f"https://whale.org/u{i:03d}" for i in range(55, 60)
+    }
+    assert all(r.crawl_delay == 5.0 for r in by_host["whale.org"])
+    tiny = sorted(by_host["tiny.org"], key=lambda r: r.rank)
+    assert [(r.urikey, r.rank, r.crawl_delay) for r in tiny] == [
+        ("https://tiny.org/a", 1, None),
+        ("https://tiny.org/b", 2, None),
+    ]
+
+
 def test_parse_plan_is_projection_only(spark):
     df = spark.createDataFrame(
         [(1, synth_sitemap_xml(1))], "doc_id long, sitemap_xml string"
