@@ -1,0 +1,85 @@
+"""Redirect-chain resolution over a crawl's 3xx edges — pointer
+doubling, so a 32-hop chain costs 5 self-joins, not 32.
+
+A crawl index (CDX) is full of ``301/302/307/308`` rows whose
+``Location`` targets form chains (http→https, apex→www, slug moves,
+link-shortener hops). Canonicalizing a corpus — for dedup keys,
+link-graph contraction, leakage-safe splits — needs every URL mapped
+to its terminal target. The chains form a functional graph (one
+outgoing edge per URL), so composition can be SQUARED: after round
+``i`` the map resolves every chain up to ``2^i`` hops. ``max_hops=32``
+(browsers give up around 20) costs ``ceil(log2(32)) = 5``
+driver-synchronized rounds of ONE equi-join each, all over the
+redirect edge set only — a small fraction of the crawl, never the URL
+corpus. The same O(log n) shape as the dedup star contraction
+(`operators/dedup.py`).
+
+Cycles (redirect loops) and chains longer than ``max_hops`` cannot and
+should not resolve: those rows come back ``resolved=false`` with NULL
+target (errors-as-data, C3 rule) — a polite crawler refuses them
+anyway. Duplicate sources (two snapshots disagreeing on a Location)
+are collapsed deterministically to the lexicographically greatest
+target before resolution, so output never depends on partitioning.
+
+Reference analog: the reference follows its per-document ``source``
+pointer exactly one level when re-processing
+(`/root/reference/app/services/document_processor.py`); a web corpus
+needs the transitive closure of that pointer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 32,
+    src_col: str = "url",
+    dst_col: str = "location",
+) -> DataFrame:
+    """Resolve every redirect source to its terminal target:
+    ``(url, final_url, hops, resolved)``. ``final_url``/``hops`` are
+    NULL when the chain loops or exceeds ``max_hops``
+    (``resolved=false``). ``ceil(log2(max_hops))`` rounds of pointer
+    doubling; each round is one AQE-sized equi-join of the (shrinking
+    in distance, constant in rows) composition map with itself,
+    ``localCheckpoint(eager=True)``-ed so the self-join sees a leaf —
+    without the truncation the unmaterialized plan tree doubles per
+    round (2^rounds joins; same driver-OOM trap the star contraction
+    documents at `operators/dedup.py:794`)."""
+    g = (
+        edges.groupBy(F.col(src_col).alias("_src"))
+        .agg(F.max(F.col(dst_col)).alias("_dst"))
+        .select("_src", "_dst", F.lit(1).alias("_hops"))
+    )
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        g = g.localCheckpoint(eager=True)
+        nxt = g.select(
+            F.col("_src").alias("_jsrc"),
+            F.col("_dst").alias("_jdst"),
+            F.col("_hops").alias("_jhops"),
+        )
+        g = (
+            g.join(nxt, g["_dst"] == nxt["_jsrc"], "left")
+            .select(
+                "_src",
+                F.coalesce("_jdst", "_dst").alias("_dst"),
+                (F.col("_hops") + F.coalesce("_jhops", F.lit(0))).alias("_hops"),
+            )
+        )
+    # a destination that is still a source after the rounds is a loop
+    # (or a >max_hops chain): unresolvable, flagged not dropped. One
+    # more truncation so the final self-reference reads the same
+    # materialized map instead of re-deriving the last round twice
+    g = g.localCheckpoint(eager=True)
+    srcs = g.select(F.col("_src").alias("_open"))
+    out = g.join(srcs, g["_dst"] == srcs["_open"], "left").select(
+        F.col("_src").alias(src_col),
+        F.when(F.col("_open").isNull(), F.col("_dst")).alias("final_url"),
+        F.when(F.col("_open").isNull(), F.col("_hops").cast("int")).alias("hops"),
+        F.col("_open").isNull().alias("resolved"),
+    )
+    return out

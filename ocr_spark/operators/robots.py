@@ -59,17 +59,11 @@ _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^#]*)?"
 
 
-def _applicable_lines(
-    robots: DataFrame, agent: str, host_col: str, text_col: str
-) -> DataFrame:
-    """The parsed ``(host, line_no, field, value)`` lines belonging to
-    the groups that apply to ``agent`` (named groups if any name it,
-    else the ``*`` groups). Three narrow windows, all partitioned by
-    host (one robots.txt of lines each): group-start detection (lag),
-    group-id assignment (running sum), and group-agent scoping happen
-    entirely within a single file's lines."""
-    byline = Window.partitionBy(host_col).orderBy("line_no")
-    lines = (
+def _parsed_lines(robots: DataFrame, host_col: str, text_col: str) -> DataFrame:
+    """robots.txt line grammar: ``(host, line_no, field, value)`` with
+    comments stripped, blank/non-field lines dropped, field names
+    lowercased."""
+    return (
         robots.select(
             F.col(host_col),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
@@ -88,6 +82,36 @@ def _applicable_lines(
         )
         .filter(F.col("field") != "")
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` directives — ``(host, sitemap_url)``, distinct.
+    Per sitemaps.org/RFC 9309 these are GROUP-INDEPENDENT (they apply
+    regardless of any user-agent section they appear inside), so this
+    is pure line grammar with no group machinery — the crawl's
+    discovery channel feeding :func:`~ocr_spark.operators.sitemap
+    .sitemap_entries`."""
+    return (
+        _parsed_lines(robots, host_col, text_col)
+        .filter((F.col("field") == "sitemap") & (F.col("value") != ""))
+        .select(host_col, F.col("value").alias("sitemap_url"))
+        .distinct()
+    )
+
+
+def _applicable_lines(
+    robots: DataFrame, agent: str, host_col: str, text_col: str
+) -> DataFrame:
+    """The parsed ``(host, line_no, field, value)`` lines belonging to
+    the groups that apply to ``agent`` (named groups if any name it,
+    else the ``*`` groups). Three narrow windows, all partitioned by
+    host (one robots.txt of lines each): group-start detection (lag),
+    group-id assignment (running sum), and group-agent scoping happen
+    entirely within a single file's lines."""
+    byline = Window.partitionBy(host_col).orderBy("line_no")
+    lines = _parsed_lines(robots, host_col, text_col)
     is_ua = F.col("field") == "user-agent"
     grouped = lines.withColumn(
         "group_start",

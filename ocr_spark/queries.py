@@ -7067,6 +7067,79 @@ from ranked where rank <= 20
 """
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain canonicalization (new r4 s8): each document
+    contributes a 1–5-hop redirect chain (`/r/{d}/{i}` → … →
+    the terminal `/p/{d}`), every 23rd document's chain closing into a
+    LOOP instead — resolved by the pointer-doubling operator
+    (`operators/redirects.resolve_redirects`, 5 self-joins covering 32
+    hops, the O(log) shape of star contraction). Every chain suffix is
+    itself a source row, so hop counts 1..L are all exercised; loop
+    members and chains into them come back resolved=false with NULL
+    target (errors-as-data). The oracle replays final_url/hops/resolved
+    in closed form from doc_id arithmetic — no recursion even in SQL —
+    so a composition/termination bug anywhere hash-mismatches."""
+    from ocr_spark.operators.redirects import resolve_redirects
+
+    d = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+
+    def node(i: Column) -> Column:
+        return F.concat(
+            F.lit("https://ex"), k, F.lit(".org/r/"), d, F.lit("/"),
+            i.cast("string"),
+        )
+
+    edges = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            (1 + F.col("doc_id") % 5).alias("_L"),
+            (F.col("doc_id") % 23 == 1).alias("_loop"),
+        )
+        .select(
+            "doc_id", "_L", "_loop",
+            F.explode(F.sequence(F.lit(0), F.col("_L") - 1)).alias("_i"),
+        )
+        .select(
+            node(F.col("_i")).alias("url"),
+            F.when(F.col("_i") < F.col("_L") - 1, node(F.col("_i") + 1))
+            .when(F.col("_loop"), node(F.lit(0)))
+            .otherwise(
+                F.concat(F.lit("https://ex"), k, F.lit(".org/p/"), d)
+            )
+            .alias("location"),
+        )
+    )
+    res = resolve_redirects(edges)
+    return res.select(
+        F.regexp_extract("url", r"/r/(\d+)/", 1).cast("long").alias("doc_id"),
+        "url", "final_url", "hops", "resolved",
+    )
+
+
+def _sql_redirect_resolve() -> str:
+    return """
+with base as (
+  select doc_id as d, cast(doc_id % 7 as varchar) as k1,
+    cast(doc_id as varchar) as s,
+    1 + doc_id % 5 as L, doc_id % 23 = 1 as isloop
+  from documents
+),
+nodes as (
+  select b.*, r.i
+  from base b join (values (0), (1), (2), (3), (4)) r(i) on r.i < b.L
+)
+select d as doc_id,
+  'https://ex' || k1 || '.org/r/' || s || '/' || cast(i as varchar) as url,
+  case when not isloop
+       then 'https://ex' || k1 || '.org/p/' || s end as final_url,
+  case when not isloop then cast(L - i as int) end as hops,
+  not isloop as resolved
+from nodes
+"""
+
+
 def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset resolution + transcoding (new r4 s8): each document
     synthesizes a raw-bytes payload exercising the full WHATWG-order
@@ -7552,6 +7625,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scripts/check_entry.py this session + whale-host/top-N pytests
     # (tests/test_sitemap.py)
     "frontier_schedule": q_frontier_schedule,
+    # redirect_resolve: ADDED r4 s8, same tail rationale — pointer-
+    # doubling chain resolution (log-round, loop-safe) over relational
+    # synth edges; oracle replays final/hops/resolved in closed form
+    # from doc_id arithmetic; verified green via scripts/check_entry.py
+    # this session + chain/loop/truncation/round-count pytests
+    # (tests/test_redirects.py)
+    "redirect_resolve": q_redirect_resolve,
 }
 
 
@@ -7709,4 +7789,5 @@ from corpus group by 1
         "crawl_frontier": _sql_crawl_frontier(),
         "charset_decode": _sql_charset_decode(),
         "frontier_schedule": _sql_frontier_schedule(),
+        "redirect_resolve": _sql_redirect_resolve(),
     }

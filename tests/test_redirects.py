@@ -1,0 +1,72 @@
+"""Redirect resolution tests: straight chains (hops exact), loops and
+self-loops flagged unresolved, chains into a loop, duplicate-source
+determinism, >max_hops truncation, and the pointer-doubling round
+count (log, not linear)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.redirects import resolve_redirects
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "url string, location string")
+
+
+def _resolve(spark, pairs, **kw):
+    out = resolve_redirects(_edges(spark, pairs), **kw).collect()
+    return {r.url: (r.final_url, r.hops, r.resolved) for r in out}
+
+
+def test_chain_resolves_with_exact_hops(spark):
+    got = _resolve(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    )
+    assert got == {
+        "a": ("d", 3, True),
+        "b": ("d", 2, True),
+        "c": ("d", 1, True),
+        "x": ("y", 1, True),
+    }
+
+
+def test_loops_flagged_not_dropped(spark):
+    got = _resolve(
+        spark,
+        [("a", "b"), ("b", "a"), ("s", "s"), ("in", "a"), ("ok", "t")],
+    )
+    assert got["a"] == (None, None, False)
+    assert got["b"] == (None, None, False)
+    assert got["s"] == (None, None, False)   # self-loop
+    assert got["in"] == (None, None, False)  # chain INTO a loop
+    assert got["ok"] == ("t", 1, True)
+
+
+def test_max_hops_truncation(spark):
+    chain = [(f"u{i}", f"u{i+1}") for i in range(40)]  # 40-hop chain
+    got = _resolve(spark, chain, max_hops=8)
+    assert got["u39"] == ("u40", 1, True)
+    assert got["u35"] == ("u40", 5, True)
+    assert got["u0"][2] is False  # beyond max_hops: unresolved, not wrong
+
+
+def test_duplicate_sources_deterministic(spark):
+    # two snapshots disagree: lexicographically greatest target wins
+    got = _resolve(spark, [("a", "b"), ("a", "c"), ("b", "t"), ("c", "z")])
+    assert got["a"] == ("z", 2, True)
+
+
+def test_rounds_are_materialized_leaves(spark):
+    plan = (
+        resolve_redirects(_edges(spark, [("a", "b")]), max_hops=32)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # each doubling round is localCheckpoint-ed, so the visible plan is
+    # the LAST round's join + the open-source check over checkpoint
+    # leaves — NOT 2^rounds unmaterialized self-joins (the lineage
+    # blow-up the star contraction documents)
+    assert plan.count("Join LeftOuter") == 1
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan

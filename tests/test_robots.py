@@ -92,6 +92,22 @@ def test_anchor_exact_match_only(spark):
     assert d["https://h.org/page2"] == (False, "/")
 
 
+def test_sitemap_directive_is_group_independent(spark):
+    from ocr_spark.operators.robots import robots_sitemaps
+
+    text = (
+        "Sitemap: https://h.org/a.xml\n"          # before any group
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "Sitemap: https://h.org/b.xml\n"          # inside a non-matching group
+        "SITEMAP: https://h.org/a.xml  # dup+case\n"
+        "Sitemap:\n"                               # empty value dropped
+    )
+    df = spark.createDataFrame([("h.org", text)], "host string, robots_txt string")
+    got = sorted(r.sitemap_url for r in robots_sitemaps(df).collect())
+    assert got == ["https://h.org/a.xml", "https://h.org/b.xml"]
+
+
 def test_glob_match_semantics():
     from ocr_spark.operators.robots import glob_match
 
