@@ -204,6 +204,65 @@ def test_frontier_schedule_salted_topn(spark):
     ]
 
 
+def test_discovery_loop_end_to_end(spark):
+    """The full discovery loop: robots Sitemap: directive → fetch that
+    sitemap (an index) → child sitemaps → urlset entries → robots-gated
+    frontier → politeness schedule."""
+    from ocr_spark.operators.robots import robots_sitemaps
+    from ocr_spark.operators.sitemap import frontier_schedule
+
+    robots_txt = (
+        "Sitemap: https://h.org/root.xml\n"
+        "User-agent: databot\nDisallow: /private/\nCrawl-delay: 3\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.org", robots_txt)], "host string, robots_txt string"
+    )
+    # the directive names the index; the index names the leaf
+    fetched = {
+        "https://h.org/root.xml": (
+            "<sitemapindex><sitemap><loc>https://h.org/leaf.xml</loc>"
+            "</sitemap></sitemapindex>"
+        ),
+        "https://h.org/leaf.xml": (
+            "<urlset>"
+            "<url><loc>https://h.org/a</loc><priority>0.9</priority></url>"
+            "<url><loc>https://h.org/private/x</loc></url>"
+            "<url><loc>https://h.org/b</loc></url>"
+            "</urlset>"
+        ),
+    }
+    roots = {r.sitemap_url for r in robots_sitemaps(robots).collect()}
+    assert roots == {"https://h.org/root.xml"}
+    files = spark.createDataFrame(
+        [(u, fetched[u]) for u in sorted(roots)], "url string, sitemap_xml string"
+    )
+    entries = sitemap_entries(files, id_col="url")
+    children = [r.loc for r in entries.filter(F.col("kind") == "sitemap").collect()]
+    assert children == ["https://h.org/leaf.xml"]
+    leaf_entries = sitemap_entries(
+        spark.createDataFrame(
+            [(u, fetched[u]) for u in children], "url string, sitemap_xml string"
+        ),
+        id_col="url",
+    )
+    from ocr_spark.operators.robots import robots_delays, robots_rules
+
+    fr = crawl_frontier(
+        leaf_entries,
+        robots_rules(robots, "databot"),
+        spark.createDataFrame([("https://h.org/b",)], "urikey string"),
+        id_col="url",
+    )
+    sched = frontier_schedule(
+        fr, per_host=10, delays=robots_delays(robots, "databot")
+    ).collect()
+    # /private/x robots-denied, /b already fetched → only /a remains
+    assert [(r.urikey, r.rank, r.crawl_delay) for r in sched] == [
+        ("https://h.org/a", 1, 3.0)
+    ]
+
+
 def test_parse_plan_is_projection_only(spark):
     df = spark.createDataFrame(
         [(1, synth_sitemap_xml(1))], "doc_id long, sitemap_xml string"
