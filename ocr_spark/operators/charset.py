@@ -184,11 +184,14 @@ def with_decoded_text(
         cols = [f.name for f in out_schema.fields]
         for pdf in batches:
             cts = pdf[content_type_col] if content_type_col else [None] * len(pdf)
-            rows = []
-            for (_, row), ct in zip(pdf.iterrows(), cts):
-                d = decode_payload(row[payload_col], ct)
-                rows.append({**{c: row[c] for c in in_cols}, **d})
-            yield pd.DataFrame(rows, columns=cols)
+            res = [
+                decode_payload(p, None if c is None or c != c else c)
+                for p, c in zip(pdf[payload_col], cts)
+            ]
+            out = pdf.copy()
+            for f in CHARSET_FIELDS.fieldNames():
+                out[f] = [r[f] for r in res]
+            yield out[cols]
 
     return df.mapInPandas(run, out_schema)
 
