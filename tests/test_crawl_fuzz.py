@@ -1,0 +1,157 @@
+"""Hostile-input properties for the web-crawl family — pure-Python
+kernels only (no Spark session), so hypothesis can run thousands of
+cases:
+
+* chunked/HTTP-coding decode: round-trips exactly; hostile bytes raise
+  ValueError and nothing else (the C3 errors-as-data funnel upstream
+  catches exactly that);
+* charset decode: NEVER raises, and its invariants (ok implies text,
+  not-ok implies the malformed-UTF-16 leg) hold for arbitrary bytes
+  and arbitrary declared labels;
+* glob_match: equivalent to the re.fullmatch reference translation on
+  bounded inputs (the linear matcher IS the production path precisely
+  because the regex form is hostile-pattern-exponential — the
+  equivalence is checked where the reference is safe to run);
+* sitemap/warc builder twins stay in lockstep with their parsers under
+  every doc_id (exhaustive small range, beyond the spot checks).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+from ocr_spark.operators.charset import decode_payload, sniff_charset
+from ocr_spark.operators.robots import glob_match
+from ocr_spark.operators.warc import (
+    chunk_wrap,
+    dechunk,
+    decode_http_body,
+    gzip_wrap,
+)
+
+pytestmark = pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=4096), st.integers(min_value=1, max_value=64))
+def test_chunk_roundtrip(data, size):
+    assert dechunk(chunk_wrap(data, size=size)) == data
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.binary(max_size=2048))
+def test_dechunk_hostile_bytes_value_error_only(data):
+    try:
+        dechunk(data)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.binary(max_size=2048),
+    st.sampled_from(["", "identity", "gzip", "x-gzip", "deflate", "br", "chunked"]),
+    st.sampled_from(["", "chunked", "gzip"]),
+)
+def test_decode_http_body_value_error_only(body, ce, te):
+    headers = {}
+    if ce:
+        headers["content-encoding"] = ce
+    if te:
+        headers["transfer-encoding"] = te
+    try:
+        decode_http_body(headers, body)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=4096), st.sampled_from(["gzip", "deflate"]))
+def test_decode_http_body_roundtrip(data, ce):
+    enc = gzip_wrap(data) if ce == "gzip" else zlib.compress(data)
+    assert decode_http_body({"content-encoding": ce}, enc) == data
+    framed = chunk_wrap(enc)
+    both = {"transfer-encoding": "chunked", "content-encoding": ce}
+    assert decode_http_body(both, framed) == data
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.binary(max_size=2048),
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789-=;/ \"'",
+            max_size=60,
+        ).map(lambda s: "text/html; charset=" + s),
+    ),
+)
+def test_charset_decode_total_function(payload, ct):
+    d = decode_payload(payload, ct)
+    assert set(d) == {"charset", "source", "ok", "err", "text"}
+    assert d["charset"] in ("utf-8", "utf-16le", "utf-16be", "windows-1252")
+    assert d["source"] in ("bom", "http", "meta", "detected")
+    if d["ok"]:
+        assert isinstance(d["text"], str) and d["err"] is None
+    else:
+        assert d["text"] is None and d["err"].startswith("malformed utf-16")
+        assert d["charset"].startswith("utf-16")
+    # sniff is deterministic and consistent with the decode result's
+    # resolution unless the utf-8 mis-declaration fallback re-routed it
+    cs, src = sniff_charset(payload, ct)
+    if (cs, src) != (d["charset"], d["source"]):
+        assert (d["charset"], d["source"]) == ("windows-1252", "detected")
+
+
+def _glob_ref(path: str, pattern: str, anchored: bool) -> bool:
+    rx = "".join(".*" if c == "*" else re.escape(c) for c in pattern)
+    if not anchored:
+        rx += ".*"
+    return re.fullmatch(rx, path, re.S) is not None
+
+
+@settings(max_examples=1000, deadline=None)
+@given(
+    st.text(alphabet="ab/*.", max_size=24),
+    st.text(alphabet="ab/*.", max_size=12),
+    st.booleans(),
+)
+def test_glob_match_equals_regex_reference(path, pattern, anchored):
+    assert glob_match(path, pattern, anchored) == _glob_ref(path, pattern, anchored)
+
+
+def test_synth_twins_exhaustive_small_range():
+    """Every builder leg agrees with its parser kernel for doc_id
+    0..299 — the pure-Python halves of the driver fixtures, exhaustive
+    where the Spark tests spot-check."""
+    from ocr_spark.operators.charset import synth_charset_payload
+    from ocr_spark.operators.warc import expand_warc_payload, synth_warc_payload
+
+    for d in range(300):
+        rows = expand_warc_payload(synth_warc_payload(d))
+        if d % 11 == 0 or d % 17 == 0:
+            assert len(rows) == 1 and rows[0]["ok"] is False
+        else:
+            assert len(rows) == 1 + d % 3
+            for i, r in enumerate(rows):
+                if r["rec_type"] == "response":
+                    assert r["ok"] and r["body"].decode("utf-8").startswith(
+                        f"resp {d} {i} "
+                    )
+        p, ct = synth_charset_payload(d)
+        out = decode_payload(p, ct)
+        if not out["ok"]:
+            assert d % 9 != 4 and d % 8 == 3 and d % 7 == 0
+        else:
+            assert f"charset {d} " in out["text"]
