@@ -302,7 +302,12 @@ def robots_allowed(
     rule-less URLs survive to default-allow) and the Arrow glob
     matches for wildcard rules (inner join — candidate pairs only).
     No URL-corpus window; Python touches only (url × wildcard-rule)
-    pairs."""
+    pairs.
+
+    The ``rules`` plan is referenced twice (plain + wildcard legs):
+    when rules come from parsing a LARGE robots corpus inline, persist
+    or write out :func:`robots_rules` first so the parse runs once —
+    the dim is tiny relative to the URL corpus either way."""
     u = urls.withColumn("_host", _url_host(F.col(url_col))).withColumn(
         "_path", _url_path(F.col(url_col))
     )
