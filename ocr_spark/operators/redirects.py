@@ -50,7 +50,10 @@ def resolve_redirects(
     round (2^rounds joins; same driver-OOM trap the star contraction
     documents at `operators/dedup.py:794`)."""
     g = (
-        edges.groupBy(F.col(src_col).alias("_src"))
+        # a NULL Location is not a redirect edge — dropping it here
+        # keeps it from surfacing as resolved=true with a NULL target
+        edges.filter(F.col(dst_col).isNotNull() & F.col(src_col).isNotNull())
+        .groupBy(F.col(src_col).alias("_src"))
         .agg(F.max(F.col(dst_col)).alias("_dst"))
         .select("_src", "_dst", F.lit(1).alias("_hops"))
     )

@@ -51,6 +51,16 @@ def test_max_hops_truncation(spark):
     assert got["u0"][2] is False  # beyond max_hops: unresolved, not wrong
 
 
+def test_null_edges_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", None), (None, "d"), ("b", "t")],
+        "url string, location string",
+    )
+    got = {r.url: (r.final_url, r.resolved) for r in resolve_redirects(df).collect()}
+    # the null-location row is not an edge: no resolved-with-NULL-target
+    assert got == {"a": ("t", True), "b": ("t", True)}
+
+
 def test_duplicate_sources_deterministic(spark):
     # two snapshots disagree: lexicographically greatest target wins
     got = _resolve(spark, [("a", "b"), ("a", "c"), ("b", "t"), ("c", "z")])
