@@ -128,9 +128,15 @@ def crawl_frontier(
 ) -> DataFrame:
     """Frontier planning: sitemap URL entries that robots policy allows
     and the CDX index has not already fetched —
-    ``(id, urikey, priority, lastmod)`` with the spec's 0.5 default
-    priority applied. One robots decision join + one hash anti-join on
-    the canonical urikey; both AQE-sized equi-joins, no window over the
+    ``(id, urikey, priority, lastmod)``, ONE row per urikey, with the
+    spec's 0.5 default priority applied. The same URL is routinely
+    listed by many sitemaps, so duplicates collapse deterministically
+    to the strongest claim (max priority, max lastmod, min id) — which
+    also makes the frontier a set, the precondition
+    :func:`frontier_schedule`'s total order relies on. One robots
+    decision join + one hash anti-join + one combiner aggregation, all
+    keyed on the canonical urikey (the aggregation reuses the
+    anti-join's partitioning — no extra exchange); no window over the
     URL corpus."""
     from ocr_spark.operators.linkgraph import normalize_url
     from ocr_spark.operators.robots import robots_allowed
@@ -149,8 +155,15 @@ def crawl_frontier(
         F.col("allowed")
     )
     fetched = cdx.select(F.col("urikey")).distinct()
-    return allowed.join(fetched, "urikey", "left_anti").select(
-        id_col, "urikey", "priority", "lastmod"
+    return (
+        allowed.join(fetched, "urikey", "left_anti")
+        .groupBy("urikey")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.max("priority").alias("priority"),
+            F.max("lastmod").alias("lastmod"),
+        )
+        .select(id_col, "urikey", "priority", "lastmod")
     )
 
 

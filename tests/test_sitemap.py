@@ -153,6 +153,35 @@ def test_frontier_allowed_minus_fetched(spark):
     ]
 
 
+def test_frontier_dedupes_urikeys_to_strongest_claim(spark):
+    """Two sitemaps listing the same URL collapse to one frontier row:
+    max priority, max lastmod, min id."""
+    from ocr_spark.operators.sitemap import crawl_frontier
+
+    entries = spark.createDataFrame(
+        [
+            (7, "url", 0, True, None, "https://h.org/x", "2026-01-01", None, 0.3),
+            (3, "url", 0, True, None, "https://h.org/x", "2026-02-01", None, None),
+            (9, "url", 0, True, None, "https://h.org/y", None, None, 0.8),
+        ],
+        "doc_id long, kind string, entry_idx int, ok boolean, err string,"
+        " loc string, lastmod string, changefreq string, priority double",
+    )
+    rules = robots_rules(
+        spark.createDataFrame([("h.org", "")], "host string, robots_txt string"),
+        "databot",
+    )
+    cdx = spark.createDataFrame([], "urikey string")
+    got = {
+        r.urikey: (r.doc_id, r.priority, r.lastmod)
+        for r in crawl_frontier(entries, rules, cdx).collect()
+    }
+    assert got == {
+        "https://h.org/x": (3, 0.5, "2026-02-01"),  # max(0.3, default 0.5)
+        "https://h.org/y": (9, 0.8, None),
+    }
+
+
 def test_robots_delays(spark):
     from ocr_spark.operators.robots import robots_delays
 
