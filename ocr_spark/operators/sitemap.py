@@ -72,7 +72,13 @@ def sitemap_entries(
     data row). ``lastmod`` stays the raw W3C-datetime string (callers
     cast; date-only and full forms both occur in the wild);
     ``priority`` is ``try_cast`` so a malformed number is NULL, not a
-    task failure. Pure projection + posexplode — shuffle-free."""
+    task failure. Pure projection + posexplode — shuffle-free.
+
+    Scope, stated honestly: this is regexp-grammar parsing of a format
+    that is machine-generated and flat in practice. CDATA sections and
+    commented-out ``<url>`` markup are not interpreted (a comment
+    containing literal entry markup would parse as an entry); an empty
+    but valid urlset contributes zero rows rather than a marker row."""
     root = F.lower(F.regexp_extract(F.col(xml_col), _ROOT_RE, 1))
     kind = (
         F.when(root.endswith("urlset"), F.lit("url"))
