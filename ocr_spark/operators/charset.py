@@ -54,19 +54,34 @@ _BOMS = (
     (b"\xfe\xff", "utf-16be", 2),
 )
 
-#: WHATWG label → canonical decoder (subset: the encodings that occur
-#: at meaningful rates in web crawls; unknown labels → detection)
+#: WHATWG label → canonical decoder. The full Encoding-standard alias
+#: lists for the decoders this module supports (UTF-8, the two UTF-16
+#: flavors, windows-1252 — which per WHATWG also owns every latin1 and
+#: ascii label); other encodings' labels fall through to detection.
 LABELS = {
-    **{k: "utf-8" for k in ("utf-8", "utf8", "unicode-1-1-utf-8", "unicode20utf8", "x-unicode20utf8")},
+    **{
+        k: "utf-8"
+        for k in (
+            "utf-8", "utf8", "unicode-1-1-utf-8", "unicode11utf8",
+            "unicode20utf8", "x-unicode20utf8",
+        )
+    },
     **{
         k: "windows-1252"
         for k in (
             "windows-1252", "cp1252", "x-cp1252", "iso-8859-1", "iso8859-1",
-            "iso_8859-1", "iso88591", "latin1", "latin-1", "l1", "ascii",
-            "us-ascii", "ansi_x3.4-1968", "cp819", "ibm819",
+            "iso88591", "iso_8859-1", "iso_8859-1:1987", "iso-ir-100",
+            "csisolatin1", "latin1", "latin-1", "l1", "ascii", "us-ascii",
+            "ansi_x3.4-1968", "cp819", "ibm819",
         )
     },
-    **{k: "utf-16le" for k in ("utf-16", "utf-16le", "utf16", "unicodefeff")},
+    **{
+        k: "utf-16le"
+        for k in (
+            "utf-16", "utf-16le", "utf16", "ucs-2", "unicode",
+            "unicodefeff", "csunicode", "iso-10646-ucs-2",
+        )
+    },
     "utf-16be": "utf-16be",
 }
 
