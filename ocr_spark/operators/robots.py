@@ -16,8 +16,10 @@ minus in-pattern wildcards):
   * line grammar: ``field: value`` with ``#`` comments, blank lines,
     case-insensitive field names, surrounding whitespace;
   * group assembly: consecutive ``User-agent`` lines head ONE group
-    that owns the following Allow/Disallow rules (a UA line after a
-    rule line starts a NEW group);
+    that owns the following Allow/Disallow rules; ANY other field line
+    (a rule, a ``Crawl-delay``, an unknown field) ends the run, so a
+    UA line after it starts a NEW group — pinned against the
+    independent reference twin in tests/test_robots_reference.py;
   * group selection: if any group names the literal agent token, only
     those groups apply; otherwise the ``*`` groups apply;
   * rule matching: path-prefix match, optional trailing ``$`` anchor

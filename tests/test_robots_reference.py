@@ -1,0 +1,146 @@
+"""Randomized semantic-twin check for the robots stack: an independent
+~50-line pure-Python REP implementation (parsing, group assembly and
+selection, longest-match with allow-wins-ties and the lexicographic
+tie-break, anchors, wildcards) decides the same (host, path) universe
+as the relational `robots_rules` + `robots_allowed` pipeline. One
+Spark job over every (robots fixture × url) pair — seeded, so failures
+reproduce."""
+
+from __future__ import annotations
+
+import random
+
+from ocr_spark.operators.robots import glob_match, robots_allowed, robots_rules
+
+
+# --- the independent reference (written from RFC 9309, not from the
+# --- operator: different structure, shared only via glob_match whose
+# --- own equivalence to a regex reference is pinned in test_crawl_fuzz)
+def _ref_parse(text: str, agent: str):
+    groups, cur_agents, cur_rules, in_rules = [], [], [], False
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if not field or not field.replace("-", "").isalpha():
+            continue
+        if field == "user-agent":
+            if in_rules:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules, in_rules = [], [], False
+            cur_agents.append(value.lower())
+        else:
+            # ANY non-user-agent field line ends a user-agent run (the
+            # operator's documented group-boundary rule: crawl-delay is
+            # group content, so it closes the head like a rule does)
+            in_rules = True
+            if field in ("allow", "disallow") and cur_agents and value:
+                cur_rules.append((field == "allow", value))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    named = [g for g in groups if agent.lower() in g[0]]
+    chosen = named if named else [g for g in groups if "*" in g[0]]
+    return [r for g in chosen for r in g[1]]
+
+
+def _ref_decide(rules, path: str):
+    best = None
+    for allow, pattern in rules:
+        anchored = pattern.endswith("$")
+        pat = pattern[:-1] if anchored else pattern
+        if glob_match(path, pat, anchored):
+            key = (len(pattern), allow, pat)
+            if best is None or key > best:
+                best = key
+    if best is None:
+        return True, None
+    return best[1], best[2]
+
+
+def _random_robots(rng: random.Random) -> str:
+    lines = []
+    n_groups = rng.randint(0, 4)
+    for _ in range(n_groups):
+        for _ in range(rng.randint(1, 2)):
+            lines.append(
+                "User-agent: " + rng.choice(["databot", "otherbot", "*", "DataBot"])
+            )
+        for _ in range(rng.randint(0, 4)):
+            field = rng.choice(["Allow", "Disallow", "allow", "Crawl-delay"])
+            if field == "Crawl-delay":
+                lines.append("Crawl-delay: 5")
+                continue
+            depth = rng.randint(0, 3)
+            segs = "".join(
+                rng.choice(["/a", "/b", "/ab", "/*", "/a*b", "/x"])
+                for _ in range(depth)
+            )
+            pattern = ("/" + segs.lstrip("/")) if segs else rng.choice(["/", ""])
+            if rng.random() < 0.2:
+                pattern += "$"
+            lines.append(f"{field}: {pattern}  # r")
+        if rng.random() < 0.3:
+            lines.append("")
+    return "\n".join(lines)
+
+
+def _random_path(rng: random.Random) -> str:
+    return "/" + "/".join(
+        rng.choice(["a", "b", "ab", "x", "a*b", "aa"])
+        for _ in range(rng.randint(0, 4))
+    ).rstrip("/")
+
+
+def test_nonrule_field_ends_ua_run(spark):
+    """The group-boundary corner, pinned explicitly: a Crawl-delay line
+    between two User-agent lines closes the first group's head, so the
+    rules after the second UA belong to the * group ONLY — and since a
+    named databot group exists (rule-less), databot gets no rules at
+    all (default allow) while the reference twin agrees."""
+    text = (
+        "User-agent: databot\n"
+        "Crawl-delay: 5\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    import pyspark.sql.functions as F  # noqa: F401
+
+    robots = spark.createDataFrame(
+        [("h.org", text)], "host string, robots_txt string"
+    )
+    u = spark.createDataFrame([("https://h.org/x",)], "url string")
+    row = robots_allowed(u, robots_rules(robots, "databot")).collect()[0]
+    assert (row.allowed, row.rule_prefix) == (True, None)
+    assert _ref_decide(_ref_parse(text, "databot"), "/x") == (True, None)
+    # and the star agent sees the Disallow
+    row = robots_allowed(u, robots_rules(robots, "nobody")).collect()[0]
+    assert (row.allowed, row.rule_prefix) == (False, "/")
+    assert _ref_decide(_ref_parse(text, "nobody"), "/x") == (False, "/")
+
+
+def test_relational_stack_matches_python_reference(spark):
+    rng = random.Random(20260819)
+    fixtures = {f"h{i}.org": _random_robots(rng) for i in range(40)}
+    urls = [
+        (f"https://{h}{_random_path(rng)}",)
+        for h in fixtures
+        for _ in range(6)
+    ]
+    robots = spark.createDataFrame(
+        list(fixtures.items()), "host string, robots_txt string"
+    )
+    u = spark.createDataFrame(urls, "url string")
+    got = {
+        r.url: (r.allowed, r.rule_prefix)
+        for r in robots_allowed(u, robots_rules(robots, "databot")).collect()
+    }
+    assert len(got) == len(set(urls))
+    for (url,) in urls:
+        host = url.split("/")[2]
+        path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
+        want = _ref_decide(_ref_parse(fixtures[host], "databot"), path)
+        assert got[url] == want, (
+            f"{url}\nrobots:\n{fixtures[host]}\nspark={got[url]} ref={want}"
+        )
