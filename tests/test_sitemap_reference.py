@@ -1,0 +1,98 @@
+"""Randomized semantic-twin check for the sitemap parser: stdlib
+ElementTree (a real XML parser) extracts the same entries from random
+well-formed sitemap documents as the relational regexp grammar —
+entity escaping (ET escapes text on serialization, exercising the
+five-entity decode), whitespace-padded text, namespace prefixes,
+unknown child elements, missing-loc error rows, malformed priorities,
+and document order. One Spark job over all fixtures; seeded."""
+
+from __future__ import annotations
+
+import random
+import xml.etree.ElementTree as ET
+
+from ocr_spark.operators.sitemap import sitemap_entries
+
+_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def _random_doc(rng: random.Random) -> str:
+    kind = rng.choice(["urlset", "sitemapindex", "urlset", "urlset"])
+    use_ns = rng.random() < 0.3
+    tag = (lambda t: f"{{{_NS}}}{t}") if use_ns else (lambda t: t)
+    root = ET.Element(tag(kind))
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    for i in range(rng.randint(0, 5)):
+        c = ET.SubElement(root, tag(child_tag))
+        if rng.random() < 0.9:
+            loc = ET.SubElement(c, tag("loc"))
+            pad = rng.choice(["", "\n  ", "  "])
+            loc.text = (
+                pad
+                + f"https://h{rng.randint(0, 3)}.org/p?a=1&b=<{i}>&q=\"x\""
+                + pad
+            )
+        if rng.random() < 0.6:
+            ET.SubElement(c, tag("lastmod")).text = f"2026-0{rng.randint(1, 9)}-11"
+        if kind == "urlset":
+            if rng.random() < 0.5:
+                ET.SubElement(c, tag("changefreq")).text = rng.choice(
+                    ["DAILY", "weekly", "Monthly"]
+                )
+            if rng.random() < 0.5:
+                ET.SubElement(c, tag("priority")).text = rng.choice(
+                    ["0.8", "1.0", "bogus", "0.55", "1e-1"]
+                )
+        if rng.random() < 0.3:
+            ET.SubElement(c, tag("unknown")).text = "noise & <stuff>"
+    return ET.tostring(root, encoding="unicode")
+
+
+def _ref_entries(xml: str):
+    root = ET.fromstring(xml)
+    base = root.tag.rsplit("}", 1)[-1]
+    kind = {"urlset": "url", "sitemapindex": "sitemap"}.get(base, "invalid")
+    if kind == "invalid":
+        return [(kind, 0, False, None, None, None, None)]
+    out = []
+    child = "url" if kind == "url" else "sitemap"
+    for i, c in enumerate(
+        e for e in root if e.tag.rsplit("}", 1)[-1] == child
+    ):
+        def text(name):
+            for e in c:
+                if e.tag.rsplit("}", 1)[-1] == name:
+                    return (e.text or "").strip()
+            return ""
+
+        loc = text("loc")
+        if not loc:
+            out.append((kind, i, False, None, None, None, None))
+            continue
+        lastmod = text("lastmod") or None
+        cf = text("changefreq").lower() or None if kind == "url" else None
+        pr = None
+        if kind == "url" and text("priority"):
+            try:
+                pr = float(text("priority"))
+            except ValueError:
+                pr = None
+        out.append((kind, i, True, loc, lastmod, cf, pr))
+    return out
+
+
+def test_regexp_grammar_matches_elementtree(spark):
+    rng = random.Random(20260819)
+    docs = [(i, _random_doc(rng)) for i in range(60)]
+    got = {}
+    rows = sitemap_entries(
+        spark.createDataFrame(docs, "doc_id long, sitemap_xml string")
+    ).collect()
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.kind, r.entry_idx, r.ok, r.loc, r.lastmod, r.changefreq, r.priority)
+        )
+    for i, xml in docs:
+        want = _ref_entries(xml)
+        have = sorted(got.get(i, []), key=lambda t: t[1])
+        assert have == want, f"doc {i}\n{xml}\nspark={have}\nref={want}"
