@@ -78,11 +78,15 @@ LABELS = {
     **{
         k: "utf-16le"
         for k in (
+            # 'utf16' is a deliberate non-WHATWG superset (seen in the
+            # wild; WHATWG only lists 'utf-16'), as is 'latin-1' above
             "utf-16", "utf-16le", "utf16", "ucs-2", "unicode",
             "unicodefeff", "csunicode", "iso-10646-ucs-2",
         )
     },
+    # WHATWG maps the BOM-codepoint-spelled label to BE as well
     "utf-16be": "utf-16be",
+    "unicodefffe": "utf-16be",
 }
 
 _CT_RE = re.compile(r"(?i)charset\s*=\s*\"?\s*([A-Za-z0-9._:-]+)")
@@ -144,7 +148,17 @@ def decode_payload(payload: bytes, content_type: str | None = None) -> dict:
         try:
             text = body.decode("utf-8", "strict")
         except UnicodeDecodeError:
-            charset, source, body = "windows-1252", "detected", payload
+            if source == "bom":
+                # WHATWG: a BOM is authoritative — never re-sniff past
+                # it. Decode as UTF-8 with replacement instead of the
+                # cp1252 fallback (which would also resurrect the BOM
+                # bytes as a spurious 'ï»¿' prefix).
+                text = body.decode("utf-8", "replace")
+            else:
+                # declared-but-wrong UTF-8 (http/meta): re-decode the
+                # full payload (no BOM present — BOM wins the sniff) as
+                # windows-1252, the countable mis-declaration leg
+                charset, source, body = "windows-1252", "detected", payload
     if charset in ("utf-16le", "utf-16be"):
         try:
             text = body.decode(charset.replace("utf-16", "utf-16-"), "strict")
@@ -221,6 +235,12 @@ def synth_charset_payload(doc_id: int) -> tuple[bytes, str | None]:
     (``queries._sql_charset_decode`` replays charset/source/ok/err/text
     from doc_id arithmetic; keep in lockstep).
 
+    * ``doc_id % 13 == 6`` — UTF-8 BOM but an invalid-UTF-8 remainder:
+      the BOM is authoritative (WHATWG), so the text decodes as UTF-8
+      with replacement (trailing U+FFFD), never the cp1252 fallback and
+      never a resurrected 'ï»¿' prefix;
+    * ``doc_id % 11 == 5`` — BOM-less UTF-16BE bytes with the WHATWG
+      label ``charset=unicodefffe`` declared → http/utf-16be;
     * ``doc_id % 9 == 4`` — no transport charset; an HTML meta prescan
       leg: ``<meta charset="windows-1252">`` head + cp1252 curly-quote
       bytes ``0x93 0x94``;
@@ -240,6 +260,13 @@ def synth_charset_payload(doc_id: int) -> tuple[bytes, str | None]:
          utf-8.
     """
     base = f"charset {doc_id} "
+    if doc_id % 13 == 6:
+        return b"\xef\xbb\xbf" + base.encode("ascii") + b"plain\xff", None
+    if doc_id % 11 == 5:
+        return (
+            (base + "café — ✓").encode("utf-16-be"),
+            "text/plain; charset=unicodefffe",
+        )
     if doc_id % 9 == 4:
         return (
             b'<meta charset="windows-1252">' + base.encode("ascii") + b"\x93\x94",

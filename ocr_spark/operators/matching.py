@@ -187,11 +187,13 @@ def match_token_seq(
     toks = df.select(
         *key_cols, F.posexplode(X.tokens(F.col(text_col))).alias("pos", "tok")
     )
-    # normalize on the DISTINCT token dim (P6 rule), then map back
-    norm_dim = (
-        toks.select("tok").distinct().withColumn("norm", X.normalize_word(F.col("tok")))
-    )
-    toks = toks.join(F.broadcast(norm_dim), "tok")
+    # normalize_word is pure native Catalyst (translate + regexp_replace),
+    # so normalize INLINE on the token column. The former "normalize on
+    # the DISTINCT token dim" device (meant for expensive pandas stages)
+    # built a corpus-derived broadcast — unbounded on a web corpus, a
+    # driver-OOM at scale (r4 verdict) — and cost an extra shuffle +
+    # driver collect for zero work saved.
+    toks = toks.withColumn("norm", X.normalize_word(F.col("tok")))
     hits = toks.join(F.broadcast(kdim), toks["norm"] == kdim["ktok"])
     anchors = (
         hits.withColumn("anchor", F.col("pos") - F.col("kpos"))

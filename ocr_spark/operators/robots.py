@@ -16,10 +16,11 @@ minus in-pattern wildcards):
   * line grammar: ``field: value`` with ``#`` comments, blank lines,
     case-insensitive field names, surrounding whitespace;
   * group assembly: consecutive ``User-agent`` lines head ONE group
-    that owns the following Allow/Disallow rules; ANY other field line
-    (a rule, a ``Crawl-delay``, an unknown field) ends the run, so a
-    UA line after it starts a NEW group — pinned against the
-    independent reference twin in tests/test_robots_reference.py;
+    that owns the following Allow/Disallow rules; ONLY an Allow/
+    Disallow line closes the run (Google's reference REP parser), so a
+    ``Crawl-delay``, ``Sitemap`` or unknown field between two UA lines
+    leaves them one merged group — pinned against the independent
+    reference twin in tests/test_robots_reference.py;
   * group selection: if any group names the literal agent token, only
     those groups apply; otherwise the ``*`` groups apply;
   * rule matching: path-prefix match, optional trailing ``$`` anchor
@@ -58,7 +59,7 @@ from pyspark.sql import functions as F
 
 _FIELD_RE = r"^([A-Za-z][A-Za-z-]*)\s*:\s*(.*)$"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
-_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^#]*)?"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+((?:/|\?)[^#]*)?"
 
 
 def _parsed_lines(robots: DataFrame, host_col: str, text_col: str) -> DataFrame:
@@ -113,14 +114,41 @@ def _applicable_lines(
     group-id assignment (running sum), and group-agent scoping happen
     entirely within a single file's lines."""
     byline = Window.partitionBy(host_col).orderBy("line_no")
+    before = byline.rowsBetween(Window.unboundedPreceding, -1)
     lines = _parsed_lines(robots, host_col, text_col)
     is_ua = F.col("field") == "user-agent"
-    grouped = lines.withColumn(
-        "group_start",
-        (is_ua & ~F.coalesce(F.lag(is_ua).over(byline), F.lit(False))).cast("int"),
-    ).withColumn(
-        "group_id",
-        F.sum("group_start").over(byline.rowsBetween(Window.unboundedPreceding, 0)),
+    # Google's reference REP parser closes a consecutive user-agent run
+    # ONLY when an allow/disallow rule has been seen since the run began
+    # — unknown fields, Sitemap:, Crawl-delay etc. between two
+    # user-agent lines leave them one merged group. Encode that with
+    # two running maxima over the same per-host window: a user-agent
+    # line starts a new group iff there is no prior user-agent line or
+    # a rule line appeared after the latest one.
+    is_rule = F.col("field").isin("allow", "disallow")
+    grouped = (
+        lines.withColumn(
+            "_prev_ua", F.max(F.when(is_ua, F.col("line_no"))).over(before)
+        )
+        .withColumn(
+            "_prev_rule", F.max(F.when(is_rule, F.col("line_no"))).over(before)
+        )
+        .withColumn(
+            "group_start",
+            (
+                is_ua
+                & (
+                    F.col("_prev_ua").isNull()
+                    | (F.coalesce(F.col("_prev_rule"), F.lit(-1)) > F.col("_prev_ua"))
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "group_id",
+            F.sum("group_start").over(
+                byline.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .drop("_prev_ua", "_prev_rule")
     )
     agents = (
         grouped.filter(is_ua)
@@ -251,8 +279,15 @@ def _url_host(url: Column) -> Column:
 
 
 def _url_path(url: Column) -> Column:
+    # a query with an empty path ("https://h.org?q=1") keeps its query
+    # for rule matching: RFC 9309 patterns match the path-with-query,
+    # so it normalizes to "/?q=1", not a bare "/"
     p = F.regexp_extract(url, _PATH_RE, 1)
-    return F.when(p == "", F.lit("/")).otherwise(p)
+    return (
+        F.when(p == "", F.lit("/"))
+        .when(p.startswith("?"), F.concat(F.lit("/"), p))
+        .otherwise(p)
+    )
 
 
 def glob_match(path: str, pattern: str, anchored: bool) -> bool:
@@ -305,6 +340,12 @@ def robots_allowed(
     matches for wildcard rules (inner join — candidate pairs only).
     No URL-corpus window; Python touches only (url × wildcard-rule)
     pairs.
+
+    SET semantics over the input columns: the decision aggregation
+    groups by all of ``urls``' columns, so exactly-duplicate input rows
+    collapse to one output row. Feed a distinct URL set, or carry a
+    ``monotonically_increasing_id`` column through if duplicates must
+    survive.
 
     The ``rules`` plan is referenced twice (plain + wildcard legs):
     when rules come from parsing a LARGE robots corpus inline, persist

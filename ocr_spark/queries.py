@@ -2171,10 +2171,15 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected through the seeded integer plane matrix (similarity.
     embed_project) — closes the text→vector gap so dedup/ANN/SemDeDup
     run end-to-end from raw text. Row-local, zero exchanges; the raw
-    integer projection is the oracle column (bit-exact in any engine)."""
+    integer projection is the oracle column (bit-exact in any engine).
+    The vector rides as a comma-joined string: the driver's pandas
+    canonicalizer cannot hash array-typed cells (r4 red row), and the
+    CSV form is the same bit-exact evidence."""
     from ocr_spark.operators.similarity import embed_project
 
-    return embed_project(_docs(spark, sf_dir)).select("doc_id", "emb_c")
+    return embed_project(_docs(spark, sf_dir)).select(
+        "doc_id", F.concat_ws(",", F.col("emb_c")).alias("emb_csv")
+    )
 
 
 def _sql_embed_project(dim: int = 16, buckets: int = 64) -> str:
@@ -2207,8 +2212,9 @@ e as (
 ),
 agg as (select doc_id, list(v order by d) as emb_c from e group by doc_id)
 select d.doc_id,
-  coalesce(a.emb_c, list_transform(range({dim}), x -> cast(0 as bigint)))
-    as emb_c
+  array_to_string(
+    coalesce(a.emb_c, list_transform(range({dim}), x -> cast(0 as bigint))),
+    ',') as emb_csv
 from documents d left join agg a using (doc_id)
 """
 
@@ -4809,14 +4815,23 @@ def _curate_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.textstats import quality_class, quality_features
 
     corpus_df = _dup_corpus(spark, sf_dir)
+    # The funnel's attribution joins fan the SAME upstream frontier into
+    # several branches (feat feeds the quality column AND the survivors;
+    # with_fp feeds the exact-canonical filter AND the final left join).
+    # Catalyst does not common-subexpression-eliminate across joins, so
+    # without persistence the quality regexes run 4× and the exact-dedup
+    # shuffle 3× — measured 2× wall at local[32] cold (r4 verdict's
+    # curate_funnel inversion). Persist the two shared frontiers; on a
+    # real cluster these are the stage outputs a production pipeline
+    # would checkpoint to a table anyway (spill-capable MEMORY_AND_DISK).
     feat = corpus_df.withColumn(
         "qc", quality_class(quality_features(F.col("text")))
-    )
+    ).persist()
     q_ok = feat.filter(F.col("qc") == "good")
     ex = exact_dedup(q_ok, "doc_id")
     with_fp = q_ok.withColumn("fingerprint", F.md5(F.col("text"))).join(
         ex.select("fingerprint", "canonical_doc_id"), "fingerprint"
-    )
+    ).persist()
     ex_ok = with_fp.filter(
         F.col("doc_id") == F.col("canonical_doc_id")
     ).select("doc_id", "text")
@@ -7182,19 +7197,27 @@ with base as (
   from documents
 )
 select d as doc_id,
-  case when d % 9 = 4 then 'windows-1252'
+  case when d % 13 = 6 then 'utf-8'
+       when d % 11 = 5 then 'utf-16be'
+       when d % 9 = 4 then 'windows-1252'
        when leg in (0, 1, 2, 7) then 'utf-8'
        when leg = 3 then 'utf-16le'
        when leg = 4 then 'utf-16be'
        else 'windows-1252' end as charset,
-  case when d % 9 = 4 then 'meta'
+  case when d % 13 = 6 then 'bom'
+       when d % 11 = 5 then 'http'
+       when d % 9 = 4 then 'meta'
        when leg in (2, 3, 4) then 'bom'
        when leg = 5 then 'http'
        else 'detected' end as source,
-  not (d % 9 <> 4 and leg = 3 and d % 7 = 0) as ok,
-  case when d % 9 <> 4 and leg = 3 and d % 7 = 0
+  not (d % 13 <> 6 and d % 11 <> 5 and d % 9 <> 4 and leg = 3 and d % 7 = 0)
+    as ok,
+  case when d % 13 <> 6 and d % 11 <> 5 and d % 9 <> 4
+            and leg = 3 and d % 7 = 0
        then 'malformed utf-16le: truncated data' end as err,
   case
+    when d % 13 = 6 then b || 'plain' || chr(65533)
+    when d % 11 = 5 then b || 'café — ✓'
     when d % 9 = 4 then '<meta charset="windows-1252">' || b || '“”'
     when leg = 0 then b || 'plain'
     when leg in (1, 2, 4) then b || 'café — ✓'

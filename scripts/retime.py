@@ -1,0 +1,90 @@
+"""Pinned two-width re-timer for individual registry queries.
+
+The adjudication protocol (BENCH.md): any query whose driver-sweep time
+at local[32] exceeds ~1.8× its local[8] time must be re-timed in FRESH
+subprocesses pinned with ``sched_setaffinity`` on the otherwise-idle
+machine before writing any "host weather" adjudication. This script IS
+that protocol.
+
+    python scripts/retime.py [--sf DIR] [--widths 8,32] [--reps 2] q...
+
+Per query × width it forks a fresh interpreter, pins it, builds a fresh
+SparkSession, runs the query to a noop sink ``reps+1`` times (first =
+warmup) and reports the best. One JSON line per query on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def worker(name: str, sf_dir: str, cpus: int, reps: int) -> None:
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))
+    except (AttributeError, OSError):
+        pass
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from ocr_spark.queries import QUERIES
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(
+        f"local[{cpus}]",
+        app_name=f"retime_{name}_{cpus}",
+        shuffle_partitions=max(cpus, 8),
+    )
+    fn = QUERIES[name]
+    best = float("inf")
+    for i in range(reps + 1):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        if i > 0:
+            best = min(best, dt)
+    spark.stop()
+    print(json.dumps({"sec": round(best, 3)}))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--widths", default="8,32")
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+    widths = [int(w) for w in args.widths.split(",")]
+    for name in args.queries:
+        row: dict[str, object] = {"query": name, "sf": args.sf}
+        for w in widths:
+            out = subprocess.run(
+                [sys.executable, __file__, "--worker", name, args.sf,
+                 str(w), str(args.reps)],
+                capture_output=True, text=True, check=False,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            try:
+                row[f"sec@{w}"] = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+            except Exception:
+                row[f"sec@{w}"] = None
+                row[f"err@{w}"] = out.stderr[-500:]
+        if len(widths) == 2 and all(
+            isinstance(row.get(f"sec@{w}"), float) for w in widths
+        ):
+            lo, hi = sorted(widths)
+            row["ratio_wide_over_narrow"] = round(
+                row[f"sec@{hi}"] / row[f"sec@{lo}"], 3  # type: ignore[operator]
+            )
+        print(json.dumps(row), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5]))
+    else:
+        sys.exit(main())

@@ -93,6 +93,18 @@ def test_spark_stage_over_synth_legs(spark):
     for d in range(80):
         r = got[d]
         base = f"charset {d} "
+        if d % 13 == 6:
+            # BOM is authoritative: invalid remainder decodes with
+            # replacement, never the cp1252 fallback, no 'ï»¿' prefix
+            assert (r.charset, r.source, r.ok) == ("utf-8", "bom", True)
+            assert r.text == base + "plain�"
+            continue
+        if d % 11 == 5:
+            # WHATWG label 'unicodefffe' → utf-16be (BOM-less payload)
+            assert (r.charset, r.source, r.text) == (
+                "utf-16be", "http", base + "café — ✓",
+            )
+            continue
         if d % 9 == 4:
             assert (r.charset, r.source) == ("windows-1252", "meta")
             assert r.text == f'<meta charset="windows-1252">{base}“”'

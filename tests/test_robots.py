@@ -186,6 +186,18 @@ def test_empty_robots_and_unknown_host_default_allow(spark):
     assert out.collect()[0].allowed is True
 
 
+def test_query_with_empty_path_keeps_query(spark):
+    """'https://h.org?q=1' normalizes to path '/?q=1' (not a bare '/'):
+    wildcard rules targeting the query string must see it."""
+    text = "User-agent: databot\nDisallow: /*?q=\n"
+    d = _decide(
+        spark, text, ["https://h.org?q=1", "https://h.org", "https://h.org/p"]
+    )
+    assert d["https://h.org?q=1"] == (False, "/*?q=")
+    assert d["https://h.org"] == (True, None)
+    assert d["https://h.org/p"] == (True, None)
+
+
 def test_host_matching_is_case_insensitive_on_url(spark):
     text = "User-agent: databot\nDisallow: /x/\n"
     u = spark.createDataFrame([("https://H.ORG/x/1",)], "url string")

@@ -31,13 +31,15 @@ def _ref_parse(text: str, agent: str):
                 groups.append((cur_agents, cur_rules))
                 cur_agents, cur_rules, in_rules = [], [], False
             cur_agents.append(value.lower())
-        else:
-            # ANY non-user-agent field line ends a user-agent run (the
-            # operator's documented group-boundary rule: crawl-delay is
-            # group content, so it closes the head like a rule does)
+        elif field in ("allow", "disallow"):
+            # ONLY allow/disallow lines close a user-agent run (Google's
+            # reference REP parser): unknown fields, Sitemap:,
+            # Crawl-delay between two User-agent lines leave them one
+            # merged group
             in_rules = True
-            if field in ("allow", "disallow") and cur_agents and value:
+            if cur_agents and value:
                 cur_rules.append((field == "allow", value))
+        # any other field: ignored for grouping purposes
     if cur_agents:
         groups.append((cur_agents, cur_rules))
     named = [g for g in groups if agent.lower() in g[0]]
@@ -93,31 +95,43 @@ def _random_path(rng: random.Random) -> str:
     ).rstrip("/")
 
 
-def test_nonrule_field_ends_ua_run(spark):
-    """The group-boundary corner, pinned explicitly: a Crawl-delay line
-    between two User-agent lines closes the first group's head, so the
-    rules after the second UA belong to the * group ONLY — and since a
-    named databot group exists (rule-less), databot gets no rules at
-    all (default allow) while the reference twin agrees."""
+def test_nonrule_field_does_not_end_ua_run(spark):
+    """The group-boundary corner, pinned explicitly to Google's
+    reference-parser behavior: a Crawl-delay (or any non-rule) line
+    between two User-agent lines does NOT close the run, so databot and
+    * head ONE merged group and both see the Disallow. Only an
+    allow/disallow line closes a user-agent run."""
     text = (
         "User-agent: databot\n"
         "Crawl-delay: 5\n"
         "User-agent: *\n"
         "Disallow: /\n"
     )
-    import pyspark.sql.functions as F  # noqa: F401
-
     robots = spark.createDataFrame(
         [("h.org", text)], "host string, robots_txt string"
     )
     u = spark.createDataFrame([("https://h.org/x",)], "url string")
     row = robots_allowed(u, robots_rules(robots, "databot")).collect()[0]
-    assert (row.allowed, row.rule_prefix) == (True, None)
-    assert _ref_decide(_ref_parse(text, "databot"), "/x") == (True, None)
-    # and the star agent sees the Disallow
+    assert (row.allowed, row.rule_prefix) == (False, "/")
+    assert _ref_decide(_ref_parse(text, "databot"), "/x") == (False, "/")
+    # the star agent shares the merged group
     row = robots_allowed(u, robots_rules(robots, "nobody")).collect()[0]
     assert (row.allowed, row.rule_prefix) == (False, "/")
     assert _ref_decide(_ref_parse(text, "nobody"), "/x") == (False, "/")
+    # and a rule line DOES close the run: a UA after it starts fresh
+    text2 = (
+        "User-agent: databot\n"
+        "Disallow: /x/\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    robots2 = spark.createDataFrame(
+        [("h.org", text2)], "host string, robots_txt string"
+    )
+    u2 = spark.createDataFrame([("https://h.org/y",)], "url string")
+    row = robots_allowed(u2, robots_rules(robots2, "databot")).collect()[0]
+    assert (row.allowed, row.rule_prefix) == (True, None)
+    assert _ref_decide(_ref_parse(text2, "databot"), "/y") == (True, None)
 
 
 def test_relational_stack_matches_python_reference(spark):

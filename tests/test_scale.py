@@ -60,6 +60,32 @@ def test_token_match_uses_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_token_match_no_corpus_derived_broadcast(spark):
+    """The wer_join contract, extended to J2: the ONLY broadcast in the
+    token-sequence match plan is the fixed keyword dim (a LocalTableScan
+    of driver-built rows). A corpus-derived broadcast — e.g. the r4
+    `norm_dim` built from the distinct token vocabulary — is unbounded on
+    a web corpus and a driver OOM at scale, so the plan must contain no
+    exchange whose subtree scans the input relation on the build side.
+    Concretely: exactly one broadcast exchange, and zero Aggregate/
+    HashAggregate nodes feeding it (the keyword dim needs none)."""
+    from ocr_spark.operators.matching import match_token_seq
+
+    df = spark.createDataFrame(
+        [(i, "ana are mere si Pere") for i in range(20)],
+        "id long, clean_text string",
+    )
+    plan = _plan(match_token_seq(df, ["ana", "are mere"], ["id"]))
+    n_bcast = plan.count("BroadcastExchange")
+    assert n_bcast == 1, plan
+    # the broadcast side must be the driver-built keyword dim: a local
+    # scan, never a subplan that aggregates/distincts the corpus
+    bcast_tail = plan.split("BroadcastExchange", 1)[1]
+    head = "\n".join(bcast_tail.splitlines()[:6])
+    assert "LocalTableScan" in head or "Scan ExistingRDD" in head, plan
+    assert "HashAggregate" not in head, plan
+
+
 def test_extract_deterministic_under_repartitioning(spark, vocab, transcripts_pdf):
     """Same input at 1 vs 13 partitions ⇒ byte-identical per-turn output."""
     sub = transcripts_pdf.head(400)
