@@ -24,12 +24,25 @@ left column top-to-bottom first.  PDF user space points y UP, so
 "top-to-bottom" is descending y (parse_pdfish's markup units point
 down, ascending y — the one deliberate sign flip).
 
+String bytes map to text through the font machinery (ISO 32000 §9.10):
+per-page ``/Resources /Font`` dicts (with page-tree attribute
+inheritance) resolve ``Tf`` names to decoders; each code tries the
+font's ``/ToUnicode`` CMap first (``bfchar`` + both ``bfrange`` forms),
+then ``/Encoding /Differences`` glyph names (AGL subset + ``uniXXXX``/
+``uXXXXXX``), then the base encoding (``/WinAnsiEncoding`` = cp1252,
+``/MacRomanEncoding``, else Latin-1). ``/Type0`` composite fonts with
+``/Identity-H`` consume 2-byte codes through their CMap (unmapped CIDs
+surface as U+FFFD — glyph ids without a ToUnicode are unrecoverable by
+construction). This is the leg the reference gets from PyMuPDF: subset-
+embedded fonts extract real text, not mojibake.
+
 Simplifications (documented, not silent): text matrices are consumed as
 translations (``Tm`` contributes its e/f origin; rotated/sheared text is
 out of scope for transcript payloads), TJ kerning inserts a word space
-only at or below ``TJ_SPACE_KERN`` (true kerns pass through), and
-strings decode as Latin-1 (PDFDocEncoding's printable range; custom
-font /Differences encodings are not remapped).
+only at or below ``TJ_SPACE_KERN`` (true kerns pass through), CID CMaps
+other than Identity-H (e.g. Adobe-Japan1) rely on /ToUnicode alone, and
+fonts with none of ToUnicode/Differences/base-encoding decode as
+Latin-1 (PDFDocEncoding's printable range).
 Everything malformed raises ``ValueError`` so the Arrow parse stage can
 turn it into errors-as-data (C3), never a task crash.
 """
@@ -548,14 +561,14 @@ class PdfDoc:
         if isinstance(root, Stream) or not isinstance(root, dict):
             raise ValueError("catalog is not a dict")
         out: list[dict] = []
-        stack = [root.get("Pages")]
+        stack: list[tuple] = [(root.get("Pages"), None)]
         visited: set[int] = set()
         steps = 0
         while stack:
             steps += 1
             if steps > 100_000:
                 raise ValueError("page tree too large or cyclic")
-            ref = stack.pop()
+            ref, inh_res = stack.pop()
             if isinstance(ref, Ref):
                 if ref.num in visited:
                     raise ValueError("page tree cycle")
@@ -568,8 +581,14 @@ class PdfDoc:
                 kids = self.obj(node.get("Kids"))
                 if not isinstance(kids, list):
                     raise ValueError("Pages without Kids")
-                stack.extend(reversed(kids))  # pre-order = document order
+                # /Resources is an inheritable page attribute (ISO 32000
+                # §7.7.3.4): a kid without its own dict uses the nearest
+                # ancestor's
+                res = node.get("Resources", inh_res)
+                stack.extend((k, res) for k in reversed(kids))
             elif t == "Page":
+                if "Resources" not in node and inh_res is not None:
+                    node = {**node, "Resources": inh_res}
                 out.append(node)
             else:
                 raise ValueError(f"unexpected page-tree node type {t}")
@@ -588,6 +607,278 @@ class PdfDoc:
             out.append(self.decoded(s))
         # streams in a /Contents array concatenate with a separator
         return b"\n".join(out)
+
+    def page_fonts(self, page: dict) -> dict[str, "FontDec"]:
+        """``/Resources /Font`` of a page → resource name → decoder.
+        Anything malformed inside one font dict degrades to the Latin-1
+        fallback decoder for THAT font only (a bad embedded font must
+        not fail the whole page — errors-as-data granularity)."""
+        res = self.obj(page.get("Resources"))
+        if not isinstance(res, dict):
+            return {}
+        fdict = self.obj(res.get("Font"))
+        if not isinstance(fdict, dict):
+            return {}
+        out: dict[str, FontDec] = {}
+        for name, fref in fdict.items():
+            try:
+                font = self.obj(fref)
+                if isinstance(font, dict):
+                    out[str(name)] = self._font_dec(font)
+            except ValueError:
+                out[str(name)] = FontDec(1, {}, {}, "latin-1")
+        return out
+
+    def _font_dec(self, font: dict) -> "FontDec":
+        subtype = font.get("Subtype")
+        width = 2 if subtype == "Type0" else 1
+        tounicode: dict[int, str] = {}
+        tu = self.obj(font.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            tounicode, tu_width = parse_tounicode_cmap(self.decoded(tu))
+            width = max(width, tu_width) if subtype == "Type0" else width
+        diffs: dict[int, str] = {}
+        base = "latin-1"
+        enc = self.obj(font.get("Encoding"))
+        if enc == "WinAnsiEncoding":
+            base = "winansi"
+        elif enc == "MacRomanEncoding":
+            base = "mac_roman"
+        elif isinstance(enc, dict):
+            b = enc.get("BaseEncoding")
+            if b == "WinAnsiEncoding":
+                base = "winansi"
+            elif b == "MacRomanEncoding":
+                base = "mac_roman"
+            darr = self.obj(enc.get("Differences"))
+            if isinstance(darr, list):
+                code = 0
+                for e in darr:
+                    if isinstance(e, (int, float)):
+                        code = int(e)
+                    elif isinstance(e, Name):
+                        u = glyph_to_unicode(str(e))
+                        if u is not None and 0 <= code <= 0xFF:
+                            diffs[code] = u
+                        code += 1
+        return FontDec(width, tounicode, diffs, base)
+
+
+# --------------------------------------------------------------------------
+# Font decoding: ToUnicode CMaps, /Differences glyph names, base encodings
+# --------------------------------------------------------------------------
+
+#: Adobe Glyph List subset — the WinAnsi/Standard glyph repertoire, which
+#: is what subset-embedded simple fonts actually reference in their
+#: /Differences arrays. Everything else resolves via the uniXXXX/uXXXXXX
+#: conventions in :func:`glyph_to_unicode`.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@",
+    "bracketleft": "[", "backslash": "\\", "bracketright": "]",
+    "asciicircum": "^", "underscore": "_", "grave": "`",
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    # quotes / dashes / typographic (cp1252 upper range)
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "guillemotleft": "«", "guillemotright": "»",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "trademark": "™", "Euro": "€",
+    "florin": "ƒ", "fraction": "⁄", "minus": "−",
+    "fi": "ﬁ", "fl": "ﬂ",
+    # currency / signs
+    "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "brokenbar": "¦", "section": "§",
+    "dieresis": "¨", "copyright": "©", "ordfeminine": "ª",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "acute": "´",
+    "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "ordmasculine": "º",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "exclamdown": "¡", "multiply": "×", "divide": "÷",
+    "onesuperior": "¹", "twosuperior": "²",
+    "threesuperior": "³", "circumflex": "ˆ", "tilde": "˜",
+    "caron": "ˇ", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "hungarumlaut": "˝",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "OE": "Œ", "oe": "œ",
+    "Ydieresis": "Ÿ",
+    # Latin-1 letters (AGL names = the accented repertoire subset fonts use)
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+    "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø",
+    "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ",
+    "germandbls": "ß", "agrave": "à", "aacute": "á",
+    "acircumflex": "â", "atilde": "ã", "adieresis": "ä",
+    "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê",
+    "edieresis": "ë", "igrave": "ì", "iacute": "í",
+    "icircumflex": "î", "idieresis": "ï", "eth": "ð",
+    "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+}
+# single letters and digits name themselves in the AGL
+_AGL.update({c: c for c in
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"})
+
+_UNI_RE = re.compile(r"^uni((?:[0-9A-Fa-f]{4})+)$")
+_U_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def glyph_to_unicode(name: str) -> str | None:
+    """AGL glyph name → Unicode string (AGL specification resolution
+    order: exact table hit, then ``uniXXXX`` groups, then ``uXXXXXX``).
+    Suffixed variants (``a.sc``, ``eacute.alt1``) resolve via their stem.
+    Returns None for unmappable names (``g42``, ``cid1234``) — the
+    caller falls back to the font's base encoding for that code."""
+    if name in _AGL:
+        return _AGL[name]
+    m = _UNI_RE.match(name)
+    if m:
+        h = m.group(1)
+        return "".join(chr(int(h[i:i + 4], 16)) for i in range(0, len(h), 4))
+    m = _U_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    if "." in name:
+        return glyph_to_unicode(name.split(".", 1)[0])
+    return None
+
+
+# windows-1252 with the five unmapped C1 bytes as identity (same lenient
+# table the charset operator uses — WinAnsiEncoding is cp1252)
+_WINANSI_C1 = {
+    b: (bytes([b]).decode("cp1252") if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+        else chr(b))
+    for b in range(0x80, 0xA0)
+}
+_WINANSI_MAP = {b: ord(_WINANSI_C1[b]) for b in _WINANSI_C1}
+
+_TU_PAIR_RE = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_TU_RANGE_RE = re.compile(
+    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])"
+)
+_TU_SECT = {
+    "bfchar": re.compile(r"beginbfchar(.*?)endbfchar", re.S),
+    "bfrange": re.compile(r"beginbfrange(.*?)endbfrange", re.S),
+    "codespace": re.compile(r"begincodespacerange(.*?)endcodespacerange", re.S),
+}
+#: sanity bound on a single bfrange — a hostile CMap must not expand
+#: into a multi-million-entry dict
+_TU_MAX_RANGE = 65536
+
+
+def _utf16be_hex(h: str) -> str:
+    try:
+        return bytes.fromhex(h).decode("utf-16-be", "replace")
+    except ValueError:
+        return "�"
+
+
+def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """A /ToUnicode CMap stream → ``(code → unicode string, code width
+    in bytes)``. Handles ``bfchar``, both ``bfrange`` forms (hex
+    destination start — incrementing the LAST UTF-16 code unit — and
+    the per-code destination array), and takes the width from the
+    codespace ranges (2-byte CMaps declare ``<0000> <FFFF>``)."""
+    text = data.decode("latin-1", "replace")
+    mapping: dict[int, str] = {}
+    width = 1
+    for m in _TU_SECT["codespace"].finditer(text):
+        for h in re.findall(r"<([0-9A-Fa-f]+)>", m.group(1)):
+            width = max(width, len(h) // 2)
+    for m in _TU_SECT["bfrange"].finditer(text):
+        for lo_h, hi_h, dst in _TU_RANGE_RE.findall(m.group(1)):
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            if hi < lo or hi - lo >= _TU_MAX_RANGE:
+                raise ValueError("hostile or malformed bfrange")
+            width = max(width, len(lo_h) // 2)
+            if dst.startswith("<"):
+                base = bytes.fromhex(dst[1:-1])
+                if len(base) < 2:
+                    base = b"\x00" + base
+                head, last = base[:-2], int.from_bytes(base[-2:], "big")
+                for c in range(lo, hi + 1):
+                    u = last + (c - lo)
+                    if u > 0xFFFF:
+                        break
+                    mapping[c] = (head + u.to_bytes(2, "big")).decode(
+                        "utf-16-be", "replace"
+                    )
+            else:
+                dsts = re.findall(r"<([0-9A-Fa-f]+)>", dst)
+                for i, dh in enumerate(dsts):
+                    if lo + i > hi:
+                        break
+                    mapping[lo + i] = _utf16be_hex(dh)
+    for m in _TU_SECT["bfchar"].finditer(text):
+        for src, dh in _TU_PAIR_RE.findall(m.group(1)):
+            width = max(width, len(src) // 2)
+            mapping[int(src, 16)] = _utf16be_hex(dh)
+    return mapping, min(width, 2)
+
+
+class FontDec(NamedTuple):
+    """Everything needed to map one font's string bytes to Unicode.
+    Resolution per code (ISO 32000 §9.10.2): /ToUnicode CMap first,
+    then /Differences glyph names, then the base encoding."""
+
+    width: int                 # code width in bytes: 1 simple, 2 Type0
+    tounicode: dict[int, str]
+    diffs: dict[int, str]
+    base: str                  # 'winansi' | 'mac_roman' | 'latin-1'
+
+    def _base_char(self, code: int) -> str:
+        if code > 0xFF:
+            return "�"
+        if self.base == "winansi":
+            return chr(code).translate(_WINANSI_MAP)
+        if self.base == "mac_roman":
+            return bytes([code]).decode("mac_roman", "replace")
+        return chr(code)  # latin-1 identity
+
+    def decode(self, raw: bytes) -> str:
+        if self.width == 2:
+            # 2-byte codes (Type0/Identity-H); a trailing odd byte is
+            # malformed shaping — surface it as U+FFFD, not a crash
+            out = []
+            for i in range(0, len(raw) - 1, 2):
+                c = (raw[i] << 8) | raw[i + 1]
+                out.append(self.tounicode.get(c, "�"))
+            if len(raw) % 2:
+                out.append("�")
+            return "".join(out)
+        return "".join(
+            self.tounicode.get(c)
+            or self.diffs.get(c)
+            or self._base_char(c)
+            for c in raw
+        )
+
+
+#: the no-font-info decoder: Latin-1 identity (PDFDocEncoding's printable
+#: range) — the pre-font-support behavior, still the fallback
+_LATIN1_FONT = FontDec(1, {}, {}, "latin-1")
 
 
 def _png_unpredict(data: bytes, columns: int, colors: int = 1,
@@ -640,20 +931,25 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1,
 # --------------------------------------------------------------------------
 
 
-def _shown(v) -> str:
+def _shown(v, font: FontDec) -> str:
     """TJ element / Tj operand → shown text (kerning numbers drop)."""
     if isinstance(v, bytes):
-        return v.decode("latin-1")
+        return font.decode(v)
     return ""
 
 
-def text_runs(content: bytes) -> list[tuple[float, float, str]]:
-    """All text shows as ``(x, y, text)`` at their text-line origin."""
+def text_runs(
+    content: bytes, fonts: dict[str, FontDec] | None = None
+) -> list[tuple[float, float, str]]:
+    """All text shows as ``(x, y, text)`` at their text-line origin.
+    ``fonts`` (from :meth:`PdfDoc.page_fonts`) maps ``Tf`` resource
+    names to decoders; absent or unknown fonts decode as Latin-1."""
     lx = _Lex(content, 0)
     runs: list[tuple[float, float, str]] = []
     stack: list = []
     tx = ty = 0.0  # text line matrix origin (translations only)
     leading = 0.0
+    cur_font = _LATIN1_FONT
     while True:
         try:
             t = lx.token()
@@ -672,6 +968,10 @@ def text_runs(content: bytes) -> list[tuple[float, float, str]]:
         try:
             if op == b"BT":
                 tx = ty = 0.0
+            elif op == b"Tf":
+                # text font is graphics state: persists across BT/ET
+                if fonts and isinstance(stack[-2], Name):
+                    cur_font = fonts.get(str(stack[-2]), _LATIN1_FONT)
             elif op == b"Td":
                 tx += float(stack[-2])
                 ty += float(stack[-1])
@@ -687,13 +987,13 @@ def text_runs(content: bytes) -> list[tuple[float, float, str]]:
             elif op == b"T*":
                 ty -= leading
             elif op == b"Tj":
-                runs.append((tx, ty, _shown(stack[-1])))
+                runs.append((tx, ty, _shown(stack[-1], cur_font)))
             elif op == b"'":
                 ty -= leading
-                runs.append((tx, ty, _shown(stack[-1])))
+                runs.append((tx, ty, _shown(stack[-1], cur_font)))
             elif op == b'"':
                 ty -= leading
-                runs.append((tx, ty, _shown(stack[-1])))
+                runs.append((tx, ty, _shown(stack[-1], cur_font)))
             elif op == b"TJ":
                 arr = stack[-1]
                 if not isinstance(arr, list):
@@ -701,7 +1001,7 @@ def text_runs(content: bytes) -> list[tuple[float, float, str]]:
                 parts: list[str] = []
                 for e in arr:
                     if isinstance(e, bytes):
-                        parts.append(e.decode("latin-1"))
+                        parts.append(cur_font.decode(e))
                     elif isinstance(e, (int, float)) and e <= TJ_SPACE_KERN:
                         # a gap this wide is a word break, not a kern
                         # (TeX emits interword space as ~-250/1000 em)
@@ -797,7 +1097,9 @@ def _extract(data: bytes) -> PdfText:
     page_bodies: list[list[str]] = []
     kept = dropped = 0
     for page in pages:
-        bodies = _blocks_of(text_runs(doc.content_bytes(page)))
+        bodies = _blocks_of(
+            text_runs(doc.content_bytes(page), doc.page_fonts(page))
+        )
         keep = [b for b in bodies if b]
         dropped += len(bodies) - len(keep)
         kept += len(keep)
@@ -822,27 +1124,88 @@ def _extract(data: bytes) -> PdfText:
 # --------------------------------------------------------------------------
 
 
-def _esc_lit(s: str) -> bytes:
-    b = s.encode("latin-1")
+#: builder font-encoding shift: char U+00XX is shown as code XX+2 under
+#: the non-latin1 encodings, so a reader that ignores the font's
+#: /ToUnicode CMap or /Differences array extracts shifted garbage —
+#: decode correctness is the fixture's oracle property
+ENC_SHIFT = 2
+
+
+def _enc_bytes(s: str, enc: str) -> bytes:
+    if enc == "latin1":
+        return s.encode("latin-1")
+    if enc == "type0":
+        return b"".join(
+            (ord(c) + ENC_SHIFT).to_bytes(2, "big") for c in s
+        )
+    # cmap / diffs: single-byte codes shifted by ENC_SHIFT (mod 256)
+    return bytes((ord(c) + ENC_SHIFT) & 0xFF for c in s)
+
+
+def _esc_raw(b: bytes) -> bytes:
     return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
 
 
-def _show_ops(line: str, hexstr: bool, use_tj: bool) -> bytes:
+def _esc_lit(s: str, enc: str = "latin1") -> bytes:
+    return _esc_raw(_enc_bytes(s, enc))
+
+
+def _show_ops(line: str, hexstr: bool, use_tj: bool,
+              enc: str = "latin1") -> bytes:
+    hexstr = hexstr or enc == "type0"  # 2-byte codes always write hex
     if use_tj:
         h = len(line) // 2
         a, b = line[:h], line[h:]
         if hexstr:
-            ea = a.encode("latin-1").hex().encode()
-            eb = b.encode("latin-1").hex().encode()
+            ea = _enc_bytes(a, enc).hex().encode()
+            eb = _enc_bytes(b, enc).hex().encode()
             return b"[<" + ea + b"> -120 <" + eb + b">] TJ"
-        return b"[(" + _esc_lit(a) + b") -120 (" + _esc_lit(b) + b")] TJ"
+        return b"[(" + _esc_lit(a, enc) + b") -120 (" + _esc_lit(b, enc) + b")] TJ"
     if hexstr:
-        return b"<" + line.encode("latin-1").hex().encode() + b"> Tj"
-    return b"(" + _esc_lit(line) + b") Tj"
+        return b"<" + _enc_bytes(line, enc).hex().encode() + b"> Tj"
+    return b"(" + _esc_lit(line, enc) + b") Tj"
+
+
+def _tounicode_stream(enc: str) -> bytes:
+    """The fixture CMap: one bfrange mapping shifted codes back —
+    ``<02> <FF> <0000>`` for 1-byte fonts, the 2-byte codespace for
+    Type0 (the width signal the parser reads)."""
+    if enc == "type0":
+        space = b"<0000> <FFFF>"
+        rng = b"<0002> <FFFE> <0000>"
+    else:
+        space = b"<02> <FF>"
+        rng = b"<02> <FF> <0000>"
+    return (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /Fixture-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n" + space + b"\nendcodespacerange\n"
+        b"1 beginbfrange\n" + rng + b"\nendbfrange\n"
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend end"
+    )
+
+
+def _differences_array(pages) -> bytes:
+    """/Differences for every shifted code the fixture pages show, as
+    ``uniXXXX`` names (exercising the AGL uni-parser), grouped into
+    contiguous runs."""
+    codes = sorted(
+        {(ord(c) + ENC_SHIFT) & 0xFF
+         for blocks in pages for _, _, lines in blocks
+         for ln in lines for c in ln}
+    )
+    parts: list[bytes] = []
+    prev = None
+    for code in codes:
+        if prev is None or code != prev + 1:
+            parts.append(b"%d" % code)
+        parts.append(b"/uni%04X" % ((code - ENC_SHIFT) & 0xFF))
+        prev = code
+    return b"[ " + b" ".join(parts) + b" ]"
 
 
 def _content_for(blocks, *, leading: float, hexstr: bool, use_tj: bool,
-                 use_tm: bool, use_prime: bool) -> bytes:
+                 use_tm: bool, use_prime: bool, enc: str = "latin1") -> bytes:
     out: list[bytes] = []
     for (x, y, lines) in blocks:
         ops = [b"BT /F1 12 Tf %g TL" % leading]
@@ -852,12 +1215,12 @@ def _content_for(blocks, *, leading: float, hexstr: bool, use_tj: bool,
             ops.append(b"%g %g Td" % (x, y))
         for j, ln in enumerate(lines):
             if j == 0:
-                ops.append(_show_ops(ln, hexstr, use_tj))
-            elif use_prime and not use_tj and not hexstr:
-                ops.append(b"(" + _esc_lit(ln) + b") '")
+                ops.append(_show_ops(ln, hexstr, use_tj, enc))
+            elif use_prime and not use_tj and not hexstr and enc != "type0":
+                ops.append(b"(" + _esc_lit(ln, enc) + b") '")
             else:
                 ops.append(b"T*")
-                ops.append(_show_ops(ln, hexstr, use_tj))
+                ops.append(_show_ops(ln, hexstr, use_tj, enc))
         ops.append(b"ET")
         out.append(b"\n".join(ops))
     return b"\n".join(out)
@@ -866,7 +1229,8 @@ def _content_for(blocks, *, leading: float, hexstr: bool, use_tj: bool,
 def build_pdf(pages, *, flate: bool = False, hexstr: bool = False,
               use_tj: bool = False, use_tm: bool = False,
               use_prime: bool = False, multi_content: bool = False,
-              strip_xref: bool = False, leading: float = 14.0) -> bytes:
+              strip_xref: bool = False, leading: float = 14.0,
+              enc: str = "latin1") -> bytes:
     """Write a complete one-generation PDF.
 
     ``pages``: list of pages, each a list of blocks ``(x, y_top, [lines])``
@@ -874,7 +1238,16 @@ def build_pdf(pages, *, flate: bool = False, hexstr: bool = False,
     ``BLOCK_GAP``).  Feature flags change the ENCODING only — extracted
     text is invariant under all of them (the driver oracle leans on this).
     ``strip_xref`` drops the xref/trailer/startxref tail: the parser must
-    recover through the object-scan fallback and set ``warn``."""
+    recover through the object-scan fallback and set ``warn``.
+
+    ``enc`` selects the font-encoding leg (text still invariant, but
+    string bytes are SHIFTED so extraction succeeds only through the
+    font machinery): ``latin1`` (plain Helvetica, identity bytes),
+    ``cmap`` (a /ToUnicode CMap maps codes back), ``diffs`` (an
+    /Encoding /Differences array of ``uniXXXX`` glyph names), ``type0``
+    (a 2-byte-code Identity-H composite font + 2-byte CMap)."""
+    if enc not in ("latin1", "cmap", "diffs", "type0"):
+        raise ValueError(f"unknown builder encoding {enc!r}")
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3  # fixed slot: pages/contents number from 4 upward
@@ -892,7 +1265,7 @@ def build_pdf(pages, *, flate: bool = False, hexstr: bool = False,
         for part, bn in zip(parts, body_nums):
             body = _content_for(part, leading=leading, hexstr=hexstr,
                                 use_tj=use_tj, use_tm=use_tm,
-                                use_prime=use_prime)
+                                use_prime=use_prime, enc=enc)
             filt = b""
             if flate:
                 body = zlib.compress(body, 6)
@@ -912,8 +1285,38 @@ def build_pdf(pages, *, flate: bool = False, hexstr: bool = False,
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (b"<< /Type /Pages /Kids [" + b" ".join(kid_refs)
                + b"] /Count %d >>" % n_pages)
-    objs[font_num] = (b"<< /Type /Font /Subtype /Type1 "
-                      b"/BaseFont /Helvetica >>")
+    if enc == "latin1":
+        objs[font_num] = (b"<< /Type /Font /Subtype /Type1 "
+                          b"/BaseFont /Helvetica >>")
+    elif enc == "diffs":
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Fixture-Subset "
+            b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            b"/Differences " + _differences_array(pages) + b" >> >>"
+        )
+    else:
+        tu_num, extra_num = num, num + 1
+        tu = _tounicode_stream(enc)
+        objs[tu_num] = (b"<< /Length %d >>\nstream\n" % len(tu)
+                        + tu + b"\nendstream")
+        if enc == "type0":
+            objs[extra_num] = (
+                b"<< /Type /Font /Subtype /CIDFontType2 "
+                b"/BaseFont /Fixture-CID "
+                b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                b"/Supplement 0 >> >>"
+            )
+            objs[font_num] = (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-CID "
+                b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+                b"/ToUnicode %d 0 R >>" % (extra_num, tu_num)
+            )
+        else:  # cmap
+            objs[font_num] = (
+                b"<< /Type /Font /Subtype /TrueType "
+                b"/BaseFont /Fixture-Subset /Encoding /WinAnsiEncoding "
+                b"/ToUnicode %d 0 R >>" % tu_num
+            )
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -948,10 +1351,13 @@ def synth_pdf_payload(d: int, text: str) -> str:
     """Deterministic real-PDF payload for doc ``d`` — block texts are
     FIXED SLICES of ``text`` so the DuckDB twin recomputes the extraction
     as pure string arithmetic (it never parses PDF): any decode bug in
-    the lexer, xref walk, Flate, TJ/hex/Tm handling, or reading order
-    hash-mismatches.  Feature matrix rotates on small moduli; corrupt
-    (%11) and recovered-tail (%13) rows exercise errors-as-data and the
-    scan fallback."""
+    the lexer, xref walk, Flate, TJ/hex/Tm handling, reading order, or
+    FONT MAPPING hash-mismatches.  Feature matrix rotates on small
+    moduli; corrupt (%11) and recovered-tail (%13) rows exercise
+    errors-as-data and the scan fallback; %19/%23/%29 rows carry
+    shifted string bytes through a /ToUnicode CMap, an /Encoding
+    /Differences array, and a 2-byte Identity-H Type0 font respectively
+    — rows where a reader without the font machinery extracts garbage."""
     import base64
 
     if d % 11 == 0:
@@ -969,6 +1375,9 @@ def synth_pdf_payload(d: int, text: str) -> str:
         (340.0, 560.0, ["   "]),     # whitespace-only block → dropped
     ]
     page2 = [(72.0, 700.0, [b4])]
+    enc = ("cmap" if d % 19 == 0 else
+           "diffs" if d % 23 == 0 else
+           "type0" if d % 29 == 0 else "latin1")
     raw = build_pdf(
         [page1, page2],
         flate=d % 2 == 0,
@@ -978,5 +1387,6 @@ def synth_pdf_payload(d: int, text: str) -> str:
         use_prime=d % 17 == 0,
         multi_content=d % 9 == 0,
         strip_xref=d % 13 == 0,
+        enc=enc,
     )
     return PDF_HEAD + base64.b64encode(raw).decode()

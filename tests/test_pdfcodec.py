@@ -421,3 +421,150 @@ def test_zip_bomb_and_hostile_predictor_refused():
         b"/Columns 7", b"/Columns 99999999999")
     r = extract_pdf(raw3)
     assert r.warn and r.extracted == "x\n"
+
+
+# --------------------------------------------------------------------------
+# Font machinery: ToUnicode CMaps, /Differences, base encodings, Type0
+# --------------------------------------------------------------------------
+
+from ocr_spark.operators.pdfcodec import (  # noqa: E402
+    FontDec,
+    glyph_to_unicode,
+    parse_tounicode_cmap,
+)
+
+
+def test_glyph_to_unicode_resolution_order():
+    assert glyph_to_unicode("eacute") == "é"
+    assert glyph_to_unicode("quotedblleft") == "“"
+    assert glyph_to_unicode("A") == "A" and glyph_to_unicode("seven") == "7"
+    assert glyph_to_unicode("uni0041") == "A"
+    assert glyph_to_unicode("uni00480069") == "Hi"  # multi-group uni name
+    assert glyph_to_unicode("u1F600") == "😀"
+    assert glyph_to_unicode("eacute.alt1") == "é"  # suffix → stem
+    assert glyph_to_unicode("g42") is None  # bare glyph id: unmappable
+    assert glyph_to_unicode("cid1234") is None
+
+
+def test_parse_tounicode_bfchar_and_both_bfrange_forms():
+    cmap = (b"begincodespacerange <00> <FF> endcodespacerange\n"
+            b"2 beginbfchar <03> <0041> <04> <00480069> endbfchar\n"
+            b"1 beginbfrange <10> <12> <0061> endbfrange\n"
+            b"1 beginbfrange <20> <21> [<0058> <0059>] endbfrange\n")
+    mapping, width = parse_tounicode_cmap(cmap)
+    assert width == 1
+    assert mapping[0x03] == "A" and mapping[0x04] == "Hi"
+    assert (mapping[0x10], mapping[0x11], mapping[0x12]) == ("a", "b", "c")
+    assert (mapping[0x20], mapping[0x21]) == ("X", "Y")
+
+
+def test_parse_tounicode_two_byte_codespace_width():
+    cmap = (b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0041> <0043> <0041> endbfrange\n")
+    mapping, width = parse_tounicode_cmap(cmap)
+    assert width == 2 and mapping[0x42] == "B"
+
+
+def test_parse_tounicode_hostile_range_refused():
+    cmap = (b"begincodespacerange <0000> <FFFFFF> endcodespacerange\n"
+            b"1 beginbfrange <000000> <FFFFFF> <0000> endbfrange\n")
+    with pytest.raises(ValueError):
+        parse_tounicode_cmap(cmap)
+
+
+def test_fontdec_priority_tounicode_over_diffs_over_base():
+    f = FontDec(1, {0x41: "Z"}, {0x41: "Q", 0x42: "W"}, "latin-1")
+    assert f.decode(b"AB\xe9") == "ZWé"  # CMap wins, then diffs, then base
+
+
+def test_fontdec_winansi_and_macroman_base():
+    win = FontDec(1, {}, {}, "winansi")
+    assert win.decode(b"\x93caf\xe9\x94") == "“café”"  # cp1252 C1 range
+    assert win.decode(b"\x81") == "\x81"  # the 5 unmapped C1 bytes: identity
+    mac = FontDec(1, {}, {}, "mac_roman")
+    assert mac.decode(b"caf\x8e") == "café"  # MacRoman é at 0x8E
+
+
+def test_fontdec_type0_two_byte_codes_and_odd_tail():
+    f = FontDec(2, {0x0041: "A", 0x1234: "x"}, {}, "latin-1")
+    assert f.decode(b"\x00\x41\x12\x34") == "Ax"
+    assert f.decode(b"\x00\x41\x99") == "A�"  # odd trailing byte
+    assert f.decode(b"\x77\x77") == "�"  # unmapped CID
+
+
+def test_enc_legs_feature_matrix_invariant():
+    """The four font-encoding legs × the structural flags: extracted
+    text (and spans) never change; only the bytes do."""
+    for enc, flate, tj, sx in itertools.product(
+            ("latin1", "cmap", "diffs", "type0"),
+            (False, True), (False, True), (False, True)):
+        r = extract_pdf(build_pdf(TWO_COL, enc=enc, flate=flate,
+                                  use_tj=tj, strip_xref=sx))
+        assert r.extracted == TWO_COL_TEXT, (enc, flate, tj, sx)
+        assert r.warn == sx
+        assert [r.extracted[s:e] for s, e in r.spans] == [
+            b for b in TWO_COL_TEXT.splitlines()
+        ]
+
+
+def test_encoded_fixture_bytes_are_not_plaintext():
+    """A reader without the font machinery cannot extract these: the
+    string bytes in the file are shifted."""
+    for enc in ("cmap", "diffs", "type0"):
+        raw = build_pdf(TWO_COL, enc=enc)
+        assert b"left top line" not in raw, enc
+        r = extract_pdf(raw)
+        assert r.extracted == TWO_COL_TEXT, enc
+
+
+def test_latin1_accents_through_every_leg():
+    # the builder's text domain is latin-1 (matches the fixture corpus)
+    pages = [[(72.0, 700.0, ["café üß École"])]]
+    for enc in ("latin1", "cmap", "diffs", "type0"):
+        r = extract_pdf(build_pdf(pages, enc=enc))
+        assert r.extracted == "café üß École\n", enc
+
+
+def test_resources_inherited_from_pages_node():
+    """/Resources declared on the Pages NODE (not the page) still feeds
+    the font machinery — ISO 32000 attribute inheritance."""
+    raw = build_pdf(TWO_COL, enc="cmap")
+    # move the /Resources dict from each page up to the Pages node
+    m = re.search(rb"/Resources (<< /Font << /F1 \d+ 0 R >> >>) ", raw)
+    assert m is not None
+    res = m.group(1)
+    raw = raw.replace(b"/Resources " + res + b" ", b"")
+    raw = raw.replace(
+        b"<< /Type /Pages ", b"<< /Type /Pages /Resources " + res + b" ", 1)
+    # xref offsets are now stale -> parser recovers via scan (warn ok)
+    r = extract_pdf(raw)
+    assert r.extracted == TWO_COL_TEXT
+
+
+def test_font_fuzz_mutations_never_escape_valueerror():
+    """The fuzz contract extended over the font-bearing containers:
+    damage to CMaps/Differences/font dicts is data, never a crash."""
+    import random
+
+    rng = random.Random(515151)
+    corpus = [
+        build_pdf(TWO_COL, enc="cmap"),
+        build_pdf(TWO_COL, enc="diffs", flate=True),
+        build_pdf(TWO_COL, enc="type0", use_tj=True),
+    ]
+    for _ in range(300):
+        raw = bytearray(rng.choice(corpus))
+        for _ in range(rng.randint(1, 6)):
+            kind = rng.random()
+            if kind < 0.5:
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif kind < 0.8:
+                del raw[rng.randrange(1, len(raw)):]
+            else:
+                a = rng.randrange(len(raw))
+                b = min(len(raw), a + rng.randint(1, 64))
+                raw[a:b] = rng.choice(corpus)[a:b][::-1]
+        try:
+            extract_pdf(bytes(raw))
+        except ValueError:
+            pass
