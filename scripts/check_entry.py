@@ -88,6 +88,23 @@ def main() -> int:
             n_fail += 1
             continue
         dt = time.time() - t0
+        # The driver's canonicalizer (pandas sort_values over the result)
+        # dies on unhashable cells — an array/map-typed output column is a
+        # guaranteed RED row even when values match (r4 embed_project).
+        # Fail it here so the local gate replica is at least as strict.
+        bad_cols = set()
+        for r in rows[:1000]:
+            for i, v in enumerate(r):
+                if isinstance(v, (list, dict)):
+                    bad_cols.add(cols[i])
+        if bad_cols:
+            print(
+                f"FAIL {name}: array/map-typed output column(s) "
+                f"{sorted(bad_cols)} — driver canonicalizer cannot hash "
+                f"these (emit concat_ws/string forms)"
+            )
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(rows)} rows  [{dt:.1f}s]")
             continue
