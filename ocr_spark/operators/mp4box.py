@@ -1,0 +1,485 @@
+"""MP4 / ISO base-media box metadata — the corpus-triage decode for the
+dominant video container, from scratch on the PUBLIC ISO/IEC 14496-12
+box grammar (the spec structure is also documented in the registered
+`ftyp`/`moov` box catalogue at mp4ra.org).
+
+A 100-TB multimodal crawl cannot afford entropy-decoding video just to
+*triage* it — what the pipeline needs per file is the metadata the
+`moov` box already carries: brand, movie duration, per-track handler
+(video/audio), codec sample-entry fourcc, visual dimensions, media
+timescale, and language. That is a pure header walk over the first few
+KiB of each payload: embarrassingly parallel, shuffle-free, and
+bounded-memory, which is why it is a first-class stage while the
+entropy decode itself stays the honest stub
+(`operators/multimodal.decode_media`). Reference analog: the reference
+triages binary documents by lightweight metadata before the expensive
+parse (`/root/reference/app/services/document_processor.py`).
+
+Grammar implemented:
+  * box framing — 32-bit big-endian size + fourcc; ``size == 1`` →
+    64-bit largesize; ``size == 0`` → box extends to end of enclosure;
+    truncation/overrun is a ``ValueError`` (errors-as-data upstream).
+  * ``ftyp`` — major brand, minor version, compatible-brand list.
+  * ``moov/mvhd`` v0 (32-bit times) and v1 (64-bit) — movie timescale
+    + duration.
+  * ``moov/trak/tkhd`` v0/v1 — track id and the 16.16-fixed visual
+    width/height.
+  * ``moov/trak/mdia/mdhd`` v0/v1 — media timescale/duration and the
+    ISO-639-2/T language packed as three 5-bit letters (+0x60).
+  * ``moov/trak/mdia/hdlr`` — handler fourcc (``vide``/``soun``/…).
+  * ``…/minf/stbl/stsd`` — first sample-entry fourcc = the codec id.
+
+Everything is integer arithmetic on header fields, so the driver
+oracle replays every output column from the construction formulas in
+pure SQL (durations as ``units``/``timescale`` plus the floor-divided
+millisecond form — no float anywhere).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+#: sanity cap on the number of boxes walked per enclosure level — a
+#: hostile file full of 8-byte boxes must cost bounded work, not an
+#: unbounded loop over 64 MiB of garbage
+MAX_BOXES_PER_LEVEL = 4096
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _fourcc(b: bytes) -> str:
+    return b.decode("ascii", "replace")
+
+
+def walk_boxes(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield ``(fourcc, body_start, body_end)`` for each box in
+    ``data[start:end]``. ``ValueError`` on truncated or overrunning
+    framing — a crawl payload is hostile bytes until proven otherwise."""
+    pos, n_boxes = start, 0
+    while pos < end:
+        n_boxes += 1
+        if n_boxes > MAX_BOXES_PER_LEVEL:
+            raise ValueError("too many boxes in one enclosure")
+        if end - pos < 8:
+            raise ValueError("truncated box header")
+        size = struct.unpack_from(">I", data, pos)[0]
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if end - pos < 16:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos  # box extends to end of enclosure
+        if size < body - pos:
+            raise ValueError(f"box size {size} smaller than its header")
+        if pos + size > end:
+            raise ValueError(f"box '{_fourcc(typ)}' overruns its enclosure")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, typ: bytes) -> tuple[int, int] | None:
+    for t, b, e in walk_boxes(data, start, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def _full_box(data: bytes, start: int, end: int) -> tuple[int, int]:
+    """``(version, body-start-after-version/flags)`` of a full box."""
+    if end - start < 4:
+        raise ValueError("truncated full-box header")
+    return data[start], start + 4
+
+
+def _u(data: bytes, pos: int, width: int, end: int) -> int:
+    if pos + width > end:
+        raise ValueError("truncated box field")
+    return int.from_bytes(data[pos : pos + width], "big")
+
+
+def _lang(code: int) -> str:
+    """Unpack the mdhd 15-bit packed ISO-639-2/T language code."""
+    return "".join(chr(((code >> s) & 0x1F) + 0x60) for s in (10, 5, 0))
+
+
+def parse_mp4(data: bytes) -> dict:
+    """File-level + per-track metadata of an ISO base-media file.
+
+    Returns ``{"brand", "minor_version", "compatible", "timescale",
+    "duration", "tracks": [{"track_id", "handler", "codec", "width",
+    "height", "media_timescale", "media_duration", "lang"}, ...]}``.
+    ``ValueError`` on anything malformed (missing ftyp/moov, truncated
+    or overrunning boxes, bad full-box sizes) — upstream turns that
+    into an errors-as-data row (C3 rule)."""
+    data = bytes(data or b"")
+    n = len(data)
+    ftyp = _find(data, 0, n, b"ftyp")
+    if ftyp is None:
+        raise ValueError("no ftyp box")
+    fb, fe = ftyp
+    if fe - fb < 8 or (fe - fb) % 4 != 0:
+        raise ValueError("malformed ftyp box")
+    out: dict = {
+        "brand": _fourcc(data[fb : fb + 4]),
+        "minor_version": _u(data, fb + 4, 4, fe),
+        "compatible": [
+            _fourcc(data[p : p + 4]) for p in range(fb + 8, fe, 4)
+        ],
+        "timescale": None,
+        "duration": None,
+        "tracks": [],
+    }
+    moov = _find(data, 0, n, b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    mb, me = moov
+    mvhd = _find(data, mb, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("no mvhd box")
+    vb, ve = mvhd
+    ver, p = _full_box(data, vb, ve)
+    tw = 8 if ver == 1 else 4  # creation/modification/duration width
+    p += 2 * tw  # creation_time, modification_time
+    out["timescale"] = _u(data, p, 4, ve)
+    out["duration"] = _u(data, p + 4, tw, ve)
+    if out["timescale"] == 0:
+        raise ValueError("zero mvhd timescale")
+    for t, tb, te in walk_boxes(data, mb, me):
+        if t != b"trak":
+            continue
+        out["tracks"].append(_parse_trak(data, tb, te))
+    return out
+
+
+def _parse_trak(data: bytes, tb: int, te: int) -> dict:
+    tkhd = _find(data, tb, te, b"tkhd")
+    if tkhd is None:
+        raise ValueError("trak without tkhd")
+    kb, ke = tkhd
+    ver, p = _full_box(data, kb, ke)
+    tw = 8 if ver == 1 else 4
+    p += 2 * tw  # creation_time, modification_time
+    track_id = _u(data, p, 4, ke)
+    # reserved(4) duration(tw) reserved(8) layer(2) alt(2) vol(2)
+    # reserved(2) matrix(36) — then the 16.16 fixed width/height
+    p += 4 + 4 + tw + 8 + 2 + 2 + 2 + 2 + 36
+    width = _u(data, p, 4, ke) >> 16
+    height = _u(data, p + 4, 4, ke) >> 16
+    mdia = _find(data, tb, te, b"mdia")
+    if mdia is None:
+        raise ValueError("trak without mdia")
+    db, de = mdia
+    mdhd = _find(data, db, de, b"mdhd")
+    hdlr = _find(data, db, de, b"hdlr")
+    if mdhd is None or hdlr is None:
+        raise ValueError("mdia without mdhd/hdlr")
+    hb, he = mdhd
+    ver, p = _full_box(data, hb, he)
+    tw = 8 if ver == 1 else 4
+    p += 2 * tw
+    media_timescale = _u(data, p, 4, he)
+    media_duration = _u(data, p + 4, tw, he)
+    lang = _lang(_u(data, p + 4 + tw, 2, he))
+    if media_timescale == 0:
+        raise ValueError("zero mdhd timescale")
+    lb, le = hdlr
+    _, p = _full_box(data, lb, le)
+    handler = _fourcc(data[p + 4 : p + 8]) if p + 8 <= le else ""
+    codec = None
+    minf = _find(data, db, de, b"minf")
+    if minf is not None:
+        stbl = _find(data, minf[0], minf[1], b"stbl")
+        if stbl is not None:
+            stsd = _find(data, stbl[0], stbl[1], b"stsd")
+            if stsd is not None:
+                sb, se = stsd
+                _, p = _full_box(data, sb, se)
+                n_entries = _u(data, p, 4, se)
+                if n_entries > 0 and p + 12 <= se:
+                    codec = _fourcc(data[p + 8 : p + 12])
+    return {
+        "track_id": track_id,
+        "handler": handler,
+        "codec": codec,
+        "width": width,
+        "height": height,
+        "media_timescale": media_timescale,
+        "media_duration": media_duration,
+        "lang": lang,
+    }
+
+
+# --------------------------------------------------------------------------
+# Builder twins (tests + driver-oracle construction)
+# --------------------------------------------------------------------------
+
+
+def _box(typ: bytes, body: bytes, large: bool = False) -> bytes:
+    if large:
+        return struct.pack(">I", 1) + typ + struct.pack(">Q", len(body) + 16) + body
+    return struct.pack(">I", len(body) + 8) + typ + body
+
+
+def _full(typ: bytes, version: int, body: bytes) -> bytes:
+    return _box(typ, bytes([version, 0, 0, 0]) + body)
+
+
+def _pack_lang(lang: str) -> int:
+    code = 0
+    for ch in lang:
+        code = (code << 5) | ((ord(ch) - 0x60) & 0x1F)
+    return code
+
+
+def build_mp4(
+    brand: str,
+    minor: int,
+    compatible: list[str],
+    timescale: int,
+    duration: int,
+    tracks: list[dict],
+    version: int = 0,
+    large_moov: bool = False,
+) -> bytes:
+    """Encode direction for the parser — exact field-for-field twin of
+    :func:`parse_mp4`, used by round-trip tests and the driver-oracle
+    construction. ``version=1`` emits 64-bit mvhd/tkhd/mdhd times;
+    ``large_moov`` frames moov with the 64-bit largesize form so the
+    framing corner gets coverage."""
+    ftyp = _box(
+        b"ftyp",
+        brand.encode("ascii")
+        + struct.pack(">I", minor)
+        + b"".join(c.encode("ascii") for c in compatible),
+    )
+    tw = ">Q" if version == 1 else ">I"
+    mvhd = _full(
+        b"mvhd",
+        version,
+        struct.pack(tw, 0) * 2  # creation, modification
+        + struct.pack(">I", timescale)
+        + struct.pack(tw, duration)
+        + struct.pack(">I", 0x00010000)  # rate
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + b"\x00" * 36  # matrix
+        + b"\x00" * 24  # predefined
+        + struct.pack(">I", len(tracks) + 1),  # next_track_ID
+    )
+    traks = []
+    for t in tracks:
+        tkhd = _full(
+            b"tkhd",
+            version,
+            struct.pack(tw, 0) * 2
+            + struct.pack(">I", t["track_id"])
+            + b"\x00" * 4  # reserved
+            + struct.pack(tw, t.get("track_duration", 0))
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, t.get("volume", 0), 0)
+            + b"\x00" * 36
+            + struct.pack(">II", t["width"] << 16, t["height"] << 16),
+        )
+        mdhd = _full(
+            b"mdhd",
+            version,
+            struct.pack(tw, 0) * 2
+            + struct.pack(">I", t["media_timescale"])
+            + struct.pack(tw, t["media_duration"])
+            + struct.pack(">HH", _pack_lang(t["lang"]), 0),
+        )
+        hdlr = _full(
+            b"hdlr",
+            0,
+            b"\x00" * 4
+            + t["handler"].encode("ascii")
+            + b"\x00" * 12
+            + b"x\x00",  # name (null-terminated)
+        )
+        entry = _box(t["codec"].encode("ascii"), b"\x00" * 6 + struct.pack(">H", 1))
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks.append(_box(b"trak", tkhd + mdia))
+    moov = _box(b"moov", mvhd + b"".join(traks), large=large_moov)
+    mdat = _box(b"mdat", b"\x00" * 8)
+    return ftyp + moov + mdat
+
+
+_BRANDS = ["isom", "mp42", "avc1"]
+_VCODECS = ["avc1", "hev1", "vp09"]
+_LANGS = ["und", "eng", "fra"]
+
+
+def synth_mp4_payload(doc_id: int) -> bytes:
+    """Deterministic MP4 construction for the driver oracle — every
+    field is replayed in pure SQL arithmetic by
+    ``queries._sql_media_mp4``; keep the two in lockstep.
+
+    * brand ``_BRANDS[doc_id % 3]``, minor ``doc_id % 4``, one
+      compatible brand (``isom``);
+    * mvhd/tkhd/mdhd version ``doc_id % 2`` (so the 64-bit time path is
+      driver-covered), moov in largesize framing when ``doc_id % 7 ==
+      0`` (the other framing corner);
+    * movie ``timescale = 1000 * (1 + doc_id % 5)``, ``duration =
+      timescale * (1 + doc_id % 9) + doc_id % 537`` (not a multiple —
+      the floor-divided ms form must actually floor);
+    * track 1: video — codec ``_VCODECS[doc_id % 3]``, ``width = 16 *
+      (2 + doc_id % 20)``, ``height = 16 * (2 + doc_id % 11)``, media
+      timescale ``90000``, media duration ``90000 * (1 + doc_id % 9) +
+      doc_id % 211``, lang ``_LANGS[doc_id % 3]``;
+    * track 2 (present when ``doc_id % 2 == 0``): audio — handler
+      ``soun``, codec ``mp4a``, 0×0, media timescale ``48000``, media
+      duration ``48000 * (1 + doc_id % 9) + doc_id % 173``, lang
+      ``und``;
+    * corrupt legs: ``doc_id % 11 == 0`` truncates mid-moov
+      (truncated/overrunning box framing); else ``doc_id % 13 == 0``
+      drops ftyp (wrong leading box) — two distinct error paths.
+    """
+    ts = 1000 * (1 + doc_id % 5)
+    tracks = [
+        {
+            "track_id": 1,
+            "handler": "vide",
+            "codec": _VCODECS[doc_id % 3],
+            "width": 16 * (2 + doc_id % 20),
+            "height": 16 * (2 + doc_id % 11),
+            "media_timescale": 90000,
+            "media_duration": 90000 * (1 + doc_id % 9) + doc_id % 211,
+            "lang": _LANGS[doc_id % 3],
+        }
+    ]
+    if doc_id % 2 == 0:
+        tracks.append(
+            {
+                "track_id": 2,
+                "handler": "soun",
+                "codec": "mp4a",
+                "width": 0,
+                "height": 0,
+                "media_timescale": 48000,
+                "media_duration": 48000 * (1 + doc_id % 9) + doc_id % 173,
+                "lang": "und",
+            }
+        )
+    data = build_mp4(
+        brand=_BRANDS[doc_id % 3],
+        minor=doc_id % 4,
+        compatible=["isom"],
+        timescale=ts,
+        duration=ts * (1 + doc_id % 9) + doc_id % 537,
+        tracks=tracks,
+        version=doc_id % 2,
+        large_moov=doc_id % 7 == 0,
+    )
+    if doc_id % 11 == 0:
+        return data[: len(data) // 2]  # truncated mid-moov
+    if doc_id % 13 == 0:
+        return data[data.index(b"moov") - 4 :]  # ftyp dropped
+    return data
+
+
+# --------------------------------------------------------------------------
+# Spark stage
+# --------------------------------------------------------------------------
+
+MP4_FIELDS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("minor_version", T.LongType(), True),
+        T.StructField("n_compatible", T.IntegerType(), True),
+        T.StructField("timescale", T.LongType(), True),
+        T.StructField("duration", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("track_idx", T.IntegerType(), True),
+        T.StructField("track_id", T.LongType(), True),
+        T.StructField("handler", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("media_timescale", T.LongType(), True),
+        T.StructField("media_duration", T.LongType(), True),
+        T.StructField("media_ms", T.LongType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+_MP4_NULL = {f.name: None for f in MP4_FIELDS.fields if f.name not in ("ok", "err")}
+
+
+def expand_mp4_payload(payload: bytes) -> list[dict]:
+    """One dict per TRACK of an MP4 payload (scalar columns only — the
+    driver canonicalizer cannot hash array cells, and per-track rows
+    are the relational shape anyway); a malformed payload is ONE
+    ``ok=false`` row with the error text."""
+    try:
+        meta = parse_mp4(payload)
+    except ValueError as exc:
+        return [{"ok": False, "err": str(exc)[:200], **_MP4_NULL}]
+    head = {
+        "ok": True,
+        "err": None,
+        "brand": meta["brand"],
+        "minor_version": meta["minor_version"],
+        "n_compatible": len(meta["compatible"]),
+        "timescale": meta["timescale"],
+        "duration": meta["duration"],
+        "duration_ms": meta["duration"] * 1000 // meta["timescale"],
+        "n_tracks": len(meta["tracks"]),
+    }
+    if not meta["tracks"]:
+        return [{**_MP4_NULL, **head, "track_idx": None}]
+    out = []
+    for i, t in enumerate(meta["tracks"]):
+        out.append(
+            {
+                **head,
+                "track_idx": i,
+                "track_id": t["track_id"],
+                "handler": t["handler"],
+                "codec": t["codec"],
+                "width": t["width"],
+                "height": t["height"],
+                "media_timescale": t["media_timescale"],
+                "media_duration": t["media_duration"],
+                "media_ms": t["media_duration"] * 1000 // t["media_timescale"],
+                "lang": t["lang"],
+            }
+        )
+    return out
+
+
+def mp4_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fan a column of MP4 payloads out to one row per track (Arrow
+    ``mapInPandas`` — batch-bounded, shuffle-free, embarrassingly
+    parallel over files; the same stage shape as ``warc.warc_expand``).
+    The walk touches only box headers, so per-file cost is O(boxes),
+    never O(bytes) — the mdat payload is skipped by its size field,
+    which is what makes this the affordable 100-TB triage stage."""
+    import pandas as pd
+
+    out_schema = T.StructType([df.schema[id_col]] + list(MP4_FIELDS.fields))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                for r in expand_mp4_payload(p):
+                    rows.append({id_col: did, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

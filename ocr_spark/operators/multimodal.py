@@ -481,10 +481,30 @@ def decode_media(payload: bytes, media_type: str = "") -> dict:
         from ocr_spark.operators.gifcodec import decode_gif
 
         return decode_gif(p)
+    if p[4:8] == b"ftyp":
+        # ISO base-media (MP4/MOV/HEIF family): box-metadata triage via
+        # operators/mp4box — brand/duration/track dims without entropy
+        # decode (the affordable per-file cost at 100 TB); raster/sample
+        # decode for these codecs stays the honest stub below
+        from ocr_spark.operators.mp4box import parse_mp4
+
+        meta = parse_mp4(p)
+        vid = next((t for t in meta["tracks"] if t["handler"] == "vide"), None)
+        return {
+            "kind": "mp4",
+            "width": vid["width"] if vid else None,
+            "height": vid["height"] if vid else None,
+            "duration_s": meta["duration"] / meta["timescale"],
+            "n_samples": None,
+            "rms": None,
+            "peak": None,
+            "mean_luma": None,
+        }
     raise NotImplementedError(
-        "MP3/MP4 decoding requires codec libraries not present in this "
-        "environment (WAV/BMP/PPM/PNG/JPEG/GIF decode IS implemented); use "
-        "fake_decode_features for the deterministic oracle path"
+        "MP3 decoding requires codec libraries not present in this "
+        "environment (WAV/BMP/PPM/PNG/JPEG/GIF decode and MP4 box metadata "
+        "ARE implemented); use fake_decode_features for the deterministic "
+        "oracle path"
     )
 
 

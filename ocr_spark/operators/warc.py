@@ -152,6 +152,13 @@ class WarcRecord(NamedTuple):
     record_id: str | None  #: WARC-Record-ID
     content_type: str | None  #: the record's Content-Type header
     block: bytes  #: Content-Length bytes of record block
+    #: revisit/dedup headers (ISO 28500 §6.7.2): how a real crawl encodes
+    #: "recrawled, payload unchanged" — the revisit record stores only the
+    #: new HTTP headers plus a digest pointing at the original capture
+    profile: str | None = None  #: WARC-Profile
+    refers_to: str | None = None  #: WARC-Refers-To (record id)
+    refers_to_uri: str | None = None  #: WARC-Refers-To-Target-URI
+    payload_digest: str | None = None  #: WARC-Payload-Digest (labelled)
 
 
 def _parse_header_block(data: bytes) -> tuple[dict[str, str], int]:
@@ -213,6 +220,10 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
                 headers.get("warc-record-id"),
                 headers.get("content-type"),
                 block,
+                headers.get("warc-profile"),
+                headers.get("warc-refers-to"),
+                headers.get("warc-refers-to-target-uri"),
+                headers.get("warc-payload-digest"),
             )
         )
     return out
@@ -341,6 +352,7 @@ def build_warc_record(
     date: str = "2026-01-01T00:00:00Z",
     record_id: str | None = None,
     content_type: str | None = None,
+    extra: list[tuple[str, str]] | None = None,
 ) -> bytes:
     lines = [b"WARC/1.0", f"WARC-Type: {rec_type}".encode("ascii")]
     if uri is not None:
@@ -350,6 +362,8 @@ def build_warc_record(
         lines.append(f"WARC-Record-ID: {record_id}".encode("ascii"))
     if content_type is not None:
         lines.append(f"Content-Type: {content_type}".encode("ascii"))
+    for k, v in extra or []:
+        lines.append(f"{k}: {v}".encode("utf-8"))
     lines.append(f"Content-Length: {len(block)}".encode("ascii"))
     return b"\r\n".join(lines) + b"\r\n\r\n" + block + b"\r\n\r\n"
 
@@ -465,6 +479,10 @@ WARC_FIELDS = T.StructType(
         T.StructField("body", T.BinaryType(), True),
         T.StructField("offset", T.LongType(), True),
         T.StructField("length", T.LongType(), True),
+        T.StructField("profile", T.StringType(), True),
+        T.StructField("refers_to", T.StringType(), True),
+        T.StructField("refers_to_uri", T.StringType(), True),
+        T.StructField("payload_digest", T.StringType(), True),
     ]
 )
 
@@ -495,6 +513,10 @@ def expand_warc_payload(payload: bytes) -> list[dict]:
                 "body": None,
                 "offset": None,
                 "length": None,
+                "profile": None,
+                "refers_to": None,
+                "refers_to_uri": None,
+                "payload_digest": None,
             }
         ]
     out = []
@@ -512,7 +534,27 @@ def expand_warc_payload(payload: bytes) -> list[dict]:
             "body": rec.block,
             "offset": off,
             "length": ln,
+            "profile": rec.profile,
+            "refers_to": rec.refers_to,
+            "refers_to_uri": rec.refers_to_uri,
+            "payload_digest": rec.payload_digest,
         }
+        if rec.rec_type == "revisit" and (row["mime"] or "").startswith(
+            "application/http"
+        ):
+            # a revisit block carries the NEW response's headers with the
+            # payload truncated by definition (ISO 28500 §6.7.2) — surface
+            # the status, keep the (empty) body out of digest paths
+            try:
+                status, headers, _ = split_http_response(rec.block)
+                row["http_status"] = status
+                row["mime"] = _mime_of(headers.get("content-type"))
+                row["charset"] = _charset_of(headers.get("content-type"))
+                row["body"] = None
+            except ValueError as exc:
+                row["ok"] = False
+                row["err"] = str(exc)[:200]
+                row["body"] = None
         if rec.rec_type == "response" and (row["mime"] or "").startswith(
             "application/http"
         ):
@@ -578,3 +620,124 @@ def cdx_index(records: DataFrame, file_col: str = "doc_id") -> DataFrame:
             F.col("length"),
         )
     )
+
+
+def revisit_resolve(records: DataFrame, file_col: str = "doc_id") -> DataFrame:
+    """Join ``WARC-Type: revisit`` records back to the original capture
+    their ``WARC-Payload-Digest`` names — the crawl-native dedup signal
+    (ISO 28500 §6.7.2 ``identical-payload-digest`` profile): a recrawl
+    whose payload is unchanged stores only headers + a digest, and the
+    corpus must resolve it to the stored original BEFORE extraction.
+
+    Relational shape, scale notes for the 100-TB crawl:
+
+      * originals = ok responses keyed by payload digest; concurrent
+        captures of the same payload collapse to the EARLIEST capture
+        (one ``min(struct(...))`` aggregate — the CDX convention), so
+        the join's build side is distinct on the key;
+      * the join is a plain equi-join on the digest — a uniformly
+        distributed high-entropy key, so the shuffle is skew-free by
+        construction and NOTHING corpus-derived is ever broadcast or
+        collected (the `wer_join` contract);
+      * unresolvable digests (the original fell outside the crawl
+        window, or the digest algorithm is foreign) survive as
+        ``resolved = false`` rows — errors are data, a dangling revisit
+        never drops silently.
+
+    Output: one row per revisit record — ``(file_col, rec_idx, uri,
+    profile, payload_digest, resolved, orig_<file_col>, orig_uri,
+    orig_body_len)``."""
+    originals = records.filter(
+        F.col("ok") & (F.col("rec_type") == "response")
+    ).select(
+        F.md5(F.col("body")).alias("digest"),
+        F.struct(
+            F.col(file_col).alias("ofile"),
+            F.col("uri").alias("ouri"),
+            F.length("body").cast("long").alias("olen"),
+        ).alias("cap"),
+    )
+    earliest = originals.groupBy("digest").agg(F.min("cap").alias("cap"))
+    revisits = records.filter(
+        F.col("ok") & (F.col("rec_type") == "revisit")
+    ).select(
+        file_col,
+        "rec_idx",
+        "uri",
+        "profile",
+        "payload_digest",
+        # the digest header is labelled ("md5:<hex>", "sha1:<b32>", ...);
+        # resolution joins on the bare value of the md5 label only — a
+        # foreign algorithm can never false-match
+        F.when(
+            F.col("payload_digest").startswith("md5:"),
+            F.substring(F.col("payload_digest"), 5, 32),
+        ).alias("digest"),
+    )
+    joined = revisits.join(earliest, "digest", "left")
+    return joined.select(
+        file_col,
+        "rec_idx",
+        "uri",
+        "profile",
+        "payload_digest",
+        F.col("cap").isNotNull().alias("resolved"),
+        F.col("cap.ofile").alias(f"orig_{file_col}"),
+        F.col("cap.ouri").alias("orig_uri"),
+        F.col("cap.olen").alias("orig_body_len"),
+    )
+
+
+def synth_warc_revisit_payload(doc_id: int) -> bytes:
+    """Deterministic one-record ``.warc.gz`` for the revisit oracle —
+    every field is replayed in pure SQL arithmetic by
+    ``queries._sql_warc_revisit``; keep the two in lockstep.
+
+    * url slot ``u = doc_id % 37`` (37 is odd and coprime to the %4
+      rotation below, so every slot sees both captures and revisits),
+      uri ``https://site{u%5}.org/page/{u}``, body ``page {u} `` +
+      ``xy`` × ``u % 30`` — the body depends on ``u`` ONLY, which is
+      what makes recrawls byte-identical;
+    * ``doc_id % 4 < 3`` → a full ``response`` capture of slot ``u``;
+    * ``doc_id % 4 == 3`` → a ``revisit`` record: HTTP headers only
+      (empty body), ``WARC-Profile`` identical-payload-digest,
+      ``WARC-Refers-To-Target-URI``, and ``WARC-Payload-Digest:
+      md5:<hex of body(u)>`` — except the ``doc_id % 9 == 0`` leg,
+      whose digest names a never-captured body (``missing {u}``) so the
+      unresolvable path gets driver coverage."""
+    import hashlib
+
+    u = doc_id % 37
+    uri = f"https://site{u % 5}.org/page/{u}"
+    body = (f"page {u} " + "xy" * (u % 30)).encode("ascii")
+    if doc_id % 4 < 3:
+        block = build_http_response(
+            200, [("Content-Type", "text/html")], body
+        )
+        rec = build_warc_record(
+            "response",
+            block,
+            uri=uri,
+            record_id=f"<urn:resp:{doc_id}>",
+            content_type="application/http; msgtype=response",
+        )
+    else:
+        named = f"missing {u}".encode("ascii") if doc_id % 9 == 0 else body
+        block = build_http_response(200, [("Content-Type", "text/html")], b"")
+        rec = build_warc_record(
+            "revisit",
+            block,
+            uri=uri,
+            record_id=f"<urn:rev:{doc_id}>",
+            content_type="application/http; msgtype=response",
+            extra=[
+                (
+                    "WARC-Profile",
+                    "http://netpreserve.org/warc/1.1/revisit/"
+                    "identical-payload-digest",
+                ),
+                ("WARC-Refers-To-Target-URI", uri),
+                ("WARC-Payload-Digest", "md5:" + hashlib.md5(named).hexdigest()),
+            ],
+        )
+    return build_warc_gz([rec])

@@ -3180,6 +3180,131 @@ from base
 """
 
 
+def q_media_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISO base-media box-metadata triage (new r5): each document
+    synthesizes an ACTUAL ISO 14496-12 file — ftyp, moov/mvhd,
+    trak/tkhd, mdia/mdhd/hdlr, stbl/stsd sample entries, mdat — framed
+    by our own builder twin, rotating mvhd/tkhd/mdhd through BOTH the
+    v0 (32-bit) and v1 (64-bit) time layouts and the 64-bit largesize
+    moov framing, with a video track (16.16-fixed dimensions, 90 kHz
+    media clock, ISO-639 packed language) and an audio track on even
+    ids. The production stage (`operators/mp4box.mp4_meta`) must walk
+    the real box grammar — size/largesize/to-end framing, container
+    nesting, full-box versions, fixed-point and packed-language
+    decodes — to reproduce the oracle, which replays every column
+    (brand, timescale, floor-divided durations, per-track codec fourcc,
+    dimensions, language) from doc_id arithmetic alone and never reads
+    a byte. Two distinct corrupt legs (mid-moov truncation → the
+    overrun error; dropped ftyp → the missing-brand error) pin
+    errors-as-data with their exact messages. This is the corpus-triage
+    decode for video at 100 TB: O(box headers) per file, mdat skipped
+    by its size field, embarrassingly parallel, shuffle-free.
+    Reference ingest analog:
+    /root/reference/app/services/document_processor.py (binary
+    metadata triage ahead of the expensive parse)."""
+    from ocr_spark.operators.mp4box import mp4_meta, synth_mp4_payload
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [synth_mp4_payload(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    payloads_df = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return mp4_meta(payloads_df).select(
+        "doc_id",
+        "ok",
+        "err",
+        "brand",
+        "minor_version",
+        "n_compatible",
+        "timescale",
+        "duration",
+        "duration_ms",
+        "n_tracks",
+        "track_idx",
+        "track_id",
+        "handler",
+        "codec",
+        "width",
+        "height",
+        "media_timescale",
+        "media_duration",
+        "media_ms",
+        "lang",
+    )
+
+
+def _sql_media_mp4() -> str:
+    # pure construction replay of operators/mp4box.synth_mp4_payload —
+    # the SQL twin never touches a byte of box framing, so a walk/
+    # version/fixed-point/packed-language bug anywhere hash-mismatches;
+    # durations are exact integer floor divisions on both engines
+    return """
+with base as (
+  select doc_id,
+    doc_id % 11 = 0 as trunc, doc_id % 11 <> 0 and doc_id % 13 = 0 as noftyp,
+    1000 * (1 + doc_id % 5) as ts,
+    1000 * (1 + doc_id % 5) * (1 + doc_id % 9) + doc_id % 537 as dur
+  from documents
+),
+tracks as (
+  select b.doc_id, b.ts, b.dur, cast(t.i as int) as track_idx
+  from base b join (values (0), (1)) t(i) on t.i = 0 or b.doc_id % 2 = 0
+  where not b.trunc and not b.noftyp
+)
+select doc_id, true as ok, cast(null as varchar) as err,
+  case doc_id % 3 when 0 then 'isom' when 1 then 'mp42' else 'avc1' end
+    as brand,
+  cast(doc_id % 4 as bigint) as minor_version,
+  cast(1 as int) as n_compatible,
+  cast(ts as bigint) as timescale,
+  cast(dur as bigint) as duration,
+  cast(dur * 1000 // ts as bigint) as duration_ms,
+  cast(case when doc_id % 2 = 0 then 2 else 1 end as int) as n_tracks,
+  track_idx,
+  cast(track_idx + 1 as bigint) as track_id,
+  case when track_idx = 0 then 'vide' else 'soun' end as handler,
+  case when track_idx = 1 then 'mp4a'
+       when doc_id % 3 = 0 then 'avc1'
+       when doc_id % 3 = 1 then 'hev1' else 'vp09' end as codec,
+  cast(case when track_idx = 0 then 16 * (2 + doc_id % 20) else 0 end
+    as int) as width,
+  cast(case when track_idx = 0 then 16 * (2 + doc_id % 11) else 0 end
+    as int) as height,
+  cast(case when track_idx = 0 then 90000 else 48000 end as bigint)
+    as media_timescale,
+  cast(case when track_idx = 0
+       then 90000 * (1 + doc_id % 9) + doc_id % 211
+       else 48000 * (1 + doc_id % 9) + doc_id % 173 end as bigint)
+    as media_duration,
+  cast(case when track_idx = 0
+       then (90000 * (1 + doc_id % 9) + doc_id % 211) * 1000 // 90000
+       else (48000 * (1 + doc_id % 9) + doc_id % 173) * 1000 // 48000 end
+    as bigint) as media_ms,
+  case when track_idx = 0 then
+    case doc_id % 3 when 0 then 'und' when 1 then 'eng' else 'fra' end
+  else 'und' end as lang
+from tracks
+union all
+select doc_id, false as ok,
+  case when trunc then 'box ''moov'' overruns its enclosure'
+       else 'no ftyp box' end as err,
+  null as brand, cast(null as bigint) as minor_version,
+  cast(null as int) as n_compatible, cast(null as bigint) as timescale,
+  cast(null as bigint) as duration, cast(null as bigint) as duration_ms,
+  cast(null as int) as n_tracks, cast(null as int) as track_idx,
+  cast(null as bigint) as track_id, null as handler, null as codec,
+  cast(null as int) as width, cast(null as int) as height,
+  cast(null as bigint) as media_timescale,
+  cast(null as bigint) as media_duration, cast(null as bigint) as media_ms,
+  null as lang
+from base where trunc or noftyp
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -6751,6 +6876,99 @@ from recs
 """
 
 
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ``revisit`` resolution (new r5) — the crawl-native dedup
+    signal (ISO 28500 §6.7.2): a recrawl whose payload is unchanged is
+    stored as headers + a ``WARC-Payload-Digest`` naming the original
+    capture, and the corpus joins it back to the stored original before
+    extraction. Each document synthesizes a one-record archive: slot
+    ``u = doc_id % 37`` captures (``doc_id % 4 < 3``) or revisits
+    (``% 4 == 3``) url ``u``, whose body depends on ``u`` only — so
+    recrawled payloads are byte-identical and the digest join must
+    land on the EARLIEST capture (min-doc aggregate, the CDX
+    convention). The ``doc_id % 9 == 0`` revisits name a
+    never-captured digest and must survive as ``resolved=false`` rows.
+    The oracle replays the whole join — revisit fan-out, digest hex,
+    earliest-capture doc, original uri/body length — from doc_id
+    arithmetic alone (DuckDB md5 over the reconstructed body string);
+    it never parses a WARC byte, so a header-grammar, digest-label, or
+    join bug anywhere hash-mismatches. Production notes in
+    `operators/warc.revisit_resolve`: skew-free equi-join on a
+    high-entropy key, build side distinct by construction, nothing
+    corpus-derived broadcast. Reference analog: the reference dedupes
+    re-ingested documents by content hash before re-parsing
+    (/root/reference/app/services/document_processor.py)."""
+    from ocr_spark.operators.warc import (
+        revisit_resolve,
+        synth_warc_revisit_payload,
+        warc_expand,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [
+                synth_warc_revisit_payload(int(d)) for d in pdf["doc_id"]
+            ]
+            yield out
+
+    payloads_df = docs.mapInPandas(synth, "doc_id long, payload binary")
+    res = revisit_resolve(warc_expand(payloads_df))
+    return res.select(
+        "doc_id",
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        "uri",
+        "profile",
+        "payload_digest",
+        "resolved",
+        F.col("orig_doc_id").cast("long").alias("orig_doc_id"),
+        "orig_uri",
+        F.col("orig_body_len").cast("long").alias("orig_body_len"),
+    )
+
+
+def _sql_warc_revisit() -> str:
+    # construction replay of operators/warc.synth_warc_revisit_payload:
+    # the twin reconstructs body(u) as a string, hashes it with DuckDB's
+    # md5, and re-derives the earliest capture per slot from the same
+    # documents table — it never touches gzip/WARC framing
+    def body(col: str) -> str:
+        return (
+            f"'page ' || cast({col} as varchar) || ' ' || "
+            f"repeat('xy', cast({col} % 30 as int))"
+        )
+
+    return f"""
+with base as (
+  select doc_id, doc_id % 37 as u, doc_id % 4 = 3 as is_rev,
+    doc_id % 9 = 0 as missing
+  from documents
+),
+caps as (
+  select u, min(doc_id) as odoc from base where not is_rev group by u
+)
+select b.doc_id, cast(0 as int) as rec_idx,
+  'https://site' || cast(b.u % 5 as varchar) || '.org/page/'
+    || cast(b.u as varchar) as uri,
+  'http://netpreserve.org/warc/1.1/revisit/identical-payload-digest'
+    as profile,
+  'md5:' || md5(case when b.missing
+    then 'missing ' || cast(b.u as varchar)
+    else {body('b.u')} end) as payload_digest,
+  (not b.missing) and c.u is not null as resolved,
+  cast(case when not b.missing then c.odoc end as bigint) as orig_doc_id,
+  case when not b.missing and c.u is not null then
+    'https://site' || cast(b.u % 5 as varchar) || '.org/page/'
+      || cast(b.u as varchar) end as orig_uri,
+  cast(case when not b.missing and c.u is not null then
+    length({body('b.u')}) end as bigint) as orig_body_len
+from base b left join caps c on b.u = c.u
+where b.is_rev
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy audit over the CDX table (new r4 s8): the fully
     relational robots.txt evaluator (`operators/robots.py` — line
@@ -7251,6 +7469,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode": q_media_decode,
     "media_resize": q_media_resize,
     "media_jpeg": q_media_jpeg,
+    "media_mp4": q_media_mp4,
+    "warc_revisit": q_warc_revisit,
     "media_dhash": q_media_dhash,
     "media_neardup": q_media_neardup,
     "media_audio_sig": q_media_audio_sig,
@@ -7748,6 +7968,8 @@ from corpus group by 1
         "media_resize": _sql_media_resize(),
         "media_jpeg": _sql_media_jpeg(),
         "media_gif": _sql_media_gif(),
+        "media_mp4": _sql_media_mp4(),
+        "warc_revisit": _sql_warc_revisit(),
         "parse_zlib": _sql_parse_zlib(),
         "media_dhash": _sql_media_dhash(),
         "media_neardup": _sql_media_neardup(),

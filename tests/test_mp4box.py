@@ -1,0 +1,165 @@
+"""MP4 / ISO base-media box-metadata parser (`operators/mp4box`).
+
+Round trips against the builder twin, every framing corner of the box
+grammar (largesize, to-end, overrun, truncation), full-box v0/v1 time
+layouts, packed language, fixed-point dimensions, the Spark fan-out
+stage, and a mutation fuzz pass pinning the ValueError-only escape
+contract.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from ocr_spark.operators.mp4box import (
+    MP4_FIELDS,
+    _box,
+    build_mp4,
+    expand_mp4_payload,
+    mp4_meta,
+    parse_mp4,
+    synth_mp4_payload,
+    walk_boxes,
+)
+
+
+def _one_track(**kw) -> dict:
+    t = {
+        "track_id": 1,
+        "handler": "vide",
+        "codec": "avc1",
+        "width": 640,
+        "height": 360,
+        "media_timescale": 90000,
+        "media_duration": 900000,
+        "lang": "eng",
+    }
+    t.update(kw)
+    return t
+
+
+def test_round_trip_v0_and_v1():
+    for version in (0, 1):
+        data = build_mp4(
+            "isom", 512, ["isom", "mp42"], 1000, 30123,
+            [_one_track(), _one_track(track_id=2, handler="soun",
+                                      codec="mp4a", width=0, height=0,
+                                      media_timescale=48000,
+                                      media_duration=480001, lang="und")],
+            version=version,
+        )
+        m = parse_mp4(data)
+        assert m["brand"] == "isom" and m["minor_version"] == 512
+        assert m["compatible"] == ["isom", "mp42"]
+        assert m["timescale"] == 1000 and m["duration"] == 30123
+        assert [t["track_id"] for t in m["tracks"]] == [1, 2]
+        v, a = m["tracks"]
+        assert (v["handler"], v["codec"], v["width"], v["height"]) == (
+            "vide", "avc1", 640, 360)
+        assert (v["media_timescale"], v["media_duration"], v["lang"]) == (
+            90000, 900000, "eng")
+        assert (a["handler"], a["codec"], a["lang"]) == ("soun", "mp4a", "und")
+
+
+def test_largesize_and_to_end_framing():
+    data = build_mp4("mp42", 0, ["isom"], 600, 1200, [_one_track()],
+                     large_moov=True)
+    assert parse_mp4(data)["duration"] == 1200
+    # size==0 (to end of enclosure) on the trailing top-level box
+    trailer = struct.pack(">I", 0) + b"free" + b"\x00" * 9
+    m = parse_mp4(build_mp4("mp42", 0, [], 600, 7, [_one_track()]) + trailer)
+    assert m["duration"] == 7
+    # and walk_boxes reports the to-end box's true extent
+    boxes = list(walk_boxes(trailer, 0, len(trailer)))
+    assert boxes == [(b"free", 8, len(trailer))]
+
+
+def test_malformed_framing_raises():
+    good = build_mp4("isom", 0, [], 1000, 5000, [_one_track()])
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4(good[: len(good) - 30])
+    with pytest.raises(ValueError, match="no ftyp"):
+        parse_mp4(good[24:])  # ftyp is the first 24 bytes
+    with pytest.raises(ValueError, match="truncated box header"):
+        list(walk_boxes(b"\x00\x00\x00\x09free", 0, 7))
+    with pytest.raises(ValueError, match="smaller than its header"):
+        list(walk_boxes(b"\x00\x00\x00\x04free", 0, 8))
+    with pytest.raises(ValueError, match="no moov"):
+        parse_mp4(_box(b"ftyp", b"isom" + b"\x00" * 4))
+    with pytest.raises(ValueError, match="zero mvhd timescale"):
+        parse_mp4(build_mp4("isom", 0, [], 0, 0, []))
+    # a flood of tiny boxes hits the per-level cap, not an unbounded walk
+    flood = _box(b"ftyp", b"isom" + b"\x00" * 4) + _box(b"free", b"") * 5000
+    with pytest.raises(ValueError, match="too many boxes"):
+        parse_mp4(flood)
+
+
+def test_packed_language_alphabet():
+    for lang in ("und", "eng", "fra", "zul", "aar"):
+        data = build_mp4("isom", 0, [], 1000, 1, [_one_track(lang=lang)])
+        assert parse_mp4(data)["tracks"][0]["lang"] == lang
+
+
+def test_synth_constructions_match_formulas():
+    for d in list(range(60)) + [143, 1001, 1716]:
+        rows = expand_mp4_payload(synth_mp4_payload(d))
+        if d % 11 == 0 or d % 13 == 0:
+            assert rows == [
+                {**{f.name: None for f in MP4_FIELDS.fields}, "ok": False,
+                 "err": rows[0]["err"]}
+            ]
+            assert rows[0]["err"] in (
+                "box 'moov' overruns its enclosure", "no ftyp box")
+            continue
+        ts = 1000 * (1 + d % 5)
+        dur = ts * (1 + d % 9) + d % 537
+        assert len(rows) == (2 if d % 2 == 0 else 1)
+        r0 = rows[0]
+        assert r0["ok"] and r0["timescale"] == ts and r0["duration"] == dur
+        assert r0["duration_ms"] == dur * 1000 // ts
+        assert r0["width"] == 16 * (2 + d % 20)
+        assert r0["lang"] == ["und", "eng", "fra"][d % 3]
+        if d % 2 == 0:
+            assert rows[1]["codec"] == "mp4a" and rows[1]["width"] == 0
+
+
+def test_mutation_fuzz_valueerror_only():
+    rnd = random.Random(5)
+    base = synth_mp4_payload(12)
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rnd.randrange(1, 6)):
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+        if rnd.random() < 0.3:
+            b = b[: rnd.randrange(len(b))]
+        try:
+            parse_mp4(bytes(b))
+        except ValueError:
+            pass  # the ONLY permitted escape — anything else fails the test
+
+
+def test_decode_media_dispatches_mp4():
+    from ocr_spark.operators.multimodal import decode_media
+
+    d = decode_media(synth_mp4_payload(2))
+    assert d["kind"] == "mp4" and d["width"] == 16 * (2 + 2 % 20)
+    assert d["duration_s"] == pytest.approx(
+        (1000 * 3 * 3 + 2 % 537) / (1000 * 3))
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xfb\x90\x00" + b"\x00" * 32)  # MP3 frame sync
+
+
+def test_spark_stage_fans_out_per_track(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 11], "payload": [synth_mp4_payload(i) for i in (1, 2, 11)]}
+    )
+    out = mp4_meta(spark.createDataFrame(pdf, "doc_id long, payload binary"))
+    rows = {(r["doc_id"], r["track_idx"]): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (2, 0), (2, 1), (11, None)}
+    assert rows[(2, 1)]["handler"] == "soun"
+    assert rows[(11, None)]["ok"] is False

@@ -186,17 +186,27 @@ def test_robots_delays(spark):
     from ocr_spark.operators.robots import robots_delays
 
     text = (
-        "User-agent: *\nCrawl-delay: 99\n"          # star group: ignored (named exists)
+        # star group closed by its Disallow rule (ONLY allow/disallow
+        # lines end a consecutive User-agent run — the Google
+        # reference-parser boundary semantics pinned in r5)
+        "User-agent: *\nCrawl-delay: 99\nDisallow: /z\n"
         "User-agent: databot\nCrawl-delay: 2\n"
-        "User-agent: databot\nCrawl-delay: bogus\n"  # non-numeric ignored
-        "User-agent: databot\nCrawl-delay: 7\n"      # max across applicable groups
+        "Crawl-delay: bogus\n"  # non-numeric ignored
+        "Crawl-delay: 7\n"      # max across the group's delay lines
     )
+    # a Crawl-delay BETWEEN two User-agent lines does NOT split the run:
+    # both agents share one merged group, so databot inherits delay 31
+    merged = "User-agent: *\nCrawl-delay: 31\nUser-agent: databot\nDisallow: /\n"
     df = spark.createDataFrame(
-        [("h.org", text), ("none.org", "User-agent: databot\nDisallow: /\n")],
+        [
+            ("h.org", text),
+            ("m.org", merged),
+            ("none.org", "User-agent: databot\nDisallow: /\n"),
+        ],
         "host string, robots_txt string",
     )
     rows = {r.host: r.crawl_delay for r in robots_delays(df, "databot").collect()}
-    assert rows == {"h.org": 7.0}  # none.org declares nothing → absent
+    assert rows == {"h.org": 7.0, "m.org": 31.0}  # none.org: nothing → absent
 
 
 def test_frontier_schedule_salted_topn(spark):

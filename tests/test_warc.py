@@ -366,3 +366,77 @@ def test_cdx_excludes_failures_and_nonresponses(spark, warc_src):
     assert cdx.filter(F.col("urikey").isNull()).count() == 0
     docs = {r.doc_id for r in cdx.select("doc_id").distinct().collect()}
     assert all(d % 11 != 0 and d % 17 != 0 for d in docs)
+
+
+# --------------------------------------------------------------------------
+# revisit records (ISO 28500 §6.7.2)
+# --------------------------------------------------------------------------
+
+
+def test_revisit_headers_parse_and_expand():
+    from ocr_spark.operators.warc import synth_warc_revisit_payload
+
+    # doc 3 is a revisit (3 % 4 == 3), not the missing leg (3 % 9 != 0)
+    gz = synth_warc_revisit_payload(3)
+    (rec,) = parse_warc(gzip_members(gz)[0].data)
+    assert rec.rec_type == "revisit"
+    assert rec.profile.endswith("identical-payload-digest")
+    assert rec.refers_to_uri == rec.uri
+    assert rec.payload_digest.startswith("md5:")
+    (row,) = expand_warc_payload(gz)
+    assert row["ok"] and row["rec_type"] == "revisit"
+    assert row["http_status"] == 200 and row["body"] is None
+    assert row["payload_digest"] == rec.payload_digest
+    # a response record keeps null revisit columns
+    (rrow,) = expand_warc_payload(synth_warc_revisit_payload(1))
+    assert rrow["rec_type"] == "response" and rrow["payload_digest"] is None
+
+
+def test_revisit_resolve_earliest_capture_and_dangling(spark):
+    import hashlib
+
+    from ocr_spark.operators.warc import revisit_resolve
+
+    body = b"same payload"
+    digest = "md5:" + hashlib.md5(body).hexdigest()
+    resp = lambda: build_http_response(200, [("Content-Type", "text/html")], body)
+    recs = [
+        # two captures of the identical payload — resolution must pick
+        # the EARLIEST (min doc_id)
+        (20, build_warc_record("response", resp(), uri="https://a.org/1",
+                               content_type="application/http; msgtype=response")),
+        (10, build_warc_record("response", resp(), uri="https://a.org/0",
+                               content_type="application/http; msgtype=response")),
+        # a revisit naming that digest, one naming a foreign digest, and
+        # one with a non-md5 label (must never false-match)
+        (30, build_warc_record("revisit",
+                               build_http_response(200, [], b""),
+                               uri="https://a.org/1",
+                               content_type="application/http; msgtype=response",
+                               extra=[("WARC-Payload-Digest", digest)])),
+        (31, build_warc_record("revisit",
+                               build_http_response(200, [], b""),
+                               uri="https://a.org/dangling",
+                               content_type="application/http; msgtype=response",
+                               extra=[("WARC-Payload-Digest", "md5:" + "0" * 32)])),
+        (32, build_warc_record("revisit",
+                               build_http_response(200, [], b""),
+                               uri="https://a.org/sha1",
+                               content_type="application/http; msgtype=response",
+                               extra=[("WARC-Payload-Digest",
+                                       "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")])),
+    ]
+    rows = []
+    for did, rec in recs:
+        for r in expand_warc_payload(build_warc_gz([rec])):
+            rows.append({"doc_id": did, **r})
+    import pandas as pd
+
+    records = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r.doc_id: r for r in revisit_resolve(records).collect()}
+    assert set(out) == {30, 31, 32}
+    assert out[30].resolved and out[30].orig_doc_id == 10
+    assert out[30].orig_uri == "https://a.org/0"
+    assert out[30].orig_body_len == len(body)
+    assert not out[31].resolved and out[31].orig_doc_id is None
+    assert not out[32].resolved  # foreign digest algorithm: no false match
