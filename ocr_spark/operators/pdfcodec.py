@@ -529,7 +529,8 @@ class PdfDoc:
         data = st.raw
         for f, pm in zip(filters, parms):
             f, pm = self.obj(f), self.obj(pm)
-            if f == "FlateDecode":
+            pm = pm if isinstance(pm, dict) else {}
+            if f in ("FlateDecode", "Fl"):
                 try:
                     # cap the inflate: a kilobyte payload must not be able
                     # to expand into gigabytes inside an executor (C3 —
@@ -540,19 +541,34 @@ class PdfDoc:
                         raise ValueError("stream inflates past the cap")
                 except zlib.error as exc:
                     raise ValueError(f"bad Flate stream: {exc}") from exc
-                if isinstance(pm, dict):
-                    pred = int(self.obj(pm.get("Predictor")) or 1)
-                    if pred >= 10:  # PNG row predictors (xref streams)
-                        data = _png_unpredict(
-                            data,
-                            int(self.obj(pm.get("Columns")) or 1),
-                            int(self.obj(pm.get("Colors")) or 1),
-                            int(self.obj(pm.get("BitsPerComponent")) or 8),
-                        )
-                    elif pred != 1:
-                        raise ValueError(f"unsupported predictor {pred}")
+                data = self._unpredict(data, pm)
+            elif f in ("LZWDecode", "LZW"):
+                early = self.obj(pm.get("EarlyChange"))
+                data = _lzw_decode(data, 1 if early is None else int(early))
+                data = self._unpredict(data, pm)
+            elif f in ("ASCIIHexDecode", "AHx"):
+                data = _ascii_hex_decode(data)
+            elif f in ("ASCII85Decode", "A85"):
+                data = _ascii85_decode(data)
+            elif f in ("RunLengthDecode", "RL"):
+                data = _rle_decode(data)
             else:
                 raise ValueError(f"unsupported stream filter /{f}")
+        return data
+
+    def _unpredict(self, data: bytes, pm: dict) -> bytes:
+        """Apply the /Predictor of a DecodeParms dict (shared by the
+        Flate and LZW legs — ISO 32000 defines it for both)."""
+        pred = int(self.obj(pm.get("Predictor")) or 1)
+        if pred >= 10:  # PNG row predictors (xref streams)
+            return _png_unpredict(
+                data,
+                int(self.obj(pm.get("Columns")) or 1),
+                int(self.obj(pm.get("Colors")) or 1),
+                int(self.obj(pm.get("BitsPerComponent")) or 8),
+            )
+        if pred != 1:
+            raise ValueError(f"unsupported predictor {pred}")
         return data
 
     # -- page tree ----------------------------------------------------------
@@ -879,6 +895,253 @@ class FontDec(NamedTuple):
 #: the no-font-info decoder: Latin-1 identity (PDFDocEncoding's printable
 #: range) — the pre-font-support behavior, still the fallback
 _LATIN1_FONT = FontDec(1, {}, {}, "latin-1")
+
+
+# --------------------------------------------------------------------------
+# stream filters beyond Flate (ISO 32000 §7.4) — ASCIIHex, ASCII85,
+# RunLength, and LZW, each with an encoder twin for round-trip tests and
+# the deterministic builder. All decoders are hostile-bytes-safe:
+# bounded output, ValueError-only escapes.
+# --------------------------------------------------------------------------
+
+_HEX_DIGITS = b"0123456789abcdefABCDEF"
+_PDF_WS = b"\x00\t\n\x0c\r "
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """``/ASCIIHexDecode`` (§7.4.2): hex pairs, PDF whitespace ignored,
+    ``>`` is EOD, an odd trailing digit is padded with 0."""
+    digits = []
+    for b in data:
+        if b == 0x3E:  # '>'
+            break
+        if b in _PDF_WS:
+            continue
+        if b not in _HEX_DIGITS:
+            raise ValueError(f"bad ASCIIHex byte 0x{b:02x}")
+        digits.append(chr(b))
+    else:
+        raise ValueError("unterminated ASCIIHex stream (missing '>')")
+    if len(digits) % 2:
+        digits.append("0")
+    return bytes.fromhex("".join(digits))
+
+
+def _ascii_hex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """``/ASCII85Decode`` (§7.4.3): 5-char base-85 groups → 4 bytes,
+    ``z`` = four zero bytes (only between groups), whitespace ignored,
+    ``~>`` is EOD, a partial final group of n chars yields n−1 bytes."""
+    out = bytearray()
+    group: list[int] = []
+    pos, n = 0, len(data)
+    while True:
+        if pos >= n:
+            raise ValueError("unterminated ASCII85 stream (missing '~>')")
+        b = data[pos]
+        pos += 1
+        if b in _PDF_WS:
+            continue
+        if b == 0x7E:  # '~'
+            if pos >= n or data[pos] != 0x3E:
+                raise ValueError("bad ASCII85 EOD marker")
+            break
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:  # '!'..'u'
+            raise ValueError(f"bad ASCII85 byte 0x{b:02x}")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for g in group:
+                acc = acc * 85 + g
+            if acc > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflows 32 bits")
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("1-char final ASCII85 group")
+        k = len(group)
+        acc = 0
+        for g in group + [84] * (5 - k):
+            acc = acc * 85 + g
+        if acc > 0xFFFFFFFF:
+            raise ValueError("ASCII85 group overflows 32 bits")
+        out += acc.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        k = len(chunk)
+        acc = int.from_bytes(chunk + b"\x00" * (4 - k), "big")
+        if acc == 0 and k == 4:
+            out.append(0x7A)  # 'z'
+            continue
+        q = []
+        for _ in range(5):
+            acc, r = divmod(acc, 85)
+            q.append(r + 0x21)
+        out += bytes(reversed(q))[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _rle_decode(data: bytes, max_out: int = MAX_STREAM_BYTES) -> bytes:
+    """``/RunLengthDecode`` (§7.4.5): length byte 0..127 copies the next
+    length+1 bytes; 129..255 repeats the next byte 257−length times;
+    128 is EOD."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while True:
+        if pos >= n:
+            raise ValueError("unterminated RunLength stream (missing EOD)")
+        ln = data[pos]
+        pos += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            if pos + ln + 1 > n:
+                raise ValueError("truncated RunLength literal run")
+            out += data[pos : pos + ln + 1]
+            pos += ln + 1
+        else:
+            if pos >= n:
+                raise ValueError("truncated RunLength repeat run")
+            out += data[pos : pos + 1] * (257 - ln)
+            pos += 1
+        if len(out) > max_out:
+            raise ValueError("RunLength stream inflates past the cap")
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the repeat run at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal run until the next ≥3-repeat or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out) + b"\x80"
+
+
+def _lzw_decode(
+    data: bytes, early: int = 1, max_out: int = MAX_STREAM_BYTES
+) -> bytes:
+    """``/LZWDecode`` (§7.4.4, the TIFF-6 variant): MSB-first bit
+    packing, 9-bit initial codes, 256 = ClearTable, 257 = EOD, code
+    width grows at table sizes 511/1023/2047 (one entry earlier than
+    the power of two when ``EarlyChange`` = 1, the default), 12-bit
+    cap. Hostile streams raise ``ValueError`` — out-of-range codes,
+    missing EOD, or output past the cap."""
+    if early not in (0, 1):
+        raise ValueError(f"bad LZW EarlyChange {early}")
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("first LZW code after clear not literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise ValueError("LZW stream inflates past the cap")
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    raise ValueError("unterminated LZW stream (missing EOD)")
+
+
+#: encoder clears its table well before the 12-bit boundary — clears are
+#: legal anywhere, and this sidesteps the table-full corner entirely
+_LZW_ENC_CLEAR_AT = 3500
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for i in range(len(data)):
+        ch = data[i : i + 1]
+        if w + ch in table:
+            w += ch
+            continue
+        emit(table[w], width)
+        table[w + ch] = next_code
+        next_code += 1
+        # the decoder's table lags the encoder's by exactly one entry
+        # (it cannot add for the first code after a clear), so the
+        # width threshold compares against next_code − 1
+        if next_code - 1 + early >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= _LZW_ENC_CLEAR_AT:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = ch
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _png_unpredict(data: bytes, columns: int, colors: int = 1,
@@ -1226,11 +1489,45 @@ def _content_for(blocks, *, leading: float, hexstr: bool, use_tj: bool,
     return b"\n".join(out)
 
 
+#: builder stream-filter legs → (encode chain, /Filter value, extra dict
+#: entries). Chains list the DECODE order the file declares; the encoder
+#: applies them right-to-left (innermost first), exactly how a writer
+#: producing that /Filter array would.
+_BUILD_FILTERS = {
+    "flate": ([lambda b: zlib.compress(b, 6)], b"/FlateDecode", b""),
+    "lzw": ([_lzw_encode], b"/LZWDecode", b""),
+    "lzw0": (
+        [lambda b: _lzw_encode(b, early=0)],
+        b"/LZWDecode",
+        b" /DecodeParms << /EarlyChange 0 >>",
+    ),
+    "ahx": ([_ascii_hex_encode], b"/ASCIIHexDecode", b""),
+    "a85": ([_ascii85_encode], b"/ASCII85Decode", b""),
+    "rl": ([_rle_encode], b"/RunLengthDecode", b""),
+    "a85+flate": (
+        [_ascii85_encode, lambda b: zlib.compress(b, 6)],
+        b"[/ASCII85Decode /FlateDecode]",
+        b"",
+    ),
+}
+
+
+def _encode_stream(body: bytes, leg: str | None) -> tuple[bytes, bytes]:
+    """``(encoded body, dict tail)`` for a builder filter leg."""
+    if leg is None:
+        return body, b""
+    encoders, name, extra = _BUILD_FILTERS[leg]
+    for enc_fn in reversed(encoders):
+        body = enc_fn(body)
+    return body, b" /Filter " + name + extra
+
+
 def build_pdf(pages, *, flate: bool = False, hexstr: bool = False,
               use_tj: bool = False, use_tm: bool = False,
               use_prime: bool = False, multi_content: bool = False,
               strip_xref: bool = False, leading: float = 14.0,
-              enc: str = "latin1") -> bytes:
+              enc: str = "latin1",
+              stream_filter: str | None = None) -> bytes:
     """Write a complete one-generation PDF.
 
     ``pages``: list of pages, each a list of blocks ``(x, y_top, [lines])``
@@ -1245,9 +1542,19 @@ def build_pdf(pages, *, flate: bool = False, hexstr: bool = False,
     font machinery): ``latin1`` (plain Helvetica, identity bytes),
     ``cmap`` (a /ToUnicode CMap maps codes back), ``diffs`` (an
     /Encoding /Differences array of ``uniXXXX`` glyph names), ``type0``
-    (a 2-byte-code Identity-H composite font + 2-byte CMap)."""
+    (a 2-byte-code Identity-H composite font + 2-byte CMap).
+
+    ``stream_filter`` selects the content-stream coding leg (one of
+    :data:`_BUILD_FILTERS`, incl. the ``[/ASCII85Decode /FlateDecode]``
+    chain and LZW with ``EarlyChange`` 0); it supersedes the legacy
+    ``flate`` flag when given. Extracted text is invariant, as with
+    every other feature flag."""
     if enc not in ("latin1", "cmap", "diffs", "type0"):
         raise ValueError(f"unknown builder encoding {enc!r}")
+    if stream_filter is None and flate:
+        stream_filter = "flate"
+    if stream_filter is not None and stream_filter not in _BUILD_FILTERS:
+        raise ValueError(f"unknown builder stream filter {stream_filter!r}")
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3  # fixed slot: pages/contents number from 4 upward
@@ -1266,10 +1573,7 @@ def build_pdf(pages, *, flate: bool = False, hexstr: bool = False,
             body = _content_for(part, leading=leading, hexstr=hexstr,
                                 use_tj=use_tj, use_tm=use_tm,
                                 use_prime=use_prime, enc=enc)
-            filt = b""
-            if flate:
-                body = zlib.compress(body, 6)
-                filt = b" /Filter /FlateDecode"
+            body, filt = _encode_stream(body, stream_filter)
             objs[bn] = (b"<< /Length %d%s >>\nstream\n" % (len(body), filt)
                         + body + b"\nendstream")
             c_refs.append(b"%d 0 R" % bn)
@@ -1378,9 +1682,20 @@ def synth_pdf_payload(d: int, text: str) -> str:
     enc = ("cmap" if d % 19 == 0 else
            "diffs" if d % 23 == 0 else
            "type0" if d % 29 == 0 else "latin1")
+    # content-stream coding rotation (r5): even rows stay Flate (the
+    # dominant real-world leg); odd rows carry each remaining ISO 32000
+    # §7.4 filter on its own small modulus — extraction is invariant, so
+    # the windowed parse_pdf oracle now proves LZW (both EarlyChange
+    # forms), the ASCII85+Flate chain, RunLength, and ASCIIHex decode
+    stream_filter = ("flate" if d % 2 == 0 else
+                     "lzw" if d % 31 == 0 else
+                     "lzw0" if d % 37 == 0 else
+                     "a85+flate" if d % 41 == 0 else
+                     "rl" if d % 43 == 0 else
+                     "ahx" if d % 47 == 0 else None)
     raw = build_pdf(
         [page1, page2],
-        flate=d % 2 == 0,
+        stream_filter=stream_filter,
         hexstr=d % 3 == 0,
         use_tj=d % 5 == 0,
         use_tm=d % 7 == 0,

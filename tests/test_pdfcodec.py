@@ -568,3 +568,130 @@ def test_font_fuzz_mutations_never_escape_valueerror():
             extract_pdf(bytes(raw))
         except ValueError:
             pass
+
+
+# --------------------------------------------------------------------------
+# stream filters beyond Flate (r5): ASCIIHex / ASCII85 / RunLength / LZW
+# --------------------------------------------------------------------------
+
+
+def _filter_corpus():
+    import random
+
+    rnd = random.Random(77)
+    yield b""
+    yield b"a"
+    yield b"\x00\x00\x00\x00" * 3  # the ASCII85 'z' groups
+    yield b"abc" * 700             # repeats: RLE + LZW table growth
+    yield bytes(rnd.randrange(256) for _ in range(257))
+    # low-entropy long input pushes LZW past the 511/1023 width steps
+    yield bytes(rnd.choice(b"abcd") for _ in range(6000))
+    yield bytes(rnd.randrange(256) for _ in range(4096))
+
+
+def test_filter_round_trips():
+    from ocr_spark.operators.pdfcodec import (
+        _ascii85_decode, _ascii85_encode, _ascii_hex_decode,
+        _ascii_hex_encode, _lzw_decode, _lzw_encode, _rle_decode,
+        _rle_encode,
+    )
+
+    for data in _filter_corpus():
+        assert _ascii_hex_decode(_ascii_hex_encode(data)) == data
+        assert _ascii85_decode(_ascii85_encode(data)) == data
+        assert _rle_decode(_rle_encode(data)) == data
+        for early in (0, 1):
+            assert _lzw_decode(_lzw_encode(data, early), early) == data
+
+
+def _lzw_decode_reference(data: bytes, early: int) -> bytes:
+    """Independent spec-written LZW twin: materializes the WHOLE
+    bitstring up front and tracks the width schedule by table size —
+    structurally unlike the streaming decoder it checks."""
+    bits = "".join(f"{b:08b}" for b in data)
+    table = {i: bytes([i]) for i in range(256)}
+    nxt, width, pos = 258, 9, 0
+    out, prev = b"", None
+    while pos + width <= len(bits):
+        code = int(bits[pos:pos + width], 2)
+        pos += width
+        if code == 256:
+            nxt, width, prev = 258, 9, None
+            continue
+        if code == 257:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[nxt] = prev + entry[:1]
+            nxt += 1
+        else:
+            assert code == nxt, "reference: code out of range"
+            entry = prev + prev[:1]
+            table[nxt] = entry
+            nxt += 1
+        out += entry
+        prev = entry
+        if nxt + early >= (1 << width) and width < 12:
+            width += 1
+    raise AssertionError("reference: missing EOD")
+
+
+def test_lzw_against_independent_reference():
+    import random
+
+    from ocr_spark.operators.pdfcodec import _lzw_decode, _lzw_encode
+
+    rnd = random.Random(9)
+    for early in (0, 1):
+        for n in (0, 1, 100, 3000, 9000):
+            data = bytes(rnd.choice(b"abcdefgh") for _ in range(n))
+            enc = _lzw_encode(data, early)
+            assert _lzw_decode(enc, early) == data
+            assert _lzw_decode_reference(enc, early) == data
+
+
+def test_filter_hostile_bytes():
+    from ocr_spark.operators.pdfcodec import (
+        _ascii85_decode, _ascii_hex_decode, _lzw_decode, _rle_decode,
+    )
+
+    for bad in (b"4g>", b"41"):  # bad digit; missing EOD
+        with pytest.raises(ValueError):
+            _ascii_hex_decode(bad)
+    for bad in (b"ab z cd~>", b"uuuuu~>", b"a~>", b"abcd", b"ab\x19~>"):
+        with pytest.raises(ValueError):
+            _ascii85_decode(bad)
+    for bad in (b"\x05ab", b"\xfe", b"\x00a"):  # truncated runs / no EOD
+        with pytest.raises(ValueError):
+            _rle_decode(bad)
+    with pytest.raises(ValueError):
+        _lzw_decode(b"\xff\xff\xff\xff")  # out-of-range code
+    with pytest.raises(ValueError):
+        _lzw_decode(b"")  # missing EOD
+    with pytest.raises(ValueError):
+        _rle_decode(b"\x81a" * 100, max_out=50)
+    # whitespace tolerance on the ASCII codecs
+    assert _ascii_hex_decode(b"4 1\n4\t2>") == b"AB"
+
+
+def test_extraction_invariant_under_all_stream_filters():
+    from ocr_spark.operators.pdfcodec import _BUILD_FILTERS
+
+    want = extract_pdf(build_pdf(TWO_COL)).extracted
+    assert want
+    for leg in _BUILD_FILTERS:
+        got = extract_pdf(build_pdf(TWO_COL, stream_filter=leg))
+        assert got.extracted == want, leg
+        assert not got.warn, leg
+
+
+def test_filtered_synth_rows_still_extract():
+    # the synth rotation's filter rows (%31/%37/%41/%43/%47 odd) decode
+    # through the new legs end to end via the envelope path
+    for d in (31, 37, 41, 43, 47, 93, 111):
+        payload = synth_pdf_payload(d, "x" * 200)
+        parsed = pyparse.parse_payload(payload)
+        assert parsed.parse_ok and parsed.kind == "pdf", d
+        assert "B1:" in parsed.extracted, d
