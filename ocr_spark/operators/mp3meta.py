@@ -1,0 +1,305 @@
+"""MP3 frame-header metadata — audio-corpus triage without entropy
+decode, from scratch on the PUBLIC MPEG audio frame grammar
+(ISO/IEC 11172-3 / 13818-3; the header layout and bitrate/samplerate
+tables are normative and reproduced in every independent description of
+the format).
+
+The same 100-TB argument as :mod:`.mp4box`: triaging a petabyte of
+audio needs duration/bitrate/channel metadata, not PCM. An MPEG audio
+stream is a sequence of self-describing frames — 4-byte header with an
+11-bit sync, version/layer ids, bitrate + samplerate table indices, and
+a padding bit, from which the frame's byte length and sample count
+follow arithmetically. Walking headers (and skipping each frame's
+payload by its computed length) yields exact frame counts and durations
+in O(frames) header reads. Huffman-decoding the granules (the actual
+audio) remains the honest stub in `operators/multimodal.decode_media`.
+
+Handled: MPEG-1 / MPEG-2 / MPEG-2.5 (the de-facto low-rate extension),
+Layers I/II/III, free-format refusal (bitrate index 0 is data-dependent
+framing — errors-as-data, not a guess), VBR detection (per-frame
+bitrate changes), a leading ID3v2 container (syncsafe size skip), and
+an optional trailing ID3v1 tag (128 bytes, "TAG"). Truncated or
+desynced streams raise ``ValueError``; the Spark stage turns that into
+an ``ok=false`` row (C3 rule).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+#: bitrate tables in kbit/s, index 1..14 (0 = free format, 15 = invalid)
+_BITRATES = {
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+#: samplerate tables in Hz, index 0..2 (3 = invalid)
+_SAMPLERATES = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+_CHANNEL_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+#: hard cap on frames walked per payload — bounded work on hostile bytes
+MAX_FRAMES = 1 << 20
+
+
+class Mp3Frame:
+    __slots__ = ("version", "layer", "bitrate_kbps", "samplerate",
+                 "channel_mode", "length", "samples")
+
+    def __init__(self, version, layer, bitrate_kbps, samplerate,
+                 channel_mode, length, samples):
+        self.version = version
+        self.layer = layer
+        self.bitrate_kbps = bitrate_kbps
+        self.samplerate = samplerate
+        self.channel_mode = channel_mode
+        self.length = length
+        self.samples = samples
+
+
+def parse_frame_header(hdr: bytes) -> Mp3Frame:
+    """Decode one 4-byte MPEG audio frame header. ``ValueError`` on
+    anything non-conformant (bad sync, reserved version/layer ids,
+    invalid table indices, free-format bitrate)."""
+    if len(hdr) < 4:
+        raise ValueError("truncated frame header")
+    w = struct.unpack(">I", hdr[:4])[0]
+    if (w >> 21) & 0x7FF != 0x7FF:
+        raise ValueError("bad frame sync")
+    vid = (w >> 19) & 3
+    version = {0: "2.5", 2: "2", 3: "1"}.get(vid)
+    if version is None:
+        raise ValueError("reserved MPEG version id")
+    lid = (w >> 17) & 3
+    layer = {1: 3, 2: 2, 3: 1}.get(lid)
+    if layer is None:
+        raise ValueError("reserved layer id")
+    bidx = (w >> 12) & 0xF
+    if bidx == 0xF:
+        raise ValueError("invalid bitrate index")
+    if bidx == 0:
+        raise ValueError("free-format bitrate")  # frame length is unknowable
+    # MPEG-2.5 shares the MPEG-2 bitrate tables
+    bitrate_kbps = _BITRATES[("2" if version != "1" else "1", layer)][bidx - 1]
+    sidx = (w >> 10) & 3
+    if sidx == 3:
+        raise ValueError("invalid samplerate index")
+    samplerate = _SAMPLERATES[version][sidx]
+    padding = (w >> 9) & 1
+    channel_mode = _CHANNEL_MODES[(w >> 6) & 3]
+    bps = bitrate_kbps * 1000
+    if layer == 1:
+        samples = 384
+        length = ((12 * bps) // samplerate + padding) * 4
+    elif layer == 2:
+        samples = 1152
+        length = (144 * bps) // samplerate + padding
+    else:  # layer 3: 1152 samples for MPEG-1, 576 for MPEG-2/2.5
+        if version == "1":
+            samples = 1152
+            length = (144 * bps) // samplerate + padding
+        else:
+            samples = 576
+            length = (72 * bps) // samplerate + padding
+    return Mp3Frame(version, layer, bitrate_kbps, samplerate,
+                    channel_mode, length, samples)
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 container, or 0. The size field
+    is syncsafe (4×7 bits) and EXCLUDES the 10-byte header."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    if any(b & 0x80 for b in data[6:10]):
+        raise ValueError("non-syncsafe ID3v2 size")
+    size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    total = 10 + size
+    if total > len(data):
+        raise ValueError("ID3v2 container past end of payload")
+    return total
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Whole-stream metadata: ``{"version", "layer", "samplerate",
+    "channel_mode", "n_frames", "total_samples", "duration_ms",
+    "bitrate_kbps" (first frame), "vbr", "id3v2_bytes", "id3v1"}``.
+
+    The walk requires every byte between the containers to be frame
+    data — a desync mid-stream is a ``ValueError`` (a crawl payload
+    that LOOKS like an MP3 but desyncs is exactly the thing triage
+    must flag, not paper over)."""
+    data = bytes(data or b"")
+    pos = _id3v2_size(data)
+    end = len(data)
+    id3v1 = end - pos >= 128 and data[end - 128 : end - 125] == b"TAG"
+    if id3v1:
+        end -= 128
+    frames: list[Mp3Frame] = []
+    while pos < end:
+        if len(frames) >= MAX_FRAMES:
+            raise ValueError("too many frames")
+        f = parse_frame_header(data[pos : pos + 4])
+        if pos + f.length > end:
+            raise ValueError("truncated final frame")
+        if frames and (f.version != frames[0].version
+                       or f.layer != frames[0].layer
+                       or f.samplerate != frames[0].samplerate):
+            raise ValueError("mid-stream version/layer/samplerate change")
+        frames.append(f)
+        pos += f.length
+    if not frames:
+        raise ValueError("no MPEG audio frames")
+    f0 = frames[0]
+    total_samples = sum(f.samples for f in frames)
+    return {
+        "version": f0.version,
+        "layer": f0.layer,
+        "samplerate": f0.samplerate,
+        "channel_mode": f0.channel_mode,
+        "n_frames": len(frames),
+        "total_samples": total_samples,
+        "duration_ms": total_samples * 1000 // f0.samplerate,
+        "bitrate_kbps": f0.bitrate_kbps,
+        "vbr": len({f.bitrate_kbps for f in frames}) > 1,
+        "id3v2_bytes": _id3v2_size(data),
+        "id3v1": id3v1,
+    }
+
+
+# --------------------------------------------------------------------------
+# Builder twins (tests + driver-oracle construction)
+# --------------------------------------------------------------------------
+
+
+def build_frame(version: str, layer: int, bitrate_idx: int,
+                samplerate_idx: int, padding: int = 0,
+                channel_mode: int = 0) -> bytes:
+    """Encode one frame: the 4-byte header plus a zero payload of
+    exactly the computed frame length."""
+    vid = {"2.5": 0, "2": 2, "1": 3}[version]
+    lid = {3: 1, 2: 2, 1: 3}[layer]
+    w = (0x7FF << 21) | (vid << 19) | (lid << 17) | (1 << 16) \
+        | (bitrate_idx << 12) | (samplerate_idx << 10) | (padding << 9) \
+        | (channel_mode << 6)
+    hdr = struct.pack(">I", w)
+    f = parse_frame_header(hdr)
+    return hdr + b"\x00" * (f.length - 4)
+
+
+def build_id3v2(size: int) -> bytes:
+    """A minimal ID3v2 container with ``size`` payload bytes."""
+    if size >= 1 << 28:
+        raise ValueError("ID3v2 size too large")
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3\x04\x00\x00" + ss + b"\x00" * size
+
+
+_VERSIONS = ["1", "2", "2.5"]
+
+
+def synth_mp3_payload(doc_id: int) -> bytes:
+    """Deterministic MP3 construction for the driver oracle — replayed
+    in pure SQL arithmetic by ``queries._sql_media_mp3``; keep in
+    lockstep.
+
+    * version ``_VERSIONS[doc_id % 3]``, layer ``1 + (doc_id % 9) // 3``
+      (the two rotate independently — all nine version×layer combos
+      appear across ``doc_id % 9``);
+    * samplerate index ``doc_id % 3``, channel mode ``doc_id % 4``;
+    * ``4 + doc_id % 9`` frames; CONSTANT bitrate index ``1 + doc_id %
+      14`` unless ``doc_id % 6 == 0``, where frame ``i`` uses index
+      ``1 + (doc_id + i) % 14`` → a VBR leg (first-frame bitrate is
+      still the reported one); padding bit alternates ``(doc_id + i) %
+      2`` (exercises per-frame length arithmetic);
+    * a leading ID3v2 of ``doc_id % 50`` payload bytes when ``doc_id %
+      5 == 0``; a trailing ID3v1 tag when ``doc_id % 7 == 0``;
+    * corrupt legs: ``doc_id % 11 == 0`` flips the first frame's sync
+      (bad-sync error); else ``doc_id % 13 == 0`` truncates the last
+      frame mid-payload (truncated-final-frame error).
+    """
+    version = _VERSIONS[doc_id % 3]
+    layer = 1 + (doc_id % 9) // 3
+    sidx = doc_id % 3
+    cm = doc_id % 4
+    n = 4 + doc_id % 9
+    out = bytearray()
+    if doc_id % 5 == 0:
+        out += build_id3v2(doc_id % 50)
+    for i in range(n):
+        bidx = 1 + (doc_id + i) % 14 if doc_id % 6 == 0 else 1 + doc_id % 14
+        out += build_frame(version, layer, bidx, sidx,
+                           padding=(doc_id + i) % 2, channel_mode=cm)
+    if doc_id % 7 == 0:
+        out += b"TAG" + b"\x00" * 125
+    if doc_id % 11 == 0:
+        out = bytearray(build_id3v2(4)) + b"\xfe\xff\x00\x00" + out[14:]
+        return bytes(out)
+    if doc_id % 13 == 0:
+        return bytes(out[:-3])
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Spark stage
+# --------------------------------------------------------------------------
+
+MP3_FIELDS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("version", T.StringType(), True),
+        T.StructField("layer", T.IntegerType(), True),
+        T.StructField("samplerate", T.IntegerType(), True),
+        T.StructField("channel_mode", T.StringType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("total_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("bitrate_kbps", T.IntegerType(), True),
+        T.StructField("vbr", T.BooleanType(), True),
+        T.StructField("id3v2_bytes", T.IntegerType(), True),
+        T.StructField("id3v1", T.BooleanType(), True),
+    ]
+)
+
+_MP3_NULL = {f.name: None for f in MP3_FIELDS.fields if f.name not in ("ok", "err")}
+
+
+def mp3_row(payload: bytes) -> dict:
+    try:
+        return {"ok": True, "err": None, **parse_mp3(payload)}
+    except ValueError as exc:
+        return {"ok": False, "err": str(exc)[:200], **_MP3_NULL}
+
+
+def mp3_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """One metadata row per MP3 payload (Arrow ``mapInPandas``, the
+    same batch-bounded shuffle-free stage shape as ``mp4box.mp4_meta``;
+    per-file cost is O(frames) 4-byte header reads — payload bytes are
+    skipped by the computed frame lengths)."""
+    import pandas as pd
+
+    out_schema = T.StructType([df.schema[id_col]] + list(MP3_FIELDS.fields))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = [
+                {id_col: did, **mp3_row(p)}
+                for did, p in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -501,10 +501,11 @@ def decode_media(payload: bytes, media_type: str = "") -> dict:
             "mean_luma": None,
         }
     raise NotImplementedError(
-        "MP3 decoding requires codec libraries not present in this "
-        "environment (WAV/BMP/PPM/PNG/JPEG/GIF decode and MP4 box metadata "
-        "ARE implemented); use fake_decode_features for the deterministic "
-        "oracle path"
+        "sample/raster decoding for this codec requires libraries not "
+        "present in this environment (WAV/BMP/PPM/PNG/JPEG/GIF decode IS "
+        "implemented; MP4 box metadata via operators/mp4box; MP3 frame "
+        "metadata via operators/mp3meta); use fake_decode_features for "
+        "the deterministic oracle path"
     )
 
 

@@ -3305,6 +3305,120 @@ from base where trunc or noftyp
 """
 
 
+def q_media_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header audio triage (new r5): each document
+    synthesizes an ACTUAL MPEG audio stream — leading ID3v2 container
+    (syncsafe size), consecutive self-describing frames built by our
+    encoder twin over the normative header grammar, trailing ID3v1 tag
+    — rotating all nine MPEG-version × layer combos, all three
+    samplerate slots, per-frame padding bits, and a VBR leg whose
+    per-frame bitrate indices differ. The production stage
+    (`operators/mp3meta.mp3_meta`) must decode sync/version/layer/
+    bitrate/samplerate fields, compute each frame's byte length from
+    the table arithmetic, and walk the stream to reproduce the oracle,
+    which replays every column (frame counts, exact sample totals,
+    floor-divided durations, first-frame bitrate from the six normative
+    kbps tables, VBR flag, container sizes) from doc_id arithmetic and
+    never reads a byte. Two corrupt legs (flipped sync; truncated final
+    frame — which lands on 'bad frame sync' when an ID3v1 tag was
+    clipped, both replayed exactly) pin errors-as-data. O(frames)
+    4-byte header reads per file; payload bytes are skipped by the
+    computed lengths — same 100-TB triage shape as media_mp4."""
+    from ocr_spark.operators.mp3meta import mp3_meta, synth_mp3_payload
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [synth_mp3_payload(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    payloads_df = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return mp3_meta(payloads_df).select(
+        "doc_id",
+        "ok",
+        "err",
+        "version",
+        "layer",
+        "samplerate",
+        "channel_mode",
+        "n_frames",
+        "total_samples",
+        "duration_ms",
+        "bitrate_kbps",
+        "vbr",
+        "id3v2_bytes",
+        "id3v1",
+    )
+
+
+def _sql_media_mp3() -> str:
+    # pure construction replay of operators/mp3meta.synth_mp3_payload,
+    # incl. the six normative bitrate tables as list literals — the SQL
+    # twin never parses a frame header, so a sync/table/length/walk bug
+    # anywhere hash-mismatches
+    return """
+with base as (
+  select doc_id,
+    doc_id % 11 = 0 as sync_err,
+    doc_id % 11 <> 0 and doc_id % 13 = 0 as trunc_err,
+    cast(doc_id % 3 as int) as vi,
+    cast(1 + (doc_id % 9) // 3 as int) as layer,
+    cast(doc_id % 3 as int) as sidx,
+    cast(4 + doc_id % 9 as int) as n,
+    cast(1 + doc_id % 14 as int) as bidx
+  from documents
+),
+calc as (
+  select *,
+    case vi when 0 then ([44100, 48000, 32000])[sidx + 1]
+            when 1 then ([22050, 24000, 16000])[sidx + 1]
+            else ([11025, 12000, 8000])[sidx + 1] end as sr,
+    case when layer = 1 then 384
+         when layer = 2 then 1152
+         when vi = 0 then 1152 else 576 end as spf,
+    case when vi = 0 and layer = 1 then
+      ([32,64,96,128,160,192,224,256,288,320,352,384,416,448])[bidx]
+    when vi = 0 and layer = 2 then
+      ([32,48,56,64,80,96,112,128,160,192,224,256,320,384])[bidx]
+    when vi = 0 then
+      ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bidx]
+    when layer = 1 then
+      ([32,48,56,64,80,96,112,128,144,160,176,192,224,256])[bidx]
+    else ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bidx]
+    end as kbps
+  from base where not sync_err and not trunc_err
+)
+select doc_id, true as ok, cast(null as varchar) as err,
+  case vi when 0 then '1' when 1 then '2' else '2.5' end as version,
+  layer,
+  cast(sr as int) as samplerate,
+  (['stereo', 'joint_stereo', 'dual_channel', 'mono'])
+    [cast(doc_id % 4 as int) + 1] as channel_mode,
+  n as n_frames,
+  cast(n * spf as bigint) as total_samples,
+  cast(n * spf * 1000 // sr as bigint) as duration_ms,
+  cast(kbps as int) as bitrate_kbps,
+  doc_id % 6 = 0 as vbr,
+  cast(case when doc_id % 5 = 0 then 10 + doc_id % 50 else 0 end as int)
+    as id3v2_bytes,
+  doc_id % 7 = 0 as id3v1
+from calc
+union all
+select doc_id, false as ok,
+  case when sync_err or doc_id % 7 = 0 then 'bad frame sync'
+       else 'truncated final frame' end as err,
+  null as version, cast(null as int) as layer,
+  cast(null as int) as samplerate, null as channel_mode,
+  cast(null as int) as n_frames, cast(null as bigint) as total_samples,
+  cast(null as bigint) as duration_ms, cast(null as int) as bitrate_kbps,
+  cast(null as boolean) as vbr, cast(null as int) as id3v2_bytes,
+  cast(null as boolean) as id3v1
+from base where sync_err or trunc_err
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -7472,7 +7586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # media_video_neardup, warc_records, warc_cdx, robots_filter,
     # sitemap_urls, crawl_frontier, charset_decode, frontier_schedule,
     # redirect_resolve) take window slots this round, alongside the
-    # r5-NEW rows (media_mp4, warc_revisit) and the entries whose
+    # r5-NEW rows (media_mp4, media_mp3, warc_revisit) and the entries whose
     # implementation CHANGED in r5 and whose old green rows therefore
     # no longer describe the shipped code: kw_token_match (matching.py
     # norm-dim broadcast deleted, 8ba9e3), curate_funnel (shared-
@@ -7484,6 +7598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multi-round driver-green with r5-untouched implementations — see
     # their evidence comments below the rotation marker.
     "media_mp4": q_media_mp4,
+    "media_mp3": q_media_mp3,
     "warc_revisit": q_warc_revisit,
     "media_gif": q_media_gif,
     "parse_zlib": q_parse_zlib,
@@ -7500,7 +7615,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_funnel": q_curate_funnel,
     "train_quality": q_train_quality,
     "bpe_train": q_bpe_train,
-    "nfc_normalize": q_nfc_normalize,
     "ann_pq": q_ann_pq,
     # parse family: IN the window this round — pyparse.py/operators/
     # parse.py gained span emission (r4 session 4), so the prior r2-green
@@ -7573,6 +7687,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_approx": q_distinct_approx,
     "pii_luhn": q_pii_luhn,
     "conv_repair": q_conv_repair,
+    # nfc_normalize: driver-green r4 (hash-match); operators/normalize.py
+    # has zero r5 hunks (git diff aac4fb1..HEAD does not list it) —
+    # displaced mid-r5 to window the brand-new media_mp3 row; re-verified
+    # green via scripts/check_entry.py this session
+    "nfc_normalize": q_nfc_normalize,
     # parse_kind: green r2 (hash-match) — rotated out r4 s7 to window the
     # brand-new parse_pdf codec row. Its output (doc_id, kind, parse_ok,
     # parse_warn over the 8-family construction) is a STRICT SUBSET of
@@ -7938,6 +8057,7 @@ from corpus group by 1
         "media_jpeg": _sql_media_jpeg(),
         "media_gif": _sql_media_gif(),
         "media_mp4": _sql_media_mp4(),
+        "media_mp3": _sql_media_mp3(),
         "warc_revisit": _sql_warc_revisit(),
         "parse_zlib": _sql_parse_zlib(),
         "media_dhash": _sql_media_dhash(),

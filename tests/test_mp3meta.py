@@ -1,0 +1,119 @@
+"""MP3 frame-header metadata parser (`operators/mp3meta`): header-field
+decode against the normative tables, frame-length arithmetic, stream
+walking with ID3 containers, the construction↔formula lockstep the
+driver oracle leans on, hostile-bytes behavior, and the Spark stage.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ocr_spark.operators.mp3meta import (
+    _BITRATES,
+    build_frame,
+    build_id3v2,
+    mp3_meta,
+    mp3_row,
+    parse_frame_header,
+    parse_mp3,
+    synth_mp3_payload,
+)
+
+
+def test_header_fields_and_lengths():
+    # MPEG-1 Layer III, 128 kbps, 44100 Hz, no padding: the canonical
+    # 417-byte frame every independent description of the format derives
+    f = parse_frame_header(build_frame("1", 3, 9, 0))
+    assert (f.version, f.layer, f.bitrate_kbps, f.samplerate) == ("1", 3, 128, 44100)
+    assert f.length == 144 * 128000 // 44100 == 417
+    assert f.samples == 1152
+    # padding adds one byte (four for Layer I)
+    assert parse_frame_header(build_frame("1", 3, 9, 0, padding=1)).length == 418
+    l1 = parse_frame_header(build_frame("1", 1, 1, 1))  # L1 32kbps 48kHz
+    assert l1.samples == 384 and l1.length == (12 * 32000 // 48000) * 4 == 32
+    assert parse_frame_header(build_frame("1", 1, 1, 1, padding=1)).length == 36
+    # MPEG-2 Layer III halves the granule: 576 samples, 72-coefficient
+    f2 = parse_frame_header(build_frame("2", 3, 4, 1))  # 32kbps 24kHz
+    assert f2.samples == 576 and f2.length == 72 * 32000 // 24000 == 96
+    # MPEG-2.5 uses the MPEG-2 tables at quarter rates
+    f25 = parse_frame_header(build_frame("2.5", 3, 1, 2))  # 8kbps 8kHz
+    assert f25.bitrate_kbps == 8 and f25.samplerate == 8000
+
+
+def test_header_rejections():
+    good = bytearray(build_frame("1", 3, 9, 0)[:4])
+    for mutate, msg in [
+        (lambda b: b"\x00" + bytes(b[1:]), "bad frame sync"),
+        (lambda b: bytes([b[0], b[1] & ~0x18 | 0x08, b[2], b[3]]), "reserved MPEG version"),
+        (lambda b: bytes([b[0], b[1] & ~0x06, b[2], b[3]]), "reserved layer"),
+        (lambda b: bytes([b[0], b[1], b[2] | 0xF0, b[3]]), "invalid bitrate"),
+        (lambda b: bytes([b[0], b[1], b[2] & 0x0F, b[3]]), "free-format"),
+        (lambda b: bytes([b[0], b[1], b[2] | 0x0C, b[3]]), "invalid samplerate"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_frame_header(mutate(good))
+
+
+def test_stream_walk_with_containers():
+    frames = [build_frame("1", 3, 9, 0, padding=i % 2) for i in range(5)]
+    raw = build_id3v2(33) + b"".join(frames) + b"TAG" + b"\x00" * 125
+    m = parse_mp3(raw)
+    assert m["n_frames"] == 5 and m["id3v2_bytes"] == 43 and m["id3v1"]
+    assert m["total_samples"] == 5 * 1152
+    assert m["duration_ms"] == 5 * 1152 * 1000 // 44100
+    assert not m["vbr"]
+    # VBR: differing per-frame bitrate indices
+    vbr = b"".join(build_frame("1", 3, i, 0) for i in (9, 10, 11))
+    assert parse_mp3(vbr)["vbr"] and parse_mp3(vbr)["bitrate_kbps"] == 128
+    # mid-stream samplerate change is a desync, not a silent average
+    with pytest.raises(ValueError, match="mid-stream"):
+        parse_mp3(build_frame("1", 3, 9, 0) + build_frame("1", 3, 9, 1))
+    with pytest.raises(ValueError, match="truncated final frame"):
+        parse_mp3(frames[0][:-1])
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        parse_mp3(build_id3v2(4))
+    with pytest.raises(ValueError, match="ID3v2 container past end"):
+        parse_mp3(build_id3v2(100)[:20])
+
+
+def test_synth_error_legs_exact():
+    for d in range(0, 1200):
+        r = mp3_row(synth_mp3_payload(d))
+        if d % 11 == 0:
+            assert not r["ok"] and r["err"] == "bad frame sync", d
+        elif d % 13 == 0:
+            want = "bad frame sync" if d % 7 == 0 else "truncated final frame"
+            assert not r["ok"] and r["err"] == want, d
+        else:
+            assert r["ok"], (d, r["err"])
+
+
+def test_mutation_fuzz_valueerror_only():
+    rnd = random.Random(11)
+    base = synth_mp3_payload(3)
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rnd.randrange(1, 5)):
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+        if rnd.random() < 0.3:
+            b = b[: rnd.randrange(len(b))]
+        try:
+            parse_mp3(bytes(b))
+        except ValueError:
+            pass  # the ONLY permitted escape
+
+
+def test_spark_stage(spark):
+    import pandas as pd
+
+    ids = [1, 6, 11]
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "payload": [synth_mp3_payload(i) for i in ids]}
+    )
+    out = mp3_meta(spark.createDataFrame(pdf, "doc_id long, payload binary"))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].ok and rows[1].n_frames == 5
+    assert rows[6].ok and rows[6].vbr
+    assert not rows[11].ok and rows[11].err == "bad frame sync"
