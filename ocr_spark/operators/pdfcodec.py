@@ -277,6 +277,14 @@ class PdfDoc:
             self._find_root_by_scan()
         if "Root" not in self.trailer:
             raise ValueError("no document catalog")
+        if self.trailer.get("Encrypt") is not None:
+            # standard security handler (ISO 32000 §7.6): strings and
+            # streams are RC4/AES-encrypted — without key derivation any
+            # "extraction" would be deterministic garbage. Refuse loudly;
+            # upstream turns this into the F3 errors-as-data row (the
+            # reference's encrypted/undecodable classification,
+            # /root/reference/app/services/doc_analysis.py)
+            raise ValueError("encrypted PDF (/Encrypt dictionary present)")
 
     # -- xref -------------------------------------------------------------
     # entries are ("o", byte_offset) for regular objects and

@@ -158,10 +158,16 @@ def test_malformed_raises_valueerror_not_other():
 
 
 def test_unsupported_filter_raises():
-    raw = build_pdf(TWO_COL, flate=True).replace(
-        b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    # JBIG2 stays genuinely unsupported (LZW/A85/AHx/RL are real since
+    # r5); a mislabeled filter (Flate bytes declared LZW) must also be a
+    # ValueError, never silent garbage
+    raw = build_pdf(TWO_COL, flate=True)
+    with pytest.raises(ValueError, match="unsupported stream filter"):
+        extract_pdf(raw.replace(b"/Filter /FlateDecode",
+                                b"/Filter /JBIG2Decode"))
     with pytest.raises(ValueError):
-        extract_pdf(raw)
+        extract_pdf(raw.replace(b"/Filter /FlateDecode",
+                                b"/Filter /LZWDecode"))
 
 
 def test_object_cycle_raises_not_hangs():
@@ -695,3 +701,21 @@ def test_filtered_synth_rows_still_extract():
         parsed = pyparse.parse_payload(payload)
         assert parsed.parse_ok and parsed.kind == "pdf", d
         assert "B1:" in parsed.extracted, d
+
+
+def test_encrypted_pdf_refused():
+    # the standard security handler encrypts strings/streams; extraction
+    # without key derivation would be deterministic garbage — the parser
+    # must refuse with the F3 errors-as-data signal, not emit mojibake
+    raw = build_pdf([[(72.0, 700.0, ["secret"])]])
+    enc = raw.replace(
+        b"trailer\n<< /Size", b"trailer\n<< /Encrypt 99 0 R /Size"
+    )
+    assert enc != raw
+    with pytest.raises(ValueError, match="encrypted PDF"):
+        extract_pdf(enc)
+    # and the envelope path lands it as a parse_failed data row
+    import base64
+
+    r = pyparse.parse_payload(PDF_HEAD + base64.b64encode(enc).decode())
+    assert r.kind == "pdf" and not r.parse_ok
