@@ -7083,6 +7083,134 @@ where b.is_rev
 """
 
 
+def _warc_doc_payload(doc_id: int, body_text: str) -> bytes:
+    """One-record ``.warc.gz`` whose response body is ``body_text``
+    under a charset × HTTP-coding rotation — the synth for the
+    ``warc_extract`` end-to-end chain. Replayed by
+    ``_sql_warc_extract``; keep in lockstep.
+
+    * charset leg ``doc_id % 3``: 0 = UTF-8 with an HTTP ``charset=``
+      declaration (source ``http``), 1 = UTF-8 undeclared (content
+      detection), 2 = UTF-16LE with BOM (BOM wins, real transcode);
+    * HTTP coding ``doc_id % 4``: identity / chunked / gzip / both —
+      the same wire rotation as ``synth_warc_payload``.
+    """
+    from ocr_spark.operators.warc import (
+        build_http_response,
+        build_warc_gz,
+        build_warc_record,
+        chunk_wrap,
+        gzip_wrap,
+    )
+
+    leg = doc_id % 3
+    if leg == 2:
+        raw = b"\xff\xfe" + body_text.encode("utf-16-le")
+        ct = "text/html"
+    else:
+        raw = body_text.encode("utf-8")
+        ct = "text/html; charset=utf-8" if leg == 0 else "text/html"
+    hdrs = [("Content-Type", ct)]
+    e = doc_id % 4
+    if e in (2, 3):
+        raw = gzip_wrap(raw)
+        hdrs.append(("Content-Encoding", "gzip"))
+    if e in (1, 3):
+        raw = chunk_wrap(raw)
+        hdrs.append(("Transfer-Encoding", "chunked"))
+    rec = build_warc_record(
+        "response",
+        build_http_response(200, hdrs, raw),
+        uri=f"https://crawl.org/doc/{doc_id}",
+        record_id=f"<urn:doc:{doc_id}>",
+        content_type="application/http; msgtype=response",
+    )
+    return build_warc_gz([rec])
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END crawl→clean-text chain (new r5) — the north
+    star's whole ingestion story as ONE hash-verified row set: the
+    8-family parse construction (`payloads.parse_payload_col`, the same
+    texts the windowed `parse_extract` verifies) is framed as real
+    ``.warc.gz`` archives (per-record gzip members, WARC grammar, HTTP
+    response blocks under an identity/chunked/gzip/both coding
+    rotation), charset-coded per a UTF-8-declared / UTF-8-detected /
+    UTF-16LE-BOM rotation, then pushed through the production chain
+    ``warc_expand`` → ``charset.with_decoded_text`` →
+    ``parse.with_parsed`` — three back-to-back Arrow stages, zero
+    shuffles, the exact plan shape a 100-TB crawl ingest runs. The
+    oracle composes the existing `_sql_parse_extract` twin (extraction
+    replayed per kind in pure SQL) with the charset/coding leg
+    arithmetic: the hash matches ONLY if the WARC framing, the HTTP
+    coding decode, the charset transcode (a real UTF-16 round trip on
+    every third row), and the boilerplate extraction are ALL lossless
+    end to end. Reference analog: the reference's per-document
+    ingest-parse-extract loop
+    (/root/reference/app/services/document_processor.py →
+    doc_analysis.py), here as one declarative pipeline."""
+    from ocr_spark.operators.charset import with_decoded_text
+    from ocr_spark.operators import parse as parse_op
+    from ocr_spark.operators.warc import warc_expand
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "p", payloads.parse_payload_col(F.col("doc_id"), F.col("text"))
+    ).select("doc_id", "p")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [
+                _warc_doc_payload(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf["p"])
+            ]
+            yield out
+
+    arch = docs.mapInPandas(synth, "doc_id long, payload binary")
+    rec = warc_expand(arch).filter(
+        F.col("ok") & (F.col("rec_type") == "response")
+    )
+    rec = rec.select(
+        "doc_id",
+        "body",
+        F.when(
+            F.col("charset").isNotNull(),
+            F.concat(F.col("mime"), F.lit("; charset="), F.col("charset")),
+        ).otherwise(F.col("mime")).alias("content_type"),
+    )
+    dec = with_decoded_text(
+        rec, payload_col="body", content_type_col="content_type"
+    ).select("doc_id", "charset", "source", "text")
+    parsed = parse_op.with_parsed(dec, text_col="text")
+    return parsed.select(
+        "doc_id",
+        "charset",
+        "source",
+        "kind",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        F.col("parse_warn").cast("int").alias("parse_warn"),
+        F.col("blocks_kept").cast("int").alias("blocks_kept"),
+        F.col("blocks_dropped").cast("int").alias("blocks_dropped"),
+        "extracted",
+    )
+
+
+def _sql_warc_extract() -> str:
+    # composition: the charset/coding legs are doc_id arithmetic; the
+    # extraction columns are EXACTLY the _sql_parse_extract twin (the
+    # construction texts survive the WARC+HTTP+charset transit
+    # byte-for-byte, or the hash mismatches)
+    return f"""
+select p.doc_id,
+  case when p.doc_id % 3 = 2 then 'utf-16le' else 'utf-8' end as charset,
+  case p.doc_id % 3 when 0 then 'http' when 1 then 'detected'
+       else 'bom' end as source,
+  p.kind, p.parse_ok, p.parse_warn, p.blocks_kept, p.blocks_dropped,
+  p.extracted
+from ({_sql_parse_extract()}) p
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy audit over the CDX table (new r4 s8): the fully
     relational robots.txt evaluator (`operators/robots.py` — line
@@ -7600,6 +7728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_mp4": q_media_mp4,
     "media_mp3": q_media_mp3,
     "warc_revisit": q_warc_revisit,
+    "warc_extract": q_warc_extract,
     "media_gif": q_media_gif,
     "parse_zlib": q_parse_zlib,
     "media_video_neardup": q_media_video_neardup,
@@ -7615,7 +7744,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_funnel": q_curate_funnel,
     "train_quality": q_train_quality,
     "bpe_train": q_bpe_train,
-    "ann_pq": q_ann_pq,
     # parse family: IN the window this round — pyparse.py/operators/
     # parse.py gained span emission (r4 session 4), so the prior r2-green
     # rows no longer describe the shipped code: html_blocks/parse_spans
@@ -7692,6 +7820,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced mid-r5 to window the brand-new media_mp3 row; re-verified
     # green via scripts/check_entry.py this session
     "nfc_normalize": q_nfc_normalize,
+    # ann_pq: driver-green r4 (hash-match); operators/similarity.py has
+    # zero r5 hunks — displaced mid-r5 to window the brand-new
+    # warc_extract end-to-end chain; its PQ recall leg stays hard
+    # evidence via the bench ANN holdout (0.925 @ 4 B/vec at 1.13M
+    # vectors, re-measured this round); re-verified green via
+    # scripts/check_entry.py this session
+    "ann_pq": q_ann_pq,
     # parse_kind: green r2 (hash-match) — rotated out r4 s7 to window the
     # brand-new parse_pdf codec row. Its output (doc_id, kind, parse_ok,
     # parse_warn over the 8-family construction) is a STRICT SUBSET of
@@ -8058,6 +8193,7 @@ from corpus group by 1
         "media_gif": _sql_media_gif(),
         "media_mp4": _sql_media_mp4(),
         "media_mp3": _sql_media_mp3(),
+        "warc_extract": _sql_warc_extract(),
         "warc_revisit": _sql_warc_revisit(),
         "parse_zlib": _sql_parse_zlib(),
         "media_dhash": _sql_media_dhash(),
