@@ -1,0 +1,128 @@
+"""Preference-pair construction from multi-turn transcripts — the
+DPO-style terminal product of an RLHF data pipeline (Rafailov et al.
+2023: a preference dataset is (prompt, chosen, rejected) triples).
+
+The reference pipeline ends at per-document quality gating
+(`/root/reference/app/services/text_processing.py` verdict counters);
+this is the transcript-corpus generalization: when a crawl of agent
+transcripts contains SEVERAL assistant responses to the SAME prompt
+(re-asks across sessions, A/B'd agents, regenerations), rank them with
+the same row-local heuristics :func:`assistant_turn_quality` already
+uses (refusal markers, code fences, length) and emit the best/worst
+pair per prompt group.
+
+Scale shape (the whole point of the design):
+
+* prompt attachment is ONE conversation window with a running
+  unbounded-preceding frame (O(1) state per row — never a per-row
+  array of the conversation);
+* candidate scoring is row-local whole-stage-codegen arithmetic;
+* pair selection is ONE combiner-friendly groupBy on the prompt key
+  using ``max_by``/``min_by`` over a string total-order key — a viral
+  prompt with 10^9 candidate responses partial-aggregates map-side and
+  ships ONE (ord, resp) pair per partition, so prompt-key skew (the
+  "hi" prompt) costs nothing. No collect_list, no per-group window,
+  nothing proportional to group size ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+from ocr_spark.operators.conversation import REFUSAL_RE
+
+__all__ = ["turn_preference_score", "preference_pairs"]
+
+#: score component bounds — keep the total non-negative and < 10^7 so
+#: a 7-digit zero-pad is a correct lexicographic encoding of the score
+_MAX_FENCES = 9
+_MAX_LEN = 9_999
+
+
+def turn_preference_score(text: Column) -> Column:
+    """Row-local integer preference score for an assistant turn:
+    ``(no-refusal)·10^6 + min(fences,9)·10^4 + min(len,9999)`` — a
+    refusal always loses to a substantive answer, code presence beats
+    prose, longer beats shorter within a band. Non-negative and
+    < 1.1e6, so it zero-pads to 7 digits for lexicographic ordering.
+    Deterministic integer arithmetic (the cross-engine convention every
+    ``*_c`` column in this repo follows); the markers are the SAME
+    frozen heuristics as :func:`assistant_turn_quality`
+    (``REFUSAL_RE``, ``functions.text.CODE_FENCE_RE``), restricted to
+    the Java-regex / RE2 common subset."""
+    refused = F.regexp_count(F.lower(text), F.lit(REFUSAL_RE)) > 0
+    fences = F.least(F.size(X.fence_langs(text)), F.lit(_MAX_FENCES))
+    return (
+        F.when(refused, F.lit(0)).otherwise(F.lit(1_000_000)).cast("bigint")
+        + fences.cast("bigint") * 10_000
+        + F.least(F.length(text), F.lit(_MAX_LEN)).cast("bigint")
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "clean_text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Emit one (prompt, chosen, rejected) preference pair per prompt
+    whose candidate responses have strictly different scores.
+
+    Every ``response_role`` turn is attributed to the most recent PRIOR
+    ``prompt_role`` turn of its conversation (running-frame window —
+    the :func:`with_tool_attribution` device on the user axis; turns
+    before the first prompt are dropped). Candidates are then grouped
+    by the EXACT prompt text across the whole corpus and reduced with
+    ``max_by``/``min_by`` on ``lpad(score,7,'0') || md5(response)`` — a
+    total order, so ties in score break deterministically on the
+    response digest and the result is identical at any parallelism.
+    Groups where best == worst score carry no preference signal and are
+    filtered (a single-candidate group always is).
+
+    Output: (prompt_key, prompt, n_candidates, chosen, rejected,
+    chosen_score_c, rejected_score_c). ``prompt_key`` = md5(prompt) —
+    the stable join/shuffle key a 10^12-turn corpus groups on instead
+    of arbitrary-length prompt strings.
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prompt = F.last(
+        F.when(F.col(role_col) == prompt_role, F.col(text_col)),
+        ignorenulls=True,
+    ).over(w)
+    cand = (
+        df.withColumn("_prompt", prompt)
+        .filter(
+            (F.col(role_col) == response_role)
+            & F.col("_prompt").isNotNull()
+        )
+        .select(
+            F.col("_prompt").alias("prompt"),
+            F.col(text_col).alias("_resp"),
+            turn_preference_score(F.col(text_col)).alias("_score"),
+        )
+    )
+    ordk = F.concat(
+        F.lpad(F.col("_score").cast("string"), 7, "0"), F.md5("_resp")
+    )
+    return (
+        cand.withColumn("_ord", ordk)
+        .groupBy(F.md5("prompt").alias("prompt_key"))
+        .agg(
+            F.min("prompt").alias("prompt"),
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.max_by("_resp", "_ord").alias("chosen"),
+            F.min_by("_resp", "_ord").alias("rejected"),
+            F.max("_score").alias("chosen_score_c"),
+            F.min("_score").alias("rejected_score_c"),
+        )
+        .filter(F.col("chosen_score_c") > F.col("rejected_score_c"))
+    )

@@ -1,0 +1,155 @@
+"""Preference-pair construction (operators/preference.py) vs an
+independent pure-Python twin, plus the scale-hygiene plan properties
+(combiner-friendly agg, no per-group materialization)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.preference import (
+    preference_pairs,
+    turn_preference_score,
+)
+
+SCHEMA = "conv_id string, turn_idx int, role string, clean_text string"
+
+REFUSAL = re.compile(r"i('m| am) sorry|i cannot|i can('|)t help|as an ai")
+FENCE = re.compile(r"```([a-z0-9_+-]*)\n(.*?)```", re.S)
+
+
+def _py_score(text: str) -> int:
+    base = 0 if REFUSAL.search(text.lower()) else 1_000_000
+    return (
+        base
+        + min(len(FENCE.findall(text)), 9) * 10_000
+        + min(len(text), 9_999)
+    )
+
+
+def _py_pairs(rows):
+    """Independent twin: sequential scan per conversation for prompt
+    attachment, dict-of-lists for grouping, explicit sort for the
+    chosen/rejected pick."""
+    by_conv: dict[str, list] = {}
+    for r in rows:
+        by_conv.setdefault(r[0], []).append(r)
+    groups: dict[str, list] = {}
+    for conv in by_conv.values():
+        conv.sort(key=lambda r: r[1])
+        prompt = None
+        for _, _, role, text in conv:
+            if role == "user":
+                prompt = text
+            elif role == "assistant" and prompt is not None:
+                groups.setdefault(prompt, []).append(text)
+    out = {}
+    for prompt, cands in groups.items():
+        key = lambda t: (  # noqa: E731
+            f"{_py_score(t):07d}"
+            + hashlib.md5(t.encode()).hexdigest()
+        )
+        chosen = max(cands, key=key)
+        rejected = min(cands, key=key)
+        if _py_score(chosen) > _py_score(rejected):
+            out[prompt] = (
+                len(cands),
+                chosen,
+                rejected,
+                _py_score(chosen),
+                _py_score(rejected),
+            )
+    return out
+
+
+ROWS = [
+    # conv a: prompt p1 answered twice (refusal vs code)
+    ("a", 0, "user", "p1"),
+    ("a", 1, "assistant", "I cannot help with that."),
+    ("a", 2, "user", "p1"),
+    ("a", 3, "assistant", "here:\n```python\nx = 1\n```\ndone"),
+    # conv b: same prompt p1 again (cross-conversation grouping)
+    ("b", 0, "user", "p1"),
+    ("b", 1, "tool", "noise that must not become a prompt"),
+    ("b", 2, "assistant", "a plain but substantive answer"),
+    # conv b: prompt p2 with a single candidate -> no pair
+    ("b", 3, "user", "p2"),
+    ("b", 4, "assistant", "only answer"),
+    # conv c: assistant before any user turn -> dropped
+    ("c", 0, "assistant", "orphan"),
+    # conv c: prompt p3 where both candidates tie exactly -> no pair
+    ("c", 1, "user", "p3"),
+    ("c", 2, "assistant", "same text"),
+    ("c", 3, "user", "p3"),
+    ("c", 4, "assistant", "same text"),
+]
+
+
+def test_matches_pure_python_twin(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {
+        r["prompt"]: (
+            r["n_candidates"],
+            r["chosen"],
+            r["rejected"],
+            r["chosen_score_c"],
+            r["rejected_score_c"],
+        )
+        for r in preference_pairs(df).collect()
+    }
+    assert got == _py_pairs(ROWS)
+    # the fixture exercises every branch: p1 pairs, p2/p3/orphan do not
+    assert set(got) == {"p1"}
+    assert got["p1"][0] == 3
+    assert "```python" in got["p1"][1]
+    assert "cannot help" in got["p1"][2]
+
+
+def test_score_components(spark):
+    rows = [
+        ("refusal", "I am sorry, no."),
+        ("code", "x\n```sql\nselect 1\n```\n"),
+        ("plain", "hello world"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t string").select(
+        "k", turn_preference_score(F.col("t")).alias("s")
+    )
+    got = {r["k"]: r["s"] for r in df.collect()}
+    assert got == {k: _py_score(t) for k, t in rows}
+    assert got["refusal"] < 1_000_000 <= got["plain"] < got["code"]
+
+
+def test_deterministic_across_parallelism(spark):
+    rows = [
+        ("c%d" % (i % 7), i // 7, ["user", "assistant"][i % 2],
+         "q%d" % (i % 5) if i % 2 == 0 else "answer %d %s" % (i, "x" * (i % 40)))
+        for i in range(400)
+    ]
+    a = preference_pairs(
+        spark.createDataFrame(rows, SCHEMA).repartition(1)
+    ).collect()
+    b = preference_pairs(
+        spark.createDataFrame(rows, SCHEMA).repartition(32)
+    ).collect()
+    key = lambda r: r["prompt_key"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert len(a) > 0
+
+
+def test_plan_is_combiner_friendly(spark):
+    """The pair reduction must partial-aggregate map-side (skewed prompt
+    groups ship one pair per partition) and must not use collect_list
+    or a per-group window."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = (
+        preference_pairs(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max_by" in plan or "partial_merge" in plan or (
+        "ObjectHashAggregate" in plan and "max_by" in plan
+    ), plan
+    assert "collect_list" not in plan, plan
