@@ -12,10 +12,12 @@ gray/RGB/gray-alpha/RGBA, filters 0-4), **JPEG** (a from-scratch T.81
 decoder in :mod:`.jpegcodec` — Huffman + batched-numpy IDCT, baseline
 AND progressive), and **GIF** (full LZW + animation composition in
 :mod:`.gifcodec`) — dispatched by magic bytes in ``decode_media``.
-Codecs whose entropy coders are genuinely out of reach here
-(MP3/MP4/HEIC...) remain a clearly-marked ``NotImplementedError``
-stub: wire torchaudio/PyAV into the same Arrow stage on a real
-cluster.
+**MP4** gets a from-scratch box-metadata walk (:mod:`.mp4box` —
+duration/dims/codec without touching ``mdat``) and **MP3** a
+frame-header walk (:mod:`.mp3meta` — exact sample totals, bitrates,
+ID3 framing); only their SAMPLE (entropy) decode remains a
+clearly-marked ``NotImplementedError`` stub: wire torchaudio/PyAV
+into the same Arrow stage on a real cluster.
 
 * ``decode_media`` — magic-byte dispatch → typed feature dict
   (dimensions / duration / RMS / mean luma), or ``NotImplementedError``

