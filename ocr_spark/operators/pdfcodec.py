@@ -1279,6 +1279,43 @@ def text_runs(
                         if parts and not parts[-1].endswith(" "):
                             parts.append(" ")
                 runs.append((tx, ty, "".join(parts)))
+            elif op == b"BI":
+                # inline image (ISO 32000-1 §8.9.7): key/value pairs up
+                # to ID, then RAW sample bytes to a whitespace-delimited
+                # EI. The sample data is NOT token syntax — lexing
+                # through it would either raise on arbitrary bytes or,
+                # worse, fabricate text from bytes that happen to read
+                # as `(...) Tj`. Consume the image dict as ordinary
+                # tokens, then scan bytes for the terminator: EI
+                # preceded by whitespace and followed by whitespace /
+                # delimiter / EOF (the standard disambiguation
+                # heuristic — sample data may contain a bare EI).
+                while True:
+                    t2 = lx.token()
+                    if t2 is None:
+                        raise ValueError("unterminated inline image")
+                    if t2[0] == "kw" and t2[1] == b"ID":
+                        break
+                d, q = lx.data, lx.pos
+                if q < len(d) and d[q] in _WS_SET:
+                    q += 1  # the single whitespace after ID is framing
+                while True:
+                    i = d.find(b"EI", q)
+                    if i < 0:
+                        raise ValueError("unterminated inline image")
+                    tail = i + 2
+                    if (
+                        i > 0
+                        and d[i - 1] in _WS_SET
+                        and (
+                            tail >= len(d)
+                            or d[tail] in _WS_SET
+                            or d[tail] in b"[]<>/%("
+                        )
+                    ):
+                        lx.pos = tail
+                        break
+                    q = i + 1
             # ET, Tf, Tc, Tw, Tz, Ts, Tr, q, Q, cm, ...: no text effect here
         except (IndexError, TypeError):
             raise ValueError(f"missing operands for {op!r}") from None

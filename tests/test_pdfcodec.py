@@ -719,3 +719,27 @@ def test_encrypted_pdf_refused():
 
     r = pyparse.parse_payload(PDF_HEAD + base64.b64encode(enc).decode())
     assert r.kind == "pdf" and not r.parse_ok
+
+
+def test_text_runs_skips_inline_image():
+    """BI..ID..EI raw sample bytes must be framed out, not lexed: the
+    payload below embeds a bare EI, a '(sneaky) Tj' byte pattern, and
+    lex-hostile bytes inside the image data, plus booleans and an array
+    in the image dict (ISO 32000-1 8.9.7)."""
+    img = b"\x00\xff(sneaky) Tj EIX\x80\x81"  # bare EI: no delimiters
+    content = (
+        b"BT 100 700 Td (before) Tj ET "
+        b"BI /W 2 /H 2 /IM true /D [0 1] /F /AHx ID " + img + b"\nEI\n"
+        b"BT 100 650 Td (after) Tj ET"
+    )
+    assert [(x, y, s) for x, y, s in text_runs(content)] == [
+        (100.0, 700.0, "before"),
+        (100.0, 650.0, "after"),
+    ]
+
+
+def test_text_runs_inline_image_unterminated():
+    with pytest.raises(ValueError, match="unterminated inline image"):
+        text_runs(b"BT (a) Tj ET BI /W 1 ID \x00\x01\x02")
+    with pytest.raises(ValueError, match="unterminated inline image"):
+        text_runs(b"BI /W 1 /H 1")  # EOF before ID
