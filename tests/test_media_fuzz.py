@@ -1,0 +1,91 @@
+"""Hostile-input properties for the media codecs — pure-Python/numpy
+kernels (no Spark session), hypothesis-driven.
+
+`with_media_features`'s Arrow stage catches exactly
+``(ValueError, NotImplementedError, struct.error)``
+(multimodal.py:548) and turns them into status rows; any OTHER
+exception type escaping `decode_media` on a hostile payload is a task
+crash at 100-TB scale. The deep decoders index numpy arrays and walk
+length-prefixed sub-blocks, so the realistic escapes are IndexError /
+KeyError from mutated-but-plausible streams — random bytes rarely get
+past the magic checks. Mutation fuzz over every synth family (WAV,
+PNG, BMP, PPM, G.711, MP4, MP3, JPEG baseline+progressive, GIF) is
+therefore the load-bearing test here, same shape as
+tests/test_pdf_fuzz.py for the PDF codec."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+from ocr_spark.operators.gifcodec import synth_gif_payload
+from ocr_spark.operators.jpegcodec import synth_jpeg_payload
+from ocr_spark.operators.multimodal import (
+    decode_media,
+    image_pixels,
+    synth_image_payload,
+    synth_payload,
+)
+
+pytestmark = pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+
+#: the Arrow stage's exact catch set (multimodal.py `one()`)
+CAUGHT = (ValueError, NotImplementedError, struct.error)
+
+BUILDERS = [synth_payload, synth_image_payload,
+            synth_jpeg_payload, synth_gif_payload]
+
+
+@st.composite
+def _mutated_media(draw):
+    builder = draw(st.sampled_from(BUILDERS))
+    base = bytearray(builder(draw(st.integers(0, 4999))))
+    n = len(base)
+    for _ in range(draw(st.integers(min_value=1, max_value=6))):
+        kind = draw(st.integers(min_value=0, max_value=2))
+        if kind == 0 and n > 0:  # flip
+            base[draw(st.integers(0, n - 1))] = draw(st.integers(0, 255))
+        elif kind == 1 and n > 2:  # truncate tail
+            del base[draw(st.integers(1, n - 1)):]
+            n = len(base)
+        else:  # splice
+            at = draw(st.integers(0, n))
+            base[at:at] = draw(st.binary(min_size=1, max_size=16))
+            n = len(base)
+    return bytes(base)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_mutated_media())
+def test_decode_media_mutated_caught_types_only(data):
+    try:
+        decode_media(data)
+    except CAUGHT:
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(_mutated_media())
+def test_image_pixels_mutated_caught_types_only(data):
+    try:
+        image_pixels(data)
+    except CAUGHT:
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=512))
+def test_decode_media_arbitrary_bytes_caught_types_only(data):
+    try:
+        decode_media(data)
+    except CAUGHT:
+        pass

@@ -1,0 +1,129 @@
+"""Hostile-input properties for the PDF codec — pure-Python kernels
+(no Spark session), so hypothesis can run thousands of cases.
+
+The C3 errors-as-data contract says `extract_pdf` raises ``ValueError``
+and NOTHING ELSE on unparseable bytes: the Arrow parse stage catches
+exactly ValueError and emits a status row, so any other exception type
+escaping on hostile input is a straight task crash at 100-TB scale.
+Three attack surfaces:
+
+* arbitrary bytes (with and without a %PDF head — the head variant
+  reaches deeper into xref/object parsing);
+* MUTATED valid PDFs — byte flips, truncations, and splices applied to
+  real `build_pdf` output across its encoding legs, which exercises the
+  recovery scan, stream filters, and font machinery far past what
+  random bytes reach;
+* raw content streams through `text_runs` (the interpreter's own
+  ValueError-only contract, incl. the BI/ID/EI inline-image framing).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+from ocr_spark.operators.pdfcodec import build_pdf, extract_pdf, text_runs
+
+pytestmark = pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+
+PAGE = [[(72.0, 700.0, ["alpha beta", "gamma"]),
+         (72.0, 620.0, ["delta"])]]
+
+
+def _extract_total(data: bytes) -> None:
+    """extract_pdf either returns or raises ValueError — nothing else."""
+    try:
+        extract_pdf(data)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_arbitrary_bytes_value_error_only(data):
+    _extract_total(data)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_pdf_headed_bytes_value_error_only(data):
+    # a %PDF head gets past kind detection and into xref/object parsing
+    _extract_total(b"%PDF-1.7\n" + data)
+
+
+@st.composite
+def _mutated_pdf(draw):
+    """A real build_pdf document with byte flips / truncation / splice."""
+    enc = draw(st.sampled_from(["latin1", "cmap", "diffs", "type0"]))
+    flt = draw(st.sampled_from(
+        [None, "flate", "ahx", "a85", "rl", "lzw", "a85+flate"]))
+    base = bytearray(build_pdf(
+        PAGE,
+        flate=draw(st.booleans()),
+        use_tj=draw(st.booleans()),
+        strip_xref=draw(st.booleans()),
+        enc=enc,
+        stream_filter=flt,
+    ))
+    n = len(base)
+    for _ in range(draw(st.integers(min_value=1, max_value=8))):
+        kind = draw(st.integers(min_value=0, max_value=2))
+        if kind == 0 and n > 0:  # flip
+            base[draw(st.integers(0, n - 1))] = draw(st.integers(0, 255))
+        elif kind == 1 and n > 2:  # truncate tail
+            del base[draw(st.integers(1, n - 1)):]
+            n = len(base)
+        else:  # splice random bytes at a random offset
+            at = draw(st.integers(0, n))
+            ins = draw(st.binary(min_size=1, max_size=32))
+            base[at:at] = ins
+            n = len(base)
+    return bytes(base)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_mutated_pdf())
+def test_extract_mutated_pdf_value_error_only(data):
+    _extract_total(data)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.binary(max_size=1024))
+def test_text_runs_hostile_bytes_value_error_only(data):
+    try:
+        text_runs(data)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=512))
+def test_text_runs_hostile_inline_image_value_error_only(data):
+    # force the BI/ID path: image dict tokens then arbitrary sample bytes
+    payload = b"BT (ok) Tj ET BI /W 1 /H 1 ID " + data
+    try:
+        text_runs(payload)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_text_runs_after_inline_image_still_extracts(data):
+    """Framing property: whatever the sample bytes, once a properly
+    whitespace-delimited EI terminator follows them, text AFTER the
+    image must still extract (the lexer resumes at token syntax)."""
+    payload = (b"BI /W 1 /H 1 ID " + data + b"\nEI\n"
+               b"BT 10 10 Td (tail) Tj ET")
+    try:
+        runs = text_runs(payload)
+    except ValueError:
+        return  # sample bytes happened to contain a delimited EI early
+    assert any("tail" in s for _, _, s in runs)
