@@ -1,0 +1,87 @@
+"""Hostile-input properties for the text-parse dispatch.
+
+`parse_payload` is the one kernel the extraction Arrow stage calls per
+turn, and it is TOTAL by design: every payload — empty, undecodable
+glyph noise, corrupt envelopes, half-valid markup — returns a
+ParseResult row (errors-as-data, C3); an exception here is a task
+crash at 100-TB scale. tests/test_parse.py fuzzes span reconstruction
+over well-formed constructions; this file drives hypothesis text
+(arbitrary unicode, envelope heads spliced on, second_pass both ways)
+through the dispatch and asserts totality plus the span-channel shape
+invariants that hold for EVERY kind: [start, end) pairs, ascending and
+non-overlapping, bounded by the payload they index (the raw input for
+the text kinds incl. the wrapped shift; the extracted text itself for
+the pdf kind, pyparse.py module doc)."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+from ocr_spark import pyparse
+
+pytestmark = pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+
+_HEADS = ["", pyparse.WRAP_HEAD, pyparse.ZLIB_HEAD, pyparse.PDF_HEAD]
+
+
+def _check(payload: str | None, second_pass: bool) -> None:
+    r = pyparse.parse_payload(payload, second_pass)
+    assert isinstance(r.kind, str) and isinstance(r.extracted, str)
+    assert r.blocks_kept >= 0 and r.blocks_dropped >= 0
+    prev_end = 0
+    for s, e in r.spans:
+        assert 0 <= s <= e
+        assert s >= prev_end, "spans must be ascending, non-overlapping"
+        prev_end = e
+    if r.spans:
+        if r.kind == "pdf" or r.kind.startswith("zlibbed:"):
+            # pdf spans index the extracted text; zlibbed spans index the
+            # decompressed inner payload, for which extracted is the only
+            # in-hand proxy bound (inner text >= extracted always holds
+            # for the text kinds' raw-indexed spans)
+            bound = len(r.extracted) if r.kind == "pdf" else None
+        else:
+            bound = len(payload or "")
+        if bound is not None:
+            assert prev_end <= bound
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(0, 3),
+    st.text(max_size=300),
+    st.booleans(),
+)
+def test_parse_payload_total(head_i, body, second_pass):
+    _check(_HEADS[head_i] + body, second_pass)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(0, 3),
+    st.lists(
+        st.sampled_from(
+            list("<>/=()[]{}|#@ \t\nABCdef012§░▒▓�")
+            + ["<table", "</td>", "Tj", "BT", "%PDF", "[[", "]]"]
+        ),
+        max_size=120,
+    ).map("".join),
+    st.booleans(),
+)
+def test_parse_payload_markup_shrapnel_total(head_i, body, second_pass):
+    # concentrated structural tokens reach much deeper into the HTML /
+    # pdfish / tool parsers than uniform unicode does
+    _check(_HEADS[head_i] + body, second_pass)
+
+
+def test_parse_payload_none_total():
+    _check(None, False)
+    _check(None, True)
