@@ -260,3 +260,69 @@ def html_to_markdown_sql(expr: str) -> str:
     return (
         "regexp_replace(trim(" + out + "), '^" + "\\n+|\\n+$', '', 'g')"
     )
+
+
+# ---------------------------------------------------------------------------
+# document metadata — the head-section fields a Readability/Trafilatura-
+# class extractor emits ALONGSIDE main content (title, description,
+# canonical URL, OpenGraph title, document language, publication date).
+# The reference's pipeline consumes page text only, but a training-data
+# corpus keys provenance and dedup on exactly these fields, so they ride
+# the same pure-Catalyst shape as the block scorer: per-row
+# regexp_extract over the flattened payload — no Python, no shuffle,
+# embarrassingly row-parallel at 10^12 turns.
+#
+# Scope (documented, not silent): attribute values must be
+# double-quoted (the builder convention and the dominant real-web form;
+# single-quoted/bare attributes extract as NULL), attribute ORDER is
+# handled both ways for the name/property↔content pairs, and entity
+# decoding covers the five named XML entities (sitemap.xml_unescape —
+# numeric character references pass through literally).
+
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_LANG_RE = r'(?i)<html\b[^>]*\blang="([^"]*)"'
+
+#: (field, tag, key-attr, key-value, value-attr) — each meta-ish field
+#: is extracted with the key/value attribute pair in EITHER order
+_META_ATTRS: list[tuple[str, str, str, str, str]] = [
+    ("description", "meta", "name", "description", "content"),
+    ("og_title", "meta", "property", "og:title", "content"),
+    ("pub_date", "meta", "property", "article:published_time", "content"),
+    ("canonical", "link", "rel", "canonical", "href"),
+]
+
+
+def _attr_pair(text: Column, tag: str, k: str, kv: str, v: str) -> Column:
+    fwd = rf'(?i)<{tag}\b[^>]*\b{k}="{kv}"[^>]*\b{v}="([^"]*)"'
+    rev = rf'(?i)<{tag}\b[^>]*\b{v}="([^"]*)"[^>]*\b{k}="{kv}"'
+    first = F.regexp_extract(text, fwd, 1)
+    return F.when(first != "", first).otherwise(
+        F.regexp_extract(text, rev, 1)
+    )
+
+
+def html_meta(text: Column) -> Column:
+    """``struct(title, description, canonical, og_title, lang,
+    pub_date)`` — all strings, NULL when absent (''-valued attributes
+    are indistinguishable from absent ones by construction; documented).
+    Title whitespace is collapsed and trimmed; title and the meta
+    content values decode the five named entities."""
+    from ocr_spark.operators.sitemap import xml_unescape
+
+    raw_title = F.regexp_extract(text, _TITLE_RE, 1)
+    title = xml_unescape(
+        F.regexp_replace(F.regexp_replace(raw_title, r"\s+", " "),
+                         "^ | $", "")
+    )
+    fields = [title.alias("title")]
+    for name, tag, k, kv, v in _META_ATTRS:
+        fields.append(xml_unescape(_attr_pair(text, tag, k, kv, v))
+                      .alias(name))
+    fields.append(F.regexp_extract(text, _LANG_RE, 1).alias("lang"))
+    s = F.struct(*fields)
+    # one nullif pass over every field
+    return F.struct(*[
+        F.nullif(s[f], F.lit("")).alias(f)
+        for f in ("title", "description", "canonical",
+                  "og_title", "pub_date", "lang")
+    ])

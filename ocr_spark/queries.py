@@ -1102,6 +1102,120 @@ def _sql_html_markdown() -> str:
     )
 
 
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-metadata extraction (domscore.html_meta): the head
+    fields a Readability/Trafilatura-class extractor emits alongside
+    main content — title, meta description, canonical URL, OpenGraph
+    title, publication date, document language — as one pure-Catalyst
+    projection (zero shuffle, zero Python).  Construction legs per
+    doc_id: every field independently ABSENT on its own residue class
+    (NULL proof), the name/property↔content attribute pair SWAPPED on
+    the description (d%5==0) and canonical (d%8==2) legs, title
+    whitespace runs collapsed (d%6==2 adds a newline-indented tail),
+    entities decoded in title and description, and decoy keywords/
+    stylesheet/charset tags everywhere so selectivity is load-bearing.
+    The oracle replays expected values from doc_id arithmetic alone —
+    it never touches markup."""
+    from ocr_spark.operators.domscore import html_meta
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    opt = lambda cond, *parts: (  # noqa: E731 — concat-or-empty segment
+        F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+    )
+    lang = (
+        F.when(d % 4 == 0, "en").when(d % 4 == 1, "de")
+        .when(d % 4 == 2, "fr-CA").otherwise("zh")
+    )
+    desc_val = F.concat(F.lit("Sum &lt;"), (d % 100).cast("string"),
+                        F.lit("&gt;"))
+    canon_val = F.concat(F.lit("https://ex"), (d % 7).cast("string"),
+                         F.lit(".org/p/"), ds)
+    payload = F.concat(
+        F.lit("<html"),
+        opt(d % 7 != 3, F.lit(' lang="'), lang, F.lit('"')),
+        F.lit('><head><meta charset="utf-8">'
+              '<link rel="stylesheet" href="/s.css">'),
+        opt(
+            d % 9 != 4,
+            F.lit("<title>  Doc "), ds, F.lit(" &amp; notes"),
+            F.when(d % 6 == 2, F.lit("\n   tail")).otherwise(F.lit("")),
+            F.lit(" </title>"),
+        ),
+        F.concat(F.lit('<meta name="keywords" content="k'), ds,
+                 F.lit('">')),
+        opt(
+            (d % 5 != 1) & (d % 5 != 0),
+            F.lit('<meta name="description" content="'), desc_val,
+            F.lit('">'),
+        ),
+        opt(
+            d % 5 == 0,
+            F.lit('<meta content="'), desc_val,
+            F.lit('" name="description">'),
+        ),
+        opt(
+            (d % 8 != 6) & (d % 8 != 2),
+            F.lit('<link rel="canonical" href="'), canon_val, F.lit('">'),
+        ),
+        opt(
+            d % 8 == 2,
+            F.lit('<link href="'), canon_val, F.lit('" rel="canonical">'),
+        ),
+        opt(
+            d % 10 != 7,
+            F.lit('<meta property="og:title" content="OG '),
+            (d * 3 % 1000).cast("string"), F.lit('">'),
+        ),
+        opt(
+            d % 3 != 0,
+            F.lit('<meta property="article:published_time" '
+                  'content="2026-0'),
+            (d % 9 + 1).cast("string"), F.lit("-1"),
+            (d % 3).cast("string"), F.lit('">'),
+        ),
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", payload.alias("p"))
+        .select("doc_id", html_meta(F.col("p")).alias("m"))
+        .select("doc_id", "m.*")
+    )
+
+
+def _sql_html_meta() -> str:
+    return """
+select doc_id,
+  case when doc_id % 9 = 4 then null
+       else 'Doc ' || cast(doc_id as varchar) || ' & notes' ||
+            case when doc_id % 6 = 2 then ' tail' else '' end
+  end as title,
+  case when doc_id % 5 = 1 then null
+       else 'Sum <' || cast(doc_id % 100 as varchar) || '>'
+  end as description,
+  case when doc_id % 8 = 6 then null
+       else 'https://ex' || cast(doc_id % 7 as varchar) || '.org/p/'
+            || cast(doc_id as varchar)
+  end as canonical,
+  case when doc_id % 10 = 7 then null
+       else 'OG ' || cast(doc_id * 3 % 1000 as varchar)
+  end as og_title,
+  case when doc_id % 3 = 0 then null
+       else '2026-0' || cast(doc_id % 9 + 1 as varchar) || '-1'
+            || cast(doc_id % 3 as varchar)
+  end as pub_date,
+  case when doc_id % 7 = 3 then null
+       when doc_id % 4 = 0 then 'en'
+       when doc_id % 4 = 1 then 'de'
+       when doc_id % 4 = 2 then 'fr-CA'
+       else 'zh'
+  end as lang
+from documents
+"""
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (linkgraph.normalize_url): four messy forms
     per doc_id class — uppercase scheme/host + default port + fragment,
@@ -7883,7 +7997,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_pdf": q_parse_pdf,
     "html_tables": q_html_tables,
     "html_markdown": q_html_markdown,
-    "conv_curate": q_conv_curate,
+    # html_meta: late-r5 NEW (domscore.html_meta — head-section document
+    # metadata: title/description/canonical/og:title/pub-date/lang as
+    # one codegen projection). Takes the window slot freed by rotating
+    # conv_curate to the tail (green r4, conversation.py zero r5 hunks
+    # — see its comment below)
+    "html_meta": q_html_meta,
     "conv_dedup_incremental": q_conv_dedup_incremental,
     "conv_prefix_dedup_chained": q_conv_prefix_dedup_chained,
     "sft_pairs": q_sft_pairs,
@@ -7905,6 +8024,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_emit": q_pack_emit,
     "pack_bins_bpe": q_pack_bins_bpe,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # conv_curate: driver-green r4 (hash-match); its whole chain
+    # (operators/conversation.py, q_conv_curate/_sql_conv_curate) has
+    # zero r5 hunks (git diff aac4fb1..HEAD lists neither file region).
+    # Displaced late-r5 to window the brand-new html_meta row;
+    # re-verified green via the full 50-entry scripts/check_entry.py
+    # sweep this session (hash-match before displacement)
+    "conv_curate": q_conv_curate,
     # media_decode / media_resize / media_jpeg / media_dhash /
     # media_neardup / media_audio_sig / media_audio_neardup /
     # media_neardup_incremental / media_video_sig /
@@ -8261,6 +8387,7 @@ def oracle_sql() -> dict[str, str]:
         "pref_pairs": _sql_pref_pairs(),
         "html_tables": _sql_html_tables(),
         "html_markdown": _sql_html_markdown(),
+        "html_meta": _sql_html_meta(),
         "topk_longest": SQL_TOPK_LONGEST,
         "source_describe": SQL_SOURCE_DESCRIBE,
         "conv_rollup": SQL_CONV_ROLLUP,

@@ -108,3 +108,55 @@ def test_markdown_matches_duckdb_twin(spark):
         exp = con.execute(f"select {expr} from (select ? as p)", [c]
                           ).fetchone()[0]
         assert got[i] == exp, (c, got[i], exp)
+
+
+def test_html_meta_fields_and_quirks(spark):
+    cases = [
+        # 0: everything present, fwd attr order, entities + whitespace
+        ('<html lang="en"><head><title>  A &amp; B\n  C </title>'
+         '<meta name="keywords" content="decoy">'
+         '<meta name="description" content="Sum &lt;x&gt;">'
+         '<link rel="stylesheet" href="/s.css">'
+         '<link rel="canonical" href="https://ex.org/p/1">'
+         '<meta property="og:title" content="OG 1">'
+         '<meta property="article:published_time" content="2026-03-11">'
+         '</head><body>hi</body></html>',
+         ("A & B C", "Sum <x>", "https://ex.org/p/1", "OG 1",
+          "2026-03-11", "en")),
+        # 1: REVERSED attribute order on description and canonical
+        ('<html><head><meta content="rev" name="description">'
+         '<link href="https://ex.org/c" rel="canonical"></head>',
+         (None, "rev", "https://ex.org/c", None, None, None)),
+        # 2: nothing extractable
+        ("<p>no head at all</p>", (None,) * 6),
+        # 3: empty title → NULL (indistinguishable from absent)
+        ('<html lang="de-AT"><head><title></title></head>',
+         (None, None, None, None, None, "de-AT")),
+        # 4: single-quoted attributes are out of scope → NULL
+        ("<html><head><meta name='description' content='nope'></head>",
+         (None,) * 6),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], ["i", "p"]
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i", domscore.html_meta(F.col("p")).alias("m")
+        ).select("i", "m.*").collect()
+    }
+    for i, (_, exp) in enumerate(cases):
+        got = tuple(rows[i][f] for f in (
+            "title", "description", "canonical", "og_title",
+            "pub_date", "lang"))
+        assert got == exp, (i, got, exp)
+
+
+def test_html_meta_zero_exchange_plan(spark):
+    df = spark.createDataFrame([("<p>x</p>",)], ["p"])
+    plan = (
+        df.select(domscore.html_meta(F.col("p")).alias("m"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
