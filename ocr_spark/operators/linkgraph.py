@@ -187,3 +187,57 @@ def normalize_url(u: Column) -> Column:
         (scheme != "") & (hostport != ""),
         F.concat(scheme, F.lit("://"), host, path),
     )
+
+
+def anchor_stats(links: DataFrame, url_col: str = "href",
+                 anchor_col: str = "anchor_text",
+                 src_col: str = "doc_id") -> DataFrame:
+    """Anchor-text aggregation per target URL — the classic web-corpus
+    signal (how the web describes a page, independent of the page
+    itself; feeds retrieval training pairs and crawl prioritization):
+    ``(url, n_links, n_sources, top_anchor, top_anchor_links)``.
+
+    Scale shape (the viral-URL case is the whole design): every
+    aggregation partial-combines map-side before its exchange, so a
+    target with 10^9 inlinks ships one partial row per task, never a
+    group's rows to one reducer —
+
+    * ``(url, anchor)`` counts: hash agg, map-side combine absorbs the
+      skew exactly like pagerank_int's dst aggregate;
+    * top anchor: ``max_by`` over the ``lpad(count)||anchor`` total-
+      order key (the pref_pairs device — an argmax REDUCTION, portable
+      to the DuckDB twin via ``arg_max``; no window, nothing
+      proportional to group size);
+    * ``n_sources``: exact, as two stacked partial-agg stages —
+      ``(url, src)`` dedup then count — never ``count(distinct)``'s
+      Expand over the raw link table.
+
+    NULL urls (non-URLs out of normalize_url) are dropped as
+    errors-as-data; anchors aggregate EXACTLY as given (callers strip
+    tags upstream — html_link_table already does).
+    """
+    u, a, s = F.col(url_col), F.col(anchor_col), F.col(src_col)
+    base = links.filter(u.isNotNull()).select(
+        u.alias("url"), a.alias("anchor"), s.alias("src")
+    )
+    per_anchor = base.groupBy("url", "anchor").agg(
+        F.count(F.lit(1)).alias("acnt")
+    )
+    key = F.concat(
+        F.lpad(F.col("acnt").cast("string"), 19, "0"), F.col("anchor")
+    )
+    tops = per_anchor.groupBy("url").agg(
+        F.sum("acnt").alias("n_links"),
+        F.max_by(F.col("anchor"), key).alias("top_anchor"),
+        F.max_by(F.col("acnt"), key).alias("top_anchor_links"),
+    )
+    sources = (
+        base.select("url", "src").distinct()
+        .groupBy("url").agg(F.count(F.lit(1)).alias("n_sources"))
+    )
+    # both sides are already one-row-per-url aggregates; the join key is
+    # the url both exchanges are partitioned on, so AQE plans it without
+    # a third shuffle
+    return tops.join(sources, "url").select(
+        "url", "n_links", "n_sources", "top_anchor", "top_anchor_links"
+    )

@@ -1000,6 +1000,118 @@ left join indeg i using (domain)
 """
 
 
+def _anchor_payload(d: Column, text: Column) -> Column:
+    """Markup for the anchor-text aggregation: the /p path is SHARED by
+    both per-doc outlinks (so two hash families collide on the same
+    target URL with different anchors), every fifth doc repeats its
+    first link with a different anchor (same ``(url, src)`` pair twice —
+    ``n_links > n_sources`` is decision-live), and the hub URL mixes a
+    dominant constant anchor with low-count variants (the argmax must
+    pick by count, not lexicographically)."""
+    n1 = ((d * 7 + 13) % LINK_DOMAINS).cast("string")
+    n2 = ((d * 31 + 5) % LINK_DOMAINS).cast("string")
+    return F.concat(
+        F.lit('<html><p><a href="http://d'), n1, F.lit('.crawl.test/p">'),
+        F.substring(text, 1, 12), F.lit("</a> and "),
+        F.lit('<a href="http://d'), n2, F.lit('.crawl.test/p">'),
+        F.substring(text, 13, 12), F.lit("</a>"),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(' <a href="http://d'), n1,
+                F.lit('.crawl.test/p">again '), (d % 7).cast("string"),
+                F.lit("</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.lit(' <a href="http://hub.crawl.test/h">hub</a>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit(' <a href="http://hub.crawl.test/h">mirror '),
+                (d % 11).cast("string"), F.lit("</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</p></html>"),
+    )
+
+
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target URL (new r5 —
+    operators/linkgraph.anchor_stats): how the web describes a page,
+    the classic corpus signal feeding retrieval training pairs and
+    crawl prioritization. Per URL: total inlinks, distinct source
+    docs (two stacked partial aggs, never count(distinct)'s Expand),
+    and the most-common anchor text via a ``max_by`` REDUCTION over
+    the ``lpad(count)||anchor`` total-order key — no window, nothing
+    proportional to the 10^9-inlink viral-URL group. The links come
+    out of real markup (html_link_table), the oracle re-derives them
+    from the construction arithmetic, and the geometry makes every
+    output column decision-live: shared /p paths collide the two hash
+    families on one URL, every fifth doc double-links its first
+    target (n_links > n_sources), and the hub URL's argmax must pick
+    the dominant anchor by count against lexicographically-larger
+    low-count variants. Reference analog: the reference harvests and
+    discards URLs (text_processing.py:171-191); a training-data
+    pipeline keeps them."""
+    from ocr_spark.operators.linkgraph import anchor_stats, html_link_table
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "p", _anchor_payload(F.col("doc_id"), F.col("text"))
+    )
+    links = html_link_table(docs, "p")
+    return anchor_stats(links).select(
+        "url",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "top_anchor",
+        F.col("top_anchor_links").cast("long").alias("top_anchor_links"),
+    )
+
+
+def _sql_anchor_stats() -> str:
+    n1 = f"cast((doc_id * 7 + 13) % {LINK_DOMAINS} as varchar)"
+    n2 = f"cast((doc_id * 31 + 5) % {LINK_DOMAINS} as varchar)"
+    key = "lpad(cast(acnt as varchar), 19, '0') || anchor"
+    return f"""
+with links as (
+  select doc_id, 'http://d' || {n1} || '.crawl.test/p' as url,
+    trim(substr(text, 1, 12)) as anchor
+  from documents
+  union all
+  select doc_id, 'http://d' || {n2} || '.crawl.test/p',
+    trim(substr(text, 13, 12))
+  from documents
+  union all
+  select doc_id, 'http://d' || {n1} || '.crawl.test/p',
+    'again ' || cast(doc_id % 7 as varchar)
+  from documents where doc_id % 5 = 0
+  union all
+  select doc_id, 'http://hub.crawl.test/h', 'hub'
+  from documents where doc_id % 3 = 0
+  union all
+  select doc_id, 'http://hub.crawl.test/h',
+    'mirror ' || cast(doc_id % 11 as varchar)
+  from documents where doc_id % 6 = 0
+),
+pa as (select url, anchor, count(*) as acnt from links group by url, anchor),
+tops as (
+  select url, cast(sum(acnt) as bigint) as n_links,
+    max_by(anchor, {key}) as top_anchor,
+    cast(max_by(acnt, {key}) as bigint) as top_anchor_links
+  from pa group by url
+),
+srcs as (
+  select url, cast(count(*) as bigint) as n_sources
+  from (select distinct url, doc_id from links) group by url
+)
+select t.url, t.n_links, s.n_sources, t.top_anchor, t.top_anchor_links
+from tops t join srcs s using (url)
+"""
+
+
 def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured table extraction (domscore.html_table_cells): every
     <td>/<th> cell addressed (table_idx, row_idx, col_idx) with
@@ -8017,7 +8129,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_incremental": q_ann_ivf_incremental,
     "pii_scrub": q_pii_scrub,
-    "zorder_layout": q_zorder_layout,
+    # anchor_stats: late-r5 NEW (linkgraph.anchor_stats — per-URL
+    # anchor-text aggregation, max_by argmax reduction + stacked
+    # partial-agg distinct). Takes the window slot freed by rotating
+    # zorder_layout to the tail (green r4, layout.py zero r5 hunks —
+    # see its comment below)
+    "anchor_stats": q_anchor_stats,
     "corpus_report": q_corpus_report,
     "token_counts_bpe": q_token_counts_bpe,
     "bpe_segment": q_bpe_segment,
@@ -8067,13 +8184,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_luhn": q_pii_luhn,
     "conv_repair": q_conv_repair,
     # url_normalize: driver-green r4 (hash-match, 500 rows); its whole
-    # chain is pre-r5-untouched — operators/linkgraph.py has zero r5
-    # hunks (git diff aac4fb1..HEAD does not list it) and
-    # q_url_normalize/_sql_url_normalize were last touched in d2c12ab
-    # (r4, the commit its green row verified). Displaced late-r5 to
-    # window the brand-new pref_pairs row; re-verified green via
-    # scripts/check_entry.py this session
+    # chain is pre-r5-untouched — linkgraph.py's only r5 change is the
+    # APPENDED anchor_stats function (normalize_url/html_link_table have
+    # zero r5 hunks) and q_url_normalize/_sql_url_normalize were last
+    # touched in d2c12ab (r4, the commit its green row verified).
+    # Displaced late-r5 to window the brand-new pref_pairs row;
+    # re-verified green via scripts/check_entry.py this session
     "url_normalize": q_url_normalize,
+    # zorder_layout: driver-green r4 (hash-match); operators/layout.py
+    # has zero r5 hunks (git diff aac4fb1..HEAD does not list it) and
+    # q_zorder_layout/_sql_zorder_layout are r5-untouched. Displaced
+    # late-r5 to window the brand-new anchor_stats row; re-verified
+    # green via scripts/check_entry.py this session
+    "zorder_layout": q_zorder_layout,
     # nfc_normalize: driver-green r4 (hash-match); operators/normalize.py
     # has zero r5 hunks (git diff aac4fb1..HEAD does not list it) —
     # displaced mid-r5 to window the brand-new media_mp3 row; re-verified
@@ -8385,6 +8508,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_pagerank": _sql_domain_pagerank(),
         "url_normalize": _sql_url_normalize(),
         "pref_pairs": _sql_pref_pairs(),
+        "anchor_stats": _sql_anchor_stats(),
         "html_tables": _sql_html_tables(),
         "html_markdown": _sql_html_markdown(),
         "html_meta": _sql_html_meta(),

@@ -138,3 +138,45 @@ def test_pagerank_reuses_edge_exchanges(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_anchor_stats_counts_argmax_and_distinct_sources(spark):
+    links = [
+        # u1: doc 1 links it twice ("alpha", "beta"), doc 2 once ("alpha")
+        # → n_links=3, n_sources=2, top "alpha" (2 > 1)
+        (1, "u1", "alpha"), (1, "u1", "beta"), (2, "u1", "alpha"),
+        # u2: count tie "x" vs "z" → lexicographically larger "z" wins
+        (1, "u2", "x"), (2, "u2", "z"),
+        # u3: argmax must pick by COUNT, not lexicographic order:
+        # "aaa"×2 beats "zzz"×1
+        (3, "u3", "aaa"), (4, "u3", "aaa"), (5, "u3", "zzz"),
+        # dropped: NULL url is errors-as-data
+        (6, None, "gone"),
+    ]
+    df = spark.createDataFrame(links, ["doc_id", "href", "anchor_text"])
+    got = {
+        r["url"]: (r["n_links"], r["n_sources"],
+                   r["top_anchor"], r["top_anchor_links"])
+        for r in linkgraph.anchor_stats(df).collect()
+    }
+    assert got == {
+        "u1": (3, 2, "alpha", 2),
+        "u2": (2, 2, "z", 1),
+        "u3": (3, 3, "aaa", 2),
+    }
+
+
+def test_anchor_stats_no_expand_no_window(spark):
+    """n_sources is two stacked partial aggs (never count(distinct)'s
+    Expand over the raw link table) and the argmax is a max_by
+    reduction (never a per-group Window sort) — the viral-URL shape."""
+    df = spark.createDataFrame(
+        [(i, f"u{i % 5}", f"a{i % 3}") for i in range(100)],
+        ["doc_id", "href", "anchor_text"],
+    )
+    out = linkgraph.anchor_stats(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan or "partial" in plan.lower(), plan
