@@ -1,0 +1,321 @@
+"""RSS 2.0 / Atom 1.0 feed parsing — fully relational, no UDFs.
+
+The fourth leg of the web-crawl ingest family (WARC archives in
+`operators/warc.py`, robots.txt policy in `operators/robots.py`,
+sitemaps in `operators/sitemap.py`): sitemaps enumerate a site's whole
+URL space, but feeds are how a crawl discovers FRESH content — a
+recrawl scheduler polls the feed, diffs item ids against the CDX, and
+enqueues only new posts. Reference analog: the reference discovers its
+work by polling an HTTP job queue (`/root/reference/ocr_worker.py:74-85`,
+`get_next_document`); an RSS/Atom feed is exactly that poll-for-new-work
+shape on the public web.
+
+Like the sitemap parser this is pure Catalyst dataflow — regexp
+extraction over the XML body, posexplode to item grain, higher-order
+array functions for Atom's attribute-carried links — so it runs as one
+whole-stage-codegen'd projection stage at any corpus size: no shuffle,
+no window, no Python.
+
+Format scope (stated honestly, same contract as `sitemap_entries`):
+
+  * root detection: ``<rss>`` (RSS 2.0, items under ``<item>``) vs
+    ``<feed>`` (Atom 1.0, items under ``<entry>``); namespace prefixes
+    on element names are accepted; anything else is an ``ok=false``
+    row (errors-as-data, C3 rule);
+  * per item: title, link, published timestamp (RSS ``<pubDate>``;
+    Atom ``<published>`` falling back to ``<updated>`` — RFC 4287
+    requires ``updated`` but makes ``published`` optional), stable id
+    (RSS ``<guid>``, attributes like ``isPermaLink`` tolerated; Atom
+    ``<id>``), and summary (RSS ``<description>``, Atom
+    ``<summary>``). Timestamps stay raw strings — RSS uses RFC 822
+    dates, Atom RFC 3339; callers cast per kind;
+  * Atom links ride an ATTRIBUTE (``<link href="..."/>``), possibly
+    several per entry (``rel="self"``, enclosures...): the parser
+    keeps the first link that either carries no ``rel`` or has
+    ``rel="alternate"`` — RFC 4287 §4.2.7.2's default-relation rule —
+    via a codegen'd ``filter()`` over the extracted attribute strings;
+  * text content may be ``<![CDATA[...]]>``-wrapped (ubiquitous in
+    real RSS descriptions): CDATA content is taken literally (no
+    entity decode), otherwise the five named XML entities are decoded
+    with ``&amp;`` last (shared `sitemap.xml_unescape`);
+  * a present-but-empty element is NULL, same as an absent one;
+    commented-out item markup is not interpreted (regexp-grammar
+    parsing of machine-generated XML — the documented sitemap trade).
+
+Scale notes: a feed bounds its own work (feeds are paginated in
+practice; even unpaginated whales are one row's regexp scan), so the
+stage is embarrassingly parallel and skew-free at 10^12-row scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.sitemap import _ROOT_RE, xml_unescape
+
+_ITEM_BLOCK = r"(?s)<(?:\w+:)?item\b[^>]*>(.*?)</(?:\w+:)?item\s*>"
+_ENTRY_BLOCK = r"(?s)<(?:\w+:)?entry\b[^>]*>(.*?)</(?:\w+:)?entry\s*>"
+_CDATA = r"(?s)^<!\[CDATA\[(.*)\]\]>$"
+_LINK_ATTRS = r"<(?:\w+:)?link\b([^>]*?)/?>"
+
+
+def _text(block: Column, tag: str) -> Column:
+    """Trimmed text content of the first ``<tag>`` in the block:
+    CDATA taken literally, plain text entity-decoded; '' if absent
+    (callers map '' to NULL)."""
+    pat = rf"(?s)<(?:\w+:)?{tag}\b[^>]*>(.*?)</(?:\w+:)?{tag}\s*>"
+    raw = F.regexp_replace(
+        F.regexp_extract(block, pat, 1), r"^\s+|\s+$", ""
+    )
+    return F.when(
+        raw.rlike(_CDATA), F.regexp_extract(raw, _CDATA, 1)
+    ).otherwise(xml_unescape(raw))
+
+
+def _atom_link(block: Column) -> Column:
+    """First Atom ``<link>`` href whose ``rel`` is absent or
+    ``alternate`` (RFC 4287 §4.2.7.2: no rel means alternate) — the
+    attribute strings of every link tag are extracted once, filtered
+    with a codegen'd higher-order function, and the href pulled from
+    the winner. '' when no qualifying link exists."""
+    attrs = F.regexp_extract_all(block, F.lit(_LINK_ATTRS), F.lit(1))
+    cand = F.filter(
+        attrs,
+        lambda a: (~a.rlike(r'rel\s*=')) | a.rlike(r'rel\s*=\s*"alternate"'),
+    )
+    return xml_unescape(
+        F.regexp_extract(
+            F.coalesce(F.try_element_at(cand, F.lit(1)), F.lit("")),
+            r'href\s*=\s*"([^"]*)"',
+            1,
+        )
+    )
+
+
+def feed_items(
+    df: DataFrame, id_col: str = "doc_id", xml_col: str = "feed_xml"
+) -> DataFrame:
+    """Parse RSS/Atom feed bodies into one row per item:
+    ``(id, kind, item_idx, ok, err, title, link, published, guid,
+    summary)`` where ``kind`` is ``rss``, ``atom``, or ``invalid``
+    (unrecognized root — one errors-as-data row). An item without a
+    resolvable link is its own ``ok=false`` row (``err='missing
+    link'``) — a feed reader cannot enqueue it, but silent drops are
+    banned (C3). Pure projection + posexplode — shuffle-free."""
+    root = F.lower(F.regexp_extract(F.col(xml_col), _ROOT_RE, 1))
+    kind = (
+        F.when(root.endswith("rss"), F.lit("rss"))
+        .when(root.endswith("feed"), F.lit("atom"))
+        .otherwise(F.lit("invalid"))
+    )
+    blocks = F.when(
+        kind == "rss",
+        F.regexp_extract_all(F.col(xml_col), F.lit(_ITEM_BLOCK), F.lit(1)),
+    ).otherwise(
+        F.regexp_extract_all(F.col(xml_col), F.lit(_ENTRY_BLOCK), F.lit(1))
+    )
+    base = df.select(
+        id_col,
+        kind.alias("kind"),
+        # an invalid root emits exactly one (errors-as-data) row
+        F.when(kind == "invalid", F.array(F.lit(""))).otherwise(blocks).alias("_blocks"),
+    )
+    b = F.col("_block")
+    link = F.when(F.col("kind") == "rss", _text(b, "link")).otherwise(
+        _atom_link(b)
+    )
+    ok = (F.col("kind") != "invalid") & (link != "")
+    published = F.when(F.col("kind") == "rss", _text(b, "pubDate")).otherwise(
+        # RFC 4287: <published> optional, <updated> mandatory
+        F.when(_text(b, "published") != "", _text(b, "published")).otherwise(
+            _text(b, "updated")
+        )
+    )
+    guid = F.when(F.col("kind") == "rss", _text(b, "guid")).otherwise(
+        _text(b, "id")
+    )
+    summary = F.when(
+        F.col("kind") == "rss", _text(b, "description")
+    ).otherwise(_text(b, "summary"))
+
+    def opt(c: Column) -> Column:
+        return F.when(ok & (c != ""), c)
+
+    return base.select(
+        id_col,
+        "kind",
+        F.posexplode("_blocks").alias("item_idx", "_block"),
+    ).select(
+        id_col,
+        "kind",
+        F.col("item_idx").cast("int").alias("item_idx"),
+        ok.alias("ok"),
+        F.when(F.col("kind") == "invalid", F.lit("not a feed root"))
+        .when(link == "", F.lit("missing link"))
+        .alias("err"),
+        opt(_text(b, "title")).alias("title"),
+        F.when(ok, link).alias("link"),
+        opt(published).alias("published"),
+        opt(guid).alias("guid"),
+        opt(summary).alias("summary"),
+    )
+
+
+def feed_frontier(
+    items: DataFrame, cdx: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fresh-content frontier: feed items whose canonical urikey the
+    CDX index has not fetched — ``(id, urikey, guid, published)``, one
+    row per urikey (duplicates across feeds collapse to the strongest
+    claim, same contract as `sitemap.crawl_frontier`). One hash
+    anti-join plus one combiner aggregation reusing its partitioning —
+    no URL-corpus window, no driver transit."""
+    from ocr_spark.operators.linkgraph import normalize_url
+
+    urls = (
+        items.filter(F.col("ok"))
+        .select(
+            id_col,
+            normalize_url(F.col("link")).alias("urikey"),
+            F.col("guid"),
+            F.col("published"),
+        )
+        .filter(F.col("urikey").isNotNull())
+    )
+    fetched = cdx.select(F.col("urikey")).distinct()
+    return (
+        urls.join(fetched, "urikey", "left_anti")
+        .groupBy("urikey")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.max("guid").alias("guid"),
+            F.max("published").alias("published"),
+        )
+        .select(id_col, "urikey", "guid", "published")
+    )
+
+
+# --------------------------------------------------------------------------
+# Builder twin (tests + driver-oracle construction)
+# --------------------------------------------------------------------------
+
+
+def synth_feed_xml(doc_id: int) -> str:
+    """Deterministic feed construction for the driver oracle
+    (``queries._sql_feed_items`` replays every emitted field from
+    doc_id arithmetic; keep in lockstep). Host ``ex{doc_id % 7}.org``:
+
+    * ``doc_id % 13 == 4`` — an HTML page, not a feed (the
+      errors-as-data root leg);
+    * else ``doc_id % 2 == 0`` — RSS 2.0: XML declaration, channel
+      header (title/link decoys the item extractor must skip — they
+      sit OUTSIDE any <item> block), ``1 + doc_id % 4`` items, item
+      ``r``:
+
+      - ``<title>``: entity-escaped ``News & "Views" {d}-{r}`` when
+        ``(doc_id + r) % 5 == 0`` (proves amp/quot decode), CDATA
+        ``<![CDATA[Raw <b>html</b> & text {d}-{r}]]>`` when
+        ``r == 2`` (proves the no-decode literal path), else plain
+        ``Item {d}-{r}`` with newline padding when r is odd;
+      - ``<link>`` ``https://ex{k}.org/post/{d}/{r}`` — absent when
+        ``doc_id % 5 == 3 and r == 0`` (the missing-link error row;
+        ``% 5`` so the leg fires on BOTH parities — doc parity picks
+        the format, and each format needs its own error rows);
+      - ``<guid isPermaLink="false">`` present iff
+        ``(doc_id + r) % 3 > 0``: ``urn:feed:{d}:{r}`` (attribute
+        proves attr-tolerant tag matching);
+      - ``<pubDate>`` present iff ``(doc_id + r) % 2 == 0``:
+        ``Mon, {1 + r:02d} Jan 2026 {d % 24:02d}:00:00 GMT`` (raw
+        RFC 822 string, parser must not reformat);
+      - ``<description>`` present iff ``r < 2``: ``Post {d}-{r}``;
+
+    * else — Atom 1.0: namespace-prefixed element names when
+      ``doc_id % 8 == 5``, feed-level title/id/updated/link decoys,
+      ``1 + doc_id % 3`` entries, entry ``r``:
+
+      - ``<title>`` same quirk legs as RSS;
+      - links: a ``rel="self"`` decoy first when ``r == 1``, then the
+        real ``rel="alternate"`` link; a bare no-rel link when
+        ``r == 0``; NO qualifying link when
+        ``doc_id % 5 == 3 and r == 0`` (the missing-link error row);
+      - ``<id>`` always: ``tag:ex{k}.org,2026:/e/{d}/{r}``;
+      - ``<published>`` present iff ``(doc_id + r) % 2 == 0``:
+        ``2026-01-{1 + r:02d}T12:00:00Z``; ``<updated>`` always:
+        ``2026-02-{1 + r:02d}T08:30:00Z`` (published wins when both);
+      - ``<summary>`` present iff ``r < 2``: ``Entry {d}-{r}``.
+    """
+    k = doc_id % 7
+    if doc_id % 13 == 4:
+        return "<!doctype html><html><body>not a feed</body></html>"
+
+    def title(r: int) -> str:
+        if (doc_id + r) % 5 == 0:
+            return f"News &amp; &quot;Views&quot; {doc_id}-{r}"
+        if r == 2:
+            return f"<![CDATA[Raw <b>html</b> &amp; text {doc_id}-{r}]]>"
+        pad = "\n    " if r % 2 else ""
+        return f"{pad}Item {doc_id}-{r}{pad}"
+
+    if doc_id % 2 == 0:
+        out = [
+            '<?xml version="1.0" encoding="UTF-8"?>',
+            '<rss version="2.0"><channel>',
+            f"<title>Feed {doc_id}</title>",
+            f"<link>https://ex{k}.org/</link>",
+        ]
+        for r in range(1 + doc_id % 4):
+            out.append("<item>")
+            out.append(f"<title>{title(r)}</title>")
+            if not (doc_id % 5 == 3 and r == 0):
+                out.append(f"<link>https://ex{k}.org/post/{doc_id}/{r}</link>")
+            if (doc_id + r) % 3 > 0:
+                out.append(
+                    f'<guid isPermaLink="false">urn:feed:{doc_id}:{r}</guid>'
+                )
+            if (doc_id + r) % 2 == 0:
+                out.append(
+                    f"<pubDate>Mon, {1 + r:02d} Jan 2026 "
+                    f"{doc_id % 24:02d}:00:00 GMT</pubDate>"
+                )
+            if r < 2:
+                out.append(f"<description>Post {doc_id}-{r}</description>")
+            out.append("</item>")
+        out.append("</channel></rss>")
+        return "\n".join(out)
+
+    p = "a:" if doc_id % 8 == 5 else ""
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<{p}feed xmlns{":a" if p else ""}="http://www.w3.org/2005/Atom">',
+        f"<{p}title>Feed {doc_id}</{p}title>",
+        f"<{p}id>tag:ex{k}.org,2026:/feed/{doc_id}</{p}id>",
+        f"<{p}updated>2026-03-01T00:00:00Z</{p}updated>",
+        f'<{p}link rel="self" href="https://ex{k}.org/feed.xml"/>',
+    ]
+    for r in range(1 + doc_id % 3):
+        out.append(f"<{p}entry>")
+        out.append(f"<{p}title>{title(r)}</{p}title>")
+        if r == 1:
+            out.append(
+                f'<{p}link rel="self" '
+                f'href="https://ex{k}.org/e/{doc_id}/{r}/self"/>'
+            )
+        if not (doc_id % 5 == 3 and r == 0):
+            rel = "" if r == 0 else ' rel="alternate"'
+            out.append(
+                f'<{p}link{rel} href="https://ex{k}.org/e/{doc_id}/{r}"/>'
+            )
+        out.append(f"<{p}id>tag:ex{k}.org,2026:/e/{doc_id}/{r}</{p}id>")
+        if (doc_id + r) % 2 == 0:
+            out.append(
+                f"<{p}published>2026-01-{1 + r:02d}T12:00:00Z</{p}published>"
+            )
+        out.append(
+            f"<{p}updated>2026-02-{1 + r:02d}T08:30:00Z</{p}updated>"
+        )
+        if r < 2:
+            out.append(f"<{p}summary>Entry {doc_id}-{r}</{p}summary>")
+        out.append(f"</{p}entry>")
+    out.append(f"</{p}feed>")
+    return "\n".join(out)

@@ -8036,6 +8036,133 @@ from base
 """
 
 
+def _synth_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + deterministic RSS/Atom XML (the feeds harness twin;
+    doc_id%13==4 invalid root, else parity picks RSS vs Atom with
+    entity/CDATA/ns-prefix/rel-decoy/missing-link quirk legs)."""
+    from ocr_spark.operators.feeds import synth_feed_xml
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["feed_xml"] = [synth_feed_xml(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    return docs.mapInPandas(synth, "doc_id long, feed_xml string")
+
+
+def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (new r5 s8 — the fourth web-crawl ingest
+    leg; reference analog: the poll-for-new-work queue,
+    `/root/reference/ocr_worker.py:74-85`). Each document synthesizes
+    a feed — RSS 2.0 (even doc_id) with channel-level title/link
+    decoys OUTSIDE the item blocks, Atom 1.0 (odd) with feed-level
+    decoys and namespace-prefixed element names every 8th doc, plus an
+    invalid-root errors-as-data leg. Per item the parser must prove:
+    the five-entity decode (amp-last), CDATA content taken LITERALLY
+    (an `&amp;` inside CDATA survives undecoded), whitespace-padded
+    tag text trimmed, attribute-carrying `<guid isPermaLink=...>`
+    matched, Atom links selected from ATTRIBUTES with RFC 4287's
+    default-relation rule (a `rel="self"` decoy must lose to the
+    `rel="alternate"`/bare link), `<published>` falling back to the
+    mandatory `<updated>`, and a missing-link error row on both
+    parities. The fully relational parser (`operators/feeds
+    .feed_items` — regexp + posexplode + one higher-order filter() for
+    the link candidates, no UDF, no shuffle) must reproduce every
+    field; the oracle replays kind/ok/err/title/link/published/guid/
+    summary from doc_id arithmetic without touching a byte of XML."""
+    from ocr_spark.operators.feeds import feed_items
+
+    return feed_items(_synth_feeds(spark, sf_dir)).select(
+        "doc_id", "kind", "item_idx", "ok", "err",
+        "title", "link", "published", "guid", "summary",
+    )
+
+
+def _sql_feed_items() -> str:
+    return """
+with base as (
+  select doc_id as d, doc_id % 7 as k, cast(doc_id as varchar) as s,
+    cast(doc_id % 7 as varchar) as k1
+  from documents
+),
+inv as (
+  select d, 'invalid' as kind, 0 as item_idx, false as ok,
+    'not a feed root' as err, cast(null as varchar) as title,
+    cast(null as varchar) as link, cast(null as varchar) as published,
+    cast(null as varchar) as guid, cast(null as varchar) as summary
+  from base where d % 13 = 4
+),
+rss as (
+  select b.d, 'rss' as kind, cast(r.r as int) as item_idx,
+    not (b.d % 5 = 3 and r.r = 0) as ok,
+    case when b.d % 5 = 3 and r.r = 0 then 'missing link' end as err,
+    case when not (b.d % 5 = 3 and r.r = 0) then
+      case when (b.d + r.r) % 5 = 0
+           then 'News & "Views" ' || b.s || '-' || cast(r.r as varchar)
+           when r.r = 2
+           then 'Raw <b>html</b> &amp; text ' || b.s || '-'
+                || cast(r.r as varchar)
+           else 'Item ' || b.s || '-' || cast(r.r as varchar) end
+    end as title,
+    case when not (b.d % 5 = 3 and r.r = 0) then
+      'https://ex' || b.k1 || '.org/post/' || b.s || '/'
+      || cast(r.r as varchar)
+    end as link,
+    case when not (b.d % 5 = 3 and r.r = 0) and (b.d + r.r) % 2 = 0 then
+      'Mon, ' || lpad(cast(1 + r.r as varchar), 2, '0') || ' Jan 2026 '
+      || lpad(cast(b.d % 24 as varchar), 2, '0') || ':00:00 GMT'
+    end as published,
+    case when not (b.d % 5 = 3 and r.r = 0) and (b.d + r.r) % 3 > 0 then
+      'urn:feed:' || b.s || ':' || cast(r.r as varchar)
+    end as guid,
+    case when not (b.d % 5 = 3 and r.r = 0) and r.r < 2 then
+      'Post ' || b.s || '-' || cast(r.r as varchar)
+    end as summary
+  from base b join (values (0), (1), (2), (3)) r(r) on r.r <= b.d % 4
+  where b.d % 13 <> 4 and b.d % 2 = 0
+),
+atom as (
+  select b.d, 'atom' as kind, cast(r.r as int) as item_idx,
+    not (b.d % 5 = 3 and r.r = 0) as ok,
+    case when b.d % 5 = 3 and r.r = 0 then 'missing link' end as err,
+    case when not (b.d % 5 = 3 and r.r = 0) then
+      case when (b.d + r.r) % 5 = 0
+           then 'News & "Views" ' || b.s || '-' || cast(r.r as varchar)
+           when r.r = 2
+           then 'Raw <b>html</b> &amp; text ' || b.s || '-'
+                || cast(r.r as varchar)
+           else 'Item ' || b.s || '-' || cast(r.r as varchar) end
+    end as title,
+    case when not (b.d % 5 = 3 and r.r = 0) then
+      'https://ex' || b.k1 || '.org/e/' || b.s || '/' || cast(r.r as varchar)
+    end as link,
+    case when not (b.d % 5 = 3 and r.r = 0) then
+      case when (b.d + r.r) % 2 = 0
+           then '2026-01-' || lpad(cast(1 + r.r as varchar), 2, '0')
+                || 'T12:00:00Z'
+           else '2026-02-' || lpad(cast(1 + r.r as varchar), 2, '0')
+                || 'T08:30:00Z' end
+    end as published,
+    case when not (b.d % 5 = 3 and r.r = 0) then
+      'tag:ex' || b.k1 || '.org,2026:/e/' || b.s || '/'
+      || cast(r.r as varchar)
+    end as guid,
+    case when not (b.d % 5 = 3 and r.r = 0) and r.r < 2 then
+      'Entry ' || b.s || '-' || cast(r.r as varchar)
+    end as summary
+  from base b join (values (0), (1), (2)) r(r) on r.r <= b.d % 3
+  where b.d % 13 <> 4 and b.d % 2 = 1
+)
+select d as doc_id, * exclude (d) from inv
+union all select d as doc_id, * exclude (d) from rss
+union all select d as doc_id, * exclude (d) from atom
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8119,7 +8246,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_prefix_dedup_chained": q_conv_prefix_dedup_chained,
     "sft_pairs": q_sft_pairs,
     "sft_pairs_bpe": q_sft_pairs_bpe,
-    "snapshot_diff": q_snapshot_diff,
+    # feed_items: late-r5 NEW (operators/feeds.py — RSS/Atom parsing,
+    # the fourth crawl-ingest leg). Takes the window slot freed by
+    # rotating snapshot_diff to the tail (green r4, sources/tables.py +
+    # layout.py zero r5 hunks — see its comment below)
+    "feed_items": q_feed_items,
     "key_profile": q_key_profile,
     "lm_bigram": q_lm_bigram,
     "dedup_bloom": q_dedup_bloom,
@@ -8148,6 +8279,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # re-verified green via the full 50-entry scripts/check_entry.py
     # sweep this session (hash-match before displacement)
     "conv_curate": q_conv_curate,
+    # snapshot_diff: driver-green r4 (hash-match); its whole chain
+    # (sources/tables.py snapshot/CDC machinery, q_snapshot_diff/
+    # SQL_SNAPSHOT_DIFF) has zero r5 hunks (git diff aac4fb1..HEAD
+    # lists none of those regions). Displaced late-r5 to window the
+    # brand-new feed_items row; re-verified green via the full
+    # scripts/check_entry.py sweep this session
+    "snapshot_diff": q_snapshot_diff,
     # media_decode / media_resize / media_jpeg / media_dhash /
     # media_neardup / media_audio_sig / media_audio_neardup /
     # media_neardup_incremental / media_video_sig /
@@ -8630,6 +8768,7 @@ from corpus group by 1
         "sft_pairs": _sql_sft_pairs(),
         "sft_pairs_bpe": _sql_sft_pairs(tokens="bpe"),
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "feed_items": _sql_feed_items(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

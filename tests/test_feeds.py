@@ -1,0 +1,301 @@
+"""RSS/Atom feed parser tests: root detection (rss / feed / invalid),
+the five-entity decode vs literal CDATA, attribute-carried Atom links
+with RFC 4287's default-relation rule (rel="self" decoys lose),
+published→updated fallback, guid-with-attributes matching, the
+missing-link errors-as-data row on both parities, the builder-twin
+legs, the feed_frontier anti-join — plus an ElementTree semantic twin
+over random well-formed feeds and the plan-shape guard (parse is
+projection-only, no Python eval)."""
+
+from __future__ import annotations
+
+import random
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.feeds import feed_frontier, feed_items, synth_feed_xml
+
+
+def _parse(spark, xml, doc_id=1):
+    df = spark.createDataFrame([(doc_id, xml)], "doc_id long, feed_xml string")
+    return feed_items(df).collect()
+
+
+def test_rss_fields_entities_and_channel_decoys(spark):
+    xml = (
+        '<?xml version="1.0"?>\n<rss version="2.0"><channel>'
+        "<title>Channel decoy</title><link>https://h.org/decoy</link>"
+        "<item><title>\n  A &amp; B &quot;c&quot;  </title>"
+        "<link>https://h.org/p/1</link>"
+        '<guid isPermaLink="false">urn:x:1</guid>'
+        "<pubDate>Mon, 05 Jan 2026 07:00:00 GMT</pubDate>"
+        "<description>first</description></item>"
+        "<item><title>t2</title><link>https://h.org/p/2</link></item>"
+        "</channel></rss>"
+    )
+    rows = _parse(spark, xml)
+    assert [r.kind for r in rows] == ["rss", "rss"]
+    a, b = rows
+    assert a.ok and a.title == 'A & B "c"' and a.link == "https://h.org/p/1"
+    assert a.guid == "urn:x:1" and a.published == "Mon, 05 Jan 2026 07:00:00 GMT"
+    assert a.summary == "first"
+    assert b.ok and b.guid is None and b.published is None and b.summary is None
+
+
+def test_cdata_is_literal_never_decoded(spark):
+    xml = (
+        "<rss><channel><item>"
+        "<title><![CDATA[Raw <b>x</b> &amp; y]]></title>"
+        "<link>https://h.org/p</link></item></channel></rss>"
+    )
+    (r,) = _parse(spark, xml)
+    # the &amp; inside CDATA survives literally — no entity decode
+    assert r.title == "Raw <b>x</b> &amp; y"
+
+
+def test_atom_link_relation_rule(spark):
+    xml = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<link rel="self" href="https://h.org/feed.xml"/>'
+        "<entry><title>t</title>"
+        '<link rel="self" href="https://h.org/e/1/self"/>'
+        '<link rel="alternate" href="https://h.org/e/1"/>'
+        "<id>tag:h.org,2026:1</id>"
+        "<updated>2026-02-01T08:30:00Z</updated></entry>"
+        "<entry><title>u</title>"
+        '<link href="https://h.org/e/2"/>'
+        "<id>tag:h.org,2026:2</id>"
+        "<published>2026-01-01T12:00:00Z</published>"
+        "<updated>2026-02-02T08:30:00Z</updated>"
+        "<summary>s</summary></entry>"
+        '<entry><title>v</title><link rel="enclosure" '
+        'href="https://h.org/e/3.mp3"/>'
+        "<id>tag:h.org,2026:3</id>"
+        "<updated>2026-02-03T08:30:00Z</updated></entry>"
+        "</feed>"
+    )
+    a, b, c = _parse(spark, xml)
+    # self decoy loses to the rel="alternate" link
+    assert a.ok and a.link == "https://h.org/e/1"
+    # published absent → the mandatory updated
+    assert a.published == "2026-02-01T08:30:00Z"
+    # bare (no-rel) link qualifies; published wins over updated
+    assert b.ok and b.link == "https://h.org/e/2"
+    assert b.published == "2026-01-01T12:00:00Z" and b.summary == "s"
+    # only an enclosure link → no qualifying link → errors-as-data
+    assert not c.ok and c.err == "missing link" and c.link is None
+
+
+def test_invalid_root_and_missing_link(spark):
+    (r,) = _parse(spark, "<html><body>nope</body></html>")
+    assert r.kind == "invalid" and not r.ok and r.err == "not a feed root"
+    (m,) = _parse(
+        spark, "<rss><channel><item><title>t</title></item></channel></rss>"
+    )
+    assert m.kind == "rss" and not m.ok and m.err == "missing link"
+
+
+def test_ns_prefixed_atom(spark):
+    xml = (
+        '<a:feed xmlns:a="http://www.w3.org/2005/Atom">'
+        "<a:entry><a:title>t</a:title>"
+        '<a:link href="https://h.org/e/1"/>'
+        "<a:id>i1</a:id><a:updated>2026-02-01T08:30:00Z</a:updated>"
+        "</a:entry></a:feed>"
+    )
+    (r,) = _parse(spark, xml)
+    assert r.kind == "atom" and r.ok and r.link == "https://h.org/e/1"
+    assert r.guid == "i1"
+
+
+def test_synth_twin_legs(spark):
+    rows = [(d, synth_feed_xml(d)) for d in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, feed_xml string")
+    got = feed_items(df).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in range(60):
+        rs = sorted(by_doc[d], key=lambda r: r.item_idx)
+        if d % 13 == 4:
+            assert [r.kind for r in rs] == ["invalid"]
+            continue
+        kind = "rss" if d % 2 == 0 else "atom"
+        n = 1 + d % 4 if kind == "rss" else 1 + d % 3
+        assert [r.kind for r in rs] == [kind] * n
+        for r in rs:
+            if d % 5 == 3 and r.item_idx == 0:
+                assert not r.ok and r.err == "missing link"
+            else:
+                assert r.ok and r.link
+                if (d + r.item_idx) % 5 == 0:
+                    assert r.title == f'News & "Views" {d}-{r.item_idx}'
+                elif r.item_idx == 2:
+                    assert r.title == f"Raw <b>html</b> &amp; text {d}-{r.item_idx}"
+                else:
+                    assert r.title == f"Item {d}-{r.item_idx}"
+
+
+def test_feed_frontier_anti_join(spark):
+    items = feed_items(
+        spark.createDataFrame(
+            [(d, synth_feed_xml(d)) for d in range(0, 30, 2)],
+            "doc_id long, feed_xml string",
+        )
+    )
+    from ocr_spark.operators.linkgraph import normalize_url
+
+    # pretend the crawl already fetched every doc-*-0 post
+    fetched = items.filter(F.col("ok") & (F.col("item_idx") == 0)).select(
+        normalize_url(F.col("link")).alias("urikey")
+    )
+    out = feed_frontier(items, fetched).collect()
+    keys = {r.urikey for r in out}
+    assert keys and all(not k.endswith("/0") for k in keys)
+    # one row per urikey
+    assert len(keys) == len(out)
+
+
+def test_plan_projection_only(spark):
+    df = spark.createDataFrame(
+        [(1, synth_feed_xml(1))], "doc_id long, feed_xml string"
+    )
+    plan = feed_items(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF anywhere in the parse
+
+
+# ---------------------------------------------------------------------------
+# ElementTree semantic twin over random well-formed feeds
+# ---------------------------------------------------------------------------
+
+_ATOM_NS = "http://www.w3.org/2005/Atom"
+
+
+def _random_feed(rng: random.Random) -> str:
+    kind = rng.choice(["rss", "atom", "rss"])
+    if kind == "rss":
+        root = ET.Element("rss", version="2.0")
+        chan = ET.SubElement(root, "channel")
+        ET.SubElement(chan, "title").text = "decoy & <chan>"
+        for i in range(rng.randint(0, 4)):
+            it = ET.SubElement(chan, "item")
+            if rng.random() < 0.9:
+                pad = rng.choice(["", "\n  "])
+                ET.SubElement(it, "title").text = (
+                    pad + f'T {i} & "q" <{rng.randint(0, 9)}>' + pad
+                )
+            if rng.random() < 0.85:
+                ET.SubElement(it, "link").text = (
+                    f"https://h{rng.randint(0, 3)}.org/p/{i}?a=1&b=2"
+                )
+            if rng.random() < 0.5:
+                g = ET.SubElement(it, "guid")
+                if rng.random() < 0.5:
+                    g.set("isPermaLink", "false")
+                g.text = f"urn:g:{i}"
+            if rng.random() < 0.5:
+                ET.SubElement(it, "pubDate").text = (
+                    f"Mon, {1 + i:02d} Jan 2026 09:00:00 GMT"
+                )
+            if rng.random() < 0.5:
+                ET.SubElement(it, "description").text = f"d & {i}"
+            if rng.random() < 0.3:
+                ET.SubElement(it, "unknown").text = "noise & <stuff>"
+        return ET.tostring(root, encoding="unicode")
+    use_ns = rng.random() < 0.3
+    tag = (lambda t: f"{{{_ATOM_NS}}}{t}") if use_ns else (lambda t: t)
+    root = ET.Element(tag("feed"))
+    ET.SubElement(root, tag("link"), href="https://h.org/feed.xml", rel="self")
+    for i in range(rng.randint(0, 4)):
+        e = ET.SubElement(root, tag("entry"))
+        if rng.random() < 0.9:
+            ET.SubElement(e, tag("title")).text = f"E {i} & <x>"
+        links = []
+        if rng.random() < 0.3:
+            links.append(("self", f"https://h.org/e/{i}/self"))
+        if rng.random() < 0.85:
+            rel = rng.choice([None, "alternate"])
+            links.append((rel, f"https://h.org/e/{i}?x=1&y=2"))
+        rng.shuffle(links)
+        for rel, href in links:
+            a = {"href": href}
+            if rel:
+                a["rel"] = rel
+            ET.SubElement(e, tag("link"), **a)
+        ET.SubElement(e, tag("id")).text = f"tag:h.org,2026:{i}"
+        if rng.random() < 0.4:
+            ET.SubElement(e, tag("published")).text = (
+                f"2026-01-{1 + i:02d}T12:00:00Z"
+            )
+        ET.SubElement(e, tag("updated")).text = f"2026-02-{1 + i:02d}T08:00:00Z"
+        if rng.random() < 0.5:
+            ET.SubElement(e, tag("summary")).text = f"s & {i}"
+    return ET.tostring(root, encoding="unicode")
+
+
+def _local(e) -> str:
+    return e.tag.rsplit("}", 1)[-1]
+
+
+def _ref_items(xml: str):
+    root = ET.fromstring(xml)
+    base = _local(root)
+    if base == "rss":
+        kind, items = "rss", [
+            c for ch in root if _local(ch) == "channel"
+            for c in ch if _local(c) == "item"
+        ]
+    elif base == "feed":
+        kind, items = "atom", [c for c in root if _local(c) == "entry"]
+    else:
+        return [("invalid", 0, False, None, None, None, None, None)]
+    out = []
+    for i, c in enumerate(items):
+        def text(name):
+            for e in c:
+                if _local(e) == name:
+                    return (e.text or "").strip()
+            return ""
+
+        if kind == "rss":
+            link = text("link")
+            published = text("pubDate")
+            guid, summary = text("guid"), text("description")
+        else:
+            link = ""
+            for e in c:
+                if _local(e) == "link":
+                    rel = e.get("rel")
+                    if rel is None or rel == "alternate":
+                        link = e.get("href") or ""
+                        break
+            published = text("published") or text("updated")
+            guid, summary = text("id"), text("summary")
+        if not link:
+            out.append((kind, i, False, None, None, None, None, None))
+            continue
+        out.append(
+            (kind, i, True, text("title") or None, link,
+             published or None, guid or None, summary or None)
+        )
+    return out
+
+
+def test_regexp_grammar_matches_elementtree(spark):
+    rng = random.Random(20260820)
+    docs = [(i, _random_feed(rng)) for i in range(60)]
+    got = {}
+    rows = feed_items(
+        spark.createDataFrame(docs, "doc_id long, feed_xml string")
+    ).collect()
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.kind, r.item_idx, r.ok, r.title, r.link,
+             r.published, r.guid, r.summary)
+        )
+    for i, xml in docs:
+        want = _ref_items(xml)
+        have = sorted(got.get(i, []), key=lambda t: t[1])
+        assert have == want, f"doc {i}\n{xml}\nspark={have}\nref={want}"
