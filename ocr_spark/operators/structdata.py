@@ -1,0 +1,223 @@
+"""JSON-LD structured-data extraction from HTML — fully native, no UDFs.
+
+Alongside main-content text, a web-extraction pipeline harvests the
+machine-readable annotations publishers embed for search engines:
+``<script type="application/ld+json">`` blocks carrying schema.org
+entities (Article, Product, Person...). These are the highest-precision
+metadata a page offers — they beat heuristic extraction wherever both
+exist — so a training-data curator joins them against the extracted
+text for titles, authorship, and publish dates. Reference analog: the
+reference's analysis result is exactly such a typed metadata record
+assembled next to the text (`/root/reference/ocr_worker.py:195-249`,
+the ``js_content`` dict); JSON-LD is that record's shape on the public
+web.
+
+Everything runs JVM-side in one whole-stage-codegen projection: block
+discovery is a regexp over the HTML, JSON parsing is Catalyst's
+``get_json_object`` (which returns NULL for malformed JSON — the
+errors-as-data probe comes free), and array/object shape dispatch is
+string inspection of the returned JSON text. No shuffle, no Python,
+no schema inference pass over the corpus (the JSON-LD vocabulary is
+open-ended; a fixed ``from_json`` schema would silently drop unknown
+shapes, and inference is a second scan — path extraction sidesteps
+both).
+
+Format scope (stated honestly):
+
+  * blocks: ``<script ... type="application/ld+json" ...>`` with
+    double-quoted attributes in any order, matched case-insensitively;
+    decoy scripts (``text/javascript``, bare ``<script>``) are ignored;
+  * per block the extractor surfaces the fields the major consumers
+    (Google rich results, schema.org tooling) key on: ``@type``
+    (arrays collapse to their first element — the primary type),
+    ``@id``, ``name``, ``headline``, ``datePublished``, and ``author``
+    (object form → ``author.name``, plain-string form → the string);
+  * a top-level ``@graph`` publisher bundle reports its entity count
+    (``n_graph``) but is not descended into — flattening @graph
+    multiplies rows per block and belongs to a dedicated normalization
+    stage if a corpus needs it (documented trade, same contract as the
+    sitemap parser's regexp-grammar scope);
+  * malformed JSON or a non-object top level (scalar/array) is an
+    ``ok=false`` row with ``err`` set — never a silent drop (C3);
+    pages with no JSON-LD contribute zero rows (same as an empty but
+    valid urlset in `sitemap_entries`).
+
+Scale notes: per-row projection + posexplode, embarrassingly parallel;
+a page bounds its own block count, so there is no skew axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LD_BLOCK = (
+    r'(?is)<script\b[^>]*?\btype\s*=\s*"application/ld\+json"[^>]*>'
+    r"(.*?)</script\s*>"
+)
+
+
+def _first_type(t: Column) -> Column:
+    """Primary @type: arrays (["Article","NewsArticle"]) collapse to
+    their first element; scalars pass through."""
+    return F.when(t.startswith("["), F.get_json_object(t, "$[0]")).otherwise(t)
+
+
+def _author(block: Column) -> Column:
+    """Author name: schema.org allows an object ({"@type":"Person",
+    "name":...}) or a bare string; arrays of authors collapse to the
+    first author's name."""
+    raw = F.get_json_object(block, "$.author")
+    return (
+        F.when(raw.isNull(), F.lit(None).cast("string"))
+        .when(raw.startswith("{"), F.get_json_object(block, "$.author.name"))
+        .when(
+            raw.startswith("["),
+            F.coalesce(
+                F.get_json_object(block, "$.author[0].name"),
+                F.get_json_object(block, "$.author[0]"),
+            ),
+        )
+        .otherwise(raw)
+    )
+
+
+def jsonld_blocks(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Extract every JSON-LD block from HTML payloads into one row per
+    block: ``(id, block_idx, ok, err, jtype, jid, name, headline,
+    date_published, author, n_graph)``. ``ok=false`` rows carry
+    ``err`` ('invalid json' — unparseable; 'not an object' — a valid
+    scalar/array top level, which JSON-LD §6 does not produce for
+    node objects). Pure projection + posexplode — shuffle-free."""
+    blocks = F.regexp_extract_all(F.col(html_col), F.lit(_LD_BLOCK), F.lit(1))
+    base = df.select(
+        id_col, blocks.alias("_blocks")
+    ).filter(F.size("_blocks") > 0)
+    b = F.regexp_replace(F.col("_block"), r"^\s+|\s+$", "")
+    whole = F.get_json_object(b, "$")
+    is_obj = b.startswith("{")
+    ok = whole.isNotNull() & is_obj
+
+    def fld(path: str) -> Column:
+        return F.when(ok, F.get_json_object(b, path))
+
+    return base.select(
+        id_col,
+        F.posexplode("_blocks").alias("block_idx", "_block"),
+    ).select(
+        id_col,
+        F.col("block_idx").cast("int").alias("block_idx"),
+        ok.alias("ok"),
+        F.when(whole.isNull(), F.lit("invalid json"))
+        .when(~is_obj, F.lit("not an object"))
+        .alias("err"),
+        _first_type(fld("$['@type']")).alias("jtype"),
+        fld("$['@id']").alias("jid"),
+        fld("$.name").alias("name"),
+        fld("$.headline").alias("headline"),
+        fld("$.datePublished").alias("date_published"),
+        F.when(ok, _author(b)).alias("author"),
+        F.when(
+            ok, F.json_array_length(F.get_json_object(b, "$['@graph']"))
+        ).alias("n_graph"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Builder twin (tests + driver-oracle construction)
+# --------------------------------------------------------------------------
+
+
+def synth_jsonld_html(doc_id: int) -> str:
+    """Deterministic HTML-with-JSON-LD construction for the driver
+    oracle (``queries._sql_jsonld`` replays every emitted field from
+    doc_id arithmetic; keep in lockstep). ``doc_id % 3`` JSON-LD
+    blocks (zero-block pages contribute zero rows), always one
+    ``text/javascript`` decoy and one bare ``<script>`` decoy the
+    matcher must skip. Block ``j``:
+
+    * ``doc_id % 11 == 7 and j == 0`` — truncated JSON (the
+      ``invalid json`` errors-as-data leg);
+    * ``doc_id % 11 == 3 and j == 0`` — a top-level ARRAY (valid JSON,
+      ``not an object`` leg);
+    * ``(doc_id + j) % 7 == 2`` — a ``@graph`` bundle of 2 entities,
+      no top-level ``@type`` (``n_graph=2``, jtype NULL);
+    * else a node object, attribute order/extra-attr quirks on the
+      script tag (``async`` before type when j is odd; TYPE uppercased
+      when ``doc_id % 8 == 6``):
+
+      - ``@type``: the ARRAY ``["Article","NewsArticle"]`` when
+        ``(doc_id + j) % 6 == 0`` (collapses to 'Article'), else
+        ``(Article|Product|Person|WebPage)[(doc_id + j) % 4]``;
+      - ``@id`` present iff ``(doc_id + j) % 3 > 0``:
+        ``https://ex{k}.org/#e{d}-{j}``;
+      - ``name`` always: ``Name {d}-{j}``;
+      - ``headline`` present iff the (collapsed) type is Article:
+        ``Head {d}-{j}``;
+      - ``datePublished`` present iff ``(doc_id + j) % 2 == 0``:
+        ``2026-0{1 + j}-0{1 + d % 9}T10:00:00Z``;
+      - ``author``: Person OBJECT (→ ``Auth {d}``) when
+        ``(doc_id + j) % 5 == 0``, plain STRING ``Plain {d}`` when
+        ``(doc_id + j) % 5 == 3``, else absent.
+    """
+    k = doc_id % 7
+    types = ("Article", "Product", "Person", "WebPage")
+    parts = [
+        "<!doctype html><html><head>",
+        '<script type="text/javascript">var x = {"@type":"Decoy"};</script>',
+    ]
+    for j in range(doc_id % 3):
+        attrs = (
+            ' async type="application/ld+json"'
+            if j % 2
+            else ' type="application/ld+json" data-x="1"'
+        )
+        if doc_id % 8 == 6:
+            attrs = attrs.replace("type=", "TYPE=", 1)
+        if doc_id % 11 == 7 and j == 0:
+            body = '{"@type":"Article", "name": "trunc'
+        elif doc_id % 11 == 3 and j == 0:
+            body = '[{"@type":"Article"},{"@type":"Person"}]'
+        elif (doc_id + j) % 7 == 2:
+            body = (
+                '{"@context":"https://schema.org","@graph":['
+                f'{{"@type":"Organization","name":"Org {doc_id}"}},'
+                f'{{"@type":"WebSite","name":"Site {doc_id}"}}]}}'
+            )
+        else:
+            t = (
+                '["Article","NewsArticle"]'
+                if (doc_id + j) % 6 == 0
+                else f'"{types[(doc_id + j) % 4]}"'
+            )
+            fields = [
+                '"@context":"https://schema.org"',
+                f'"@type":{t}',
+            ]
+            if (doc_id + j) % 3 > 0:
+                fields.append(f'"@id":"https://ex{k}.org/#e{doc_id}-{j}"')
+            fields.append(f'"name":"Name {doc_id}-{j}"')
+            collapsed = (
+                "Article" if (doc_id + j) % 6 == 0 else types[(doc_id + j) % 4]
+            )
+            if collapsed == "Article":
+                fields.append(f'"headline":"Head {doc_id}-{j}"')
+            if (doc_id + j) % 2 == 0:
+                fields.append(
+                    f'"datePublished":"2026-0{1 + j}-0{1 + doc_id % 9}'
+                    'T10:00:00Z"'
+                )
+            if (doc_id + j) % 5 == 0:
+                fields.append(
+                    f'"author":{{"@type":"Person","name":"Auth {doc_id}"}}'
+                )
+            elif (doc_id + j) % 5 == 3:
+                fields.append(f'"author":"Plain {doc_id}"')
+            body = "{" + ",".join(fields) + "}"
+        pad = "\n  " if j % 2 else ""
+        parts.append(f"<script{attrs}>{pad}{body}{pad}</script>")
+    parts.append(f"<script>plain decoy {doc_id}</script>")
+    parts.append(f"</head><body><p>Page {doc_id}</p></body></html>")
+    return "".join(parts)

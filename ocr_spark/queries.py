@@ -8163,6 +8163,101 @@ union all select d as doc_id, * exclude (d) from atom
 
 
 
+def _synth_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + deterministic HTML carrying JSON-LD blocks (the
+    structdata harness twin; doc_id%3 blocks with invalid/non-object/
+    @graph/array-@type/author-shape quirk legs plus decoy scripts)."""
+    from ocr_spark.operators.structdata import synth_jsonld_html
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["html"] = [synth_jsonld_html(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    return docs.mapInPandas(synth, "doc_id long, html string")
+
+
+def q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD structured-data extraction (new r5 — the typed-metadata
+    record a page publishes next to its main content; reference
+    analog: the analysis-result dict assembled alongside the text,
+    `/root/reference/ocr_worker.py:195-249`). Each document
+    synthesizes HTML with doc_id%3 `application/ld+json` script blocks
+    plus javascript/bare-script decoys the matcher must skip;
+    attribute order and case vary (`async` first on odd blocks,
+    TYPE uppercased every 8th doc). Legs the extractor must prove:
+    malformed JSON and top-level arrays become errors-as-data rows
+    (`get_json_object`'s NULL-on-malformed IS the validity probe —
+    zero Python), array `@type` collapses to its primary type, author
+    extracts from both the Person-object and plain-string shapes,
+    `@graph` bundles report their entity count without being
+    descended, and zero-block pages contribute zero rows. The oracle
+    replays every field from doc_id arithmetic without touching a
+    byte of HTML or JSON."""
+    from ocr_spark.operators.structdata import jsonld_blocks
+
+    return jsonld_blocks(_synth_jsonld(spark, sf_dir)).select(
+        "doc_id", "block_idx", "ok", "err", "jtype", "jid", "name",
+        "headline", "date_published", "author", "n_graph",
+    )
+
+
+def _sql_jsonld() -> str:
+    return """
+with base as (
+  select doc_id as d, cast(doc_id as varchar) as s,
+    cast(doc_id % 7 as varchar) as k1
+  from documents where doc_id % 3 > 0
+),
+blocks as (
+  select b.d, b.s, b.k1, cast(j.j as int) as j, b.d + j.j as m
+  from base b join (values (0), (1)) j(j) on j.j < b.d % 3
+),
+node as (
+  select *,
+    case when m % 6 = 0 then 'Article'
+         else case m % 4 when 0 then 'Article' when 1 then 'Product'
+              when 2 then 'Person' else 'WebPage' end
+    end as ctype
+  from blocks
+  where not (d % 11 = 7 and j = 0) and not (d % 11 = 3 and j = 0)
+    and m % 7 <> 2
+)
+select d as doc_id, j as block_idx, false as ok, 'invalid json' as err,
+  cast(null as varchar) as jtype, cast(null as varchar) as jid,
+  cast(null as varchar) as name, cast(null as varchar) as headline,
+  cast(null as varchar) as date_published, cast(null as varchar) as author,
+  cast(null as int) as n_graph
+from blocks where d % 11 = 7 and j = 0
+union all
+select d, j, false, 'not an object', null, null, null, null, null, null,
+  cast(null as int)
+from blocks where d % 11 = 3 and j = 0
+union all
+select d, j, true, null, null, null, null, null, null, null, 2
+from blocks
+where not (d % 11 = 7 and j = 0) and not (d % 11 = 3 and j = 0)
+  and m % 7 = 2
+union all
+select d, j, true, null, ctype,
+  case when m % 3 > 0 then 'https://ex' || k1 || '.org/#e' || s || '-'
+       || cast(j as varchar) end,
+  'Name ' || s || '-' || cast(j as varchar),
+  case when ctype = 'Article'
+       then 'Head ' || s || '-' || cast(j as varchar) end,
+  case when m % 2 = 0 then '2026-0' || cast(1 + j as varchar) || '-0'
+       || cast(1 + d % 9 as varchar) || 'T10:00:00Z' end,
+  case when m % 5 = 0 then 'Auth ' || s
+       when m % 5 = 3 then 'Plain ' || s end,
+  cast(null as int)
+from node
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8251,7 +8346,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotating snapshot_diff to the tail (green r4, sources/tables.py +
     # layout.py zero r5 hunks — see its comment below)
     "feed_items": q_feed_items,
-    "key_profile": q_key_profile,
+    # jsonld: late-r5 NEW (operators/structdata.py — JSON-LD typed-
+    # metadata extraction, native get_json_object probe). Takes the
+    # window slot freed by rotating key_profile to the tail (green r4,
+    # operators/profiling.py zero r5 hunks — see its comment below)
+    "jsonld": q_jsonld,
     "lm_bigram": q_lm_bigram,
     "dedup_bloom": q_dedup_bloom,
     "dedup_incremental": q_dedup_incremental,
@@ -8286,6 +8385,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # brand-new feed_items row; re-verified green via the full
     # scripts/check_entry.py sweep this session
     "snapshot_diff": q_snapshot_diff,
+    # key_profile: driver-green r4 (hash-match); operators/profiling.py
+    # has zero r5 hunks (git diff aac4fb1..HEAD does not list it) and
+    # q_key_profile/_sql_key_profile are r5-untouched. Displaced
+    # late-r5 to window the brand-new jsonld row; re-verified green via
+    # the full scripts/check_entry.py sweep this session
+    "key_profile": q_key_profile,
     # media_decode / media_resize / media_jpeg / media_dhash /
     # media_neardup / media_audio_sig / media_audio_neardup /
     # media_neardup_incremental / media_video_sig /
@@ -8769,6 +8874,7 @@ from corpus group by 1
         "sft_pairs_bpe": _sql_sft_pairs(tokens="bpe"),
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "feed_items": _sql_feed_items(),
+        "jsonld": _sql_jsonld(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

@@ -1,0 +1,183 @@
+"""JSON-LD extractor tests: block discovery skips decoy scripts and
+honors attribute order/case, malformed JSON and non-object top levels
+are errors-as-data, array @type collapses to the primary type, author
+extracts from object/string/array shapes, @graph reports its count,
+zero-block pages vanish — plus an independent stdlib twin (HTMLParser
+for block discovery + json.loads for parsing, neither shared with the
+operator) over the synth corpus, and the plan-shape guard."""
+
+from __future__ import annotations
+
+import json
+from html.parser import HTMLParser
+
+from ocr_spark.operators.structdata import jsonld_blocks, synth_jsonld_html
+
+
+def _parse(spark, html, doc_id=1):
+    df = spark.createDataFrame([(doc_id, html)], "doc_id long, html string")
+    return jsonld_blocks(df).collect()
+
+
+def test_block_discovery_skips_decoys(spark):
+    html = (
+        "<html><head>"
+        '<script type="text/javascript">var a = {"@type":"Decoy"};</script>'
+        "<script>bare()</script>"
+        '<script async type="application/ld+json" data-x="1">'
+        '{"@type":"Article","name":"N"}</script>'
+        "</head></html>"
+    )
+    rows = _parse(spark, html)
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.ok and r.jtype == "Article" and r.name == "N"
+
+
+def test_case_insensitive_type_attr(spark):
+    html = '<script TYPE="application/ld+json">{"@type":"Person"}</script>'
+    (r,) = _parse(spark, html)
+    assert r.ok and r.jtype == "Person"
+
+
+def test_invalid_and_non_object(spark):
+    html = (
+        '<script type="application/ld+json">{"@type": trunc</script>'
+        '<script type="application/ld+json">[1,2,3]</script>'
+        '<script type="application/ld+json">"scalar"</script>'
+    )
+    a, b, c = sorted(_parse(spark, html), key=lambda r: r.block_idx)
+    assert not a.ok and a.err == "invalid json"
+    assert not b.ok and b.err == "not an object"
+    assert not c.ok and c.err == "not an object"
+
+
+def test_array_type_collapses(spark):
+    html = (
+        '<script type="application/ld+json">'
+        '{"@type":["NewsArticle","Article"],"headline":"H"}</script>'
+    )
+    (r,) = _parse(spark, html)
+    assert r.jtype == "NewsArticle" and r.headline == "H"
+
+
+def test_author_shapes(spark):
+    mk = (
+        '<script type="application/ld+json">'
+        '{{"@type":"Article","author":{}}}</script>'
+    )
+    (obj,) = _parse(spark, mk.format('{"@type":"Person","name":"O"}'))
+    (s,) = _parse(spark, mk.format('"S"'))
+    (arr,) = _parse(
+        spark, mk.format('[{"@type":"Person","name":"A1"},{"name":"A2"}]')
+    )
+    (none,) = _parse(spark, mk.format('{"@type":"Person"}'))
+    assert obj.author == "O" and s.author == "S" and arr.author == "A1"
+    assert none.author is None
+
+
+def test_graph_counted_not_descended(spark):
+    html = (
+        '<script type="application/ld+json">'
+        '{"@context":"https://schema.org","@graph":[{"a":1},{"b":2},{"c":3}]}'
+        "</script>"
+    )
+    (r,) = _parse(spark, html)
+    assert r.ok and r.n_graph == 3 and r.jtype is None and r.name is None
+
+
+def test_zero_block_pages_vanish(spark):
+    df = spark.createDataFrame(
+        [(1, "<html><body>no ld</body></html>")], "doc_id long, html string"
+    )
+    assert jsonld_blocks(df).count() == 0
+
+
+def test_plan_projection_only(spark):
+    df = spark.createDataFrame(
+        [(5, synth_jsonld_html(5))], "doc_id long, html string"
+    )
+    plan = jsonld_blocks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Independent stdlib twin: HTMLParser discovers blocks, json.loads parses
+# ---------------------------------------------------------------------------
+
+
+class _LdCollector(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self._in_ld = False
+        self._buf: list[str] = []
+        self.blocks: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "script":
+            d = {k.lower(): v for k, v in attrs}
+            if (d.get("type") or "").lower() == "application/ld+json":
+                self._in_ld = True
+                self._buf = []
+
+    def handle_data(self, data):
+        if self._in_ld:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._in_ld:
+            self._in_ld = False
+            self.blocks.append("".join(self._buf))
+
+
+def _ref_rows(html: str):
+    c = _LdCollector()
+    c.feed(html)
+    out = []
+    for i, raw in enumerate(c.blocks):
+        raw = raw.strip()
+        try:
+            v = json.loads(raw)
+        except ValueError:
+            out.append((i, False, "invalid json", None, None, None, None,
+                        None, None, None))
+            continue
+        if not isinstance(v, dict):
+            out.append((i, False, "not an object", None, None, None, None,
+                        None, None, None))
+            continue
+        t = v.get("@type")
+        if isinstance(t, list):
+            t = t[0] if t else None
+        a = v.get("author")
+        if isinstance(a, list):
+            a = a[0] if a else None
+            if isinstance(a, dict):
+                a = a.get("name")
+        elif isinstance(a, dict):
+            a = a.get("name")
+        g = v.get("@graph")
+        out.append(
+            (i, True, None, t, v.get("@id"), v.get("name"),
+             v.get("headline"), v.get("datePublished"), a,
+             len(g) if isinstance(g, list) else None)
+        )
+    return out
+
+
+def test_stdlib_twin_over_synth_corpus(spark):
+    docs = [(d, synth_jsonld_html(d)) for d in range(120)]
+    rows = jsonld_blocks(
+        spark.createDataFrame(docs, "doc_id long, html string")
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.block_idx, r.ok, r.err, r.jtype, r.jid, r.name,
+             r.headline, r.date_published, r.author, r.n_graph)
+        )
+    for d, html in docs:
+        want = _ref_rows(html)
+        have = sorted(got.get(d, []), key=lambda t: t[0])
+        assert have == want, f"doc {d}\n{html}\nspark={have}\nref={want}"
