@@ -384,3 +384,140 @@ def robots_allowed(
             F.col("_best.prefix").alias("rule_prefix"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Page-level robots directives (meta robots + X-Robots-Tag)
+# --------------------------------------------------------------------------
+
+_META_ROBOTS_NC = (
+    r'(?is)<meta\b[^>]*?\bname\s*=\s*"robots"[^>]*?'
+    r'\bcontent\s*=\s*"([^"]*)"[^>]*>'
+)
+_META_ROBOTS_CN = (
+    r'(?is)<meta\b[^>]*?\bcontent\s*=\s*"([^"]*)"[^>]*?'
+    r'\bname\s*=\s*"robots"[^>]*>'
+)
+
+
+def _has_directive(content, directive: str):
+    """True when the comma-separated directive list contains the
+    token (trimmed, case-insensitive) — a codegen'd exists() over the
+    split, never a substring match ('nofollow' must not fire on a
+    hypothetical 'nofollowme')."""
+    toks = F.split(F.coalesce(content, F.lit("")), ",")
+    return F.exists(toks, lambda t: F.trim(F.lower(t)) == directive)
+
+
+def meta_robots(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    header_col: str | None = None,
+) -> DataFrame:
+    """Page-level robots directives — the signal that decides whether
+    an extracted page may enter a corpus at all (REP's robots.txt leg
+    in :func:`robots_allowed` gates FETCHING; ``<meta name="robots">``
+    and the ``X-Robots-Tag`` response header gate INDEXING/USE of a
+    page already fetched; reference analog: the document-level
+    validity gates routed as data, `ocr_worker.py:161-167`).
+
+    Emits ``(id, noindex, nofollow, noarchive, nosnippet, source)``:
+
+    * ``<meta name="robots" content="...">`` matched case-insensitively
+      with the name/content pair in EITHER attribute order (the
+      `html_meta` device; double-quoted attribute scope, documented);
+      bot-specific tags (``name="googlebot"``) are out of scope —
+      this engine evaluates the generic token only;
+    * directives are comma-separated tokens, trimmed and lowercased,
+      matched by a codegen'd ``exists()`` (never substring);
+      ``none`` expands to noindex+nofollow per the de-facto standard;
+      unknown tokens (``all``, ``index``, ``max-snippet:...``) are
+      permissive no-ops;
+    * when ``header_col`` names an ``X-Robots-Tag`` string column the
+      header's directives UNION with the meta tag's (the strictest
+      claim wins, Google's documented combination rule);
+    * ``source`` ∈ ``meta | header | both | none`` says where
+      directives came from (none = no robots meta tag and no header —
+      the page is unrestricted by default).
+
+    One whole-stage-codegen projection — no shuffle, no Python, and
+    the regexp runs once per source (two attribute orders) per row.
+    """
+    meta_content = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(html_col), _META_ROBOTS_NC, 1), F.lit("")),
+        F.nullif(F.regexp_extract(F.col(html_col), _META_ROBOTS_CN, 1), F.lit("")),
+    )
+    has_meta = F.col(html_col).rlike(
+        r'(?is)<meta\b[^>]*?\bname\s*=\s*"robots"'
+    )
+    hdr = F.col(header_col) if header_col else F.lit(None).cast("string")
+    has_hdr = hdr.isNotNull() & (F.trim(hdr) != "")
+
+    def flag(directive: str):
+        return (
+            _has_directive(meta_content, directive)
+            | _has_directive(hdr, directive)
+            | _has_directive(meta_content, "none")
+            | _has_directive(hdr, "none")
+            if directive in ("noindex", "nofollow")
+            else _has_directive(meta_content, directive)
+            | _has_directive(hdr, directive)
+        )
+
+    source = (
+        F.when(has_meta & has_hdr, F.lit("both"))
+        .when(has_meta, F.lit("meta"))
+        .when(has_hdr, F.lit("header"))
+        .otherwise(F.lit("none"))
+    )
+    return df.select(
+        id_col,
+        flag("noindex").alias("noindex"),
+        flag("nofollow").alias("nofollow"),
+        flag("noarchive").alias("noarchive"),
+        flag("nosnippet").alias("nosnippet"),
+        source.alias("source"),
+    )
+
+
+def synth_meta_robots_html(doc_id: int) -> tuple[str, str | None]:
+    """Deterministic (html, x_robots_tag) construction for the driver
+    oracle (``queries._sql_robots_meta`` replays every flag from
+    doc_id arithmetic; keep in lockstep). Always includes viewport/
+    description decoy meta tags. Meta leg ``doc_id % 6``:
+
+    * 0 — no robots meta tag;
+    * 1 — ``noindex``;
+    * 2 — ``noindex, nofollow`` (spaces after commas);
+    * 3 — ``none`` (expands to noindex+nofollow);
+    * 4 — ``all`` (permissive no-op — tag PRESENT, flags false);
+    * 5 — ``NOARCHIVE,NOSNIPPET`` (case-insensitivity, no spaces);
+
+    content-before-name attribute order when ``doc_id % 4 == 1``.
+    Header leg ``doc_id % 5``: 0 — NULL; 1 — ``noindex``;
+    2 — ``nofollow, nosnippet``; 3 — ``noarchive``; 4 — ``''``
+    (present-but-empty → no directives, source stays meta/none).
+    """
+    leg = doc_id % 6
+    content = [
+        None, "noindex", "noindex, nofollow", "none", "all",
+        "NOARCHIVE,NOSNIPPET",
+    ][leg]
+    tag = ""
+    if content is not None:
+        if doc_id % 4 == 1:
+            tag = f'<meta content="{content}" name="robots">'
+        else:
+            tag = f'<meta name="robots" content="{content}">'
+    html = (
+        "<!doctype html><html><head>"
+        '<meta name="viewport" content="width=device-width">'
+        f"{tag}"
+        f'<meta name="description" content="page {doc_id}">'
+        f"</head><body><p>Page {doc_id}</p></body></html>"
+    )
+    hdr = [None, "noindex", "nofollow, nosnippet", "noarchive", ""][
+        doc_id % 5
+    ]
+    return html, hdr

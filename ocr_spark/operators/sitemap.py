@@ -289,3 +289,64 @@ def synth_sitemap_xml(doc_id: int) -> str:
         out.append(f"</{p}url>")
     out.append(f"</{p}urlset>")
     return "\n".join(out)
+
+
+def recrawl_priority(cdx: DataFrame) -> DataFrame:
+    """Per-URL change-rate estimation from CDX fetch history — the
+    signal a recrawl scheduler feeds back into
+    :func:`frontier_schedule` (fetch often what changes often; the
+    WARC `revisit` machinery in `operators/warc.py` records exactly
+    these repeat fetches). Input: ``(urikey, ts, digest)`` — one row
+    per fetch, ``ts`` in epoch seconds, ``digest`` the payload hash
+    (revisit records resolve to their original's digest upstream).
+
+    Emits per urikey: ``n_fetches``, ``n_changes`` (fetches whose
+    digest differs from the PREVIOUS fetch's — the sampled-change
+    count), ``span_s`` (first→last fetch), ``change_ratio``
+    (n_changes / (n_fetches-1) — the fraction of observation intervals
+    that saw a change), and ``changes_per_day``
+    (n_changes · 86400 / span_s). Single-fetch URLs emit NULL ratios
+    (no interval observed yet), not a guess.
+
+    All arithmetic is exact-integer until the final divisions, so the
+    numbers are engine-portable bit-for-bit (no logs — the classic
+    Poisson-MLE refinement of this estimator trades portability for a
+    small-sample correction this pipeline doesn't need: the scheduler
+    only RANKS urls, and x/span is monotone in the MLE).
+
+    Scale shape: the lag() window partitions by urikey ordered by ts —
+    a URL's fetch history is bounded by crawl politeness (a crawler
+    that fetched one URL 10^9 times is misconfigured, and the bound is
+    enforced upstream by `frontier_schedule`'s per-host cap), so the
+    window never sees whale partitions; the rollup is one hash agg
+    with map-side combine on the same key, reusing the window's
+    partitioning (no extra exchange).
+    """
+    w = Window.partitionBy("urikey").orderBy("ts", "digest")
+    changed = (
+        F.lag("digest").over(w).isNotNull()
+        & (F.col("digest") != F.lag("digest").over(w))
+    ).cast("int")
+    hist = cdx.select("urikey", "ts", "digest").withColumn("_chg", changed)
+    agg = hist.groupBy("urikey").agg(
+        F.count("*").cast("int").alias("n_fetches"),
+        F.sum("_chg").cast("int").alias("n_changes"),
+        (F.max("ts") - F.min("ts")).cast("long").alias("span_s"),
+    )
+    many = F.col("n_fetches") > 1
+    return agg.select(
+        "urikey",
+        "n_fetches",
+        "n_changes",
+        "span_s",
+        F.when(
+            many,
+            F.col("n_changes").cast("double")
+            / (F.col("n_fetches") - 1).cast("double"),
+        ).alias("change_ratio"),
+        F.when(
+            many & (F.col("span_s") > 0),
+            F.col("n_changes").cast("double") * 86400.0
+            / F.col("span_s").cast("double"),
+        ).alias("changes_per_day"),
+    )

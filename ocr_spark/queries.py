@@ -8258,6 +8258,129 @@ from node
 
 
 
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives (new r5 — the post-fetch twin of
+    `robots_filter`: robots.txt gates FETCHING, `<meta name="robots">`
+    + the X-Robots-Tag header gate whether a fetched page may enter
+    the corpus; reference analog: the document-level validity gates,
+    `/root/reference/ocr_worker.py:161-167`). Each document
+    synthesizes a head with viewport/description decoy meta tags and a
+    six-leg robots meta (absent / noindex / noindex,nofollow / none /
+    the permissive no-op `all` / uppercase NOARCHIVE,NOSNIPPET — with
+    content-before-name attribute order every 4th doc) plus a five-leg
+    X-Robots-Tag column (NULL / noindex / nofollow,nosnippet /
+    noarchive / present-but-empty). The extractor must prove: token
+    matching is exists()-over-split (never substring), `none` expands
+    to noindex+nofollow, header and meta directives UNION, unknown
+    tokens are no-ops, and `source` distinguishes meta/header/both/
+    none. The oracle replays every flag from doc_id arithmetic."""
+    from ocr_spark.operators.robots import meta_robots, synth_meta_robots_html
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            pairs = [synth_meta_robots_html(int(d)) for d in pdf["doc_id"]]
+            out["html"] = [p[0] for p in pairs]
+            out["x_robots"] = [p[1] for p in pairs]
+            yield out
+
+    payloads = docs.mapInPandas(
+        synth, "doc_id long, html string, x_robots string"
+    )
+    return meta_robots(payloads, header_col="x_robots").select(
+        "doc_id", "noindex", "nofollow", "noarchive", "nosnippet", "source"
+    )
+
+
+def _sql_robots_meta() -> str:
+    return """
+with base as (
+  select doc_id as d, doc_id % 6 as leg, doc_id % 5 as h
+  from documents
+)
+select d as doc_id,
+  leg in (1, 2, 3) or h = 1 as noindex,
+  leg in (2, 3) or h = 2 as nofollow,
+  leg = 5 or h = 3 as noarchive,
+  leg = 5 or h = 2 as nosnippet,
+  case when leg <> 0 and h in (1, 2, 3) then 'both'
+       when leg <> 0 then 'meta'
+       when h in (1, 2, 3) then 'header'
+       else 'none' end as source
+from base
+"""
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate recrawl scheduling (new r5 — closes the crawl loop:
+    WARC revisit records give per-fetch digests, `recrawl_priority`
+    turns a URL's digest history into the changes-per-day signal
+    `frontier_schedule` ranks on; Cho/Garcia-Molina's estimator with
+    the log dropped for engine-portable exact division — ranking is
+    monotone in the MLE). The fetch history is constructed NATIVELY
+    (sequence + explode, no Python): 1 + doc_id%6 fetches at
+    3600·(1+doc_id%4)-second intervals, digest stepping every
+    1 + doc_id%3 fetches. The operator's lag()-window change detection
+    + same-key rollup must reproduce what the oracle replays from
+    closed-form arithmetic alone (changes = floor((n-1)/k)) — single-
+    fetch URLs emit NULL ratios, never a guess."""
+    from ocr_spark.operators.sitemap import recrawl_priority
+
+    d = F.col("doc_id")
+    hist = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .select(
+            d,
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), d % 6)
+            ).alias("i"),
+        )
+        .select(
+            F.concat(
+                F.lit("https://ex"), (d % 7).cast("string"),
+                F.lit(".org/p/"), d.cast("string"),
+            ).alias("urikey"),
+            (
+                F.lit(1700000000).cast("long") + d * 1000
+                + F.col("i") * 3600 * (1 + d % 4)
+            ).alias("ts"),
+            F.concat(
+                F.lit("sha1:"),
+                (d * 37 + F.floor(F.col("i") / (1 + d % 3))).cast("string"),
+            ).alias("digest"),
+        )
+    )
+    return recrawl_priority(hist).select(
+        "urikey", "n_fetches", "n_changes", "span_s",
+        "change_ratio", "changes_per_day",
+    )
+
+
+def _sql_recrawl_priority() -> str:
+    return """
+with base as (
+  select 1 + doc_id % 6 as n, 1 + doc_id % 3 as k,
+    3600 * (1 + doc_id % 4) as iv,
+    'https://ex' || cast(doc_id % 7 as varchar) || '.org/p/'
+      || cast(doc_id as varchar) as urikey
+  from documents
+)
+select urikey, cast(n as int) as n_fetches,
+  cast((n - 1) // k as int) as n_changes,
+  cast((n - 1) * iv as bigint) as span_s,
+  case when n > 1
+       then cast((n - 1) // k as double) / (n - 1) end as change_ratio,
+  case when n > 1
+       then cast((n - 1) // k as double) * 86400 / ((n - 1) * iv)
+  end as changes_per_day
+from base
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8351,8 +8474,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window slot freed by rotating key_profile to the tail (green r4,
     # operators/profiling.py zero r5 hunks — see its comment below)
     "jsonld": q_jsonld,
-    "lm_bigram": q_lm_bigram,
-    "dedup_bloom": q_dedup_bloom,
+    # robots_meta / recrawl_priority: late-r5 NEW (operators/robots.py
+    # meta_robots — page-level noindex/nofollow directives; operators/
+    # sitemap.py recrawl_priority — CDX change-rate estimation). They
+    # take the window slots freed by rotating lm_bigram and dedup_bloom
+    # to the tail (both green r4; textstats.py and dedup.py have zero
+    # r5 hunks — see their comments below)
+    "robots_meta": q_robots_meta,
+    "recrawl_priority": q_recrawl_priority,
     "dedup_incremental": q_dedup_incremental,
     "span_dedup_corpus": q_span_dedup,
     "semantic_dedup_text": q_semantic_dedup_text,
@@ -8391,6 +8520,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # late-r5 to window the brand-new jsonld row; re-verified green via
     # the full scripts/check_entry.py sweep this session
     "key_profile": q_key_profile,
+    # lm_bigram: driver-green r4 (hash-match); operators/textstats.py
+    # has zero r5 hunks (git diff aac4fb1..HEAD does not list it) and
+    # q_lm_bigram/_sql_lm_bigram are r5-untouched. Displaced late-r5 to
+    # window the brand-new robots_meta row; re-verified green via the
+    # full scripts/check_entry.py sweep this session
+    "lm_bigram": q_lm_bigram,
+    # dedup_bloom: driver-green r4 (hash-match); operators/dedup.py has
+    # zero r5 hunks and q_dedup_bloom/_sql_dedup_bloom are r5-
+    # untouched. Displaced late-r5 to window the brand-new
+    # recrawl_priority row; re-verified green via the full
+    # scripts/check_entry.py sweep this session
+    "dedup_bloom": q_dedup_bloom,
     # media_decode / media_resize / media_jpeg / media_dhash /
     # media_neardup / media_audio_sig / media_audio_neardup /
     # media_neardup_incremental / media_video_sig /
@@ -8875,6 +9016,8 @@ from corpus group by 1
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "feed_items": _sql_feed_items(),
         "jsonld": _sql_jsonld(),
+        "robots_meta": _sql_robots_meta(),
+        "recrawl_priority": _sql_recrawl_priority(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

@@ -254,3 +254,69 @@ def test_plan_has_no_url_corpus_window(spark):
     assert plan.count("Aggregate [url#") + plan.count("Aggregate [_host#") + plan.count(
         "Aggregate [host#"
     ) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Page-level robots directives (meta robots + X-Robots-Tag)
+# ---------------------------------------------------------------------------
+
+
+def _meta(spark, html, hdr=None):
+    from ocr_spark.operators.robots import meta_robots
+
+    df = spark.createDataFrame(
+        [(1, html, hdr)], "doc_id long, html string, x_robots string"
+    )
+    return meta_robots(df, header_col="x_robots").collect()[0]
+
+
+def test_meta_robots_token_not_substring(spark):
+    r = _meta(spark, '<meta name="robots" content="nofollowme,noindexer">')
+    assert not r.nofollow and not r.noindex and r.source == "meta"
+
+
+def test_meta_robots_none_expands(spark):
+    r = _meta(spark, '<meta name="robots" content="none">')
+    assert r.noindex and r.nofollow and not r.noarchive
+
+
+def test_meta_robots_attr_order_and_case(spark):
+    r = _meta(spark, '<META CONTENT=" NoIndex , NOSNIPPET " NAME="robots">')
+    assert r.noindex and r.nosnippet and not r.nofollow
+
+
+def test_meta_robots_header_union(spark):
+    r = _meta(
+        spark,
+        '<meta name="robots" content="noindex">',
+        "nofollow, noarchive",
+    )
+    assert r.noindex and r.nofollow and r.noarchive and r.source == "both"
+
+
+def test_meta_robots_header_only_and_empty(spark):
+    r = _meta(spark, "<html><head></head></html>", "noindex")
+    assert r.noindex and r.source == "header"
+    e = _meta(spark, "<html><head></head></html>", "")
+    assert not e.noindex and e.source == "none"
+
+
+def test_meta_robots_decoys_ignored(spark):
+    r = _meta(
+        spark,
+        '<meta name="viewport" content="noindex">'
+        '<meta name="description" content="nofollow">',
+    )
+    assert not r.noindex and not r.nofollow and r.source == "none"
+
+
+def test_meta_robots_plan_projection_only(spark):
+    from ocr_spark.operators.robots import meta_robots, synth_meta_robots_html
+
+    rows = [(d, *synth_meta_robots_html(d)) for d in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, html string, x_robots string")
+    plan = (
+        meta_robots(df, header_col="x_robots")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

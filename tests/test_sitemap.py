@@ -311,3 +311,45 @@ def test_parse_plan_is_projection_only(spark):
     )
     assert "Exchange" not in plan and "Window" not in plan
     assert "Generate posexplode" in plan
+
+
+# ---------------------------------------------------------------------------
+# Recrawl change-rate estimation over CDX fetch history
+# ---------------------------------------------------------------------------
+
+
+def test_recrawl_priority_counts_and_rates(spark):
+    from ocr_spark.operators.sitemap import recrawl_priority
+
+    hist = spark.createDataFrame(
+        [
+            # u1: 4 fetches daily, digest changes at fetch 1 and 3
+            ("u1", 0, "a"), ("u1", 86400, "b"),
+            ("u1", 172800, "b"), ("u1", 259200, "c"),
+            # u2: 2 fetches, never changes
+            ("u2", 0, "x"), ("u2", 3600, "x"),
+            # u3: single fetch — no interval observed
+            ("u3", 500, "z"),
+        ],
+        "urikey string, ts long, digest string",
+    )
+    rows = {r.urikey: r for r in recrawl_priority(hist).collect()}
+    u1 = rows["u1"]
+    assert (u1.n_fetches, u1.n_changes, u1.span_s) == (4, 2, 259200)
+    assert abs(u1.change_ratio - 2 / 3) < 1e-12
+    assert abs(u1.changes_per_day - 2 * 86400 / 259200) < 1e-12
+    u2 = rows["u2"]
+    assert (u2.n_fetches, u2.n_changes, u2.change_ratio) == (2, 0, 0.0)
+    u3 = rows["u3"]
+    assert u3.n_fetches == 1 and u3.change_ratio is None
+    assert u3.changes_per_day is None
+
+
+def test_recrawl_priority_first_fetch_is_not_a_change(spark):
+    from ocr_spark.operators.sitemap import recrawl_priority
+
+    hist = spark.createDataFrame(
+        [("u", 0, "a"), ("u", 10, "a")], "urikey string, ts long, digest string"
+    )
+    (r,) = recrawl_priority(hist).collect()
+    assert r.n_changes == 0
