@@ -241,3 +241,60 @@ def anchor_stats(links: DataFrame, url_col: str = "href",
     return tops.join(sources, "url").select(
         "url", "n_links", "n_sources", "top_anchor", "top_anchor_links"
     )
+
+
+def canonical_collapse(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """Canonical-URL dedup clusters — the publisher-declared twin of
+    content dedup: pages carrying ``<link rel="canonical">`` (surfaced
+    by `domscore.html_meta`) collapse onto their canonical target, so
+    print views, session-id variants, and mirrors of one article
+    become ONE corpus document no matter how their TEXT differs
+    (reference analog: the per-document identity key the job queue
+    dedups on, `ocr_worker.py:74-85` — here the page declares its own
+    identity). Emits one row per cluster:
+
+    * ``urikey`` — the normalized canonical target (a page without a
+      canonical declaration is its own target; a canonical that fails
+      URL normalization falls back to the page's own URL — errors as
+      self-clusters, never dropped rows);
+    * ``n_pages`` — cluster size;
+    * ``n_self`` — how many members ARE the target (0 = dangling
+      canonical: every member points at a page the corpus has not
+      fetched — the crawl-frontier signal);
+    * ``rep_doc`` — the representative to KEEP: the self-canonical
+      member when one exists, else the smallest id (deterministic) —
+      chosen via one ``min_by`` over a ``is_self || lpad(id)``
+      total-order string key (the pref_pairs argmax device: a
+      REDUCTION with map-side partials, never a per-cluster window,
+      so a 10^6-variant content farm costs one partial row per task).
+
+    One hash aggregation on the canonical key — map-side combine
+    absorbs mirror-farm skew exactly like `anchor_stats`.
+    """
+    own = normalize_url(F.col(url_col))
+    key = F.coalesce(normalize_url(F.col(canonical_col)), own)
+    is_self = (own == key).cast("int")
+    order_key = F.concat(
+        F.when(is_self == 1, F.lit("0")).otherwise(F.lit("1")),
+        F.lpad(F.col(id_col).cast("string"), 19, "0"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("urikey"),
+            is_self.alias("_self"),
+            order_key.alias("_ord"),
+        )
+        .filter(F.col("urikey").isNotNull())
+        .groupBy("urikey")
+        .agg(
+            F.count("*").cast("int").alias("n_pages"),
+            F.sum("_self").cast("int").alias("n_self"),
+            F.min_by(id_col, F.col("_ord")).alias("rep_doc"),
+        )
+    )

@@ -8381,6 +8381,97 @@ from base
 
 
 
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup clusters (new r5 — the publisher-declared
+    twin of content dedup: `<link rel="canonical">` variants collapse
+    onto their target regardless of text; reference analog: the
+    per-document identity key the job queue dedups on,
+    `/root/reference/ocr_worker.py:74-85`). Page construction is
+    NATIVE (one projection, zero Python): page d lives at
+    ex{d%7}.org/p/{d}; pages with d%4>0 declare the canonical target
+    p/{d - d%3} (groups of ≤3 consecutive ids), with quirk legs the
+    normalizer must flatten — UPPERCASE scheme+host every 8th doc,
+    a #fragment to drop on d%8==1, a dangling canonical to an
+    unfetched URL (n_self=0 clusters) on d%9==8, and an unparseable
+    canonical on d%9==4 (errors-as-self-clusters, never drops). The
+    operator's one hash agg + min_by representative election (the
+    pref_pairs argmax device — no per-cluster window) must agree with
+    the oracle's independent group-by + arg_min replay."""
+    from ocr_spark.operators.linkgraph import canonical_collapse
+
+    d = F.col("doc_id")
+    t = d - d % 3
+    pages = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .select(
+            d,
+            F.concat(
+                F.lit("https://ex"), (d % 7).cast("string"),
+                F.lit(".org/p/"), d.cast("string"),
+            ).alias("url"),
+            F.when(d % 4 == 0, F.lit(None).cast("string"))
+            .when(
+                d % 9 == 8,
+                F.concat(F.lit("https://ex9.org/missing/"), d.cast("string")),
+            )
+            .when(d % 9 == 4, F.lit("not a url"))
+            .when(
+                d % 8 == 5,
+                F.concat(
+                    F.lit("HTTPS://EX"), (t % 7).cast("string"),
+                    F.lit(".ORG/p/"), t.cast("string"),
+                ),
+            )
+            .when(
+                d % 8 == 1,
+                F.concat(
+                    F.lit("https://ex"), (t % 7).cast("string"),
+                    F.lit(".org/p/"), t.cast("string"), F.lit("#frag"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://ex"), (t % 7).cast("string"),
+                    F.lit(".org/p/"), t.cast("string"),
+                )
+            )
+            .alias("canonical"),
+        )
+    )
+    return canonical_collapse(pages).select(
+        "urikey", "n_pages", "n_self", "rep_doc"
+    )
+
+
+def _sql_canonical_collapse() -> str:
+    return """
+with base as (
+  select doc_id as d, doc_id - doc_id % 3 as t from documents
+),
+per_page as (
+  select d,
+    'https://ex' || cast(d % 7 as varchar) || '.org/p/'
+      || cast(d as varchar) as own,
+    case
+      when d % 4 = 0 or d % 9 = 4 then
+        'https://ex' || cast(d % 7 as varchar) || '.org/p/'
+        || cast(d as varchar)
+      when d % 9 = 8 then 'https://ex9.org/missing/' || cast(d as varchar)
+      else 'https://ex' || cast(t % 7 as varchar) || '.org/p/'
+        || cast(t as varchar)
+    end as key
+  from base
+)
+select key as urikey, cast(count(*) as int) as n_pages,
+  cast(sum(case when key = own then 1 else 0 end) as int) as n_self,
+  arg_min(d, case when key = own then '0' else '1' end
+             || lpad(cast(d as varchar), 19, '0')) as rep_doc
+from per_page group by key
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8482,7 +8573,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 hunks — see their comments below)
     "robots_meta": q_robots_meta,
     "recrawl_priority": q_recrawl_priority,
-    "dedup_incremental": q_dedup_incremental,
+    # canonical_collapse: late-r5 NEW (linkgraph.canonical_collapse —
+    # rel=canonical dedup clusters). Takes the window slot freed by
+    # rotating dedup_incremental to the tail (green r4, dedup.py zero
+    # r5 hunks — see its comment below)
+    "canonical_collapse": q_canonical_collapse,
     "span_dedup_corpus": q_span_dedup,
     "semantic_dedup_text": q_semantic_dedup_text,
     "ann_ivf": q_ann_ivf,
@@ -8532,6 +8627,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recrawl_priority row; re-verified green via the full
     # scripts/check_entry.py sweep this session
     "dedup_bloom": q_dedup_bloom,
+    # dedup_incremental: driver-green r4 (hash-match); operators/
+    # dedup.py has zero r5 hunks and q_dedup_incremental/
+    # _sql_dedup_incremental are r5-untouched. Displaced late-r5 to
+    # window the brand-new canonical_collapse row; re-verified green
+    # via the full scripts/check_entry.py sweep this session
+    "dedup_incremental": q_dedup_incremental,
     # media_decode / media_resize / media_jpeg / media_dhash /
     # media_neardup / media_audio_sig / media_audio_neardup /
     # media_neardup_incremental / media_video_sig /
@@ -9018,6 +9119,7 @@ from corpus group by 1
         "jsonld": _sql_jsonld(),
         "robots_meta": _sql_robots_meta(),
         "recrawl_priority": _sql_recrawl_priority(),
+        "canonical_collapse": _sql_canonical_collapse(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

@@ -180,3 +180,62 @@ def test_anchor_stats_no_expand_no_window(spark):
     assert "Expand" not in plan, plan
     assert "Window" not in plan, plan
     assert "partial_max_by" in plan or "partial" in plan.lower(), plan
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL collapse
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_collapse_clusters_and_representative(spark):
+    from ocr_spark.operators.linkgraph import canonical_collapse
+
+    pages = spark.createDataFrame(
+        [
+            # cluster: 1 is the target (self), 2+3 are variants
+            (1, "https://h.org/a", None),
+            (2, "https://h.org/a?print=1", "https://h.org/a"),
+            (3, "https://h.org/a-amp", "HTTPS://H.ORG/a#frag"),
+            # dangling: points at a page the corpus never fetched
+            (4, "https://h.org/b", "https://h.org/gone"),
+            # invalid canonical → self-cluster
+            (5, "https://h.org/c", "not a url"),
+        ],
+        "doc_id long, url string, canonical string",
+    )
+    rows = {r.urikey: r for r in canonical_collapse(pages).collect()}
+    a = rows["https://h.org/a"]
+    assert (a.n_pages, a.n_self, a.rep_doc) == (3, 1, 1)
+    gone = rows["https://h.org/gone"]
+    assert (gone.n_pages, gone.n_self, gone.rep_doc) == (1, 0, 4)
+    c = rows["https://h.org/c"]
+    assert (c.n_pages, c.n_self, c.rep_doc) == (1, 1, 5)
+    assert len(rows) == 3
+
+
+def test_canonical_collapse_rep_prefers_self_over_min_id(spark):
+    from ocr_spark.operators.linkgraph import canonical_collapse
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://h.org/x?v=1", "https://h.org/x"),
+            (9, "https://h.org/x", None),
+        ],
+        "doc_id long, url string, canonical string",
+    )
+    (r,) = canonical_collapse(pages).collect()
+    # 9 IS the target — it wins representative despite the larger id
+    assert r.rep_doc == 9 and r.n_self == 1 and r.n_pages == 2
+
+
+def test_canonical_collapse_no_window_in_plan(spark):
+    from ocr_spark.operators.linkgraph import canonical_collapse
+
+    pages = spark.createDataFrame(
+        [(1, "https://h.org/a", None)], "doc_id long, url string, canonical string"
+    )
+    plan = (
+        canonical_collapse(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # min_by reduction, never a per-cluster window
+    assert "partial_min_by" in plan or "HashAggregate" in plan
