@@ -8471,6 +8471,85 @@ from per_page group by key
 """
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain gate (new r5 — the RefinedWeb-style first filter of a
+    web pipeline: domain blocklist + URL-token spam score, both pure
+    metadata; reference analog: the path-validity gate that rejects a
+    job before OCR runs, `/root/reference/ocr_worker.py:40-43`). Page
+    construction is NATIVE (one projection, zero Python): page d lives
+    at https://h{d%50}.ex{d%7}.org with quirk legs — extra subdomain
+    labels a.b. on d%23==11 (suffix-chain depth), UPPERCASE scheme+host
+    on d%29==13 (the normalizer must lowercase), an unparseable URL on
+    d%19==7 (NULL host, retained — origin gating never drops on URL
+    shape), and spam paths: /go/porn-xxx- (two distinct tokens →
+    spam-dropped) on d%13==5, /casino/ on d%11==3, /xxx/xxx- (one
+    DISTINCT token though repeated) on d%17==2. The blocklist dim is
+    CONFIG (a 4-entry literal, never corpus-derived): ex3.org blocks a
+    whole registrable domain, ex2.org + h5.ex2.org exercise
+    longest-suffix-wins (hosts h5.ex2.org report the more specific
+    entry), spam.ex9.org never matches. The operator's explode→join→
+    max_by regroup must agree with the oracle's independent
+    construction-arithmetic replay of every leg."""
+    from ocr_spark.operators.urlfilter import url_filter
+
+    d = F.col("doc_id")
+    hostcol = F.concat(
+        F.when(d % 23 == 11, F.lit("a.b.")).otherwise(F.lit("")),
+        F.lit("h"), (d % 50).cast("string"),
+        F.lit(".ex"), (d % 7).cast("string"), F.lit(".org"),
+    )
+    path = (
+        F.when(d % 13 == 5, F.concat(F.lit("/go/porn-xxx-"), d.cast("string")))
+        .when(d % 11 == 3, F.concat(F.lit("/casino/"), d.cast("string")))
+        .when(d % 17 == 2, F.concat(F.lit("/xxx/xxx-"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), d.cast("string")))
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(d % 19 == 7, F.lit("not a url"))
+        .when(d % 29 == 13, F.concat(F.lit("HTTPS://"), F.upper(hostcol), path))
+        .otherwise(F.concat(F.lit("https://"), hostcol, path))
+        .alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [("ex3.org",), ("ex2.org",), ("h5.ex2.org",), ("spam.ex9.org",)],
+        "domain string",
+    )
+    return url_filter(pages, blocklist)
+
+
+def _sql_url_filter() -> str:
+    return """
+with base as (
+  select doc_id as d,
+    (case when doc_id % 23 = 11 then 'a.b.' else '' end)
+      || 'h' || cast(doc_id % 50 as varchar)
+      || '.ex' || cast(doc_id % 7 as varchar) || '.org' as h,
+    case when doc_id % 13 = 5 then '/go/porn-xxx-' || cast(doc_id as varchar)
+         when doc_id % 11 = 3 then '/casino/' || cast(doc_id as varchar)
+         when doc_id % 17 = 2 then '/xxx/xxx-' || cast(doc_id as varchar)
+         else '/p/' || cast(doc_id as varchar) end as p
+  from documents
+)
+select d as doc_id,
+  case when d % 19 = 7 then 'not a url'
+       when d % 29 = 13 then 'HTTPS://' || upper(h) || p
+       else 'https://' || h || p end as url,
+  case when d % 19 = 7 then null else h end as host,
+  case when d % 19 = 7 then null
+       when d % 7 = 3 then 'ex3.org'
+       when d % 7 = 2 and d % 50 = 5 then 'h5.ex2.org'
+       when d % 7 = 2 then 'ex2.org'
+       else null end as blocked_by,
+  cast(case when d % 19 = 7 then 0
+       when d % 13 = 5 then 2
+       when d % 11 = 3 then 1
+       when d % 17 = 2 then 1
+       else 0 end as int) as n_spam_tokens,
+  (blocked_by is null and n_spam_tokens < 2) as keep
+from base
+"""
+
 
 # --------------------------------------------------------------------------
 # registry
@@ -8593,8 +8672,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_bpe": q_token_counts_bpe,
     "bpe_segment": q_bpe_segment,
     "pack_emit": q_pack_emit,
-    "pack_bins_bpe": q_pack_bins_bpe,
+    # url_filter: late-r5 NEW (operators/urlfilter.py — domain-blocklist
+    # + URL-spam-token gate, the first filter of a web-corpus build).
+    # Takes the window slot freed by rotating pack_bins_bpe to the tail
+    # (green r4, textstats.py/bpe.py zero r5 hunks — see its comment
+    # below)
+    "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # pack_bins_bpe: driver-green r4 (hash-match); its whole chain
+    # (operators/textstats.py + functions/bpe.py, q_pack_bins_bpe/
+    # its oracle) has zero r5 hunks (git diff aac4fb1..HEAD lists
+    # neither file and no pack_bins region of queries.py). Displaced
+    # late-r5 to window the brand-new url_filter row; re-verified green
+    # via scripts/check_entry.py this session
+    "pack_bins_bpe": q_pack_bins_bpe,
     # conv_curate: driver-green r4 (hash-match); its whole chain
     # (operators/conversation.py, q_conv_curate/_sql_conv_curate) has
     # zero r5 hunks (git diff aac4fb1..HEAD lists neither file region).
@@ -9120,6 +9211,7 @@ from corpus group by 1
         "robots_meta": _sql_robots_meta(),
         "recrawl_priority": _sql_recrawl_priority(),
         "canonical_collapse": _sql_canonical_collapse(),
+        "url_filter": _sql_url_filter(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

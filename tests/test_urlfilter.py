@@ -1,0 +1,112 @@
+"""URL/domain gate — the metadata-only first filter of a web pipeline.
+
+Covers the operator contract (reference analog: the pre-OCR path gate,
+/root/reference/ocr_worker.py:40-43): suffix-chain explode, longest-match
+blocklist election, distinct spam-token scoring, NULL-host retention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.urlfilter import (
+    MAX_LABELS,
+    host_suffixes,
+    url_filter,
+    url_spam_score,
+)
+
+
+def _run(spark, pages, blocked):
+    df = spark.createDataFrame(pages, "doc_id long, url string")
+    bl = spark.createDataFrame([(b,) for b in blocked], "domain string")
+    out = url_filter(df, bl)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_suffix_chain(spark):
+    row = spark.range(1).select(
+        host_suffixes(F.lit("a.b.ex.org")).alias("s")
+    ).head()
+    assert row["s"] == ["a.b.ex.org", "b.ex.org", "ex.org", "org"]
+
+
+def test_suffix_chain_caps_hostile_depth(spark):
+    host = ".".join(f"l{i}" for i in range(40)) + ".org"
+    row = spark.range(1).select(host_suffixes(F.lit(host)).alias("s")).head()
+    assert len(row["s"]) == MAX_LABELS
+    assert row["s"][-1] == "org"  # always keeps the shallowest suffixes
+
+
+def test_blocklist_covers_subdomains(spark):
+    out = _run(
+        spark,
+        [
+            (1, "https://ex.org/a"),
+            (2, "https://deep.sub.ex.org/b"),
+            (3, "https://exx.org/c"),  # sibling, NOT a suffix match
+        ],
+        ["ex.org"],
+    )
+    assert out[1]["blocked_by"] == "ex.org" and not out[1]["keep"]
+    assert out[2]["blocked_by"] == "ex.org" and not out[2]["keep"]
+    assert out[3]["blocked_by"] is None and out[3]["keep"]
+
+
+def test_longest_match_wins(spark):
+    out = _run(
+        spark,
+        [(1, "https://tracker.ex.org/x"), (2, "https://other.ex.org/y")],
+        ["ex.org", "tracker.ex.org"],
+    )
+    assert out[1]["blocked_by"] == "tracker.ex.org"
+    assert out[2]["blocked_by"] == "ex.org"
+
+
+def test_unparseable_url_retained_with_null_host(spark):
+    out = _run(spark, [(1, "not a url"), (2, "/relative/only")], ["ex.org"])
+    for d in (1, 2):
+        assert out[d]["host"] is None
+        assert out[d]["blocked_by"] is None
+        assert out[d]["keep"]
+
+
+def test_spam_score_counts_distinct_tokens(spark):
+    rows = spark.createDataFrame(
+        [
+            ("https://a.org/xxx/xxx-xxx",),  # repeated token counts ONCE
+            ("https://a.org/porn-xxx",),
+            ("https://CASINO.example/POKER",),  # case-insensitive
+            ("https://clean.org/page",),
+        ],
+        "url string",
+    ).select(url_spam_score(F.col("url")).alias("n"))
+    assert [r["n"] for r in rows.collect()] == [1, 2, 2, 0]
+
+
+def test_keep_requires_both_gates(spark):
+    out = _run(
+        spark,
+        [
+            (1, "https://good.org/porn-xxx-casino"),  # spam only
+            (2, "https://bad.org/clean"),  # blocklist only
+            (3, "https://good.org/casino"),  # 1 token < threshold 2
+        ],
+        ["bad.org"],
+    )
+    assert not out[1]["keep"] and out[1]["blocked_by"] is None
+    assert not out[2]["keep"] and out[2]["n_spam_tokens"] == 0
+    assert out[3]["keep"]
+
+
+def test_duplicate_blocklist_entries_do_not_fan_out(spark):
+    df = spark.createDataFrame([(1, "https://ex.org/a")], "doc_id long, url string")
+    bl = spark.createDataFrame([("ex.org",), ("ex.org",), ("EX.ORG",)], "domain string")
+    out = url_filter(df, bl).collect()
+    assert len(out) == 1  # distinct'd dim: one row per input page
+
+
+def test_row_cardinality_preserved(spark):
+    pages = [(i, f"https://h{i % 3}.ex.org/p/{i}") for i in range(30)]
+    out = _run(spark, pages, ["h1.ex.org"])
+    assert len(out) == 30
