@@ -1,0 +1,138 @@
+"""Mojibake repair — the ftfy leg of corpus text cleaning.
+
+A web corpus is full of text that was UTF-8 once, got decoded as
+windows-1252 or latin-1 somewhere in its past (a proxy, a scraper, a
+mis-declared charset), and now reads ``Ã©tÃ©`` instead of ``été``.
+:mod:`ocr_spark.operators.charset` prevents NEW damage at decode time
+(reference analog: the OCR text-cleaning stage that repairs what the
+engine mis-read, /root/reference/app/services/text_processing.py); this
+module repairs damage already baked into upstream text — the step
+FineWeb/ftfy run on every document before filtering.
+
+Method (ftfy-lite, deliberately conservative):
+
+* A repair is attempted ONLY on character runs that spell a COMPLETE
+  UTF-8 sequence through a one-byte decoder's eyes: a lead char in
+  U+00C2–U+00F4 followed by the right number of continuation chars
+  (U+0080–U+00BF, plus the 27 printable cp1252 images of the C1 bytes
+  — so both latin-1 and windows-1252 mojibake match).  The classes are
+  disjoint, so matching is deterministic and left-to-right.
+* Each matched run is mapped back to bytes through the "sloppy cp1252"
+  inverse (cp1252 where defined, the raw code point for the five holes
+  and the C1 range) and strictly UTF-8 decoded.  Overlong forms,
+  surrogates, and >U+10FFFF fail the strict decode and the run is kept
+  verbatim — valid text is never corrupted.
+* Repair iterates to a fixpoint (bounded) so double-encoded mojibake
+  (``ÃÂ©`` → ``Ã©`` → ``é``) fully unwinds.
+
+Scale shape: the stage is an Arrow ``pandas_udf`` (batched, zero
+shuffle, embarrassingly parallel).  Inside a batch the signature regex
+vectorizes over the whole series first; only flagged rows (a small
+minority of any real corpus) pay the per-sequence Python — clean rows
+cost one C-side regex scan.  No state, no dim, nothing driver-side.
+
+:func:`strip_invisibles` is the companion native cleaner: zero-width
+and bidi-control characters (ZWSP, ZWJ/ZWNJ, BOM-as-ZWNBSP, soft
+hyphen, LRM/RLM, embedding/isolate controls) dropped by one codegen'd
+``regexp_replace`` — the characters prompt-injection filters and
+tokenizer-budget audits care about.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# sloppy cp1252 inverse: every one-byte decoder image back to its byte.
+# cp1252 where it decodes; the 5 holes (81 8D 8F 90 9D) and everything
+# latin-1 keep their code point. Collisions impossible: cp1252's C1
+# images are all ≥ U+0152 or punctuation outside U+0080–U+00FF.
+_INV: dict[str, int] = {}
+for _b in range(256):
+    try:
+        _c = bytes([_b]).decode("cp1252")
+    except UnicodeDecodeError:
+        _c = chr(_b)
+    _INV[_c] = _b
+for _b in range(0x80, 0xA0):  # latin-1 C1 controls (sloppy leg)
+    _INV.setdefault(chr(_b), _b)
+
+#: printable cp1252 images of bytes 0x80–0x9F (the windows-1252 leg of
+#: the continuation class)
+_C1_IMAGES = "".join(
+    sorted({c for c, b in _INV.items() if 0x80 <= b <= 0x9F and ord(c) > 0xFF})
+)
+
+_CONT = "[\\u0080-\\u00bf" + _C1_IMAGES + "]"
+_SEQ_RE = re.compile(
+    "(?:[\\u00f0-\\u00f4]" + _CONT + "{3}"
+    "|[\\u00e0-\\u00ef]" + _CONT + "{2}"
+    "|[\\u00c2-\\u00df]" + _CONT + ")"
+)
+
+
+def _fix_match(m: re.Match) -> str:
+    raw = bytes(_INV[c] for c in m.group())
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:  # overlong / surrogate / out of range
+        return m.group()
+
+
+def repair_text(s: str | None, max_depth: int = 3) -> tuple[str | None, bool]:
+    """(repaired, changed) for one string — the frozen single-process
+    spec the distributed stage and the tests share."""
+    if s is None:
+        return None, False
+    changed = False
+    for _ in range(max_depth):
+        if not _SEQ_RE.search(s):
+            break
+        fixed = _SEQ_RE.sub(_fix_match, s)
+        if fixed == s:
+            break
+        s, changed = fixed, True
+    return s, changed
+
+
+def with_repaired_text(
+    df: DataFrame, text_col: str, fixed_col: str = "fixed",
+    flag_col: str = "was_mojibake",
+) -> DataFrame:
+    """Append ``fixed`` (repaired text) and ``was_mojibake`` (any
+    sequence rewritten). Arrow-batched; the vectorized signature scan
+    gates the per-row Python to flagged rows only."""
+    import pandas as pd
+
+    # note: un-annotated on purpose — the struct-returning scalar form
+    # (Series in, DataFrame out) predates the typehint inference table
+    @F.pandas_udf(f"struct<{fixed_col}:string,{flag_col}:boolean>")
+    def run(s):
+        fixed = s.copy()
+        flag = pd.Series(False, index=s.index)
+        mask = s.str.contains(_SEQ_RE, regex=True, na=False)
+        if mask.any():
+            res = s[mask].map(repair_text)
+            fixed[mask] = res.map(lambda t: t[0])
+            flag[mask] = res.map(lambda t: t[1]).astype(bool)
+        return pd.DataFrame({fixed_col: fixed, flag_col: flag})
+
+    out = df.withColumn("_rep", run(F.col(text_col)))
+    return out.select(*df.columns, f"_rep.{fixed_col}", f"_rep.{flag_col}")
+
+
+#: zero-width + bidi control characters: ZWSP ZWNJ ZWJ, word joiner,
+#: ZWNBSP/BOM, soft hyphen, LRM/RLM/ALM, bidi embeddings+overrides+PDF,
+#: bidi isolates+PDI
+_INVISIBLE_RE = (
+    "[\\u200b-\\u200f\\u2060\\ufeff\\u00ad\\u061c"
+    "\\u202a-\\u202e\\u2066-\\u2069]"
+)
+
+
+def strip_invisibles(col: Column) -> Column:
+    """Drop zero-width and bidi-control characters — one codegen'd
+    ``regexp_replace``, no Python."""
+    return F.regexp_replace(col, _INVISIBLE_RE, "")

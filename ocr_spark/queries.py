@@ -8518,6 +8518,61 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_filter(pages, blocklist)
 
 
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (new r5 — the ftfy leg: un-garble UTF-8 text
+    that was decoded as latin-1/cp1252 upstream; reference analog: the
+    decode-time half lives in operators/charset.py, this is the
+    already-damaged half). The documents text is pure ASCII at every
+    sf, so the synth appends a typed non-ASCII tail — Romanian
+    diacritics + em-dash (2-byte seqs) on d%4==0, Cyrillic on d%4==1,
+    CJK + an astral emoji (3- and 4-byte seqs) on d%4==2, plain ASCII
+    on d%4==3 — then GARBLES the even-doc_id half natively
+    (decode(encode(utf-8) as ISO-8859-1), zero Python in the synth).
+    The repair stage must restore every garbled row byte-exactly and
+    leave every clean row (including clean non-ASCII, which contains
+    lead-shaped chars like é/â) untouched; was_mojibake is true exactly
+    on garbled non-ASCII rows (ASCII garbles to itself). The oracle
+    replays the expected fixed text in closed form — md5 of the
+    ungarbled construction."""
+    from ocr_spark.operators.mojibake import with_repaired_text
+
+    d = F.col("doc_id")
+    tail = (
+        F.when(d % 4 == 0, F.lit(" — țară în şir café"))
+        .when(d % 4 == 1, F.lit(" русский текст"))
+        .when(d % 4 == 2, F.lit(" 中文🙂"))
+        .otherwise(F.lit(" plain ascii tail"))
+    )
+    enriched = F.concat(F.col("text"), tail)
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            d % 2 == 0, F.decode(F.encode(enriched, "UTF-8"), "ISO-8859-1")
+        )
+        .otherwise(enriched)
+        .alias("text"),
+    )
+    return with_repaired_text(corpus, "text").select(
+        "doc_id", F.md5(F.col("fixed")).alias("fixed_md5"), "was_mojibake"
+    )
+
+
+def _sql_fix_mojibake() -> str:
+    return """
+with base as (
+  select doc_id as d,
+    text || case when doc_id % 4 = 0 then ' — țară în şir café'
+                 when doc_id % 4 = 1 then ' русский текст'
+                 when doc_id % 4 = 2 then ' 中文🙂'
+                 else ' plain ascii tail' end as t
+  from documents
+)
+select d as doc_id, md5(t) as fixed_md5,
+  (d % 2 = 0 and d % 4 <> 3) as was_mojibake
+from base
+"""
+
+
 def _sql_url_filter() -> str:
     return """
 with base as (
@@ -8671,7 +8726,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "token_counts_bpe": q_token_counts_bpe,
     "bpe_segment": q_bpe_segment,
-    "pack_emit": q_pack_emit,
+    # fix_mojibake: late-r5 NEW (operators/mojibake.py — ftfy-style
+    # UTF-8-as-cp1252/latin-1 repair). Takes the window slot freed by
+    # rotating pack_emit to the tail (green r4, corpus.py zero r5 hunks
+    # — see its comment below)
+    "fix_mojibake": q_fix_mojibake,
     # url_filter: late-r5 NEW (operators/urlfilter.py — domain-blocklist
     # + URL-spam-token gate, the first filter of a web-corpus build).
     # Takes the window slot freed by rotating pack_bins_bpe to the tail
@@ -8679,6 +8738,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # pack_emit: driver-green r4 (hash-match); its whole chain
+    # (operators/corpus.py, q_pack_emit/its oracle) has zero r5 hunks
+    # (git diff aac4fb1..HEAD lists neither corpus.py nor any pack_emit
+    # region of queries.py). Displaced late-r5 to window the brand-new
+    # fix_mojibake row; re-verified green via scripts/check_entry.py
+    # this session
+    "pack_emit": q_pack_emit,
     # pack_bins_bpe: driver-green r4 (hash-match); its whole chain
     # (operators/textstats.py + functions/bpe.py, q_pack_bins_bpe/
     # its oracle) has zero r5 hunks (git diff aac4fb1..HEAD lists
@@ -9212,6 +9278,7 @@ from corpus group by 1
         "recrawl_priority": _sql_recrawl_priority(),
         "canonical_collapse": _sql_canonical_collapse(),
         "url_filter": _sql_url_filter(),
+        "fix_mojibake": _sql_fix_mojibake(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

@@ -1,0 +1,98 @@
+"""Mojibake repair (ftfy-lite) — spec, distributed stage, invisibles."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.mojibake import (
+    repair_text,
+    strip_invisibles,
+    with_repaired_text,
+)
+
+
+def test_latin1_roundtrip_repairs():
+    orig = "țară în şir café 中文🙂 être"
+    goop = orig.encode("utf-8").decode("latin-1")
+    assert repair_text(goop) == (orig, True)
+
+
+def test_cp1252_roundtrip_repairs():
+    # content chosen to avoid the 5 cp1252 holes (81 8D 8F 90 9D) so the
+    # garbling decode itself succeeds — e.g. no ” (E2 80 9D)
+    orig = "it’s a “test – naïve"
+    goop = orig.encode("utf-8").decode("cp1252")
+    assert repair_text(goop) == (orig, True)
+
+
+def test_double_mojibake_unwinds():
+    orig = "l’été"
+    goop = orig
+    for _ in range(2):
+        goop = goop.encode("utf-8").decode("cp1252")
+    assert repair_text(goop) == (orig, True)
+
+
+def test_clean_text_untouched():
+    for s in ("plain ascii", "café au lait", "déjà vu", "русский 中文 🙂", ""):
+        assert repair_text(s) == (s, False)
+
+
+def test_partial_damage_repaired_in_place():
+    # clean é (word-final, no continuation follows) next to a garbled é
+    assert repair_text("clean é and Ã© mixed") == ("clean é and é mixed", True)
+
+
+def test_invalid_sequences_kept_verbatim():
+    # UTF-8-encoded surrogate (ED A0 80) read as latin-1: matches the
+    # sequence shape but strict decode refuses — text passes through
+    bad = b"\xed\xa0\x80".decode("latin-1")
+    assert repair_text(bad) == (bad, False)
+    assert repair_text(None) == (None, False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=80))
+def test_roundtrip_property(s):
+    """Any text garbled through latin-1 OR cp1252 repairs back exactly,
+    provided the original contains no mojibake-shaped sequences itself."""
+    _, already = repair_text(s)
+    if already:
+        return
+    for enc in ("latin-1", "cp1252"):
+        try:
+            goop = s.encode("utf-8").decode(enc)
+        except UnicodeDecodeError:
+            continue  # cp1252 holes
+        fixed, changed = repair_text(goop)
+        assert fixed == s
+        assert changed == (goop != s)
+
+
+def test_distributed_stage_matches_spec(spark):
+    rows = [
+        (0, "țară plouă".encode("utf-8").decode("latin-1")),
+        (1, "it’s".encode("utf-8").decode("cp1252")),
+        (2, "clean café"),
+        (3, None),
+        (4, "🙂🙂".encode("utf-8").decode("latin-1")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["fixed"], r["was_mojibake"])
+        for r in with_repaired_text(df, "text").collect()
+    }
+    for i, s in rows:
+        assert got[i] == repair_text(s)
+
+
+def test_strip_invisibles(spark):
+    s = "a​b‍c﻿d­e‮f⁦g"
+    row = spark.range(1).select(strip_invisibles(F.lit(s)).alias("t")).head()
+    assert row["t"] == "abcdefg"
+    # regular text, including real whitespace and emoji, survives
+    keep = "a b\tc🙂 déjà"
+    row = spark.range(1).select(strip_invisibles(F.lit(keep)).alias("t")).head()
+    assert row["t"] == keep
