@@ -110,13 +110,18 @@ def with_repaired_text(
     # (Series in, DataFrame out) predates the typehint inference table
     @F.pandas_udf(f"struct<{fixed_col}:string,{flag_col}:boolean>")
     def run(s):
+        import numpy as np
+
         fixed = s.copy()
-        flag = pd.Series(False, index=s.index)
+        flag_np = np.zeros(len(s), dtype=bool)
         mask = s.str.contains(_SEQ_RE, regex=True, na=False)
         if mask.any():
             res = s[mask].map(repair_text)
             fixed[mask] = res.map(lambda t: t[0])
-            flag[mask] = res.map(lambda t: t[1]).astype(bool)
+            flag_np[mask.to_numpy()] = res.map(lambda t: t[1]).to_numpy(
+                dtype=bool
+            )
+        flag = pd.Series(flag_np, index=s.index)
         return pd.DataFrame({fixed_col: fixed, flag_col: flag})
 
     out = df.withColumn("_rep", run(F.col(text_col)))
