@@ -1,0 +1,136 @@
+"""Chat-template rendering — conversation → ONE training string under a
+token budget, with left (oldest-first) truncation and system-turn
+pinning. The terminal formatting stage of every SFT/chat pipeline: a
+trainer consumes rendered sequences, not turn tables, and the render
+must be deterministic, budget-exact, and identical across engines.
+
+Semantics (the frozen contract, mirrored line-for-line by the driver
+oracle's SQL):
+
+* each turn renders as ``<|role|>\\n{text}<|end|>``; kept turns join
+  with a single newline in ``turn_idx`` order;
+* every ``system`` turn is pinned (always kept — the instruction
+  context a chat model cannot lose);
+* the remaining budget (``budget`` minus the summed system tokens)
+  admits the LONGEST SUFFIX of non-system turns whose token total
+  fits — the standard left-truncation: recent turns survive, old
+  context falls off. A turn is kept whole or not at all (no mid-turn
+  splits — span integrity is the same rule as ``sft_pairs``);
+* tokens are whitespace-run counts (``\\s+`` split of the trimmed
+  text; empty → 0) — the same cheap proxy the packing family uses,
+  swappable for the frozen-BPE inventory upstream.
+
+Scale shape: token counting and piece rendering are row-local native
+expressions; the suffix admission is ONE running conditional sum over
+a window partitioned by ``conv_id`` ordered by ``turn_idx`` DESC —
+O(1) state per row, exactly the stable-turn-ordering window the north
+star prescribes (a running sum is sequential by definition, so conv_id
+stays the partition key; AQE's skew handling does not apply to windows,
+but the state is constant-size and Spark's WindowExec spills, so a
+whale agent session costs one task O(n) with bounded memory — the same
+posture as ``conversation.sft_pairs``). The final assembly is one
+``sort_array(collect_list(...))`` per conversation, bounded by the
+budget itself: kept non-system text is ≤ ``budget`` tokens by
+construction, so the collected list can never be whale-sized (system
+turns are the one unbounded input — a corpus whose conversations carry
+megabytes of system prompts should gate those upstream, documented
+here rather than silently truncated). No per-row Python anywhere.
+
+Reference analog: the reference renders per-document results into one
+text artifact per document (app/services/text_processing.py's assemble
+step); this operator is that assembly re-expressed for conversation
+corpora with the trainer-side budget contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace-run token count; empty/blank → 0. Engine-portable:
+    DuckDB replays it as ``length(string_split_regex(trim(x),
+    '\\s+'))`` with the same blank special case."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def render_chat(
+    conv: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "clean_text",
+    sys_role: str = "system",
+) -> DataFrame:
+    """Render each conversation to one budgeted training string.
+
+    Output: ``(conv_id, n_turns, n_kept, sys_turns, tokens_kept,
+    rendered_len, rendered_md5)`` — one row per conversation that
+    keeps at least one turn. The rendered string itself stays inside
+    the aggregate (its md5 + length are the stable receipt; a sink
+    that wants the text swaps the md5 for the column)."""
+    c, t, r = F.col(conv_col), F.col(turn_col), F.col(role_col)
+    is_sys = r == sys_role
+    piece = F.concat(
+        F.lit("<|"), r, F.lit("|>\n"), F.col(text_col), F.lit("<|end|>")
+    )
+    toks = conv.select(
+        c.alias("conv_id"),
+        t.alias("turn_idx"),
+        is_sys.alias("is_sys"),
+        ws_token_count(F.col(text_col)).alias("n_tok"),
+        piece.alias("piece"),
+    )
+
+    w_conv = Window.partitionBy("conv_id")
+    # suffix-cumulative non-system tokens: for each turn, the token
+    # total of all non-system turns at-or-after it (conditional sum so
+    # system rows pass through the frame contributing zero — the SQL
+    # twin is the identical conditional window sum)
+    w_desc = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nonsys_tok = F.when(~F.col("is_sys"), F.col("n_tok")).otherwise(F.lit(0))
+    staged = toks.select(
+        "*",
+        F.count(F.lit(1)).over(w_conv).alias("n_turns"),
+        F.sum(F.when(F.col("is_sys"), F.col("n_tok")).otherwise(0))
+        .over(w_conv)
+        .alias("sys_toks"),
+        F.sum(nonsys_tok).over(w_desc).alias("suffix_toks"),
+    )
+    kept = staged.filter(
+        F.col("is_sys")
+        | (F.col("suffix_toks") <= F.lit(budget) - F.col("sys_toks"))
+    )
+    assembled = kept.groupBy("conv_id").agg(
+        F.max("n_turns").cast("int").alias("n_turns"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.sum(F.col("is_sys").cast("int")).cast("int").alias("sys_turns"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("turn_idx", "piece"))
+                ),
+                lambda s: s["piece"],
+            ),
+            "\n",
+        ).alias("rendered"),
+    )
+    return assembled.select(
+        "conv_id",
+        "n_turns",
+        "n_kept",
+        "sys_turns",
+        "tokens_kept",
+        F.length("rendered").cast("long").alias("rendered_len"),
+        F.md5(F.col("rendered")).alias("rendered_md5"),
+    )

@@ -1,0 +1,818 @@
+"""Image-metadata triage + PII scrub — EXIF (JPEG APP1 / PNG eXIf) and
+PNG textual chunks, from scratch on the PUBLIC specs (Exif 2.32 / TIFF
+6.0 IFD grammar, JPEG ITU-T T.81 segment framing, PNG ISO 15948 chunk
+framing with CRC-32).
+
+Why this is a first-class pipeline stage at 100 TB: image payloads in a
+crawl carry *metadata PII* that survives every pixel-level transform —
+GPS latitude/longitude, camera serial strings, author names in PNG
+``tEXt`` chunks — so a training-data pipeline must (a) surface the
+metadata for triage/filter decisions (orientation, capture time,
+device) and (b) emit a scrubbed payload with the metadata containers
+REMOVED before the bytes reach a training set. Both are pure header
+walks + byte splices: O(segments) per file, never O(pixels),
+embarrassingly parallel, shuffle-free — the same affordability argument
+as ``mp4box``/``mp3meta``. Reference ingest analog:
+/root/reference/app/services/document_processor.py (binary metadata
+triage ahead of the expensive parse).
+
+Grammar implemented:
+  * JPEG segment walk — SOI, FF-marker + big-endian length framing,
+    standalone markers (RSTn/TEM), stop at SOS/EOI; APP1 bodies
+    beginning ``Exif\\0\\0`` hold a TIFF block, APP1 bodies beginning
+    with the XMP namespace URI hold XMP (scrubbed, not parsed).
+  * TIFF IFD walk — ``II``/``MM`` byte order, magic 42, 12-byte
+    entries (tag, type, count, inline-or-offset value), IFD chaining;
+    value types BYTE/ASCII/SHORT/LONG/RATIONAL; tags Make(0x010F),
+    Model(0x0110), Orientation(0x0112), DateTime(0x0132), the Exif
+    IFD pointer (0x8769) and GPS IFD pointer (0x8825); GPS
+    latitude/longitude as the ref letter + 3 RATIONALs (deg/min/sec),
+    folded to exact integer micro-degrees (each term floor-divided
+    independently — deterministic and engine-portable, no floats).
+  * PNG chunk walk — signature, length/type/data/CRC framing with the
+    CRC-32 VERIFIED per chunk (zlib.crc32 over type+data); textual
+    chunks ``tEXt`` (latin-1 key\\0value), ``zTXt`` (zlib-deflated
+    value, inflate-capped), ``iTXt`` (UTF-8, optional deflate), and
+    the ``eXIf`` chunk (a TIFF block — same walker as JPEG).
+
+Hostile-input posture (crawl payloads are attacker-controlled): every
+walk is capped (segments, chunks, IFD entries per IFD, chained IFDs)
+with a visited-offset set breaking TIFF pointer loops, every read is
+bounds-checked, zTXt/iTXt inflation is size-capped, and any violation
+is a ``ValueError`` → one errors-as-data row upstream (C3 rule), never
+an unbounded loop or a crash.
+
+The scrub is a byte splice that keeps everything else bit-identical:
+JPEG drops APP1 Exif/XMP segments (entropy-coded data untouched — the
+image still decodes); PNG drops tEXt/zTXt/iTXt/eXIf chunks (remaining
+chunks keep their own CRCs, so the file stays valid without any
+re-encode). ``image_meta`` re-parses its own scrub output and asserts
+it comes back metadata-free (``scrubbed_clean``) — the stage proves
+its PII claim on every row rather than asserting it.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+EXIF_HDR = b"Exif\x00\x00"
+XMP_HDR = b"http://ns.adobe.com/xap/1.0/\x00"
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: hostile-input caps — bounded work per payload, never a flood loop
+MAX_JPEG_SEGMENTS = 1024
+MAX_PNG_CHUNKS = 4096
+MAX_IFD_ENTRIES = 512
+MAX_IFDS = 8
+MAX_INFLATE = 1 << 20  # 1 MiB cap on a zTXt/iTXt inflated value
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+
+#: scrubbed PNG chunk types — textual metadata + embedded EXIF
+PNG_META_CHUNKS = {b"tEXt", b"zTXt", b"iTXt", b"eXIf"}
+
+_STANDALONE = {0x01, 0xD0, 0xD1, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7}
+
+
+# --------------------------------------------------------------------------
+# JPEG segment walk
+# --------------------------------------------------------------------------
+
+
+def jpeg_segments(payload: bytes) -> Iterator[tuple[int, int, int, int]]:
+    """Yield ``(marker, seg_start, body_start, seg_end)`` for each
+    framed segment between SOI and SOS/EOI. ``ValueError`` on anything
+    that is not valid T.81 framing — a crawl payload is hostile bytes
+    until proven otherwise."""
+    data = bytes(payload or b"")
+    n = len(data)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, n_segs = 2, 0
+    while pos < n:
+        n_segs += 1
+        if n_segs > MAX_JPEG_SEGMENTS:
+            raise ValueError("JPEG segment flood")
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker")
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG marker")
+        marker = data[pos + 1]
+        if marker in (0xDA, 0xD9):  # SOS / EOI — entropy data follows
+            return
+        if marker in _STANDALONE:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment")
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        if seg_len < 2:
+            raise ValueError("bad JPEG segment length")
+        end = pos + 2 + seg_len
+        if end > n:
+            raise ValueError("truncated JPEG segment")
+        yield marker, pos, pos + 4, end
+        pos = end
+    raise ValueError("JPEG ends before SOS/EOI")
+
+
+def scrub_jpeg(payload: bytes) -> tuple[bytes, int]:
+    """Drop every APP1 Exif/XMP segment; everything else (incl. the
+    entropy-coded stream after SOS) is byte-identical. Returns
+    ``(scrubbed, removed_bytes)``."""
+    data = bytes(payload or b"")
+    drop: list[tuple[int, int]] = []
+    for marker, start, body, end in jpeg_segments(data):
+        if marker == 0xE1 and (
+            data[body:end].startswith(EXIF_HDR)
+            or data[body:end].startswith(XMP_HDR)
+        ):
+            drop.append((start, end))
+    if not drop:
+        return data, 0
+    out, prev = [], 0
+    for s, e in drop:
+        out.append(data[prev:s])
+        prev = e
+    out.append(data[prev:])
+    return b"".join(out), sum(e - s for s, e in drop)
+
+
+# --------------------------------------------------------------------------
+# TIFF / EXIF IFD walk
+# --------------------------------------------------------------------------
+
+
+def _ifd_entries(
+    data: bytes, off: int, fmt: str, visited: set[int]
+) -> tuple[dict[int, tuple[int, int, bytes]], int]:
+    """One IFD at ``off`` → ``{tag: (type, count, value_bytes)}`` plus
+    the next-IFD offset. Pointer loops and entry floods raise."""
+    n = len(data)
+    if off in visited:
+        raise ValueError("IFD pointer loop")
+    visited.add(off)
+    if len(visited) > MAX_IFDS:
+        raise ValueError("IFD chain flood")
+    if off + 2 > n:
+        raise ValueError("truncated IFD")
+    count = struct.unpack_from(fmt + "H", data, off)[0]
+    if count > MAX_IFD_ENTRIES:
+        raise ValueError("IFD entry flood")
+    end = off + 2 + count * 12
+    if end + 4 > n:
+        raise ValueError("truncated IFD")
+    entries: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(count):
+        p = off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(fmt + "HHI", data, p)
+        size = _TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0 or size > 1 << 20:
+            continue  # unknown type / absurd count: skip, don't die
+        if size <= 4:
+            val = data[p + 8 : p + 8 + size]
+        else:
+            voff = struct.unpack_from(fmt + "I", data, p + 8)[0]
+            if voff + size > n:
+                raise ValueError("truncated IFD value")
+            val = data[voff : voff + size]
+        entries[tag] = (typ, cnt, val)
+    next_off = struct.unpack_from(fmt + "I", data, end)[0]
+    return entries, next_off
+
+
+def _ascii(v: bytes) -> str:
+    return v.split(b"\x00", 1)[0].decode("latin-1")
+
+
+def _num(fmt: str, typ: int, v: bytes) -> int | None:
+    if typ == 3 and len(v) >= 2:
+        return struct.unpack_from(fmt + "H", v)[0]
+    if typ == 4 and len(v) >= 4:
+        return struct.unpack_from(fmt + "I", v)[0]
+    if typ == 1 and len(v) >= 1:
+        return v[0]
+    return None
+
+
+def _rationals(fmt: str, cnt: int, v: bytes) -> list[tuple[int, int]]:
+    if len(v) < 8 * cnt:
+        raise ValueError("truncated IFD value")
+    return [
+        struct.unpack_from(fmt + "II", v, 8 * i) for i in range(cnt)
+    ]
+
+
+def gps_microdegrees(rats: list[tuple[int, int]]) -> int:
+    """(deg, min, sec) rationals → exact integer micro-degrees, each
+    term floor-divided independently (deterministic, engine-portable —
+    the driver oracle replays the same three integer divisions)."""
+    if len(rats) != 3:
+        raise ValueError("GPS coordinate needs 3 rationals")
+    (dn, dd), (mn, md), (sn, sd) = rats
+    if 0 in (dd, md, sd):
+        raise ValueError("zero denominator in GPS rational")
+    return (
+        dn * 1_000_000 // dd
+        + mn * 1_000_000 // (md * 60)
+        + sn * 1_000_000 // (sd * 3600)
+    )
+
+
+def parse_tiff(data: bytes) -> dict:
+    """A TIFF block (the body of an ``Exif\\0\\0`` APP1 segment or a
+    PNG ``eXIf`` chunk) → ``{orientation, make, model, datetime,
+    lat_ref, lon_ref, lat_udeg, lon_udeg}`` (absent fields None)."""
+    data = bytes(data or b"")
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("bad TIFF header")
+    fmt = "<" if data[:2] == b"II" else ">"
+    magic, ifd0 = struct.unpack_from(fmt + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    visited: set[int] = set()
+    entries, _ = _ifd_entries(data, ifd0, fmt, visited)
+    out: dict = {
+        "orientation": None,
+        "make": None,
+        "model": None,
+        "datetime": None,
+        "lat_ref": None,
+        "lon_ref": None,
+        "lat_udeg": None,
+        "lon_udeg": None,
+    }
+    if 0x010F in entries:
+        out["make"] = _ascii(entries[0x010F][2])
+    if 0x0110 in entries:
+        out["model"] = _ascii(entries[0x0110][2])
+    if 0x0112 in entries:
+        typ, _, v = entries[0x0112]
+        out["orientation"] = _num(fmt, typ, v)
+    if 0x0132 in entries:
+        out["datetime"] = _ascii(entries[0x0132][2])
+    if 0x8825 in entries:  # GPS IFD pointer
+        typ, _, v = entries[0x8825]
+        goff = _num(fmt, typ, v)
+        if goff is None:
+            raise ValueError("bad GPS IFD pointer")
+        gps, _ = _ifd_entries(data, goff, fmt, visited)
+        if 0x0001 in gps:
+            out["lat_ref"] = _ascii(gps[0x0001][2])
+        if 0x0003 in gps:
+            out["lon_ref"] = _ascii(gps[0x0003][2])
+        if 0x0002 in gps:
+            typ, cnt, v = gps[0x0002]
+            out["lat_udeg"] = gps_microdegrees(_rationals(fmt, cnt, v))
+        if 0x0004 in gps:
+            typ, cnt, v = gps[0x0004]
+            out["lon_udeg"] = gps_microdegrees(_rationals(fmt, cnt, v))
+    return out
+
+
+def parse_jpeg_meta(payload: bytes) -> dict:
+    """JPEG → EXIF fields (first APP1 Exif segment; a JPEG with no
+    EXIF is a VALID row with ``has_exif=False``, not an error)."""
+    data = bytes(payload or b"")
+    tiff = None
+    for marker, _s, body, end in jpeg_segments(data):
+        if marker == 0xE1 and data[body:end].startswith(EXIF_HDR):
+            tiff = data[body + len(EXIF_HDR) : end]
+            break
+    out = {
+        "fmt": "jpeg",
+        "has_exif": tiff is not None,
+        "orientation": None,
+        "make": None,
+        "model": None,
+        "datetime": None,
+        "lat_ref": None,
+        "lon_ref": None,
+        "lat_udeg": None,
+        "lon_udeg": None,
+        "text": {},
+    }
+    if tiff is not None:
+        out.update(parse_tiff(tiff))
+    return out
+
+
+# --------------------------------------------------------------------------
+# PNG chunk walk
+# --------------------------------------------------------------------------
+
+
+def png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes, int, int]]:
+    """Yield ``(type, data, chunk_start, chunk_end)`` with the CRC-32
+    of every chunk VERIFIED. ``ValueError`` on bad framing/CRC."""
+    data = bytes(payload or b"")
+    n = len(data)
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, n_chunks = 8, 0
+    while pos < n:
+        n_chunks += 1
+        if n_chunks > MAX_PNG_CHUNKS:
+            raise ValueError("PNG chunk flood")
+        if pos + 8 > n:
+            raise ValueError("truncated PNG chunk")
+        length = struct.unpack_from(">I", data, pos)[0]
+        typ = data[pos + 4 : pos + 8]
+        end = pos + 12 + length
+        if length > n or end > n:
+            raise ValueError("truncated PNG chunk")
+        body = data[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", data, pos + 8 + length)[0]
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError("bad PNG chunk crc")
+        yield typ, body, pos, end
+        if typ == b"IEND":
+            return
+        pos = end
+    raise ValueError("PNG ends before IEND")
+
+
+def _inflate_capped(blob: bytes) -> bytes:
+    d = zlib.decompressobj()
+    out = d.decompress(blob, MAX_INFLATE)
+    if d.unconsumed_tail:
+        raise ValueError("PNG text inflation over cap")
+    return out
+
+
+def _png_text(typ: bytes, body: bytes) -> tuple[str, str]:
+    """One textual chunk → ``(key, value)`` per the ISO 15948 layouts."""
+    if typ == b"tEXt":
+        key, _, val = body.partition(b"\x00")
+        return key.decode("latin-1"), val.decode("latin-1")
+    if typ == b"zTXt":
+        key, _, rest = body.partition(b"\x00")
+        if len(rest) < 1 or rest[0] != 0:
+            raise ValueError("bad zTXt compression method")
+        return key.decode("latin-1"), _inflate_capped(rest[1:]).decode("latin-1")
+    # iTXt: key\0 comp_flag comp_method lang\0 translated\0 text
+    key, _, rest = body.partition(b"\x00")
+    if len(rest) < 2:
+        raise ValueError("truncated iTXt chunk")
+    comp_flag = rest[0]
+    rest = rest[2:]
+    _lang, _, rest = rest.partition(b"\x00")
+    _trans, _, text = rest.partition(b"\x00")
+    if comp_flag:
+        text = _inflate_capped(text)
+    return key.decode("utf-8", "replace"), text.decode("utf-8", "replace")
+
+
+def parse_png_meta(payload: bytes) -> dict:
+    """PNG → textual metadata + embedded-EXIF fields."""
+    out = {
+        "fmt": "png",
+        "has_exif": False,
+        "orientation": None,
+        "make": None,
+        "model": None,
+        "datetime": None,
+        "lat_ref": None,
+        "lon_ref": None,
+        "lat_udeg": None,
+        "lon_udeg": None,
+        "text": {},
+    }
+    for typ, body, _s, _e in png_chunks(payload):
+        if typ in (b"tEXt", b"zTXt", b"iTXt"):
+            k, v = _png_text(typ, body)
+            out["text"][k] = v
+        elif typ == b"eXIf":
+            out["has_exif"] = True
+            out.update(parse_tiff(body))
+    return out
+
+
+def scrub_png(payload: bytes) -> tuple[bytes, int]:
+    """Drop every tEXt/zTXt/iTXt/eXIf chunk; remaining chunks keep
+    their own CRCs so the file stays valid with no re-encode."""
+    data = bytes(payload or b"")
+    drop = [
+        (s, e) for typ, _b, s, e in png_chunks(data) if typ in PNG_META_CHUNKS
+    ]
+    if not drop:
+        return data, 0
+    out, prev = [], 0
+    for s, e in drop:
+        out.append(data[prev:s])
+        prev = e
+    out.append(data[prev:])
+    return b"".join(out), sum(e - s for s, e in drop)
+
+
+# --------------------------------------------------------------------------
+# dispatch + scrub-proof
+# --------------------------------------------------------------------------
+
+
+def parse_image_meta(payload: bytes) -> dict:
+    data = bytes(payload or b"")
+    if data[:2] == b"\xff\xd8":
+        return parse_jpeg_meta(data)
+    if data[:8] == PNG_SIG:
+        return parse_png_meta(data)
+    raise ValueError("unsupported image format")
+
+
+def scrub_image(payload: bytes) -> tuple[bytes, int]:
+    data = bytes(payload or b"")
+    if data[:2] == b"\xff\xd8":
+        return scrub_jpeg(data)
+    if data[:8] == PNG_SIG:
+        return scrub_png(data)
+    raise ValueError("unsupported image format")
+
+
+def expand_image_meta(payload: bytes) -> dict:
+    """One payload → one scalar-column row: parsed metadata + the
+    scrub receipt (``removed_bytes`` + a re-parse proof that the
+    scrubbed bytes are metadata-free). Malformed payloads become ONE
+    ``ok=false`` row with the error text (errors-as-data)."""
+    try:
+        meta = parse_image_meta(payload)
+        scrubbed, removed = scrub_image(payload)
+        clean = parse_image_meta(scrubbed)
+        scrubbed_clean = (
+            not clean["has_exif"]
+            and not clean["text"]
+            and clean["lat_udeg"] is None
+        )
+        return {
+            "ok": True,
+            "err": None,
+            "fmt": meta["fmt"],
+            "has_exif": meta["has_exif"],
+            "orientation": meta["orientation"],
+            "make": meta["make"],
+            "model": meta["model"],
+            "datetime": meta["datetime"],
+            "has_gps": meta["lat_udeg"] is not None,
+            "lat_ref": meta["lat_ref"],
+            "lon_ref": meta["lon_ref"],
+            "lat_udeg": meta["lat_udeg"],
+            "lon_udeg": meta["lon_udeg"],
+            "n_text": len(meta["text"]),
+            "text_keys": ",".join(sorted(meta["text"])),
+            "removed_bytes": removed,
+            "scrubbed_clean": scrubbed_clean,
+        }
+    except ValueError as exc:
+        return {
+            "ok": False,
+            "err": str(exc)[:200],
+            "fmt": None,
+            "has_exif": None,
+            "orientation": None,
+            "make": None,
+            "model": None,
+            "datetime": None,
+            "has_gps": None,
+            "lat_ref": None,
+            "lon_ref": None,
+            "lat_udeg": None,
+            "lon_udeg": None,
+            "n_text": None,
+            "text_keys": None,
+            "removed_bytes": None,
+            "scrubbed_clean": None,
+        }
+
+
+META_FIELDS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("has_exif", T.BooleanType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("has_gps", T.BooleanType(), True),
+        T.StructField("lat_ref", T.StringType(), True),
+        T.StructField("lon_ref", T.StringType(), True),
+        T.StructField("lat_udeg", T.LongType(), True),
+        T.StructField("lon_udeg", T.LongType(), True),
+        T.StructField("n_text", T.IntegerType(), True),
+        T.StructField("text_keys", T.StringType(), True),
+        T.StructField("removed_bytes", T.LongType(), True),
+        T.StructField("scrubbed_clean", T.BooleanType(), True),
+    ]
+)
+
+
+def image_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Metadata triage + scrub proof over a column of image payloads
+    (Arrow ``mapInPandas`` — batch-bounded, shuffle-free, the same
+    stage shape as ``mp4box.mp4_meta``). Per-file cost is O(segment
+    headers + metadata bytes): pixel data is skipped by the segment/
+    chunk length fields, which is what makes PII triage affordable on
+    a 100-TB image corpus."""
+    import pandas as pd
+
+    out_schema = T.StructType([df.schema[id_col]] + list(META_FIELDS.fields))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                rows.append({id_col: did, **expand_image_meta(p)})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def scrub_images(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """The production scrub sink shape: ``(id, payload, removed_bytes,
+    scrub_ok)`` with the metadata containers spliced out. Unsupported/
+    malformed payloads pass through UNCHANGED with ``scrub_ok=false``
+    (a scrubber must never drop rows or emit half-rewritten bytes)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(payload_col, T.BinaryType(), True),
+            T.StructField("removed_bytes", T.LongType(), False),
+            T.StructField("scrub_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    scrubbed, removed = scrub_image(p)
+                    rows.append(
+                        {
+                            id_col: did,
+                            payload_col: scrubbed,
+                            "removed_bytes": removed,
+                            "scrub_ok": True,
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            id_col: did,
+                            payload_col: bytes(p or b""),
+                            "removed_bytes": 0,
+                            "scrub_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Builder twins (tests + driver-oracle construction)
+# --------------------------------------------------------------------------
+
+#: fixed TIFF-block pad sizes so the oracle can replay removed_bytes
+#: as pure arithmetic (the APP1 segment / eXIf chunk size becomes a
+#: constant independent of the string-field lengths inside)
+TIFF_PAD_JPEG = 512
+TIFF_PAD_PNG = 256
+
+
+def build_tiff(
+    byte_order: str = "II",
+    orientation: int | None = None,
+    make: str | None = None,
+    model: str | None = None,
+    datetime: str | None = None,
+    gps: dict | None = None,
+    pad_to: int = 0,
+) -> bytes:
+    """Encode direction for :func:`parse_tiff` — exact field-for-field
+    twin used by round-trip tests and the driver-oracle construction.
+    ``gps`` is ``{"lat_ref", "lon_ref", "lat": [(n,d)*3], "lon":
+    [(n,d)*3]}``. ``pad_to`` zero-pads the block to a fixed size (a
+    TIFF reader resolves everything by offset, so trailing pad bytes
+    are inert) — that is what makes the scrub arithmetic replayable."""
+    fmt = "<" if byte_order == "II" else ">"
+
+    entries0: list[tuple[int, int, int, bytes]] = []  # tag, typ, cnt, raw
+    heap = bytearray()  # data area, offsets patched after layout
+
+    def add(tag: int, typ: int, values: bytes, cnt: int) -> None:
+        entries0.append((tag, typ, cnt, values))
+
+    if make is not None:
+        v = make.encode("latin-1") + b"\x00"
+        add(0x010F, 2, v, len(v))
+    if model is not None:
+        v = model.encode("latin-1") + b"\x00"
+        add(0x0110, 2, v, len(v))
+    if orientation is not None:
+        add(0x0112, 3, struct.pack(fmt + "H", orientation), 1)
+    if datetime is not None:
+        v = datetime.encode("latin-1") + b"\x00"
+        add(0x0132, 2, v, len(v))
+
+    gps_entries: list[tuple[int, int, int, bytes]] = []
+    if gps is not None:
+        lat_ref = gps["lat_ref"].encode("latin-1") + b"\x00"
+        lon_ref = gps["lon_ref"].encode("latin-1") + b"\x00"
+        lat = b"".join(struct.pack(fmt + "II", n, d) for n, d in gps["lat"])
+        lon = b"".join(struct.pack(fmt + "II", n, d) for n, d in gps["lon"])
+        gps_entries = [
+            (0x0001, 2, len(lat_ref), lat_ref),
+            (0x0002, 5, 3, lat),
+            (0x0003, 2, len(lon_ref), lon_ref),
+            (0x0004, 5, 3, lon),
+        ]
+
+    # layout: header(8) | IFD0 | GPS IFD | heap
+    ifd0_off = 8
+    ifd0_size = 2 + (len(entries0) + (1 if gps else 0)) * 12 + 4
+    gps_off = ifd0_off + ifd0_size
+    gps_size = (2 + len(gps_entries) * 12 + 4) if gps else 0
+    heap_off = gps_off + gps_size
+
+    if gps is not None:
+        entries0.append((0x8825, 4, 1, struct.pack(fmt + "I", gps_off)))
+    entries0.sort(key=lambda e: e[0])
+
+    def emit_ifd(entries: list[tuple[int, int, int, bytes]]) -> bytes:
+        out = struct.pack(fmt + "H", len(entries))
+        for tag, typ, cnt, raw in entries:
+            out += struct.pack(fmt + "HHI", tag, typ, cnt)
+            if len(raw) <= 4:
+                out += raw + b"\x00" * (4 - len(raw))
+            else:
+                out += struct.pack(fmt + "I", heap_off + len(heap))
+                heap.extend(raw)
+        return out + struct.pack(fmt + "I", 0)
+
+    ifd0 = emit_ifd(entries0)
+    gps_ifd = emit_ifd(gps_entries) if gps else b""
+    block = (
+        byte_order.encode("ascii")
+        + struct.pack(fmt + "HI", 42, ifd0_off)
+        + ifd0
+        + gps_ifd
+        + bytes(heap)
+    )
+    if pad_to and len(block) < pad_to:
+        block += b"\x00" * (pad_to - len(block))
+    elif pad_to and len(block) > pad_to:
+        raise ValueError(f"TIFF block {len(block)} exceeds pad {pad_to}")
+    return block
+
+
+def insert_jpeg_exif(jpeg: bytes, tiff: bytes) -> bytes:
+    """Splice an APP1 Exif segment right after SOI of a host JPEG."""
+    body = EXIF_HDR + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + cid
+        + body
+        + (zlib.crc32(cid + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def insert_png_meta(
+    png: bytes,
+    texts: list[tuple[str, str, str]] | None = None,
+    exif_tiff: bytes | None = None,
+) -> bytes:
+    """Splice metadata chunks after IHDR of a host PNG. ``texts`` is
+    ``[(kind, key, value)]`` with kind ∈ tEXt/zTXt/iTXt."""
+    chunks = []
+    for kind, key, value in texts or []:
+        if kind == "tEXt":
+            body = key.encode("latin-1") + b"\x00" + value.encode("latin-1")
+            chunks.append(_png_chunk(b"tEXt", body))
+        elif kind == "zTXt":
+            body = (
+                key.encode("latin-1")
+                + b"\x00\x00"
+                + zlib.compress(value.encode("latin-1"), 9)
+            )
+            chunks.append(_png_chunk(b"zTXt", body))
+        else:
+            body = (
+                key.encode("utf-8")
+                + b"\x00\x00\x00"
+                + b"en\x00"
+                + b"\x00"
+                + value.encode("utf-8")
+            )
+            chunks.append(_png_chunk(b"iTXt", body))
+    if exif_tiff is not None:
+        chunks.append(_png_chunk(b"eXIf", exif_tiff))
+    # IHDR chunk = 8 (sig) .. 8+25 for the fixed 13-byte IHDR
+    ihdr_end = 8 + 12 + 13
+    return png[:ihdr_end] + b"".join(chunks) + png[ihdr_end:]
+
+
+def synth_meta_payload(doc_id: int) -> bytes:
+    """Deterministic image-with-metadata construction for the driver
+    oracle — every parsed field and the removed-bytes receipt replay
+    from doc_id arithmetic alone (see ``_sql_media_meta``):
+
+    * ``doc_id % 17 == 4`` — JPEG whose EXIF TIFF block claims 5 IFD
+      entries but is cut short → the ``truncated IFD`` error leg;
+    * else ``doc_id % 19 == 6`` — PNG whose first tEXt chunk has a
+      corrupted CRC → the ``bad PNG chunk crc`` error leg;
+    * else even — JPEG host (our own encoder) + APP1 EXIF padded to
+      ``TIFF_PAD_JPEG``, byte order II/MM by ``doc_id % 4``, GPS on
+      ``doc_id % 3 == 0``;
+    * else odd — PNG host + 1–3 textual chunks (tEXt/tEXt/iTXt) and,
+      on ``doc_id % 5 == 0``, an eXIf chunk padded to
+      ``TIFF_PAD_PNG``.
+    """
+    import numpy as np
+
+    from ocr_spark.operators.jpegcodec import encode_jpeg
+    from ocr_spark.operators.multimodal import encode_png
+
+    if doc_id % 17 == 4:
+        host = encode_jpeg(
+            np.full((8, 8), 128, np.uint8), quality=50
+        )
+        bad = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 5) + b"\x01"
+        return insert_jpeg_exif(host, bad)
+
+    if doc_id % 19 == 6:
+        host = encode_png(
+            np.full((4, 4, 3), 200, np.uint8), color_type=2
+        )
+        tagged = insert_png_meta(host, texts=[("tEXt", "Comment", "x")])
+        # corrupt the tEXt CRC (last byte of the chunk after IHDR)
+        ihdr_end = 8 + 12 + 13
+        chunk_end = ihdr_end + 12 + len(b"Comment\x00x")
+        out = bytearray(tagged)
+        out[chunk_end - 1] ^= 0xFF
+        return bytes(out)
+
+    if doc_id % 2 == 0:
+        gray = np.full((8, 8), 16 * (2 + doc_id % 12), np.uint8)
+        host = encode_jpeg(gray, quality=50)
+        gps = None
+        if doc_id % 3 == 0:
+            gps = {
+                "lat_ref": "N" if (doc_id // 2) % 2 == 0 else "S",
+                "lon_ref": "E" if (doc_id // 3) % 2 == 0 else "W",
+                "lat": [
+                    (doc_id % 90, 1),
+                    (doc_id % 60, 1),
+                    (doc_id % 6000, 100),
+                ],
+                "lon": [
+                    (doc_id % 180, 1),
+                    ((3 * doc_id) % 60, 1),
+                    ((7 * doc_id) % 6000, 100),
+                ],
+            }
+        tiff = build_tiff(
+            byte_order="II" if doc_id % 4 == 0 else "MM",
+            orientation=1 + doc_id % 8,
+            make=f"Make{doc_id % 5}",
+            model=f"Cam-{doc_id % 7}",
+            datetime=(
+                f"20{10 + doc_id % 15}:01:01 00:00:{doc_id % 60:02d}"
+            ),
+            gps=gps,
+            pad_to=TIFF_PAD_JPEG,
+        )
+        return insert_jpeg_exif(host, tiff)
+
+    rgb = np.full((4, 4, 3), 40 + doc_id % 200, np.uint8)
+    host = encode_png(rgb, color_type=2)
+    value = f"val-{doc_id}" + "x" * (doc_id % 13)
+    n = 1 + doc_id % 3
+    kinds = [("tEXt", "Comment"), ("tEXt", "Author"), ("iTXt", "Software")]
+    texts = [(k, key, value) for k, key in kinds[:n]]
+    exif_tiff = None
+    if doc_id % 5 == 0:
+        exif_tiff = build_tiff(
+            byte_order="II",
+            orientation=1 + doc_id % 8,
+            pad_to=TIFF_PAD_PNG,
+        )
+    return insert_png_meta(host, texts=texts, exif_tiff=exif_tiff)

@@ -3645,6 +3645,128 @@ from base where sync_err or trunc_err
 """
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-metadata PII triage + scrub receipt (new r5,
+    operators/exifmeta.py): each document synthesizes a REAL image —
+    even ids a JPEG from our own encoder carrying an APP1 EXIF block
+    (TIFF IFD grammar, byte order rotating II/MM, orientation / make /
+    model / capture time, and on every third id a GPS IFD whose
+    deg/min/sec rationals fold to exact integer micro-degrees), odd
+    ids a PNG carrying 1–3 textual chunks (tEXt/iTXt, CRC-verified)
+    and on every fifth id an embedded eXIf chunk. The production
+    stage (`exifmeta.image_meta`) must walk the real grammars — JPEG
+    segment framing, both TIFF byte orders, inline-vs-offset IFD
+    values, PNG chunk CRCs — AND prove its scrub: every row carries
+    ``removed_bytes`` (replayed by the oracle as pure arithmetic via
+    the fixed TIFF pads) plus ``scrubbed_clean``, the stage's own
+    re-parse of its spliced output showing the metadata is GONE. Two
+    error legs (a truncated IFD, a corrupted chunk CRC) pin
+    errors-as-data. This is the stage that keeps camera GPS
+    coordinates and author strings out of a 100-TB training corpus:
+    O(headers) per file, pixel data skipped by length fields,
+    shuffle-free. Reference ingest analog:
+    /root/reference/app/services/document_processor.py (binary
+    metadata triage ahead of the expensive parse)."""
+    from ocr_spark.operators.exifmeta import image_meta, synth_meta_payload
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [synth_meta_payload(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    src = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return image_meta(src).select(
+        "doc_id",
+        "ok",
+        "err",
+        "fmt",
+        "has_exif",
+        "orientation",
+        "make",
+        "model",
+        F.col("datetime").alias("taken_at"),
+        "has_gps",
+        "lat_ref",
+        "lon_ref",
+        "lat_udeg",
+        "lon_udeg",
+        "n_text",
+        "text_keys",
+        "removed_bytes",
+        "scrubbed_clean",
+    )
+
+
+def _sql_media_meta() -> str:
+    # pure construction replay of exifmeta.synth_meta_payload — the SQL
+    # twin never reads a byte: EXIF fields, GPS micro-degrees (three
+    # independent integer floor divisions), PNG text-chunk keys, and
+    # the removed-bytes scrub receipt (fixed TIFF pads + exact chunk
+    # framing arithmetic) all come from doc_id alone, so a walker,
+    # byte-order, CRC, or splice bug anywhere hash-mismatches
+    return """
+with base as (
+  select doc_id,
+    doc_id % 17 = 4 as tifd,
+    doc_id % 17 <> 4 and doc_id % 19 = 6 as badcrc,
+    4 + length(cast(doc_id as varchar)) + doc_id % 13 as vlen
+  from documents
+)
+select doc_id, true as ok, cast(null as varchar) as err,
+  case when doc_id % 2 = 0 then 'jpeg' else 'png' end as fmt,
+  (doc_id % 2 = 0 or doc_id % 5 = 0) as has_exif,
+  cast(case when doc_id % 2 = 0 or doc_id % 5 = 0
+       then 1 + doc_id % 8 end as int) as orientation,
+  case when doc_id % 2 = 0
+       then 'Make' || cast(doc_id % 5 as varchar) end as make,
+  case when doc_id % 2 = 0
+       then 'Cam-' || cast(doc_id % 7 as varchar) end as model,
+  case when doc_id % 2 = 0 then
+    '20' || cast(10 + doc_id % 15 as varchar) || ':01:01 00:00:'
+         || lpad(cast(doc_id % 60 as varchar), 2, '0') end as taken_at,
+  (doc_id % 2 = 0 and doc_id % 3 = 0) as has_gps,
+  case when doc_id % 2 = 0 and doc_id % 3 = 0 then
+    case when (doc_id // 2) % 2 = 0 then 'N' else 'S' end end as lat_ref,
+  case when doc_id % 2 = 0 and doc_id % 3 = 0 then
+    case when (doc_id // 3) % 2 = 0 then 'E' else 'W' end end as lon_ref,
+  cast(case when doc_id % 2 = 0 and doc_id % 3 = 0 then
+    (doc_id % 90) * 1000000 + (doc_id % 60) * 1000000 // 60
+      + (doc_id % 6000) * 1000000 // 360000 end as bigint) as lat_udeg,
+  cast(case when doc_id % 2 = 0 and doc_id % 3 = 0 then
+    (doc_id % 180) * 1000000 + ((3 * doc_id) % 60) * 1000000 // 60
+      + ((7 * doc_id) % 6000) * 1000000 // 360000 end as bigint) as lon_udeg,
+  cast(case when doc_id % 2 = 0 then 0 else 1 + doc_id % 3 end as int)
+    as n_text,
+  case when doc_id % 2 = 0 then ''
+       when doc_id % 3 = 0 then 'Comment'
+       when doc_id % 3 = 1 then 'Author,Comment'
+       else 'Author,Comment,Software' end as text_keys,
+  cast(case when doc_id % 2 = 0 then 522
+       else (20 + vlen)
+            + case when doc_id % 3 >= 1 then 19 + vlen else 0 end
+            + case when doc_id % 3 = 2 then 27 + vlen else 0 end
+            + case when doc_id % 5 = 0 then 268 else 0 end
+       end as bigint) as removed_bytes,
+  true as scrubbed_clean
+from base where not tifd and not badcrc
+union all
+select doc_id, false as ok,
+  case when tifd then 'truncated IFD' else 'bad PNG chunk crc' end as err,
+  null as fmt, cast(null as boolean) as has_exif,
+  cast(null as int) as orientation, null as make, null as model,
+  null as taken_at, cast(null as boolean) as has_gps,
+  null as lat_ref, null as lon_ref,
+  cast(null as bigint) as lat_udeg, cast(null as bigint) as lon_udeg,
+  cast(null as int) as n_text, null as text_keys,
+  cast(null as bigint) as removed_bytes,
+  cast(null as boolean) as scrubbed_clean
+from base where tifd or badcrc
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -5760,6 +5882,101 @@ def q_sft_pairs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_pairs(
         _sft_conv(spark, sf_dir), budget=256, max_turns=8, tokens="bpe"
     )
+
+
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering under a token budget (new r5,
+    operators/chatformat.py): the SFT-terminal formatting stage —
+    each conversation renders to ONE ``<|role|>\\n{text}<|end|>``
+    training string, system turns pinned, and the remaining budget
+    admitting the longest SUFFIX of non-system turns (left
+    truncation: recent context survives). Conversations are the
+    sft_pairs derivation (conv = doc_id%50, turn = doc_id//50) with
+    turn 0 promoted to a system turn so the pinning rule is
+    exercised on every conversation. The oracle rebuilds the full
+    rendered string with an ordered ``string_agg`` and the identical
+    conditional window sums, so the md5 matches only if token
+    counting, suffix admission, pinning, and assembly order are ALL
+    byte-exact. One window + one budget-bounded aggregate — the
+    plan scales as conversations, not turns."""
+    from ocr_spark.operators.chatformat import render_chat
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("role|"), F.col("text"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    conv = _docs(spark, sf_dir).select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 50).cast("string")).alias(
+            "conv_id"
+        ),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.when(F.floor(F.col("doc_id") / 50) == 0, "system")
+        .when(h < 15, "tool")
+        .when(h < 55, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("text").alias("clean_text"),
+    )
+    return render_chat(conv, budget=220)
+
+
+def _sql_chat_render(budget: int = 220) -> str:
+    # the same conditional window sums and ordered assembly as
+    # chatformat.render_chat, over the sft conv derivation with turn 0
+    # promoted to 'system'; blank text counts 0 tokens on both engines
+    return f"""
+with conv as (
+  select 'c' || cast(doc_id % 50 as varchar) as conv_id,
+    cast(doc_id // 50 as int) as turn_idx,
+    case when doc_id // 50 = 0 then 'system'
+         when h < 15 then 'tool' when h < 55 then 'user'
+         else 'assistant' end as role,
+    text as txt
+  from (
+    select *,
+      cast(concat('0x', substr(md5('role|' || text), 1, 8)) as bigint)
+        % 100 as h
+    from documents
+  )
+),
+tok as (
+  select *,
+    case when trim(txt) = '' then 0
+         else length(string_split_regex(trim(txt), '\\s+')) end as n_tok,
+    '<|' || role || '|>' || chr(10) || txt || '<|end|>' as piece
+  from conv
+),
+staged as (
+  select *,
+    count(*) over (partition by conv_id) as n_turns,
+    sum(case when role = 'system' then n_tok else 0 end)
+      over (partition by conv_id) as sys_toks,
+    sum(case when role <> 'system' then n_tok else 0 end)
+      over (partition by conv_id order by turn_idx desc
+            rows between unbounded preceding and current row)
+      as suffix_toks
+  from tok
+),
+kept as (
+  select * from staged
+  where role = 'system' or suffix_toks <= {budget} - sys_toks
+)
+select conv_id,
+  cast(max(n_turns) as int) as n_turns,
+  cast(count(*) as int) as n_kept,
+  cast(sum(case when role = 'system' then 1 else 0 end) as int)
+    as sys_turns,
+  cast(sum(n_tok) as bigint) as tokens_kept,
+  cast(length(string_agg(piece, chr(10) order by turn_idx)) as bigint)
+    as rendered_len,
+  md5(string_agg(piece, chr(10) order by turn_idx)) as rendered_md5
+from kept
+group by conv_id
+"""
 
 
 def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8661,8 +8878,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_resolve": q_redirect_resolve,
     "kw_token_match": q_kw_token_match,
     "curate_funnel": q_curate_funnel,
-    "train_quality": q_train_quality,
-    "bpe_train": q_bpe_train,
+    # media_meta / chat_render: r5-NEW (image-metadata PII scrub with
+    # the arithmetic scrub receipt; chat-template rendering under a
+    # token budget). They take the slots freed by rotating
+    # train_quality/bpe_train to the tail: both of those are
+    # rows-only-by-design entries whose driver check (row count, no
+    # value hash) was recorded green in r4 and whose implementations
+    # are r5-untouched — keeping them in the window would spend two
+    # hash-verified slots on the weakest check form (see their tail
+    # comments below)
+    "media_meta": q_media_meta,
+    "chat_render": q_chat_render,
     # parse family: IN the window this round — pyparse.py/operators/
     # parse.py gained span emission (r4 session 4), so the prior r2-green
     # rows no longer describe the shipped code: html_blocks/parse_spans
@@ -9122,6 +9348,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "fingerprint": q_fingerprint,
     "kw_spans": q_kw_spans,
+    # train_quality / bpe_train: rotated to the tail late-r5 to free
+    # window slots for the hash-verified media_meta/chat_render rows.
+    # Both are rows-only BY DESIGN (iterative LR training / distributed
+    # BPE merge learning — not SQL-expressible; adjudicated r3/r4), so
+    # the driver row they'd earn is the weak rows-only form they
+    # already hold from r4 (CORRECTNESS_r04: train_quality rows-only
+    # pass, bpe_train rows-only pass); implementations untouched since
+    # (operators/textstats.py trainer region has no r5 commits —
+    # git log aac4fb1..HEAD). Still registered, benched, and runnable
+    # via scripts/check_entry.py.
+    "train_quality": q_train_quality,
+    "bpe_train": q_bpe_train,
 }
 
 
@@ -9220,6 +9458,7 @@ from corpus group by 1
         "media_gif": _sql_media_gif(),
         "media_mp4": _sql_media_mp4(),
         "media_mp3": _sql_media_mp3(),
+        "media_meta": _sql_media_meta(),
         "warc_extract": _sql_warc_extract(),
         "warc_revisit": _sql_warc_revisit(),
         "parse_zlib": _sql_parse_zlib(),
@@ -9270,6 +9509,7 @@ from corpus group by 1
         "conv_dedup_incremental": _sql_conv_dedup_incremental(),
         "conv_validate": _sql_conv_validate(),
         "sft_pairs": _sql_sft_pairs(),
+        "chat_render": _sql_chat_render(),
         "sft_pairs_bpe": _sql_sft_pairs(tokens="bpe"),
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "feed_items": _sql_feed_items(),

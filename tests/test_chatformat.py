@@ -1,0 +1,113 @@
+"""Chat-template rendering (operators/chatformat): frozen-contract
+parity against a pure-Python twin, budget edges, system pinning."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from ocr_spark.operators.chatformat import render_chat
+
+
+def _py_render(turns, budget):
+    """Independent single-process twin of the render contract."""
+
+    def ntok(s):
+        s = s.strip()
+        return len(re.split(r"\s+", s)) if s else 0
+
+    by_conv: dict[str, list] = {}
+    for conv_id, turn_idx, role, text in turns:
+        by_conv.setdefault(conv_id, []).append((turn_idx, role, text))
+    out = {}
+    for conv_id, rows in by_conv.items():
+        rows.sort()
+        sys_toks = sum(ntok(t) for _, r, t in rows if r == "system")
+        remaining = budget - sys_toks
+        # longest suffix of non-system turns fitting `remaining`
+        nonsys = [x for x in rows if x[1] != "system"]
+        kept_nonsys, acc = [], 0
+        for turn in reversed(nonsys):
+            acc += ntok(turn[2])
+            if acc > remaining:
+                break
+            kept_nonsys.append(turn)
+        kept = sorted(
+            [x for x in rows if x[1] == "system"] + kept_nonsys
+        )
+        if not kept:
+            continue
+        rendered = "\n".join(
+            f"<|{r}|>\n{t}<|end|>" for _, r, t in kept
+        )
+        out[conv_id] = {
+            "n_turns": len(rows),
+            "n_kept": len(kept),
+            "sys_turns": sum(1 for _, r, _t in kept if r == "system"),
+            "tokens_kept": sum(ntok(t) for _, _r, t in kept),
+            "rendered_len": len(rendered),
+            "rendered_md5": hashlib.md5(rendered.encode()).hexdigest(),
+        }
+    return out
+
+
+TURNS = [
+    ("a", 0, "system", "be very helpful today"),
+    ("a", 1, "user", "one two three four five"),
+    ("a", 2, "assistant", "six seven eight"),
+    ("a", 3, "user", "nine ten"),
+    ("a", 4, "assistant", "eleven twelve thirteen fourteen"),
+    ("b", 0, "user", "short"),
+    ("b", 1, "assistant", ""),
+    ("c", 0, "system", "w " * 50),  # system alone blows the budget
+    ("c", 1, "user", "hello"),
+]
+
+
+def _spark_render(spark, turns, budget):
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, role string, clean_text string"
+    )
+    return {
+        r["conv_id"]: r.asDict()
+        for r in render_chat(df, budget=budget).collect()
+    }
+
+
+@pytest.mark.parametrize("budget", [0, 5, 9, 14, 1000])
+def test_parity_with_python_twin(spark, budget):
+    got = _spark_render(spark, TURNS, budget)
+    want = _py_render(TURNS, budget)
+    assert set(got) == set(want)
+    for k in want:
+        row = {f: got[k][f] for f in want[k]}
+        assert row == want[k], (k, budget)
+
+
+def test_left_truncation_keeps_recent_turns(spark):
+    # budget 9 minus 4 system tokens leaves 5: turns 4 (4 toks) fits,
+    # + turn 3 (2 toks) would make 6 → only system + turn 4 survive
+    got = _spark_render(spark, TURNS, 9)
+    assert got["a"]["n_kept"] == 2 and got["a"]["sys_turns"] == 1
+    assert got["a"]["tokens_kept"] == 4 + 4
+
+
+def test_system_pinned_even_over_budget(spark):
+    # conv c: 50 system tokens >> budget 5 → system still kept, the
+    # user turn cannot fit a negative remaining budget
+    got = _spark_render(spark, TURNS, 5)
+    assert got["c"]["n_kept"] == 1 and got["c"]["sys_turns"] == 1
+
+
+def test_empty_turn_counts_zero_tokens(spark):
+    got = _spark_render(spark, TURNS, 5)
+    # conv b: "" is 0 tokens, "short" is 1 → both fit in 5
+    assert got["b"]["n_kept"] == 2 and got["b"]["tokens_kept"] == 1
+
+
+def test_rendered_is_deterministic(spark):
+    a = _spark_render(spark, TURNS, 14)
+    b = _spark_render(spark, TURNS, 14)
+    assert a == b

@@ -1,0 +1,284 @@
+"""Image-metadata triage + PII scrub (operators/exifmeta): builder/parser
+round trips on the public TIFF/Exif + PNG grammars, the scrub-receipt
+proof, hostile-input caps, and the Spark stage shape."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators import exifmeta as X
+from ocr_spark.operators.jpegcodec import encode_jpeg
+from ocr_spark.operators.multimodal import decode_media, encode_png
+
+
+def _host_jpeg() -> bytes:
+    return encode_jpeg(np.full((8, 8), 128, np.uint8), quality=50)
+
+
+def _host_png() -> bytes:
+    return encode_png(np.full((4, 4, 3), 200, np.uint8), color_type=2)
+
+
+# --------------------------------------------------------------------------
+# TIFF round trips
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_tiff_roundtrip_both_byte_orders(bo):
+    tiff = X.build_tiff(
+        byte_order=bo,
+        orientation=6,
+        make="Acme",
+        model="Cam 9",
+        datetime="2021:05:04 03:02:01",
+    )
+    out = X.parse_tiff(tiff)
+    assert out["orientation"] == 6
+    assert out["make"] == "Acme"
+    assert out["model"] == "Cam 9"
+    assert out["datetime"] == "2021:05:04 03:02:01"
+    assert out["lat_udeg"] is None
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_gps_microdegrees_roundtrip(bo):
+    gps = {
+        "lat_ref": "S",
+        "lon_ref": "W",
+        "lat": [(37, 1), (46, 1), (3002, 100)],
+        "lon": [(122, 1), (25, 1), (991, 100)],
+    }
+    tiff = X.build_tiff(byte_order=bo, orientation=1, gps=gps)
+    out = X.parse_tiff(tiff)
+    assert out["lat_ref"] == "S" and out["lon_ref"] == "W"
+    # 37° 46' 30.02" — each term floor-divided independently
+    assert out["lat_udeg"] == 37_000_000 + 46_000_000 // 60 + 3002 * 1_000_000 // 360_000
+    assert out["lon_udeg"] == 122_000_000 + 25_000_000 // 60 + 991 * 1_000_000 // 360_000
+
+
+def test_gps_zero_denominator_raises():
+    gps = {
+        "lat_ref": "N",
+        "lon_ref": "E",
+        "lat": [(1, 0), (0, 1), (0, 1)],
+        "lon": [(1, 1), (0, 1), (0, 1)],
+    }
+    tiff = X.build_tiff(gps=gps)
+    with pytest.raises(ValueError, match="zero denominator"):
+        X.parse_tiff(tiff)
+
+
+def test_tiff_pad_is_inert():
+    a = X.parse_tiff(X.build_tiff(orientation=3, make="M"))
+    b = X.parse_tiff(X.build_tiff(orientation=3, make="M", pad_to=512))
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# JPEG walk + scrub
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_exif_roundtrip_and_scrub_receipt():
+    tiff = X.build_tiff(orientation=8, make="Maker", pad_to=X.TIFF_PAD_JPEG)
+    tagged = X.insert_jpeg_exif(_host_jpeg(), tiff)
+    meta = X.parse_jpeg_meta(tagged)
+    assert meta["has_exif"] and meta["orientation"] == 8
+    scrubbed, removed = X.scrub_jpeg(tagged)
+    # marker(2) + len(2) + "Exif\0\0"(6) + padded TIFF block
+    assert removed == 2 + 2 + 6 + X.TIFF_PAD_JPEG
+    assert scrubbed == _host_jpeg()  # byte-identical splice
+    assert not X.parse_jpeg_meta(scrubbed)["has_exif"]
+
+
+def test_scrubbed_jpeg_still_decodes():
+    tiff = X.build_tiff(orientation=1, pad_to=X.TIFF_PAD_JPEG)
+    tagged = X.insert_jpeg_exif(_host_jpeg(), tiff)
+    scrubbed, _ = X.scrub_jpeg(tagged)
+    dec = decode_media(scrubbed, "image/jpeg")
+    assert dec["kind"] == "jpeg" and dec["width"] == 8 and dec["height"] == 8
+
+
+def test_jpeg_xmp_segment_is_scrubbed_but_not_parsed():
+    body = X.XMP_HDR + b"<x:xmpmeta>gps here</x:xmpmeta>"
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    host = _host_jpeg()
+    tagged = host[:2] + seg + host[2:]
+    assert not X.parse_jpeg_meta(tagged)["has_exif"]
+    scrubbed, removed = X.scrub_jpeg(tagged)
+    assert removed == len(seg) and scrubbed == host
+
+
+def test_jpeg_without_exif_is_valid_not_error():
+    meta = X.parse_jpeg_meta(_host_jpeg())
+    assert meta["has_exif"] is False and meta["orientation"] is None
+    _, removed = X.scrub_jpeg(_host_jpeg())
+    assert removed == 0
+
+
+def test_jpeg_hostile_framing():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        X.parse_jpeg_meta(b"\x00\x01\x02")
+    # segment length overrunning the file
+    bad = b"\xff\xd8\xff\xe1\xff\xff" + b"x" * 8
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        X.parse_jpeg_meta(bad)
+    with pytest.raises(ValueError, match="bad JPEG marker"):
+        X.parse_jpeg_meta(b"\xff\xd8\x00\x00")
+
+
+def test_ifd_pointer_loop_capped():
+    # IFD0 whose GPS pointer points back at IFD0 → visited-set raise
+    fmt = "<"
+    ifd = struct.pack(fmt + "H", 1)
+    ifd += struct.pack(fmt + "HHI", 0x8825, 4, 1) + struct.pack(fmt + "I", 8)
+    ifd += struct.pack(fmt + "I", 0)
+    tiff = b"II" + struct.pack(fmt + "HI", 42, 8) + ifd
+    with pytest.raises(ValueError, match="IFD pointer loop"):
+        X.parse_tiff(tiff)
+
+
+def test_ifd_entry_flood_capped():
+    fmt = "<"
+    tiff = b"II" + struct.pack(fmt + "HI", 42, 8) + struct.pack(fmt + "H", 60000)
+    with pytest.raises(ValueError, match="IFD entry flood"):
+        X.parse_tiff(tiff + b"\x00" * 64)
+
+
+# --------------------------------------------------------------------------
+# PNG walk + scrub
+# --------------------------------------------------------------------------
+
+
+def test_png_text_kinds_roundtrip():
+    texts = [
+        ("tEXt", "Comment", "hello"),
+        ("zTXt", "Author", "compressed author value"),
+        ("iTXt", "Software", "ünïcode tool"),
+    ]
+    tagged = X.insert_png_meta(_host_png(), texts=texts)
+    meta = X.parse_png_meta(tagged)
+    assert meta["text"] == {
+        "Comment": "hello",
+        "Author": "compressed author value",
+        "Software": "ünïcode tool",
+    }
+    scrubbed, removed = X.scrub_png(tagged)
+    assert scrubbed == _host_png() and removed == len(tagged) - len(_host_png())
+    assert X.parse_png_meta(scrubbed)["text"] == {}
+
+
+def test_png_exif_chunk_roundtrip():
+    tiff = X.build_tiff(orientation=5, pad_to=X.TIFF_PAD_PNG)
+    tagged = X.insert_png_meta(_host_png(), exif_tiff=tiff)
+    meta = X.parse_png_meta(tagged)
+    assert meta["has_exif"] and meta["orientation"] == 5
+    scrubbed, removed = X.scrub_png(tagged)
+    assert removed == 12 + X.TIFF_PAD_PNG
+    assert scrubbed == _host_png()
+
+
+def test_scrubbed_png_still_decodes():
+    tagged = X.insert_png_meta(_host_png(), texts=[("tEXt", "k", "v")])
+    scrubbed, _ = X.scrub_png(tagged)
+    dec = decode_media(scrubbed, "image/png")
+    assert dec["kind"] == "png" and dec["width"] == 4
+
+
+def test_png_crc_verified():
+    tagged = X.insert_png_meta(_host_png(), texts=[("tEXt", "k", "v")])
+    out = bytearray(tagged)
+    ihdr_end = 8 + 12 + 13
+    out[ihdr_end + 8 + 1] ^= 0xFF  # flip a byte inside the tEXt body
+    with pytest.raises(ValueError, match="bad PNG chunk crc"):
+        X.parse_png_meta(bytes(out))
+
+
+def test_png_inflation_cap():
+    # a 10 MB zeros value deflates tiny but inflates over the 1 MiB cap
+    blob = zlib.compress(b"\x00" * (10 << 20), 9)
+    body = b"K\x00\x00" + blob
+    tagged = _host_png()[: 8 + 25] + X._png_chunk(b"zTXt", body) + _host_png()[8 + 25 :]
+    with pytest.raises(ValueError, match="inflation over cap"):
+        X.parse_png_meta(tagged)
+
+
+def test_png_hostile_framing():
+    with pytest.raises(ValueError, match="not a PNG"):
+        X.parse_png_meta(b"nope")
+    trunc = _host_png()[:-5]
+    with pytest.raises(ValueError, match="truncated PNG chunk|PNG ends"):
+        X.parse_png_meta(trunc)
+
+
+# --------------------------------------------------------------------------
+# dispatch + expand + synth legs
+# --------------------------------------------------------------------------
+
+
+def test_unsupported_format_is_error_row():
+    row = X.expand_image_meta(b"GIF89a trailing")
+    assert row["ok"] is False and row["err"] == "unsupported image format"
+
+
+def test_expand_row_has_scrub_proof():
+    row = X.expand_image_meta(X.synth_meta_payload(12))
+    assert row["ok"] and row["has_gps"] and row["scrubbed_clean"]
+    assert row["removed_bytes"] == 522
+
+
+@pytest.mark.parametrize("doc_id", list(range(60)))
+def test_synth_legs_total(doc_id):
+    """Every synth leg parses to ok/err exactly as the oracle expects."""
+    row = X.expand_image_meta(X.synth_meta_payload(doc_id))
+    if doc_id % 17 == 4:
+        assert row["err"] == "truncated IFD"
+    elif doc_id % 19 == 6:
+        assert row["err"] == "bad PNG chunk crc"
+    else:
+        assert row["ok"] and row["scrubbed_clean"]
+        assert row["fmt"] == ("jpeg" if doc_id % 2 == 0 else "png")
+
+
+def test_image_meta_stage(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(12)),
+            "payload": [X.synth_meta_payload(i) for i in range(12)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = {r["doc_id"]: r for r in X.image_meta(df).collect()}
+    assert len(rows) == 12
+    assert rows[0]["has_gps"] and rows[0]["lat_udeg"] == 0
+    assert rows[4]["ok"] is False
+    assert rows[1]["text_keys"] == "Author,Comment"
+
+
+def test_scrub_images_stage_passthrough(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "payload": [
+                X.synth_meta_payload(0),
+                b"not an image at all",
+                X.synth_meta_payload(3),
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = {r["doc_id"]: r for r in X.scrub_images(df).collect()}
+    assert rows[0]["scrub_ok"] and rows[0]["removed_bytes"] == 522
+    # malformed payloads pass through UNCHANGED, flagged not dropped
+    assert rows[1]["scrub_ok"] is False
+    assert bytes(rows[1]["payload"]) == b"not an image at all"
+    assert rows[2]["scrub_ok"] and rows[2]["removed_bytes"] == 28
