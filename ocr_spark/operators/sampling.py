@@ -1,0 +1,113 @@
+"""Weighted corpus sampling — priority sampling (Duffield, Lund &
+Thorup, "Priority sampling for estimation of arbitrary subset sums",
+JACM 2007; public paper) in EXACT integer arithmetic, deterministic
+and engine-portable.
+
+Why a pipeline needs it: training-data curation constantly takes
+weighted subsamples — documents by token count, domains by traffic,
+clusters by size — and wants unbiased subset-sum estimates back from
+the sample ("how many tokens would this filter have kept?"). Priority
+sampling gives both from ONE top-k pass: item i with weight w_i draws
+a uniform u_i and gets priority q_i = w_i / u_i; the sample is the
+top-k by priority; with τ the (k+1)-th priority, the estimator
+ŵ_i = max(w_i, τ) for sampled items (0 otherwise) is unbiased for
+every subset sum — variance within a factor of the optimal k-sample
+scheme (the paper's main theorem).
+
+The frozen engine contract (what the driver oracle replays):
+
+* ``u_i`` = the first 12 hex chars (48 bits) of ``md5('ps|' || id)``
+  plus 1 — a
+  deterministic uniform on [1, 2^48] (the repo's standard md5-derived
+  randomness device; no RNG, identical on every engine);
+* ``q_i = (w_i * 2^48) // u_i`` — the floor quantization of
+  ``w_i/u_i`` scaled into exact bigint range (weights are capped at
+  2^14, so the product is ≤ 2^62: no overflow, no floats, no
+  cross-engine ULP hazards);
+* sample = top-k by ``(q desc, id asc)`` — the id tie-break makes the
+  order total, so quantization ties are deterministic;
+* ``τ`` = the (k+1)-th priority (0 when the corpus has ≤ k items —
+  then every item is sampled and ŵ = w exactly);
+* ``ŵ_i = max(w_i, τ)`` for sampled items.
+
+Scale shape: priorities are one row-local codegen projection; the
+top-(k+1) is ``orderBy(...).limit(k+1)`` — Spark plans
+TakeOrderedAndProject, a per-partition O(n) scan with a size-(k+1)
+heap and a single driver merge of P·(k+1) rows: no corpus shuffle, no
+window over the full data. τ rides back as a one-row broadcast join
+(bounded: one integer — never corpus-derived data). At 10^12 rows the
+cost is the scan itself, which is the floor for any sampler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: weight cap keeping w * 2^48 inside bigint (2^14 * 2^48 = 2^62)
+MAX_WEIGHT = 1 << 14
+
+_SCALE = 1 << 48
+
+
+def priority_uniform(id_col: Column, salt: str = "ps") -> Column:
+    """Deterministic uniform on [1, 2^48]: the first 12 hex chars of
+    the salted md5, plus one (zero excluded so the division is
+    total)."""
+    h = F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") + F.lit(1)
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ps",
+) -> DataFrame:
+    """Top-k priority sample with the unbiased-estimator weights.
+
+    Output: ``(id, w, q, w_hat)`` — the k sampled rows, where ``w`` is
+    the capped weight, ``q`` the integer priority, and ``w_hat =
+    max(w, τ)`` the Duffield–Lund–Thorup estimator weight (summing
+    ``w_hat`` over any subset of the sample estimates that subset's
+    true weight sum, unbiased)."""
+    w = F.greatest(
+        F.lit(1), F.least(F.col(weight_col).cast("bigint"), F.lit(MAX_WEIGHT))
+    )
+    u = priority_uniform(F.col(id_col), salt)
+    # integer DIV, not `/`: bigint `/` is DOUBLE division in Spark, and
+    # at 2^62 magnitudes a double's 53-bit mantissa can flip the floor
+    # — the exact-arithmetic contract requires true integer division
+    scored = df.select(
+        F.col(id_col), w.alias("w"), u.alias("u")
+    ).select(
+        F.col(id_col),
+        "w",
+        F.expr(f"w * {_SCALE}L DIV u").cast("bigint").alias("q"),
+    )
+    # TakeOrderedAndProject: per-partition heap of k+1, one driver merge
+    top = scored.orderBy(F.col("q").desc(), F.col(id_col).asc()).limit(k + 1)
+    ranked = top.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("q").desc(), F.col(id_col).asc())
+        ),
+    )
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("q"))), F.lit(0)
+        ).alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            "w",
+            "q",
+            F.greatest(F.col("w"), F.col("tau")).alias("w_hat"),
+        )
+    )

@@ -1,0 +1,300 @@
+"""TAR shard ingestion (WebDataset layout) — the standard container for
+multimodal training data, from scratch on the PUBLIC POSIX ustar / GNU
+tar grammar (POSIX.1-1988 header layout; the GNU ``L`` long-name
+extension; layout also documented in GNU tar's public manual).
+
+Why a tar walker is a first-class ingest stage: large image/audio/text
+training corpora ship as thousands of ~1 GB ``.tar`` shards whose
+members group into SAMPLES by basename (``000123.jpg`` +
+``000123.json`` + ``000123.cls`` = one sample — the WebDataset
+convention: the key is the path up to the FIRST dot, the extension is
+the rest). A tar file is not internally splittable, but a 100-TB
+corpus is ~100k shards, so parallelism comes from one task per shard
+(`binaryFile` source — same model as the WARC leg), and the per-shard
+walk is O(members): each 512-byte header names its member's size, so
+payload bytes are skipped, never scanned. Like ``warc_cdx``, the walk
+emits each member's absolute ``offset``/``size`` so a second pass (or
+an index table) can fetch any member by byte range without re-walking
+the shard — random access over an append-only container.
+
+Grammar implemented:
+  * 512-byte header blocks — name[100] mode[8] uid[8] gid[8]
+    size[12, octal] mtime[12, octal] chksum[8] typeflag[1]
+    linkname[100] magic ``ustar``; NUL/space-terminated octal fields.
+  * checksum VERIFIED: unsigned byte sum of the header with the
+    chksum field read as 8 spaces (the POSIX rule).
+  * member data: ``size`` bytes, zero-padded to the next 512 boundary.
+  * GNU ``L`` members: the data block carries the NEXT member's long
+    name (NUL-terminated).
+  * end-of-archive: two consecutive zero blocks (or EOF).
+
+Hostile posture: member count capped, sizes bounds-checked against the
+shard, non-octal size/mtime and checksum mismatches raise — one
+``ok=false`` row per shard (errors-as-data), never a desync walk over
+attacker bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: hostile-input cap — bounded work per shard
+MAX_MEMBERS = 65536
+
+BLOCK = 512
+
+
+def _octal(field: bytes, what: str) -> int:
+    s = field.split(b"\x00", 1)[0].strip(b" \x00")
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError as exc:
+        raise ValueError(f"bad tar {what} field") from exc
+
+
+def _checksum(header: bytes) -> int:
+    return sum(header[:148]) + 8 * 0x20 + sum(header[156:])
+
+
+def walk_tar(data: bytes) -> Iterator[dict]:
+    """Yield one dict per REGULAR member: ``{"name", "size", "mtime",
+    "offset"}`` where ``offset`` is the absolute position of the
+    member's data bytes. GNU ``L`` long-name members apply to the
+    following member and are not yielded themselves. ``ValueError``
+    on bad framing/checksum (errors-as-data upstream)."""
+    data = bytes(data or b"")
+    n = len(data)
+    pos, members = 0, 0
+    pending_name: str | None = None
+    while pos + BLOCK <= n:
+        header = data[pos : pos + BLOCK]
+        if header == b"\x00" * BLOCK:  # end-of-archive marker
+            return
+        members += 1
+        if members > MAX_MEMBERS:
+            raise ValueError("tar member flood")
+        if _octal(header[148:156], "checksum") != _checksum(header):
+            raise ValueError("bad tar checksum")
+        size = _octal(header[124:136], "size")
+        mtime = _octal(header[136:148], "mtime")
+        typeflag = header[156:157]
+        data_start = pos + BLOCK
+        data_end = data_start + size
+        if data_end > n:
+            raise ValueError("truncated tar member")
+        if typeflag == b"L":  # GNU long name: data names the NEXT member
+            pending_name = (
+                data[data_start:data_end].split(b"\x00", 1)[0].decode("utf-8")
+            )
+        elif typeflag in (b"0", b"\x00"):
+            name = pending_name or (
+                header[:100].split(b"\x00", 1)[0].decode("utf-8")
+            )
+            pending_name = None
+            yield {
+                "name": name,
+                "size": size,
+                "mtime": mtime,
+                "offset": data_start,
+            }
+        else:
+            pending_name = None  # dirs/links: skipped, long-name reset
+        pos = data_start + ((size + BLOCK - 1) // BLOCK) * BLOCK
+    if pos < n:
+        raise ValueError("truncated tar header")
+
+
+TAR_FIELDS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("member_idx", T.IntegerType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("mtime", T.LongType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("payload_md5", T.StringType(), True),
+    ]
+)
+
+_TAR_NULL = {
+    f.name: None for f in TAR_FIELDS.fields if f.name not in ("ok", "err")
+}
+
+
+def expand_tar_payload(payload: bytes) -> list[dict]:
+    """One dict per member of a shard; a malformed shard is ONE
+    ``ok=false`` row with the error text."""
+    data = bytes(payload or b"")
+    try:
+        out = []
+        for i, m in enumerate(walk_tar(data)):
+            body = data[m["offset"] : m["offset"] + m["size"]]
+            out.append(
+                {
+                    "ok": True,
+                    "err": None,
+                    "member_idx": i,
+                    "name": m["name"],
+                    "size": m["size"],
+                    "mtime": m["mtime"],
+                    "offset": m["offset"],
+                    "payload_md5": hashlib.md5(body).hexdigest(),
+                }
+            )
+        return out or [
+            {"ok": False, "err": "empty tar archive", **_TAR_NULL}
+        ]
+    except ValueError as exc:
+        return [{"ok": False, "err": str(exc)[:200], **_TAR_NULL}]
+
+
+def tar_members(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fan a column of tar-shard payloads out to one row per member
+    (Arrow ``mapInPandas`` — the same stage shape as
+    ``warc.warc_expand``/``mp4box.mp4_meta``): shuffle-free,
+    batch-bounded, one O(members) header walk per shard with payload
+    bytes skipped by the size fields."""
+    import pandas as pd
+
+    out_schema = T.StructType([df.schema[id_col]] + list(TAR_FIELDS.fields))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                for r in expand_tar_payload(p):
+                    rows.append({id_col: did, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def wds_samples(
+    members: DataFrame, shard_col: str = "doc_id"
+) -> DataFrame:
+    """WebDataset sample assembly over a ``tar_members`` output: the
+    sample key is the member path up to the FIRST dot, the extension
+    is everything after it (so ``a/b.seg.json`` → key ``a/b``, ext
+    ``seg.json``). One relational groupBy per (shard, key) — native,
+    no Python; the aggregate is bounded by parts-per-sample, which the
+    format keeps small by construction. Output: ``(shard, key,
+    n_parts, exts, total_bytes)`` with ``exts`` sorted+comma-joined
+    (scalar, engine-portable)."""
+    dot = F.instr(F.col("name"), ".")
+    keyed = members.filter(F.col("ok")).select(
+        F.col(shard_col).alias("shard"),
+        F.when(dot > 0, F.substring_index(F.col("name"), ".", 1))
+        .otherwise(F.col("name"))
+        .alias("key"),
+        F.when(
+            dot > 0,
+            F.expr("substring(name, instr(name, '.') + 1)"),
+        )
+        .otherwise(F.lit(""))
+        .alias("ext"),
+        F.col("size"),
+    )
+    return keyed.groupBy("shard", "key").agg(
+        F.count(F.lit(1)).cast("int").alias("n_parts"),
+        F.array_join(F.sort_array(F.collect_list("ext")), ",").alias("exts"),
+        F.sum("size").cast("long").alias("total_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Builder twin (tests + driver-oracle construction)
+# --------------------------------------------------------------------------
+
+
+def _octal_field(value: int, width: int) -> bytes:
+    return (f"{value:0{width - 1}o}").encode("ascii") + b"\x00"
+
+
+def _header(name: bytes, size: int, mtime: int, typeflag: bytes) -> bytes:
+    h = bytearray(BLOCK)
+    h[0:100] = name[:100].ljust(100, b"\x00")
+    h[100:108] = _octal_field(0o644, 8)  # mode
+    h[108:116] = _octal_field(0, 8)  # uid
+    h[116:124] = _octal_field(0, 8)  # gid
+    h[124:136] = _octal_field(size, 12)
+    h[136:148] = _octal_field(mtime, 12)
+    h[148:156] = b" " * 8  # checksum placeholder
+    h[156:157] = typeflag
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chk = sum(h)
+    h[148:156] = (f"{chk:06o}").encode("ascii") + b"\x00 "
+    return bytes(h)
+
+
+def _pad(body: bytes) -> bytes:
+    rem = len(body) % BLOCK
+    return body + b"\x00" * (BLOCK - rem if rem else 0)
+
+
+def build_tar(members: list[tuple[str, bytes, int]]) -> bytes:
+    """Encode direction for :func:`walk_tar` — exact twin used by
+    round-trip tests and the driver-oracle construction. Names longer
+    than 100 bytes emit a GNU ``L`` long-name member first."""
+    out = bytearray()
+    for name, body, mtime in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            ln = nb + b"\x00"
+            out += _header(b"././@LongLink", len(ln), 0, b"L")
+            out += _pad(ln)
+            header_name = nb[:100]
+        else:
+            header_name = nb
+        out += _header(header_name, len(body), mtime, b"0")
+        out += _pad(body)
+    out += b"\x00" * (2 * BLOCK)
+    return bytes(out)
+
+
+def synth_tar_payload(doc_id: int) -> bytes:
+    """Deterministic shard construction for the driver oracle — member
+    names, sizes, mtimes, OFFSETS (pure 512-block arithmetic), and
+    payload md5s all replay from doc_id arithmetic in SQL
+    (see ``_sql_tar_members``):
+
+    * ``doc_id % 13 == 7`` — first header's checksum corrupted → the
+      ``bad tar checksum`` error leg;
+    * else ``doc_id % 11 == 3`` — shard truncated mid-member → the
+      ``truncated tar member`` error leg;
+    * else ``2 + doc_id % 3`` samples × (.txt + .json) parts; on
+      ``doc_id % 7 == 2`` the FIRST sample's key is a >100-char path
+      (exercising the GNU long-name leg without disturbing the
+      offset arithmetic of later members, since the L member adds
+      exactly 1024 bytes)."""
+    n = 2 + doc_id % 3
+    members: list[tuple[str, bytes, int]] = []
+    for s in range(n):
+        if s == 0 and doc_id % 7 == 2:
+            key = "d" * 110 + f"/{doc_id:06d}_{s}"
+        else:
+            key = f"{doc_id:06d}_{s}"
+        txt = (f"sample {doc_id}:{s} body " * (1 + (doc_id + s) % 4)).encode()
+        js = (f'{{"id":{doc_id},"s":{s}}}').encode()
+        mt = 1600000000 + doc_id * 100 + s
+        members.append((key + ".txt", txt, mt))
+        members.append((key + ".json", js, mt))
+    raw = build_tar(members)
+    if doc_id % 13 == 7:
+        out = bytearray(raw)
+        out[148] ^= 0x01  # corrupt first checksum digit
+        return bytes(out)
+    if doc_id % 11 == 3:
+        return raw[: BLOCK + 10]  # header promises data the shard lacks
+    return raw

@@ -3767,6 +3767,156 @@ from base where tifd or badcrc
 """
 
 
+def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style TAR shard ingestion (new r5,
+    operators/tarshard.py): each document synthesizes a REAL ustar
+    archive — 2–4 samples × (.txt + .json) members framed by our own
+    builder twin (stdlib-tarfile-verified), with every 7th shard's
+    first sample keyed by a >100-char path so the GNU ``L`` long-name
+    members exercise — and the production stage (`tar_members`) must
+    walk the real grammar: 512-block framing, POSIX checksum
+    verification, octal fields, long-name splicing, data skipped by
+    size. The oracle replays member NAMES, sizes, mtimes, absolute
+    byte OFFSETS (pure 512-block arithmetic, including the
+    2×1024-byte long-name displacement), and payload md5s from doc_id
+    arithmetic alone — the offset column is the random-access
+    contract that lets a 100-TB corpus fetch any member by byte range
+    without re-walking its shard (the same property the WARC leg
+    proves by re-inflation). Two error legs (corrupted checksum,
+    truncated member) pin errors-as-data. Parallelism is per-shard
+    (one task per ~1 GB shard over a binaryFile source), the walk is
+    O(members), shuffle-free."""
+    from ocr_spark.operators.tarshard import synth_tar_payload, tar_members
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [synth_tar_payload(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    src = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return tar_members(src).select(
+        "doc_id",
+        "ok",
+        "err",
+        "member_idx",
+        "name",
+        "size",
+        "mtime",
+        "offset",
+        "payload_md5",
+    )
+
+
+def _sql_tar_members() -> str:
+    # pure construction replay of tarshard.synth_tar_payload — names,
+    # sizes, mtimes, 512-block offsets (with the long-name member
+    # displacement), and body md5s from doc_id arithmetic; a framing,
+    # checksum, octal, or long-name bug anywhere hash-mismatches
+    return """
+with base as (
+  select doc_id,
+    doc_id % 13 = 7 as badchk,
+    doc_id % 13 <> 7 and doc_id % 11 = 3 as trunc,
+    2 + doc_id % 3 as n,
+    doc_id % 7 = 2 as longname
+  from documents
+),
+m as (
+  select b.*, cast(t.k as int) as k, t.k // 2 as s, t.k % 2 as part
+  from base b
+  join (values (0),(1),(2),(3),(4),(5),(6),(7)) t(k) on t.k < 2 * b.n
+  where not b.badchk and not b.trunc
+),
+f as (
+  select *,
+    case when longname and s = 0
+         then repeat('d', 110) || '/'
+              || lpad(cast(doc_id as varchar), 6, '0') || '_0'
+         else lpad(cast(doc_id as varchar), 6, '0') || '_'
+              || cast(s as varchar) end as key,
+    repeat('sample ' || cast(doc_id as varchar) || ':'
+           || cast(s as varchar) || ' body ',
+           cast(1 + (doc_id + s) % 4 as int)) as txt,
+    '{"id":' || cast(doc_id as varchar) || ',"s":'
+           || cast(s as varchar) || '}' as js
+  from m
+)
+select doc_id, true as ok, cast(null as varchar) as err,
+  k as member_idx,
+  key || case when part = 0 then '.txt' else '.json' end as name,
+  cast(length(case when part = 0 then txt else js end) as bigint) as size,
+  cast(1600000000 + doc_id * 100 + s as bigint) as mtime,
+  cast(512 + 1024 * k
+       + case when longname then 1024 * least(k + 1, 2) else 0 end
+    as bigint) as offset,
+  md5(case when part = 0 then txt else js end) as payload_md5
+from f
+union all
+select doc_id, false as ok,
+  case when badchk then 'bad tar checksum'
+       else 'truncated tar member' end as err,
+  cast(null as int) as member_idx, null as name,
+  cast(null as bigint) as size, cast(null as bigint) as mtime,
+  cast(null as bigint) as offset, null as payload_md5
+from base where badchk or trunc
+"""
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus sampling with unbiased subset-sum estimates
+    (new r5, operators/sampling.py — Duffield–Lund–Thorup priority
+    sampling, JACM 2007, in EXACT integer arithmetic): weights are
+    per-document byte counts (capped at 2^14), uniforms are the
+    48-bit md5 device, priorities ``q = w·2^48 DIV u`` — true integer
+    division on both engines (Spark DIV / DuckDB ``//``; never
+    bigint ``/``, which is double division and flips floors at 2^62
+    magnitudes). The sample is the top-64 by (q desc, id), τ the
+    65th priority, and ``w_hat = max(w, τ)`` the estimator weight:
+    summing w_hat over any subset of the sample unbiasedly estimates
+    that subset's true weight mass — the one-pass answer to "how
+    many bytes/tokens would this filter keep" at 10^12-row scale.
+    The corpus-side plan is TakeOrderedAndProject (plan-tested):
+    per-partition size-65 heaps + one driver merge — no shuffle, no
+    full-data window; τ rides back as a one-integer broadcast."""
+    from ocr_spark.operators.sampling import priority_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.length("text") + F.lit(1)).alias("w_raw")
+    )
+    return priority_sample(docs, k=64, weight_col="w_raw").orderBy(
+        "doc_id"
+    )
+
+
+def _sql_priority_sample(k: int = 64) -> str:
+    # the identical frozen contract in DuckDB: same md5-derived
+    # uniforms, same exact integer division, same (q desc, id)
+    # ordering and (k+1)-th-priority threshold
+    return f"""
+with scored as (
+  select doc_id,
+    greatest(1, least(length(text) + 1, 16384)) as w,
+    cast(concat('0x', substr(md5('ps|' || cast(doc_id as varchar)), 1, 12))
+      as bigint) + 1 as u
+  from documents
+),
+q as (select doc_id, w, w * 281474976710656 // u as q from scored),
+r as (
+  select *, row_number() over (order by q desc, doc_id asc) as rn from q
+),
+t as (
+  select coalesce(max(case when rn = {k + 1} then q end), 0) as tau from r
+)
+select doc_id, cast(w as bigint) as w, cast(q as bigint) as q,
+  cast(greatest(w, tau) as bigint) as w_hat
+from r, t where rn <= {k}
+order by doc_id
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -8911,8 +9061,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # conv_curate to the tail (green r4, conversation.py zero r5 hunks
     # — see its comment below)
     "html_meta": q_html_meta,
-    "conv_dedup_incremental": q_conv_dedup_incremental,
-    "conv_prefix_dedup_chained": q_conv_prefix_dedup_chained,
+    # tar_members / priority_sample: r5-NEW (WebDataset tar-shard
+    # ingestion with the byte-range offset contract; exact-integer
+    # priority sampling with DLT estimator weights). They take the
+    # slots freed by rotating conv_dedup_incremental /
+    # conv_prefix_dedup_chained to the tail: both green r4 with
+    # operators/conversation.py untouched in r5 (git log
+    # aac4fb1..HEAD -- conversation.py is empty), so their recorded
+    # rows still describe the shipped code (see tail comments)
+    "tar_members": q_tar_members,
+    "priority_sample": q_priority_sample,
     "sft_pairs": q_sft_pairs,
     "sft_pairs_bpe": q_sft_pairs_bpe,
     # feed_items: late-r5 NEW (operators/feeds.py — RSS/Atom parsing,
@@ -9360,6 +9518,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # via scripts/check_entry.py.
     "train_quality": q_train_quality,
     "bpe_train": q_bpe_train,
+    # conv_dedup_incremental / conv_prefix_dedup_chained: rotated to
+    # the tail late-r5 to free window slots for the new
+    # tar_members/priority_sample oracle rows. Both hash-green in
+    # CORRECTNESS_r04 with operators/conversation.py (and the
+    # supporting streaming/dedup.py index path) untouched in r5 —
+    # `git log aac4fb1..HEAD -- ocr_spark/operators/conversation.py`
+    # is empty — so the recorded r4 rows still describe the shipped
+    # code. Still registered, benched, and runnable via
+    # scripts/check_entry.py.
+    "conv_dedup_incremental": q_conv_dedup_incremental,
+    "conv_prefix_dedup_chained": q_conv_prefix_dedup_chained,
 }
 
 
@@ -9459,6 +9628,8 @@ from corpus group by 1
         "media_mp4": _sql_media_mp4(),
         "media_mp3": _sql_media_mp3(),
         "media_meta": _sql_media_meta(),
+        "tar_members": _sql_tar_members(),
+        "priority_sample": _sql_priority_sample(),
         "warc_extract": _sql_warc_extract(),
         "warc_revisit": _sql_warc_revisit(),
         "parse_zlib": _sql_parse_zlib(),

@@ -1,0 +1,106 @@
+"""Priority sampling (operators/sampling): exact-integer contract
+parity with a pure-Python twin, estimator sanity (every-item case is
+exact; subset-sum estimates land near truth), determinism, and the
+TakeOrderedAndProject plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ocr_spark.operators.sampling import MAX_WEIGHT, priority_sample
+
+SCALE = 1 << 48
+
+
+def _u(doc_id: int, salt: str = "ps") -> int:
+    h = hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()
+    return int(h[:12], 16) + 1
+
+
+def _py_sample(items: list[tuple[int, int]], k: int):
+    """Independent twin of the frozen contract: items = [(id, w)]."""
+    scored = []
+    for i, w in items:
+        w = max(1, min(w, MAX_WEIGHT))
+        scored.append((w * SCALE // _u(i), i, w))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    tau = scored[k][0] if len(scored) > k else 0
+    return {i: (w, q, max(w, tau)) for q, i, w in scored[:k]}
+
+
+def _spark_sample(spark, items, k):
+    df = spark.createDataFrame(items, "doc_id long, w long")
+    out = priority_sample(df, k=k, weight_col="w")
+    return {r["doc_id"]: (r["w"], r["q"], r["w_hat"]) for r in out.collect()}
+
+
+ITEMS = [(i, 1 + (i * 37) % 500) for i in range(200)]
+
+
+@pytest.mark.parametrize("k", [1, 5, 64, 199, 200, 300])
+def test_parity_with_python_twin(spark, k):
+    assert _spark_sample(spark, ITEMS, k) == _py_sample(ITEMS, k)
+
+
+def test_all_items_sampled_is_exact(spark):
+    # k >= n → tau = 0 → w_hat == w for every item (estimate is exact)
+    got = _spark_sample(spark, ITEMS, 500)
+    assert len(got) == len(ITEMS)
+    assert all(w_hat == w for w, _q, w_hat in got.values())
+
+
+def test_weight_cap_applied(spark):
+    got = _spark_sample(spark, [(1, 10**9), (2, 5)], 2)
+    assert got[1][0] == MAX_WEIGHT
+
+
+def test_estimator_total_is_close(spark):
+    # sum of w_hat over the whole sample estimates the TRUE total
+    # weight (unbiased per DLT); with k=64 of 200 deterministic items
+    # one draw should land within 20% of truth
+    truth = sum(max(1, min(w, MAX_WEIGHT)) for _, w in ITEMS)
+    got = _spark_sample(spark, ITEMS, 64)
+    est = sum(w_hat for _w, _q, w_hat in got.values())
+    assert abs(est - truth) / truth < 0.2
+
+
+def test_estimator_unbiased_across_salts():
+    # average the estimator over many independent salts (fresh
+    # uniforms each time) — the mean must converge on the true total;
+    # pure-Python twin keeps this statistical check cheap
+    items = [(i, 1 + (i * 13) % 97) for i in range(150)]
+    truth = sum(w for _, w in items)
+    k = 30
+    total = 0.0
+    n_trials = 200
+    for t in range(n_trials):
+        scored = sorted(
+            (
+                (min(w, MAX_WEIGHT) * SCALE // _u(i, salt=f"s{t}"), i, w)
+                for i, w in items
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        tau = scored[k][0] if len(scored) > k else 0
+        total += sum(max(w, tau) for _q, _i, w in scored[:k])
+    mean = total / n_trials
+    assert abs(mean - truth) / truth < 0.05
+
+
+def test_deterministic(spark):
+    assert _spark_sample(spark, ITEMS, 32) == _spark_sample(spark, ITEMS, 32)
+
+
+def test_plan_is_take_ordered(spark):
+    df = spark.createDataFrame(ITEMS, "doc_id long, w long")
+    plan = (
+        priority_sample(df, k=16, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus-side top-k must be TakeOrderedAndProject (per-partition
+    # heap + driver merge), not a global sort exchange
+    assert "TakeOrderedAndProject" in plan

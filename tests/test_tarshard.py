@@ -1,0 +1,144 @@
+"""TAR shard ingestion (operators/tarshard): round trips, parity with
+the STDLIB tarfile reader (independent reference implementation of the
+same public grammar), hostile framing, WebDataset sample assembly."""
+
+from __future__ import annotations
+
+import io
+import random
+import tarfile
+
+import pytest
+
+from ocr_spark.operators import tarshard as X
+
+
+def _stdlib_members(raw: bytes) -> list[tuple[str, int, int]]:
+    tf = tarfile.open(fileobj=io.BytesIO(raw))
+    return [
+        (m.name, m.size, m.mtime)
+        for m in tf.getmembers()
+        if m.isreg()
+    ]
+
+
+def test_roundtrip_matches_stdlib():
+    members = [
+        ("a.txt", b"alpha", 100),
+        ("dir/b.json", b'{"x":1}', 200),
+        ("c.bin", b"\x00\x01\x02" * 200, 300),
+    ]
+    raw = X.build_tar(members)
+    ours = [(m["name"], m["size"], m["mtime"]) for m in X.walk_tar(raw)]
+    want = [(n, len(b), t) for n, b, t in members]
+    assert ours == _stdlib_members(raw) == want
+
+
+def test_gnu_longname_matches_stdlib():
+    long_name = "p" * 140 + "/sample.txt"
+    raw = X.build_tar([(long_name, b"body", 1)])
+    ours = [m["name"] for m in X.walk_tar(raw)]
+    assert ours == [long_name]
+    assert _stdlib_members(raw)[0][0] == long_name
+
+
+def test_fuzz_parity_with_stdlib():
+    rng = random.Random(42)
+    for _ in range(30):
+        members = []
+        for i in range(rng.randrange(1, 8)):
+            name = ("n" * rng.randrange(1, 130)) + f"_{i}.dat"
+            body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 1500)))
+            members.append((name, body, rng.randrange(0, 2**31)))
+        raw = X.build_tar(members)
+        ours = [(m["name"], m["size"], m["mtime"]) for m in X.walk_tar(raw)]
+        assert ours == _stdlib_members(raw)
+
+
+def test_offsets_allow_byte_range_fetch():
+    members = [("k.txt", b"payload-bytes", 1), ("k.json", b"{}", 2)]
+    raw = X.build_tar(members)
+    for m, (_, body, _) in zip(X.walk_tar(raw), members):
+        assert raw[m["offset"] : m["offset"] + m["size"]] == body
+
+
+def test_checksum_verified():
+    raw = bytearray(X.build_tar([("a.txt", b"x", 1)]))
+    raw[0] ^= 0xFF  # name byte changes → checksum mismatch
+    with pytest.raises(ValueError, match="bad tar checksum"):
+        list(X.walk_tar(bytes(raw)))
+
+
+def test_truncated_member_raises():
+    raw = X.build_tar([("a.txt", b"x" * 600, 1)])
+    with pytest.raises(ValueError, match="truncated tar member"):
+        list(X.walk_tar(raw[: X.BLOCK + 100]))
+
+
+def test_truncated_header_raises():
+    raw = X.build_tar([("a.txt", b"x", 1)])
+    # cut inside the end-of-archive zero blocks is fine (EOF rule)...
+    assert [m["name"] for m in X.walk_tar(raw[:-1024])] == ["a.txt"]
+    # ...but a dangling partial header after a member is not
+    with pytest.raises(ValueError, match="truncated tar header"):
+        list(X.walk_tar(raw[:-1024] + b"\x01" * 100))
+
+
+def test_bad_octal_raises():
+    # corrupt the size field, then RE-SIGN the checksum so the octal
+    # error (not the checksum error) is what fires
+    h = bytearray(X._header(b"a.txt", 1, 1, b"0"))
+    h[124:136] = b"not-octal!!\x00"
+    h[148:156] = b" " * 8
+    h[148:156] = (f"{sum(h):06o}").encode("ascii") + b"\x00 "
+    raw = bytes(h) + b"x".ljust(512, b"\x00") + b"\x00" * 1024
+    with pytest.raises(ValueError, match="bad tar size field"):
+        list(X.walk_tar(raw))
+
+
+def test_non_regular_members_skipped():
+    # a directory member (typeflag 5) between two files
+    h = X._header(b"adir/", 0, 0, b"5")
+    files = X.build_tar([("a.txt", b"x", 1), ("b.txt", b"y", 2)])
+    # splice dir header after first member (header+512 data block)
+    raw = files[:1024] + h + files[1024:]
+    assert [m["name"] for m in X.walk_tar(raw)] == ["a.txt", "b.txt"]
+
+
+def test_synth_legs_total():
+    for doc_id in range(40):
+        rows = X.expand_tar_payload(X.synth_tar_payload(doc_id))
+        if doc_id % 13 == 7:
+            assert rows[0]["err"] == "bad tar checksum"
+        elif doc_id % 11 == 3:
+            assert rows[0]["err"] == "truncated tar member"
+        else:
+            assert all(r["ok"] for r in rows)
+            assert len(rows) == 2 * (2 + doc_id % 3)
+
+
+def test_tar_members_stage_and_wds_samples(spark):
+    import pandas as pd
+
+    ids = [0, 1, 2, 3, 7]
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "payload": [X.synth_tar_payload(i) for i in ids]}
+    )
+    df = spark.createDataFrame(pdf)
+    members = X.tar_members(df)
+    rows = members.collect()
+    ok_rows = [r for r in rows if r["ok"]]
+    assert {r["doc_id"] for r in rows if not r["ok"]} == {3, 7}
+    samples = {
+        (r["shard"], r["key"]): r
+        for r in X.wds_samples(members).collect()
+    }
+    # doc 0: 2 samples, each .txt + .json
+    s = samples[(0, "000000_0")]
+    assert s["n_parts"] == 2 and s["exts"] == "json,txt"
+    # doc 2 carries the long-name key
+    long_key = "d" * 110 + "/000002_0"
+    assert (2, long_key) in samples
+    # sample totals equal the member sizes
+    sz = {(r["doc_id"], r["name"]): r["size"] for r in ok_rows}
+    assert s["total_bytes"] == sz[(0, "000000_0.txt")] + sz[(0, "000000_0.json")]
