@@ -47,6 +47,8 @@ from __future__ import annotations
 
 import base64
 import binascii
+import bz2
+import lzma
 import re
 import zlib
 from typing import NamedTuple
@@ -109,6 +111,16 @@ WRAP_TAIL = "\nEND-WRAP"
 #: agent tool outputs use to smuggle large HTML/markup bodies through a
 #: text channel. Decoded text re-enters the normal kind dispatch.
 ZLIB_HEAD = "ZLIB-B64 v1\n"
+#: sibling compressed envelopes for the other two STDLIB codecs a crawl
+#: actually meets: bzip2 (Wikipedia dump convention) and xz/LZMA (WET
+#: archive convention). Same shape as ZLIB-B64 — base64 of the stream,
+#: decoded text re-enters the normal kind dispatch.
+BZ2_HEAD = "BZ2-B64 v1\n"
+XZ_HEAD = "XZ-B64 v1\n"
+#: inflation cap shared by all three envelopes — a decompression bomb
+#: (a few KiB inflating to GiB) must cost bounded memory and become an
+#: errors-as-data row, never an executor OOM
+MAX_ENVELOPE_BYTES = 1 << 26  # 64 MiB
 #: real-PDF envelope: base64 of actual PDF bytes (%PDF-...%%EOF) — binary
 #: containers have no UTF-8 identity, so like zlibbed they ride base64
 #: through the string payload channel. Decoded by the from-scratch codec
@@ -138,6 +150,10 @@ def detect_kind(text: str | None) -> str:
         return "wrapped"
     if text.startswith(ZLIB_HEAD):
         return "zlibbed"
+    if text.startswith(BZ2_HEAD):
+        return "bz2b64"
+    if text.startswith(XZ_HEAD):
+        return "xzb64"
     if text.startswith(PDF_HEAD):
         return "pdfb64"
     if text.startswith("%PDF-SIM"):
@@ -334,6 +350,27 @@ def parse_plain(text: str) -> ParseResult:
     )
 
 
+def _inflate_envelope(kind: str, blob: bytes) -> bytes:
+    """Capped decompression for the three envelope codecs: output is
+    bounded by MAX_ENVELOPE_BYTES, the stream must reach its own EOF
+    within the cap, and trailing bytes after the stream are rejected —
+    a bomb or a truncation raises instead of inflating unbounded."""
+    d = (
+        zlib.decompressobj()
+        if kind == "zlibbed"
+        else bz2.BZ2Decompressor()
+        if kind == "bz2b64"
+        else lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+    )
+    out = d.decompress(blob, MAX_ENVELOPE_BYTES)
+    if not d.eof:
+        raise ValueError("envelope over inflation cap or truncated")
+    tail = d.unconsumed_tail if kind == "zlibbed" else b""
+    if tail or d.unused_data:
+        raise ValueError("trailing bytes after envelope stream")
+    return out
+
+
 def parse_payload(text: str | None, second_pass: bool = False) -> ParseResult:
     """Full dispatch. ``second_pass`` strips the noise glyph class first —
     the analog of the reference's force-rotate re-OCR (ocr_worker.py:214-222,
@@ -354,21 +391,33 @@ def parse_payload(text: str | None, second_pass: bool = False) -> ParseResult:
         return ParseResult("wrapped:" + r.kind, r.parse_ok, r.parse_warn or tail < 0,
                            r.blocks_kept, r.blocks_dropped, r.extracted,
                            tuple((s + h, e + h) for s, e in r.spans))
-    if kind == "zlibbed":
-        # compressed envelope: base64 → zlib inflate → normal dispatch.
-        # Corrupt base64 / stream / UTF-8 is DATA (a failed parse row),
-        # never a task crash — the C3 rule, same as the media decoders.
+    if kind in ("zlibbed", "bz2b64", "xzb64"):
+        # compressed envelope: base64 → capped inflate → normal
+        # dispatch. Corrupt base64 / stream / UTF-8 / a decompression
+        # bomb over MAX_ENVELOPE_BYTES is DATA (a failed parse row),
+        # never a task crash or an executor OOM — the C3 rule, same as
+        # the media decoders.
+        head = {"zlibbed": ZLIB_HEAD, "bz2b64": BZ2_HEAD, "xzb64": XZ_HEAD}[
+            kind
+        ]
         try:
-            inner_text = zlib.decompress(
-                base64.b64decode(text[len(ZLIB_HEAD):], validate=True)
-            ).decode("utf-8")
-        except (binascii.Error, zlib.error, UnicodeDecodeError, ValueError):
-            return ParseResult("zlibbed:undecodable", False, False, 0, 0, "")
+            blob = base64.b64decode(text[len(head):], validate=True)
+            inner_text = _inflate_envelope(kind, blob).decode("utf-8")
+        except (
+            binascii.Error,
+            zlib.error,
+            OSError,
+            EOFError,
+            lzma.LZMAError,
+            UnicodeDecodeError,
+            ValueError,
+        ):
+            return ParseResult(kind + ":undecodable", False, False, 0, 0, "")
         r = parse_payload(inner_text, second_pass)
         # spans index the DECOMPRESSED inner payload: the inner text has
         # no byte identity inside the base64 outer, so outer offsets
         # cannot exist (unlike the plain `wrapped` envelope above)
-        return ParseResult("zlibbed:" + r.kind, r.parse_ok, r.parse_warn,
+        return ParseResult(kind + ":" + r.kind, r.parse_ok, r.parse_warn,
                            r.blocks_kept, r.blocks_dropped, r.extracted,
                            r.spans)
     if kind == "pdfb64":

@@ -703,19 +703,25 @@ from (
 
 
 def q_parse_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-envelope parse (ZLIB-B64 tool-output blobs, new r4 s6):
-    every document's 8-family payload (the SAME construction the green
-    `parse_extract` row verifies) is deflated + base64-wrapped by the
-    synth stage, every 11th corrupted; the production Arrow parse stage
-    must inflate and land on EXACTLY the same extraction — the oracle is
-    the full `_sql_parse_extract` twin run on the UNCOMPRESSED
-    construction with the kind prefixed, so a decode bug anywhere in the
-    envelope path hash-mismatches."""
+    """Compressed-envelope parse (r4 s6; WIDENED late r5 to all three
+    stdlib codecs): every document's 8-family payload (the SAME
+    construction the green `parse_extract` row verifies) is compressed
+    + base64-wrapped by the synth stage, rotating the envelope codec on
+    doc_id%3 — zlib / bzip2 (the Wikipedia-dump convention) / xz (the
+    WET-archive convention) — with every 11th corrupted; the production
+    Arrow parse stage must inflate (through the shared CAPPED
+    decompressor — bombs are errors-as-data, never an executor OOM)
+    and land on EXACTLY the same extraction. The oracle is the full
+    `_sql_parse_extract` twin run on the UNCOMPRESSED construction
+    with the per-codec kind prefixed, so a decode bug in any of the
+    three envelope paths hash-mismatches."""
     import base64 as _b64
+    import bz2 as _bz2
+    import lzma as _lzma
     import zlib as _zlib
 
     from ocr_spark.operators import parse as parse_op
-    from ocr_spark.pyparse import ZLIB_HEAD
+    from ocr_spark.pyparse import BZ2_HEAD, XZ_HEAD, ZLIB_HEAD
 
     df = _docs(spark, sf_dir).withColumn(
         "inner", payloads.parse_payload_col(F.col("doc_id"), F.col("text"))
@@ -725,12 +731,19 @@ def q_parse_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             outs = []
             for d, t in zip(pdf["doc_id"], pdf["inner"]):
-                b = _b64.b64encode(
-                    _zlib.compress((t or "").encode("utf-8"), 6)
-                ).decode("ascii")
+                raw = (t or "").encode("utf-8")
+                if int(d) % 3 == 1:
+                    head, comp = BZ2_HEAD, _bz2.compress(raw, 9)
+                elif int(d) % 3 == 2:
+                    head, comp = XZ_HEAD, _lzma.compress(
+                        raw, format=_lzma.FORMAT_XZ
+                    )
+                else:
+                    head, comp = ZLIB_HEAD, _zlib.compress(raw, 6)
+                b = _b64.b64encode(comp).decode("ascii")
                 if int(d) % 11 == 0:
                     b = b[: max(0, len(b) - 4)] + "!!!!"  # corrupt base64
-                outs.append(ZLIB_HEAD + b)
+                outs.append(head + b)
             out = pdf[["doc_id"]].copy()
             out["p"] = outs
             yield out
@@ -748,13 +761,15 @@ def q_parse_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_parse_zlib() -> str:
-    # the inner extraction twin verbatim, kind-prefixed; corrupt-envelope
-    # rows (doc_id % 11 = 0) override to the errors-as-data shape
+    # the inner extraction twin verbatim, kind-prefixed per the codec
+    # rotation; corrupt-envelope rows (doc_id % 11 = 0) override to the
+    # errors-as-data shape
     return f"""
 with inner_doc as ({_sql_parse_extract()})
 select doc_id,
-  case when doc_id % 11 = 0 then 'zlibbed:undecodable'
-       else 'zlibbed:' || kind end as kind,
+  (case doc_id % 3 when 1 then 'bz2b64:' when 2 then 'xzb64:'
+        else 'zlibbed:' end)
+  || case when doc_id % 11 = 0 then 'undecodable' else kind end as kind,
   cast(case when doc_id % 11 = 0 then 0 else parse_ok end as int) as parse_ok,
   cast(case when doc_id % 11 = 0 then 0 else parse_warn end as int)
     as parse_warn,

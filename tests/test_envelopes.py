@@ -1,0 +1,99 @@
+"""Compressed payload envelopes (pyparse BZ2-B64 / XZ-B64, and the
+capped shared inflater that now also guards ZLIB-B64): unwrap parity
+with direct parsing, corrupt variants as data, decompression-bomb cap."""
+
+from __future__ import annotations
+
+import base64
+import bz2
+import lzma
+import zlib
+
+import pytest
+
+from ocr_spark import pyparse
+
+INNERS = [
+    "plain body with words",
+    "<html><p>real content in a paragraph block that scores</p></html>",
+    "%PDF-SIM\npage 1\nblock 10 20\nhello block\n",
+    "```tool:grep\n[INFO] kept line\n[TRACE] dropped\n```",
+    "",
+]
+
+
+def _wrap(kind: str, inner: str) -> str:
+    raw = inner.encode("utf-8")
+    if kind == "zlibbed":
+        return pyparse.ZLIB_HEAD + base64.b64encode(zlib.compress(raw)).decode()
+    if kind == "bz2b64":
+        return pyparse.BZ2_HEAD + base64.b64encode(bz2.compress(raw)).decode()
+    return pyparse.XZ_HEAD + base64.b64encode(
+        lzma.compress(raw, format=lzma.FORMAT_XZ)
+    ).decode()
+
+
+@pytest.mark.parametrize("kind", ["zlibbed", "bz2b64", "xzb64"])
+def test_envelope_unwraps_every_kind(kind):
+    for inner in INNERS:
+        direct = pyparse.parse_payload(inner)
+        wrapped = pyparse.parse_payload(_wrap(kind, inner))
+        assert wrapped.kind == f"{kind}:{direct.kind}"
+        assert wrapped.extracted == direct.extracted
+        assert wrapped.parse_ok == direct.parse_ok
+        assert wrapped.spans == direct.spans
+
+
+@pytest.mark.parametrize("kind", ["zlibbed", "bz2b64", "xzb64"])
+def test_corrupt_envelopes_are_data(kind):
+    head = {
+        "zlibbed": pyparse.ZLIB_HEAD,
+        "bz2b64": pyparse.BZ2_HEAD,
+        "xzb64": pyparse.XZ_HEAD,
+    }[kind]
+    good = _wrap(kind, "hello world")
+    for bad in (
+        head + "!!!not-base64!!!",
+        head + base64.b64encode(b"not a compressed stream").decode(),
+        good[:-8] + "AAAAAA==",
+    ):
+        r = pyparse.parse_payload(bad)
+        assert r.kind == f"{kind}:undecodable" and not r.parse_ok
+
+
+@pytest.mark.parametrize("kind", ["zlibbed", "bz2b64", "xzb64"])
+def test_decompression_bomb_capped(kind):
+    # > MAX_ENVELOPE_BYTES of zeros compresses to a few KiB; the capped
+    # inflater must refuse it as data, not materialize the bomb
+    bomb = "\x00" * (pyparse.MAX_ENVELOPE_BYTES + 1)
+    r = pyparse.parse_payload(_wrap(kind, bomb))
+    assert r.kind == f"{kind}:undecodable" and not r.parse_ok
+
+
+@pytest.mark.parametrize("kind", ["zlibbed", "bz2b64", "xzb64"])
+def test_truncated_stream_is_data(kind):
+    good = _wrap(kind, "some inner payload text " * 20)
+    head_len = {
+        "zlibbed": len(pyparse.ZLIB_HEAD),
+        "bz2b64": len(pyparse.BZ2_HEAD),
+        "xzb64": len(pyparse.XZ_HEAD),
+    }[kind]
+    blob = base64.b64decode(good[head_len:])
+    cut = base64.b64encode(blob[: len(blob) // 2]).decode()
+    r = pyparse.parse_payload(good[:head_len] + cut)
+    assert r.kind == f"{kind}:undecodable"
+
+
+def test_trailing_garbage_after_stream_is_data():
+    raw = zlib.compress(b"inner") + b"EXTRA-BYTES"
+    p = pyparse.ZLIB_HEAD + base64.b64encode(raw).decode()
+    assert pyparse.parse_payload(p).kind == "zlibbed:undecodable"
+
+
+def test_second_pass_flows_through():
+    noisy = "noisy §pla§in text"
+    for kind in ("bz2b64", "xzb64"):
+        assert (
+            pyparse.parse_payload(_wrap(kind, noisy), second_pass=True).extracted
+            == pyparse.parse_payload(noisy, second_pass=True).extracted
+        )

@@ -42,11 +42,13 @@ def _check(payload: str | None, second_pass: bool) -> None:
         assert s >= prev_end, "spans must be ascending, non-overlapping"
         prev_end = e
     if r.spans:
-        if r.kind == "pdf" or r.kind.startswith("zlibbed:"):
-            # pdf spans index the extracted text; zlibbed spans index the
-            # decompressed inner payload, for which extracted is the only
-            # in-hand proxy bound (inner text >= extracted always holds
-            # for the text kinds' raw-indexed spans)
+        if r.kind == "pdf" or r.kind.startswith(
+            ("zlibbed:", "bz2b64:", "xzb64:")
+        ):
+            # pdf spans index the extracted text; compressed-envelope
+            # spans index the decompressed inner payload, for which
+            # extracted is the only in-hand proxy bound (inner text >=
+            # extracted always holds for text kinds' raw-indexed spans)
             bound = len(r.extracted) if r.kind == "pdf" else None
         else:
             bound = len(payload or "")
