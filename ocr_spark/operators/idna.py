@@ -1,0 +1,231 @@
+"""Internationalized hostnames — Punycode (RFC 3492) + IDNA ASCII form,
+from scratch on the public spec.
+
+Why the crawl stack needs it: international domains appear in URLs in
+BOTH representations — Unicode (``münchen.de``) in anchors/sitemaps and
+ASCII-compatible encoding (``xn--mnchen-3ya.de``) in DNS, CDX lines,
+and robots fetches. A frontier/dedup/blocklist keyed on raw host
+strings silently treats them as different hosts; every URL-keyed
+operator (canonical_collapse, crawl_frontier, url_filter, PageRank)
+therefore needs ONE canonical ASCII host form. This module provides
+it: the RFC 3492 bootstring algorithm (encode + decode, the full bias
+adaptation machinery, overflow-checked) and a UTS46-lite host mapping
+(lowercase, per-label ``xn--`` ACE with the 63-octet LDH label cap).
+
+Correctness evidence: the encoder/decoder round-trips against the
+STDLIB ``punycode`` codec (an independent implementation of the same
+RFC) under a hypothesis sweep, and pins the RFC 3492 Appendix A
+sample vectors (the published test suite) — see tests/test_idna.py.
+
+Scale shape: punycode is per-string Python, so the Spark stage uses
+the repo's expensive-UDF device — encode on the DISTINCT host dim and
+join back (hosts ≪ rows by Zipf; the dim is corpus-derived so it is
+NEVER hint-broadcast — strategy left to AQE, the wer_join contract).
+The join key is the host itself: high-cardinality, skew-benign.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# RFC 3492 §5 parameter values
+_BASE, _TMIN, _TMAX = 36, 1, 26
+_SKEW, _DAMP = 38, 700
+_INITIAL_BIAS, _INITIAL_N = 72, 128
+
+#: RFC 1035 LDH label cap — an ACE label over 63 octets cannot exist
+#: in DNS, so producing one is an error (errors-as-data upstream)
+MAX_LABEL = 63
+
+
+def _adapt(delta: int, numpoints: int, firsttime: bool) -> int:
+    delta = delta // _DAMP if firsttime else delta // 2
+    delta += delta // numpoints
+    k = 0
+    while delta > ((_BASE - _TMIN) * _TMAX) // 2:
+        delta //= _BASE - _TMIN
+        k += _BASE
+    return k + (((_BASE - _TMIN + 1) * delta) // (delta + _SKEW))
+
+
+def _digit_char(d: int) -> str:
+    return chr(d + 0x61) if d < 26 else chr(d - 26 + 0x30)
+
+
+def _digit_val(ch: str) -> int:
+    c = ord(ch)
+    if 0x61 <= c <= 0x7A:  # a-z
+        return c - 0x61
+    if 0x41 <= c <= 0x5A:  # A-Z
+        return c - 0x41
+    if 0x30 <= c <= 0x39:  # 0-9
+        return c - 0x30 + 26
+    raise ValueError("bad punycode digit")
+
+
+def punycode_encode(label: str) -> str:
+    """RFC 3492 §6.3 encoding of one label (no ``xn--`` prefix)."""
+    cps = [ord(c) for c in label]
+    out = [c for c in label if ord(c) < _INITIAL_N]
+    h = b = len(out)
+    if b:
+        out.append("-")
+    n, delta, bias = _INITIAL_N, 0, _INITIAL_BIAS
+    while h < len(cps):
+        m = min(c for c in cps if c >= n)
+        delta += (m - n) * (h + 1)
+        if delta > 0x7FFFFFFF:
+            raise ValueError("punycode overflow")
+        n = m
+        for c in cps:
+            if c < n:
+                delta += 1
+            elif c == n:
+                q = delta
+                k = _BASE
+                while True:
+                    t = (
+                        _TMIN
+                        if k <= bias
+                        else _TMAX
+                        if k >= bias + _TMAX
+                        else k - bias
+                    )
+                    if q < t:
+                        break
+                    out.append(_digit_char(t + (q - t) % (_BASE - t)))
+                    q = (q - t) // (_BASE - t)
+                    k += _BASE
+                out.append(_digit_char(q))
+                bias = _adapt(delta, h + 1, h == b)
+                delta = 0
+                h += 1
+        delta += 1
+        n += 1
+    return "".join(out)
+
+
+def punycode_decode(text: str) -> str:
+    """RFC 3492 §6.2 decoding of one label (no ``xn--`` prefix)."""
+    pos = text.rfind("-")
+    if pos > 0:
+        output = [ord(c) for c in text[:pos]]
+        if any(c >= _INITIAL_N for c in output):
+            raise ValueError("non-basic code point before delimiter")
+        rest = text[pos + 1 :]
+    else:
+        output = []
+        rest = text[1:] if pos == 0 else text
+    n, i, bias = _INITIAL_N, 0, _INITIAL_BIAS
+    idx = 0
+    while idx < len(rest):
+        oldi, w, k = i, 1, _BASE
+        while True:
+            if idx >= len(rest):
+                raise ValueError("truncated punycode")
+            d = _digit_val(rest[idx])
+            idx += 1
+            i += d * w
+            if i > 0x7FFFFFFF:
+                raise ValueError("punycode overflow")
+            t = (
+                _TMIN
+                if k <= bias
+                else _TMAX
+                if k >= bias + _TMAX
+                else k - bias
+            )
+            if d < t:
+                break
+            w *= _BASE - t
+            k += _BASE
+        bias = _adapt(i - oldi, len(output) + 1, oldi == 0)
+        n += i // (len(output) + 1)
+        if n > 0x10FFFF or 0xD800 <= n <= 0xDFFF:
+            raise ValueError("punycode code point out of range")
+        i %= len(output) + 1
+        output.insert(i, n)
+        i += 1
+    return "".join(chr(c) for c in output)
+
+
+def idna_ascii_host(host: str) -> str:
+    """Unicode host → canonical ASCII (ACE) form: lowercase, split on
+    ``.``, non-ASCII labels become ``xn--`` + punycode, already-ACE
+    labels pass through unchanged (so the map is idempotent and both
+    crawl-side representations of one host converge). UTS46-lite scope:
+    plain ``str.lower`` case folding, no bidi/contextual-rule checks —
+    documented, the frozen contract the oracle replays."""
+    labels = host.lower().split(".")
+    out = []
+    for lab in labels:
+        if lab.isascii():
+            out.append(lab)
+        else:
+            ace = "xn--" + punycode_encode(lab)
+            if len(ace) > MAX_LABEL:
+                raise ValueError("IDNA label too long")
+            out.append(ace)
+    return ".".join(out)
+
+
+def idna_unicode_host(host: str) -> str:
+    """ACE host → Unicode form (``xn--`` labels decoded)."""
+    out = []
+    for lab in host.lower().split("."):
+        if lab.startswith("xn--"):
+            out.append(punycode_decode(lab[4:]))
+        else:
+            out.append(lab)
+    return ".".join(out)
+
+
+def with_ascii_host(
+    df: DataFrame, host_col: str = "host", out_col: str = "ascii_host"
+) -> DataFrame:
+    """Attach the canonical ACE host: encode once per DISTINCT host
+    (the expensive-pandas-UDF-on-the-dim device — hosts ≪ rows), then
+    join back. The dim is corpus-derived, so NO broadcast hint — the
+    wer_join contract; AQE picks the strategy. Failed encodes surface
+    as ``ascii_host = NULL`` + ``idna_ok = false`` (errors-as-data)."""
+    import pandas as pd
+
+    dim_schema = T.StructType(
+        [
+            df.schema[host_col],
+            T.StructField(out_col, T.StringType(), True),
+            T.StructField("idna_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for h in pdf[host_col]:
+                try:
+                    rows.append(
+                        {
+                            host_col: h,
+                            out_col: idna_ascii_host(h or ""),
+                            "idna_ok": True,
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {host_col: h, out_col: None, "idna_ok": False}
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in dim_schema.fields]
+            )
+
+    dim = (
+        df.select(host_col)
+        .where(F.col(host_col).isNotNull())
+        .distinct()
+        .mapInPandas(enc, dim_schema)
+    )
+    return df.join(dim, on=host_col, how="left")

@@ -3932,6 +3932,94 @@ order by doc_id
 """
 
 
+def q_host_idna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internationalized-hostname canonicalization (new r5,
+    operators/idna.py — RFC 3492 punycode + UTS46-lite host map):
+    hosts rotate through a Unicode vocabulary (German umlauts, CJK,
+    accents), their PRE-ENCODED ``xn--`` ACE twins (the idempotence
+    leg — both crawl-side representations of one host must converge
+    on one key), plain-ASCII hosts, and an over-63-octet ACE error
+    leg. Host values deliberately RECUR across documents, so the
+    stage's distinct-dim device (encode once per distinct host, join
+    back — never hint-broadcast, the wer_join contract) is exercised
+    on its real shape. The oracle replays the expected ACE strings as
+    construction constants — themselves pinned by tests/test_idna.py
+    against the RFC 3492 Appendix A vectors and a 300-case fuzz
+    against the STDLIB punycode codec (an independent implementation
+    of the same RFC)."""
+    from ocr_spark.operators.idna import with_ascii_host
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        uni = ["münchen", "bücher", "日本語", "example", "café"]
+        ace = [
+            "xn--mnchen-3ya",
+            "xn--bcher-kva",
+            "xn--wgv71a119e",
+            "example",
+            "xn--caf-dma",
+        ]
+        tld = ["de", "com", "jp"]
+        big = "".join(chr(0x4E00 + i) for i in range(45))
+        for pdf in batches:
+            hosts = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 17 == 4:
+                    hosts.append(big + "." + tld[d % 3])
+                    continue
+                lab = ace[d % 5] if d % 7 == 3 else uni[d % 5]
+                h = lab + "." + tld[d % 3]
+                if d % 2 == 0:
+                    h = "www." + h
+                hosts.append(h)
+            out = pdf[["doc_id"]].copy()
+            out["host"] = hosts
+            yield out
+
+    src = docs.mapInPandas(synth, "doc_id long, host string")
+    return with_ascii_host(src).select(
+        "doc_id", "host", "ascii_host", "idna_ok"
+    )
+
+
+def _sql_host_idna() -> str:
+    # construction replay: the ACE constants are pinned against the RFC
+    # 3492 Appendix A vectors + the stdlib codec in tests/test_idna.py,
+    # so this oracle verifies the DISTRIBUTED path (dim dedup + join +
+    # error legs) with the per-label algebra as fixed points
+    return """
+with v as (
+  select * from (values
+    (0, 'münchen', 'xn--mnchen-3ya'),
+    (1, 'bücher', 'xn--bcher-kva'),
+    (2, '日本語', 'xn--wgv71a119e'),
+    (3, 'example', 'example'),
+    (4, 'café', 'xn--caf-dma')
+  ) t(i, uni, ace)
+),
+base as (
+  select d.doc_id, v.uni, v.ace,
+    d.doc_id % 17 = 4 as toolong,
+    d.doc_id % 7 = 3 as pre_ace,
+    case d.doc_id % 3 when 0 then 'de' when 1 then 'com' else 'jp' end
+      as tld,
+    case when d.doc_id % 2 = 0 then 'www.' else '' end as sub
+  from documents d join v on v.i = d.doc_id % 5
+)
+select doc_id,
+  case when toolong
+       then '一丁丂七丄丅丆万丈三上下丌不与丏丐丑丒专且丕世丗丘丙业丛东丝丞丟丠両丢丣两严並丧丨丩个丫丬' || '.' || tld
+       else sub || (case when pre_ace then ace else uni end) || '.' || tld
+       end as host,
+  case when toolong then null
+       else sub || ace || '.' || tld end as ascii_host,
+  not toolong as idna_ok
+from base
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -9111,7 +9199,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotating dedup_incremental to the tail (green r4, dedup.py zero
     # r5 hunks — see its comment below)
     "canonical_collapse": q_canonical_collapse,
-    "span_dedup_corpus": q_span_dedup,
+    # host_idna: late-r5 NEW (operators/idna.py — RFC 3492 punycode +
+    # IDNA ACE host canonicalization, the key-unification step for
+    # every URL-keyed operator). Takes the window slot freed by
+    # rotating span_dedup_corpus to the tail (green r4, corpus.py zero
+    # r5 hunks — see its comment below)
+    "host_idna": q_host_idna,
     "semantic_dedup_text": q_semantic_dedup_text,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_incremental": q_ann_ivf_incremental,
@@ -9137,6 +9230,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # span_dedup_corpus: driver-green r4 (hash-match); its whole chain
+    # (operators/corpus.py span_dedup, q_span_dedup/its oracle) has
+    # zero r5 hunks (git log aac4fb1..HEAD -- corpus.py is empty).
+    # Displaced late-r5 to window the brand-new host_idna row;
+    # re-verified green via scripts/check_entry.py this session
+    "span_dedup_corpus": q_span_dedup,
     # pack_emit: driver-green r4 (hash-match); its whole chain
     # (operators/corpus.py, q_pack_emit/its oracle) has zero r5 hunks
     # (git diff aac4fb1..HEAD lists neither corpus.py nor any pack_emit
@@ -9705,6 +9804,7 @@ from corpus group by 1
         "canonical_collapse": _sql_canonical_collapse(),
         "url_filter": _sql_url_filter(),
         "fix_mojibake": _sql_fix_mojibake(),
+        "host_idna": _sql_host_idna(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

@@ -1,0 +1,118 @@
+"""Punycode/IDNA (operators/idna): RFC 3492 Appendix A vectors, fuzz
+round trips against the stdlib punycode codec (independent impl of the
+same RFC), host-map idempotence, and the no-broadcast dim-join stage."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.operators.idna import (
+    idna_ascii_host,
+    idna_unicode_host,
+    punycode_decode,
+    punycode_encode,
+    with_ascii_host,
+)
+
+# RFC 3492 Appendix A sample strings (published test vectors)
+RFC_VECTORS = [
+    # (A) Arabic (Egyptian)
+    ("ليهمابتكل"
+     "موشعربي؟",
+     "egbpdaj6bu4bxfgehfvwxn"),
+    # (B) Chinese (simplified)
+    ("他们为什么不说中文",
+     "ihqwcrb4cv8a8dqg056pqjye"),
+    # (C) Chinese (traditional)
+    ("他們爲什麽不說中文",
+     "ihqwctvzc91f659drss3x8bo0yb"),
+    # (I) Russian (Cyrillic) — note RFC shows uppercase variant; this
+    # is the all-lowercase form the codec produces
+    ("почемужеон"
+     "инеговорят"
+     "порусски",
+     "b1abfaaepdrnnbgefbadotcwatmq2g4l"),
+    # (L) -> $1.00 <-  (mixed basic code points)
+    ("-> $1.00 <-", "-> $1.00 <--"),
+]
+
+
+@pytest.mark.parametrize("plain,encoded", RFC_VECTORS)
+def test_rfc3492_appendix_a(plain, encoded):
+    assert punycode_encode(plain) == encoded
+    assert punycode_decode(encoded) == plain
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=1, max_size=40))
+def test_fuzz_parity_with_stdlib_codec(s):
+    # surrogates cannot ride punycode; hypothesis text() already
+    # excludes them. Compare against the stdlib codec byte-for-byte,
+    # and round-trip through our decoder.
+    try:
+        std = s.encode("punycode").decode("ascii")
+    except UnicodeError:
+        return
+    assert punycode_encode(s) == std
+    assert punycode_decode(std) == s
+
+
+def test_decode_hostile():
+    with pytest.raises(ValueError, match="bad punycode digit"):
+        punycode_decode("abc!def")
+    with pytest.raises(ValueError, match="truncated punycode"):
+        punycode_decode("bcher-kvA"[:-1] + "")  # dangling digits
+    with pytest.raises(ValueError, match="non-basic"):
+        punycode_decode("bücher-kva")
+
+
+def test_host_map_and_idempotence():
+    assert idna_ascii_host("München.DE") == "xn--mnchen-3ya.de"
+    assert idna_ascii_host("xn--mnchen-3ya.de") == "xn--mnchen-3ya.de"
+    assert idna_ascii_host("example.com") == "example.com"
+    assert idna_ascii_host("日本語.jp") == "xn--wgv71a119e.jp"
+    # both representations of one host converge on one key
+    a = idna_ascii_host("bücher.example")
+    b = idna_ascii_host("xn--bcher-kva.example")
+    assert a == b == "xn--bcher-kva.example"
+    assert idna_unicode_host(a) == "bücher.example"
+
+
+def test_label_cap():
+    lab = "".join(chr(0x4E00 + i) for i in range(45))
+    with pytest.raises(ValueError, match="label too long"):
+        idna_ascii_host(lab + ".jp")
+
+
+def test_with_ascii_host_stage(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "münchen.de"),
+            (2, "xn--mnchen-3ya.de"),
+            (3, "plain.com"),
+            (4, "".join(chr(0x4E00 + i) for i in range(45)) + ".jp"),
+            (5, None),
+        ],
+        "doc_id long, host string",
+    )
+    out = with_ascii_host(df)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["ascii_host"] == rows[2]["ascii_host"] == "xn--mnchen-3ya.de"
+    assert rows[3]["ascii_host"] == "plain.com" and rows[3]["idna_ok"]
+    assert rows[4]["ascii_host"] is None and rows[4]["idna_ok"] is False
+    assert rows[5]["ascii_host"] is None  # null host: left join passthrough
+
+
+def test_stage_never_hint_broadcasts_the_dim(spark):
+    df = spark.createDataFrame(
+        [(i, f"h{i}.example") for i in range(50)], "doc_id long, host string"
+    )
+    plan = (
+        with_ascii_host(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the host dim is corpus-derived: the wer_join contract forbids a
+    # broadcast HINT (AQE may still choose broadcast at runtime from
+    # actual sizes — that is the point)
+    assert "ResolvedHint" not in plan and "broadcast" not in plan.lower()
