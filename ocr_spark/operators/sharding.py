@@ -1,0 +1,96 @@
+"""Size-balanced output sharding — assign rows to ~target-byte output
+shards by a distributed byte prefix-sum, without any corpus-wide
+single-partition sort.
+
+Why row-count shards are not enough: ``corpus.global_shuffle_rank``
+cuts shards every N rows, but corpus rows are Zipf-sized — a shard
+that catches a few whale documents can be 100× the bytes of its
+neighbors, which wrecks downstream loader balance (the reader of shard
+17 becomes the straggler). Writers therefore cut on CUMULATIVE BYTES:
+row i goes to shard ``bytes_before_i // target_bytes`` where
+``bytes_before`` is the exclusive prefix sum of sizes in a
+deterministic global order. Every shard then holds ≈ ``target_bytes``
+(± one document; an over-target whale simply spans its own shard
+range and pushes later rows onward — no special case).
+
+The global order and the prefix sum use the same scale device as
+``global_shuffle_rank`` (the proven two-stage shape): order by
+``md5(seed|key)`` with the bucket as a MONOTONE prefix of the hash, so
+
+* per-bucket byte totals are one combiner-friendly aggregate
+  (``buckets`` rows);
+* the cumulative offsets live in a window over that tiny dim (single
+  partition over ``buckets`` rows — bounded, never corpus-sized) and
+  ride back as a bounded broadcast;
+* the within-bucket running byte sum is one window shuffle on the
+  bucket column — ``buckets`` balanced partitions, O(1) state per row.
+
+Re-running at any parallelism yields identical shard assignments
+(md5 order, key tie-break), so shard manifests are resume-stable —
+the same property the rank device guarantees, now in bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def byte_shards(
+    df: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    key: str = "doc_id",
+    seed: str = "shards",
+    buckets: int = 256,
+) -> DataFrame:
+    """Attach ``(rank, bytes_before, shard)``: deterministic global
+    order, exclusive byte prefix-sum, and the ~``target_bytes`` shard
+    index ``bytes_before // target_bytes``."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    if not 1 <= buckets <= 65536:
+        raise ValueError("buckets must be in [1, 65536]")
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(key).cast("string")))
+    sz = F.col(size_col).cast("long")
+    # bucket = monotone range split of the first 16 hash bits (order-
+    # preserving in the hash — a mod would interleave buckets and
+    # corrupt every prefix sum)
+    df2 = df.withColumn("_h", h).withColumn(
+        "_b",
+        F.floor(
+            F.conv(F.substring(F.col("_h"), 1, 4), 16, 10).cast("long")
+            * buckets
+            / 65536
+        ).cast("int"),
+    )
+    totals = df2.groupBy("_b").agg(
+        F.count("*").alias("_n"), F.sum(sz).alias("_bytes")
+    )
+    wo = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_bytes").over(wo), F.lit(0)).alias("_boff"),
+    )
+    w = Window.partitionBy("_b").orderBy(F.col("_h"), F.col(key))
+    run = Window.partitionBy("_b").orderBy(F.col("_h"), F.col(key)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        df2.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "rank", (F.row_number().over(w) + F.col("_off") - 1).cast("long")
+        )
+        .withColumn(
+            "bytes_before",
+            (F.coalesce(F.sum(sz).over(run), F.lit(0)) + F.col("_boff")).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "shard",
+            F.floor(F.col("bytes_before") / F.lit(target_bytes)).cast("long"),
+        )
+        .drop("_h", "_b", "_off", "_boff", "_n", "_bytes")
+    )

@@ -4020,6 +4020,55 @@ from base
 """
 
 
+def q_byte_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced output sharding (new r5, operators/sharding.py):
+    rows land in ~target-byte shards via a distributed byte
+    prefix-sum in deterministic md5 order — the writer-side cut every
+    corpus build needs, since Zipf-sized documents make row-count
+    shards wildly uneven in bytes. Same two-stage scale device as
+    global_shuffle_rank (monotone hash-prefix buckets → per-bucket
+    totals → tiny-dim cumulative offsets broadcast back → one
+    bucket-keyed window), now prefix-summing BYTES; assignments are
+    repartition-invariant (resume-stable manifests, pytest-pinned).
+    The oracle replays rank, exclusive byte prefix-sum, and shard
+    index with full-corpus windows — tractable for DuckDB at sf0.01,
+    exactly what the distributed device must reproduce without a
+    corpus-wide single-partition sort."""
+    from ocr_spark.operators.sharding import byte_shards
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("size")
+    )
+    return byte_shards(docs, "size", target_bytes=4096).select(
+        "doc_id", "size", "rank", "bytes_before", "shard"
+    )
+
+
+def _sql_byte_shards(target: int = 4096) -> str:
+    # the naive full-window form of the same contract: md5(seed|key)
+    # order with key tie-break, exclusive running byte sum, floor-div
+    # shard cut
+    return f"""
+with s as (
+  select doc_id, cast(length(text) as bigint) as size,
+    md5('shards|' || cast(doc_id as varchar)) as h
+  from documents
+),
+r as (
+  select doc_id, size,
+    cast(row_number() over (order by h, doc_id) - 1 as bigint) as rank,
+    cast(coalesce(sum(size) over (
+      order by h, doc_id
+      rows between unbounded preceding and 1 preceding), 0) as bigint)
+      as bytes_before
+  from s
+)
+select doc_id, size, rank, bytes_before,
+  cast(bytes_before // {target} as bigint) as shard
+from r
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -9207,7 +9256,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_idna": q_host_idna,
     "semantic_dedup_text": q_semantic_dedup_text,
     "ann_ivf": q_ann_ivf,
-    "ann_ivf_incremental": q_ann_ivf_incremental,
+    # byte_shards: late-r5 NEW (operators/sharding.py — size-balanced
+    # output sharding by distributed byte prefix-sum). Takes the
+    # window slot freed by rotating ann_ivf_incremental to the tail
+    # (green r4, similarity.py zero r5 hunks — see its comment below)
+    "byte_shards": q_byte_shards,
     "pii_scrub": q_pii_scrub,
     # anchor_stats: late-r5 NEW (linkgraph.anchor_stats — per-URL
     # anchor-text aggregation, max_by argmax reduction + stacked
@@ -9230,6 +9283,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # ann_ivf_incremental: driver-green r4 (hash-match); its whole
+    # chain (operators/similarity.py, q_ann_ivf_incremental/its
+    # oracle) has zero r5 hunks (git log aac4fb1..HEAD --
+    # similarity.py is empty). Displaced late-r5 to window the
+    # brand-new byte_shards row; re-verified green via
+    # scripts/check_entry.py this session
+    "ann_ivf_incremental": q_ann_ivf_incremental,
     # span_dedup_corpus: driver-green r4 (hash-match); its whole chain
     # (operators/corpus.py span_dedup, q_span_dedup/its oracle) has
     # zero r5 hunks (git log aac4fb1..HEAD -- corpus.py is empty).
@@ -9805,6 +9865,7 @@ from corpus group by 1
         "url_filter": _sql_url_filter(),
         "fix_mojibake": _sql_fix_mojibake(),
         "host_idna": _sql_host_idna(),
+        "byte_shards": _sql_byte_shards(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

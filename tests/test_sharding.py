@@ -1,0 +1,93 @@
+"""Byte-balanced sharding (operators/sharding): parity with a naive
+single-process prefix sum, shard-size balance, whale docs, and
+repartition-invariance (the resume-stability property)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ocr_spark.operators.sharding import byte_shards
+
+
+def _py_shards(items, target, seed="shards"):
+    """Naive twin: [(key, size)] → {key: (rank, bytes_before, shard)}."""
+    order = sorted(
+        items,
+        key=lambda t: (
+            hashlib.md5(f"{seed}|{t[0]}".encode()).hexdigest(),
+            t[0],
+        ),
+    )
+    out, before = {}, 0
+    for rank, (k, size) in enumerate(order):
+        out[k] = (rank, before, before // target)
+        before += size
+    return out
+
+
+ITEMS = [(i, 100 + (i * 31) % 900) for i in range(300)]
+
+
+def _spark_shards(spark, items, target, parts=None):
+    df = spark.createDataFrame(items, "doc_id long, size long")
+    if parts:
+        df = df.repartition(parts)
+    out = byte_shards(df, "size", target)
+    return {
+        r["doc_id"]: (r["rank"], r["bytes_before"], r["shard"])
+        for r in out.collect()
+    }
+
+
+@pytest.mark.parametrize("target", [1000, 4096, 10**9])
+def test_parity_with_python_twin(spark, target):
+    assert _spark_shards(spark, ITEMS, target) == _py_shards(ITEMS, target)
+
+
+def test_repartition_invariant(spark):
+    a = _spark_shards(spark, ITEMS, 4096, parts=2)
+    b = _spark_shards(spark, ITEMS, 4096, parts=17)
+    assert a == b
+
+
+def test_shards_are_byte_balanced(spark):
+    target = 5000
+    got = _spark_shards(spark, ITEMS, target)
+    by_shard: dict[int, int] = {}
+    sizes = dict(ITEMS)
+    for k, (_r, _b, s) in got.items():
+        by_shard[s] = by_shard.get(s, 0) + sizes[k]
+    full = [v for s, v in sorted(by_shard.items())[:-1]]  # last is partial
+    # every full shard lands within one max-doc-size of the target
+    max_doc = max(sizes.values())
+    assert all(target - max_doc <= v < target + max_doc for v in full)
+    # and shard indexes are contiguous from 0
+    assert sorted(by_shard) == list(range(len(by_shard)))
+
+
+def test_whale_doc_spans_its_own_range(spark):
+    items = [(1, 10), (2, 100_000), (3, 10), (4, 10)]
+    got = _spark_shards(spark, items, 1000)
+    ranks = {k: r for k, (r, _b, _s) in got.items()}
+    whale_shard = got[2][2]
+    after = [k for k in got if ranks[k] > ranks[2]]
+    # the doc right after the whale jumps ~100 shards — no overlap
+    assert all(got[k][2] >= whale_shard + 100 for k in after)
+
+
+def test_rank_is_dense_and_bytes_monotone(spark):
+    got = _spark_shards(spark, ITEMS, 4096)
+    by_rank = sorted(got.values())
+    assert [r for r, _b, _s in by_rank] == list(range(len(ITEMS)))
+    bs = [b for _r, b, _s in by_rank]
+    assert bs == sorted(bs) and bs[0] == 0
+
+
+def test_bad_args(spark):
+    df = spark.createDataFrame(ITEMS, "doc_id long, size long")
+    with pytest.raises(ValueError, match="target_bytes"):
+        byte_shards(df, "size", 0)
+    with pytest.raises(ValueError, match="buckets"):
+        byte_shards(df, "size", 10, buckets=0)
