@@ -1,0 +1,233 @@
+"""Content-defined chunking (CDC) — gear-hash rolling chunker for
+binary-payload dedup, on the PUBLIC technique family (Rabin-style CDC
+from the LBFS paper, Muthitacharoen et al. SOSP'01; the gear-hash
+rolling function popularized by FastCDC, Xia et al. USENIX ATC'16).
+
+Why a byte-level chunker is a first-class dedup stage: document-level
+hashes miss near-identical BINARY payloads — the same PDF re-saved
+with a new metadata date, the same image re-served with one EXIF field
+changed — where 99% of the bytes are shared but every whole-file hash
+differs. CDC cuts payloads at positions determined by the CONTENT (a
+rolling hash hitting a mask), so shared byte runs produce identical
+chunks regardless of where an edit shifted them; chunk-hash dedup
+across the corpus then finds the shared bytes. The defining property —
+an insertion only perturbs chunk boundaries until the next content cut
+point, after which chunking RESYNCS — is pinned by the
+shift-invariance test.
+
+The frozen contract:
+
+* gear hash ``h ← (h << 1) + GEAR[byte]`` over uint64 (wrapping), so
+  ``h_t`` depends on exactly the last 64 bytes; ``GEAR`` is a
+  deterministic md5-derived 256-entry table (no RNG);
+* a cut happens AFTER byte t when ``h_t & MASK == 0`` (top
+  ``MASK_BITS`` bits — the bits with the longest byte memory) and the
+  chunk has reached ``MIN_CHUNK``; a chunk is force-cut at
+  ``MAX_CHUNK``; the payload tail is the final chunk.
+
+Vectorization: the recurrence unrolls to
+``h_t = Σ_{j<64} GEAR[b_{t-j}] << j`` (older terms shift out of the
+word), computed as 64 whole-array shift-adds on uint64 — no per-byte
+Python. Candidate positions come from one vectorized mask test; only
+the sparse candidate list is walked to apply min/max (O(cuts), not
+O(bytes)). Parity with the naive serial recurrence is tested.
+
+Scale shape: chunking is row-local inside the Arrow stage (zero
+exchange); the corpus-wide chunk-dedup is one combiner-friendly
+groupBy on the 32-hex chunk md5 — high-entropy key, skew-benign, the
+same shape as the exact-dedup leg.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MASK_BITS = 13
+#: top-bits mask — these bits accumulate contributions from the full
+#: 64-byte window, so the cut decision has maximal content memory
+MASK = np.uint64(((1 << MASK_BITS) - 1) << (64 - MASK_BITS))
+MIN_CHUNK = 2048
+MAX_CHUNK = 32768
+
+
+def _gear_table() -> np.ndarray:
+    g = np.empty(256, dtype=np.uint64)
+    for b in range(256):
+        g[b] = int.from_bytes(
+            hashlib.md5(f"gear|{b}".encode()).digest()[:8], "big"
+        )
+    return g
+
+
+GEAR = _gear_table()
+
+
+def gear_hashes(data: bytes) -> np.ndarray:
+    """``h_t`` for every byte position, via the unrolled 64-term form —
+    64 vectorized shift-adds, wrapping uint64 arithmetic."""
+    g = GEAR[np.frombuffer(data, dtype=np.uint8)]
+    h = np.zeros(len(g), dtype=np.uint64)
+    for j in range(64):
+        if j >= len(g):
+            break
+        if j == 0:
+            h += g
+        else:
+            h[j:] += g[:-j] << np.uint64(j)
+    return h
+
+
+def chunk_boundaries(data: bytes) -> list[int]:
+    """End offsets (exclusive) of every chunk of ``data`` under the
+    frozen (MASK, MIN_CHUNK, MAX_CHUNK) contract."""
+    n = len(data)
+    if n == 0:
+        return []
+    h = gear_hashes(data)
+    candidates = np.flatnonzero((h & MASK) == 0) + 1  # cut AFTER byte t
+    cuts: list[int] = []
+    start, ci = 0, 0
+    while start < n:
+        limit = min(start + MAX_CHUNK, n)
+        # first content candidate ≥ start + MIN_CHUNK (sparse walk)
+        ci = int(np.searchsorted(candidates, start + MIN_CHUNK))
+        cut = (
+            int(candidates[ci])
+            if ci < len(candidates) and candidates[ci] <= limit
+            else limit
+        )
+        cuts.append(cut)
+        start = cut
+    return cuts
+
+
+def chunk_payload(data: bytes) -> list[dict]:
+    """One dict per chunk: ``{"chunk_idx", "offset", "length",
+    "chunk_md5"}``."""
+    data = bytes(data or b"")
+    out, prev = [], 0
+    for i, end in enumerate(chunk_boundaries(data)):
+        out.append(
+            {
+                "chunk_idx": i,
+                "offset": prev,
+                "length": end - prev,
+                "chunk_md5": hashlib.md5(data[prev:end]).hexdigest(),
+            }
+        )
+        prev = end
+    return out
+
+
+CDC_FIELDS = T.StructType(
+    [
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("chunk_md5", T.StringType(), False),
+    ]
+)
+
+
+def cdc_chunks(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fan payloads out to one row per chunk (Arrow ``mapInPandas`` —
+    row-local, shuffle-free; the same stage shape as the other binary
+    walkers)."""
+    import pandas as pd
+
+    out_schema = T.StructType([df.schema[id_col]] + list(CDC_FIELDS.fields))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                for r in chunk_payload(p):
+                    rows.append({id_col: did, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def chunk_dedup_stats(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide chunk sharing: per chunk row, how many DISTINCT
+    documents carry an identical chunk. One combiner-friendly groupBy
+    on the 32-hex md5 (high-entropy, skew-benign), joined back on the
+    same key — the dim is corpus-derived, so no broadcast hint (the
+    wer_join contract)."""
+    dim = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct(id_col).cast("int").alias("n_docs_sharing")
+    )
+    return chunks.join(dim, "chunk_md5")
+
+
+# --------------------------------------------------------------------------
+# Oracle-construction blocks (deterministic, boundary-engineered)
+# --------------------------------------------------------------------------
+
+
+def _md5_stream(seed: str, length: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < length:
+        out += hashlib.md5(f"{seed}|{i}".encode()).digest()
+        i += 1
+    return bytes(out[:length])
+
+
+def _boundary_suffix() -> bytes:
+    """A 64-byte run whose gear hash at its final byte is mask-zero —
+    appended to a block, it forces a content cut exactly at the block
+    end regardless of what precedes it (the hash window is 64 bytes).
+    Found by deterministic counter search (~2^13 expected tries)."""
+    i = 0
+    while True:
+        s = _md5_stream(f"cdc-suffix|{i}", 64)
+        if int(gear_hashes(s)[-1]) & int(MASK) == 0:
+            return s
+        i += 1
+
+
+_SUFFIX: bytes | None = None
+
+
+def boundary_suffix() -> bytes:
+    """Lazily-computed module constant (~1.4 s of deterministic search
+    — paid only by the synth/oracle path, never by the chunker)."""
+    global _SUFFIX
+    if _SUFFIX is None:
+        _SUFFIX = _boundary_suffix()
+    return _SUFFIX
+
+
+def synth_cdc_block(i: int) -> bytes:
+    """Oracle building block ``i`` (0–7): deterministic content of a
+    fixed per-index length ending in the boundary suffix, with a nonce
+    search guaranteeing NO interior content cut — so the chunker must
+    emit the block as exactly one chunk, and concatenations of blocks
+    chunk exactly at block seams (the arithmetic the driver oracle
+    replays via the pinned md5/length constants)."""
+    length = 2500 + 400 * i  # all in (MIN_CHUNK, MAX_CHUNK)
+    nonce = 0
+    while True:
+        body = _md5_stream(f"cdc-block|{i}|{nonce}", length - 64)
+        block = body + boundary_suffix()
+        if chunk_boundaries(block) == [len(block)]:
+            return block
+        nonce += 1
+
+
+def synth_cdc_payload(doc_id: int) -> bytes:
+    """Driver-oracle construction: ``2 + doc_id % 3`` blocks chosen by
+    ``(doc_id + 3*i) % 8`` — blocks RECUR across documents, so the
+    chunk-dedup stats are non-trivial and fully replayable."""
+    k = 2 + doc_id % 3
+    return b"".join(synth_cdc_block((doc_id + 3 * i) % 8) for i in range(k))

@@ -4069,6 +4069,86 @@ from r
 """
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (new r5, operators/cdc.py — gear
+    CDC, the LBFS/FastCDC technique): payloads are concatenations of
+    boundary-engineered blocks that RECUR across documents (each block
+    ends in a 64-byte suffix forcing a content cut, with a nonce
+    search guaranteeing no interior cut — so the chunker must
+    reproduce the block seams exactly), and the production stage
+    chunks them with the vectorized 64-term gear unroll, then counts
+    per-chunk document sharing with one combiner-friendly groupBy on
+    the chunk md5. The oracle replays offsets (prefix sums of the
+    pinned block lengths), the block md5 constants (drift-pinned in
+    tests/test_cdc.py, which also proves shift-invariance — the CDC
+    property document-level hashing lacks), and the sharing counts
+    from doc_id arithmetic. This is the byte-level dedup leg for
+    near-identical binary payloads (re-saved PDFs, re-encoded media)
+    where every whole-file hash differs but 99% of bytes are shared."""
+    from ocr_spark.operators.cdc import (
+        cdc_chunks,
+        chunk_dedup_stats,
+        synth_cdc_payload,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [synth_cdc_payload(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    src = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return chunk_dedup_stats(cdc_chunks(src)).select(
+        "doc_id", "chunk_idx", "offset", "length", "chunk_md5",
+        "n_docs_sharing",
+    )
+
+
+def _sql_cdc_dedup() -> str:
+    # construction replay: block lengths/md5s are pinned constants
+    # (tests assert synth_cdc_block reproduces them byte-exactly), so
+    # this verifies the distributed chunk walk, seam arithmetic, and
+    # the sharing aggregate end to end
+    return """
+with blocks as (
+  select * from (values
+    (0, 2500, '29d66a99b64334ab400480d8a11c4fa8'),
+    (1, 2900, '9b0bb49e3c9044fd9862339655351012'),
+    (2, 3300, 'cfd20e8759f14f1d0b8e06dcf369ddf1'),
+    (3, 3700, '03be105b678cbb731622975eacf3acbd'),
+    (4, 4100, 'b0ef7d6447c2b768c557e0f2baf616b8'),
+    (5, 4500, '81d585b1ee907987610322dfce0fc83f'),
+    (6, 4900, '42458d52dadc3ada797e5826fec7d08a'),
+    (7, 5300, '5efe9128aed9ee205f4e7c6654beb525')
+  ) b(i, len, md5)
+),
+m as (
+  select d.doc_id, cast(t.k as int) as chunk_idx,
+    (d.doc_id + 3 * t.k) % 8 as bi
+  from documents d
+  join (values (0),(1),(2),(3)) t(k) on t.k < 2 + d.doc_id % 3
+),
+o as (
+  select m.doc_id, m.chunk_idx,
+    cast(coalesce(sum(b.len) over (
+      partition by m.doc_id order by m.chunk_idx
+      rows between unbounded preceding and 1 preceding), 0) as bigint)
+      as offset,
+    cast(b.len as bigint) as length, b.md5 as chunk_md5
+  from m join blocks b on b.i = m.bi
+),
+share as (
+  select chunk_md5, cast(count(distinct doc_id) as int) as n_docs_sharing
+  from o group by 1
+)
+select o.doc_id, o.chunk_idx, o.offset, o.length, o.chunk_md5,
+  s.n_docs_sharing
+from o join share s using (chunk_md5)
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -9224,7 +9304,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tar_members": q_tar_members,
     "priority_sample": q_priority_sample,
     "sft_pairs": q_sft_pairs,
-    "sft_pairs_bpe": q_sft_pairs_bpe,
+    # cdc_dedup: late-r5 NEW (operators/cdc.py — gear content-defined
+    # chunking for byte-level binary dedup). Takes the window slot
+    # freed by rotating sft_pairs_bpe to the tail (green r4, its whole
+    # chain — conversation.py + functions/bpe.py + the sft SQL region
+    # — has zero r5 hunks; see its comment below)
+    "cdc_dedup": q_cdc_dedup,
     # feed_items: late-r5 NEW (operators/feeds.py — RSS/Atom parsing,
     # the fourth crawl-ingest leg). Takes the window slot freed by
     # rotating snapshot_diff to the tail (green r4, sources/tables.py +
@@ -9283,6 +9368,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # sft_pairs_bpe: driver-green r4 (hash-match); its whole chain
+    # (operators/conversation.py + functions/bpe.py + the sft oracle
+    # region) has zero r5 hunks (git log aac4fb1..HEAD lists none of
+    # them). Displaced late-r5 to window the brand-new cdc_dedup row;
+    # re-verified green via scripts/check_entry.py this session
+    "sft_pairs_bpe": q_sft_pairs_bpe,
     # ann_ivf_incremental: driver-green r4 (hash-match); its whole
     # chain (operators/similarity.py, q_ann_ivf_incremental/its
     # oracle) has zero r5 hunks (git log aac4fb1..HEAD --
@@ -9866,6 +9957,7 @@ from corpus group by 1
         "fix_mojibake": _sql_fix_mojibake(),
         "host_idna": _sql_host_idna(),
         "byte_shards": _sql_byte_shards(),
+        "cdc_dedup": _sql_cdc_dedup(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

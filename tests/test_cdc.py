@@ -1,0 +1,130 @@
+"""Content-defined chunking (operators/cdc): vectorized-vs-naive gear
+parity, the shift-invariance resync property, min/max bounds, the
+engineered oracle blocks, and the Spark stage + dedup stats."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators import cdc
+
+
+def _naive_hashes(data: bytes) -> list[int]:
+    h = 0
+    out = []
+    for b in data:
+        h = ((h << 1) + int(cdc.GEAR[b])) & 0xFFFFFFFFFFFFFFFF
+        out.append(h)
+    return out
+
+
+def test_vectorized_gear_matches_naive_recurrence():
+    rng = random.Random(7)
+    data = bytes(rng.randrange(256) for _ in range(5000))
+    vec = cdc.gear_hashes(data)
+    assert [int(x) for x in vec] == _naive_hashes(data)
+
+
+def test_chunk_bounds_and_coverage():
+    rng = random.Random(11)
+    data = bytes(rng.randrange(256) for _ in range(200_000))
+    cuts = cdc.chunk_boundaries(data)
+    assert cuts[-1] == len(data)
+    prev = 0
+    for c in cuts:
+        size = c - prev
+        assert size <= cdc.MAX_CHUNK
+        # every chunk except possibly the tail respects MIN
+        if c != len(data):
+            assert size >= cdc.MIN_CHUNK
+        prev = c
+    # content cuts actually fire (not everything is MAX force-cuts)
+    sizes = np.diff([0] + cuts)
+    assert (sizes < cdc.MAX_CHUNK).sum() > len(sizes) // 2
+
+
+def test_shift_invariance_resyncs_after_edit():
+    """THE CDC property: inserting bytes near the front only perturbs
+    chunks up to the next content cut — the tail chunk sets match."""
+    rng = random.Random(13)
+    data = bytes(rng.randrange(256) for _ in range(150_000))
+    edited = data[:100] + b"INSERTED-BYTES" + data[100:]
+
+    def chunk_md5s(d: bytes) -> list[str]:
+        return [c["chunk_md5"] for c in cdc.chunk_payload(d)]
+
+    a, b = chunk_md5s(data), chunk_md5s(edited)
+    # the tails realign: compare the last min-len chunks
+    k = min(len(a), len(b)) - 2  # allow the first cut(s) to differ
+    assert k > 5
+    assert a[-k:] == b[-k:]
+
+
+def test_identical_runs_produce_identical_chunks_regardless_of_position():
+    rng = random.Random(17)
+    shared = bytes(rng.randrange(256) for _ in range(60_000))
+    a = bytes(rng.randrange(256) for _ in range(10_000)) + shared
+    b = bytes(rng.randrange(256) for _ in range(3_333)) + shared
+    am = {c["chunk_md5"] for c in cdc.chunk_payload(a)}
+    bm = {c["chunk_md5"] for c in cdc.chunk_payload(b)}
+    # most chunks of the shared run dedup across the two payloads
+    assert len(am & bm) >= 5
+
+
+def test_empty_and_tiny_payloads():
+    assert cdc.chunk_payload(b"") == []
+    tiny = cdc.chunk_payload(b"abc")
+    assert len(tiny) == 1 and tiny[0]["length"] == 3
+
+
+def test_oracle_blocks_are_single_chunks_with_pinned_md5s():
+    # the constants the driver oracle carries — drift here must break
+    # tests before it breaks the oracle
+    want = [
+        (2500, "29d66a99b64334ab400480d8a11c4fa8"),
+        (2900, "9b0bb49e3c9044fd9862339655351012"),
+        (3300, "cfd20e8759f14f1d0b8e06dcf369ddf1"),
+        (3700, "03be105b678cbb731622975eacf3acbd"),
+        (4100, "b0ef7d6447c2b768c557e0f2baf616b8"),
+        (4500, "81d585b1ee907987610322dfce0fc83f"),
+        (4900, "42458d52dadc3ada797e5826fec7d08a"),
+        (5300, "5efe9128aed9ee205f4e7c6654beb525"),
+    ]
+    for i, (ln, md5) in enumerate(want):
+        blk = cdc.synth_cdc_block(i)
+        assert len(blk) == ln
+        assert hashlib.md5(blk).hexdigest() == md5
+        assert cdc.chunk_boundaries(blk) == [ln]
+
+
+def test_concatenated_blocks_chunk_at_seams():
+    p = cdc.synth_cdc_payload(5)
+    chunks = cdc.chunk_payload(p)
+    # doc 5: k=2+5%3=4 blocks, indexes (5+3i)%8 = 5,0,3,6
+    assert [c["length"] for c in chunks] == [4500, 2500, 3700, 4900]
+    assert [c["offset"] for c in chunks] == [0, 4500, 7000, 10700]
+
+
+def test_stage_and_dedup_stats(spark):
+    import pandas as pd
+
+    ids = [0, 1, 3, 8]  # docs 0 and 8 share blocks (same mod-8 class)
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "payload": [cdc.synth_cdc_payload(i) for i in ids]}
+    )
+    chunks = cdc.cdc_chunks(spark.createDataFrame(pdf))
+    stats = cdc.chunk_dedup_stats(chunks)
+    rows = [r.asDict() for r in stats.collect()]
+    # doc 0 carries blocks [0, 3]; doc 3 carries [3, 6]; doc 8 carries
+    # [0, 3, 6, 1] → block 0 is in 2 docs, block 3 in 3 docs
+    d0 = {r["chunk_idx"]: r["n_docs_sharing"] for r in rows if r["doc_id"] == 0}
+    assert d0 == {0: 2, 1: 3}
+    # per-doc chunk count matches the construction (k = 2 + doc_id % 3)
+    from collections import Counter
+
+    c = Counter(r["doc_id"] for r in rows)
+    assert c == {0: 2, 1: 3, 3: 2, 8: 4}
