@@ -1,0 +1,124 @@
+"""Corpus drift — term-distribution divergence between two snapshots,
+in engine-portable integer arithmetic.
+
+Why a curation pipeline monitors drift: between two crawl snapshots
+(or two versions of a cleaned corpus) the term distribution shifts —
+a new spam campaign, a boilerplate regression, a language-mix change —
+and the cheapest corpus-level alarm is the Jensen–Shannon divergence
+of the unigram distributions (bounded, symmetric, defined even where
+one side has zero mass — unlike KL, no smoothing needed). Per-term
+contributions also RANK the drivers: "which terms moved" is the
+actionable output, not just the scalar.
+
+The frozen contract (the repo's integer-portability device, same class
+as ``lm_dim``'s micro-nats): with ``p = n_a/total_a``, ``q =
+n_b/total_b``, ``m = (p+q)/2``, each term's contribution
+``0.5·p·ln(p/m) + 0.5·q·ln(q/m)`` is computed ONCE per distinct term
+from one deterministic expression and scaled to integer nano-units
+(``round(x·10^9)``) — per-term values are then exact integers on both
+engines, and any rollup is an integer sum with no float-summation-order
+drift. One-sided terms contribute ``0.5·p·ln 2`` (the JS limit as the
+other side → 0).
+
+Scale shape: two combiner-friendly groupBys on the high-entropy term
+key, one full-outer join on the same key (skew-benign), and two
+one-row totals riding a bounded broadcast. Nothing corpus-derived is
+collected or hint-broadcast; vocab can be capped upstream via
+``vocab_size`` (TakeOrderedAndProject top-k, the ``lm_dim`` device)
+when the distinct-term set itself is web-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as X
+
+LN2 = 0.6931471805599453
+
+
+def _term_counts(
+    docs: DataFrame, text_col: str, vocab_size: int | None
+) -> DataFrame:
+    counts = (
+        docs.select(F.explode(X.tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    if vocab_size is not None:
+        counts = counts.orderBy(F.col("n").desc(), F.col("term")).limit(
+            vocab_size
+        )
+    return counts
+
+
+def term_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    vocab_size: int | None = None,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-term JS-divergence contributions between snapshots ``a``
+    and ``b``: ``(term, n_a, n_b, js_nunit)`` with ``js_nunit`` the
+    integer nano-unit contribution (summing the column gives the
+    corpus JS divergence, ∈ [0, ln 2], as an exact integer rollup)."""
+    ca = _term_counts(a, text_col, vocab_size).withColumnRenamed("n", "n_a")
+    cb = _term_counts(b, text_col, vocab_size).withColumnRenamed("n", "n_b")
+    joined = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    ta = joined.agg(F.sum("n_a").cast("double").alias("_ta"))
+    tb = joined.agg(F.sum("n_b").cast("double").alias("_tb"))
+    p = F.col("n_a") / F.col("_ta")
+    q = F.col("n_b") / F.col("_tb")
+    m = (p + q) / 2
+    contrib = (
+        F.when(F.col("n_a") == 0, 0.5 * q * F.lit(LN2))
+        .when(F.col("n_b") == 0, 0.5 * p * F.lit(LN2))
+        .otherwise(0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m))
+    )
+    return (
+        joined.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "term",
+            "n_a",
+            "n_b",
+            F.round(contrib * scale).cast("long").alias("js_nunit"),
+        )
+    )
+
+
+def drift_summary(drift: DataFrame, top_k: int = 20) -> DataFrame:
+    """One-row rollup: total JS in nano-units (exact integer sum) +
+    the top-``top_k`` driver terms comma-joined (scalar, portable)."""
+    top = (
+        drift.orderBy(F.col("js_nunit").desc(), F.col("term"))
+        .limit(top_k)
+        # re-sort inside the aggregate: collect_list order after a
+        # limit is not a contract, sort_array over (-js, term) is
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("js_nunit")).alias("neg"), "term"
+                            )
+                        )
+                    ),
+                    lambda s: s["term"],
+                ),
+                ",",
+            ).alias("top_terms")
+        )
+    )
+    total = drift.agg(
+        F.sum("js_nunit").cast("long").alias("js_total_nunit"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    return total.crossJoin(F.broadcast(top))

@@ -4149,6 +4149,64 @@ from o join share s using (chunk_md5)
 """
 
 
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot term-distribution drift (new r5, operators/drift.py):
+    the even- and odd-id halves of the documents table stand in for
+    two crawl snapshots, and the operator computes each term's
+    Jensen–Shannon divergence contribution in integer NANO-UNITS —
+    the repo's integer-portability device (one deterministic
+    expression per distinct term, so rollups are exact integer sums
+    with no float-order drift; one-sided terms take the closed-form
+    0.5·p·ln2 limit, so no smoothing). JS is the corpus-level alarm a
+    curation pipeline runs between snapshots (bounded, symmetric,
+    defined on disjoint support), and the per-term rows rank the
+    drivers. Two combiner-friendly groupBys on the high-entropy term
+    key + one full-outer join; totals ride one-row broadcasts. The
+    oracle recomputes every contribution with DuckDB's own ln over
+    the same construction."""
+    from ocr_spark.operators.drift import term_drift
+
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("text")
+    return term_drift(a, b)
+
+
+def _sql_term_drift() -> str:
+    # the same per-term JS arithmetic with DuckDB's ln/round over the
+    # identical tokenizer; LN2 is the same literal on both engines
+    return f"""
+with ta_ as (
+  select unnest(regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)})) as term
+  from documents where doc_id % 2 = 0
+),
+tb_ as (
+  select unnest(regexp_extract_all(lower(text), {O.q(O.TOKEN_RE)})) as term
+  from documents where doc_id % 2 = 1
+),
+ca as (select term, count(*) as n_a from ta_ group by 1),
+cb as (select term, count(*) as n_b from tb_ group by 1),
+j as (
+  select term, coalesce(n_a, 0) as n_a, coalesce(n_b, 0) as n_b
+  from ca full outer join cb using (term)
+),
+t as (
+  select cast(sum(n_a) as double) as ta, cast(sum(n_b) as double) as tb
+  from j
+)
+select term, cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+  cast(round((case
+    when n_a = 0 then 0.5 * (n_b / tb) * 0.6931471805599453
+    when n_b = 0 then 0.5 * (n_a / ta) * 0.6931471805599453
+    else 0.5 * (n_a / ta)
+           * ln((n_a / ta) / (((n_a / ta) + (n_b / tb)) / 2))
+         + 0.5 * (n_b / tb)
+           * ln((n_b / tb) / (((n_a / ta) + (n_b / tb)) / 2))
+    end) * 1000000000) as bigint) as js_nunit
+from j, t
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -9339,7 +9397,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotating span_dedup_corpus to the tail (green r4, corpus.py zero
     # r5 hunks — see its comment below)
     "host_idna": q_host_idna,
-    "semantic_dedup_text": q_semantic_dedup_text,
+    # term_drift: late-r5 NEW (operators/drift.py — snapshot JS
+    # divergence in integer nano-units). Takes the window slot freed
+    # by rotating semantic_dedup_text to the tail (green r4,
+    # similarity.py zero r5 hunks — see its comment below)
+    "term_drift": q_term_drift,
     "ann_ivf": q_ann_ivf,
     # byte_shards: late-r5 NEW (operators/sharding.py — size-balanced
     # output sharding by distributed byte prefix-sum). Takes the
@@ -9368,6 +9430,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # semantic_dedup_text: driver-green r4 (hash-match); its whole
+    # chain (operators/similarity.py embedder + SemDeDup, its oracle)
+    # has zero r5 hunks (git log aac4fb1..HEAD -- similarity.py is
+    # empty). Displaced late-r5 to window the brand-new term_drift
+    # row; re-verified green via scripts/check_entry.py this session
+    "semantic_dedup_text": q_semantic_dedup_text,
     # sft_pairs_bpe: driver-green r4 (hash-match); its whole chain
     # (operators/conversation.py + functions/bpe.py + the sft oracle
     # region) has zero r5 hunks (git log aac4fb1..HEAD lists none of
@@ -9958,6 +10026,7 @@ from corpus group by 1
         "host_idna": _sql_host_idna(),
         "byte_shards": _sql_byte_shards(),
         "cdc_dedup": _sql_cdc_dedup(),
+        "term_drift": _sql_term_drift(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

@@ -1,0 +1,98 @@
+"""Term-distribution drift (operators/drift): parity with a pure-Python
+JS computation, identity/disjoint edges, and the integer contract."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from ocr_spark.operators.drift import LN2, drift_summary, term_drift
+
+TOKEN_RE = re.compile(r"[^\W]+", re.UNICODE)
+
+
+def _tokens(s: str) -> list[str]:
+    return re.findall(r"[\w]+", s.lower())
+
+
+def _py_drift(a_texts, b_texts, scale=10**9):
+    from collections import Counter
+
+    ca = Counter(t for s in a_texts for t in _tokens(s))
+    cb = Counter(t for s in b_texts for t in _tokens(s))
+    ta, tb = sum(ca.values()), sum(cb.values())
+    out = {}
+    for term in set(ca) | set(cb):
+        na, nb = ca.get(term, 0), cb.get(term, 0)
+        p, q = na / ta, nb / tb
+        if na == 0:
+            c = 0.5 * q * LN2
+        elif nb == 0:
+            c = 0.5 * p * LN2
+        else:
+            m = (p + q) / 2
+            c = 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+        out[term] = (na, nb, round(c * scale))
+    return out
+
+
+A = ["the cat sat on the mat", "the dog ran", "cats and dogs"]
+B = ["the cat sat", "spam spam spam casino", "the dog slept"]
+
+
+def _spark_drift(spark, a_texts, b_texts):
+    a = spark.createDataFrame([(t,) for t in a_texts], "text string")
+    b = spark.createDataFrame([(t,) for t in b_texts], "text string")
+    return term_drift(a, b)
+
+
+def test_parity_with_python(spark):
+    got = {
+        r["term"]: (r["n_a"], r["n_b"], r["js_nunit"])
+        for r in _spark_drift(spark, A, B).collect()
+    }
+    assert got == _py_drift(A, B)
+
+
+def test_identical_snapshots_zero_drift(spark):
+    rows = _spark_drift(spark, A, A).collect()
+    assert rows and all(r["js_nunit"] == 0 for r in rows)
+
+
+def test_disjoint_snapshots_max_drift(spark):
+    rows = _spark_drift(spark, ["aaa bbb ccc"], ["xxx yyy zzz"]).collect()
+    total = sum(r["js_nunit"] for r in rows)
+    # JS of disjoint distributions is exactly ln 2
+    assert abs(total - round(LN2 * 10**9)) <= len(rows)  # ±1 per-term rounding
+
+
+def test_one_sided_terms_contribute_half_q_ln2(spark):
+    rows = {r["term"]: r for r in _spark_drift(spark, A, B).collect()}
+    assert rows["casino"]["n_a"] == 0
+    q = 1 / sum(len(_tokens(s)) for s in B)
+    assert rows["casino"]["js_nunit"] == round(0.5 * q * LN2 * 10**9)
+
+
+def test_summary_orders_top_terms(spark):
+    d = _spark_drift(spark, A, B)
+    s = drift_summary(d, top_k=3).collect()[0]
+    per_term = {
+        r["term"]: r["js_nunit"] for r in d.collect()
+    }
+    want = [
+        t
+        for t, _ in sorted(per_term.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    ]
+    assert s["top_terms"].split(",") == want
+    assert s["js_total_nunit"] == sum(per_term.values())
+    assert s["n_terms"] == len(per_term)
+
+
+def test_vocab_cap_applies(spark):
+    a = spark.createDataFrame([(t,) for t in A], "text string")
+    b = spark.createDataFrame([(t,) for t in B], "text string")
+    rows = term_drift(a, b, vocab_size=2).collect()
+    # at most 2 terms per side survive the cap → ≤ 4 union terms
+    assert 0 < len(rows) <= 4
