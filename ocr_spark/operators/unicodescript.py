@@ -1,0 +1,84 @@
+"""Unicode script profiling — per-document writing-system counts and
+the dominant script, as ONE whole-stage-codegen projection.
+
+Why the pipeline needs it: the tokenizer-driven quality stack
+(stopword lang-ID, whitespace/BPE token counts, word-ratio filters)
+silently degrades on scripts without word spaces — CJK, Thai — and on
+mixed-script spam ("cheap viagra купить 安い"). The cheap, robust
+triage signal is the per-script CHARACTER census: how many Latin /
+Han / Cyrillic / Arabic / Hangul / kana code points a document
+carries, and which script dominates. Downstream, the census routes
+documents to the right tokenizer, flags script-mixing anomalies
+(a "English" page that is 40% Cyrillic is either bilingual or
+homoglyph spam), and backstops the stopword lang-ID where it has no
+profile.
+
+Implementation: pure native Catalyst — each count is
+``length(x) - length(regexp_replace(x, '\\p{IsScript}', ''))``-style
+(spelled as strip-the-complement), one codegen'd regex pass per
+script over the JVM's Unicode tables; zero Python, zero shuffle. The
+DuckDB oracle recomputes the same counts with RE2's ``\\p{Script}``
+classes — two INDEPENDENT Unicode script implementations must agree
+character-for-character for the row to hash-match. The dominant
+script is a frozen chained-comparison argmax (ties break to the
+earlier entry of SCRIPTS; all-zero → ``none``) — portable CASE logic,
+no struct-comparison subtleties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (name, Java \p{...} class, RE2 \p{...} class) — order is the frozen
+#: tie-break priority of the dominant-script argmax
+SCRIPTS: list[tuple[str, str, str]] = [
+    ("latin", "IsLatin", "Latin"),
+    ("han", "IsHan", "Han"),
+    ("cyrillic", "IsCyrillic", "Cyrillic"),
+    ("arabic", "IsArabic", "Arabic"),
+    ("hangul", "IsHangul", "Hangul"),
+    ("hiragana", "IsHiragana", "Hiragana"),
+    ("katakana", "IsKatakana", "Katakana"),
+]
+
+
+def script_count(col: Column, java_class: str) -> Column:
+    """Code points of one script in ``col`` — strip the complement,
+    measure what remains (one codegen'd regex pass)."""
+    return F.length(
+        F.regexp_replace(col, f"[^\\p{{{java_class}}}]", "")
+    ).cast("int")
+
+
+def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``n_<script>`` counts for every SCRIPTS entry plus the
+    dominant ``script`` column (frozen argmax: strictly-greater beats,
+    ties keep the earlier list entry; all zero → ``'none'``)."""
+    out = df
+    for name, java, _re2 in SCRIPTS:
+        out = out.withColumn(f"n_{name}", script_count(F.col(text_col), java))
+    names = [n for n, _j, _r in SCRIPTS]
+    total = None
+    for n in names:
+        c = F.col(f"n_{n}")
+        total = c if total is None else total + c
+    dominant = F.lit("none")
+    # build the chained argmax back-to-front: a script wins if its
+    # count beats (>) every earlier entry and is >= every later one —
+    # equivalently, walk the list in reverse with >= comparisons
+    for n in reversed(names):
+        c = F.col(f"n_{n}")
+        others = [F.col(f"n_{m}") for m in names if m != n]
+        cond = c > 0
+        for i, m in enumerate(names):
+            if m == n:
+                continue
+            o = F.col(f"n_{m}")
+            # earlier entries win ties, so this one needs strict > over
+            # earlier entries and >= over later ones
+            cond = cond & (
+                (c > o) if names.index(m) < names.index(n) else (c >= o)
+            )
+        dominant = F.when(cond, F.lit(n)).otherwise(dominant)
+    return out.withColumn("script", dominant)

@@ -4207,6 +4207,109 @@ from j, t
 """
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script census (new r5, operators/unicodescript.py):
+    each document's text gains arithmetic-length runs of Han /
+    Cyrillic / Arabic / Hangul / kana characters (native concat +
+    repeat — the whole query is one codegen projection, no Python,
+    no shuffle), and the operator counts code points per writing
+    system with the JVM's ``\\p{IsScript}`` classes plus a frozen
+    chained-argmax dominant script. The oracle rebuilds the SAME
+    string in SQL and recounts with RE2's ``\\p{Script}`` classes —
+    two independent Unicode script table implementations must agree
+    character-for-character to hash-match. This is the triage signal
+    the tokenizer-driven quality stack lacks on spaceless scripts
+    (CJK) and the flag for mixed-script homoglyph spam."""
+    from ocr_spark.operators.unicodescript import with_script_profile
+
+    d = F.col("doc_id")
+    src = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit("安"), (d % 5).cast("int")),
+            F.repeat(F.lit("и"), (d % 4).cast("int")),
+            F.repeat(F.lit("ا"), (d % 3).cast("int")),
+            F.repeat(F.lit("한"), (d % 6).cast("int")),
+            F.repeat(F.lit("あ"), (d % 2).cast("int")),
+            F.repeat(F.lit("ア"), (d % 8).cast("int")),
+        ).alias("text"),
+    )
+    return with_script_profile(src).select(
+        "doc_id",
+        "n_latin",
+        "n_han",
+        "n_cyrillic",
+        "n_arabic",
+        "n_hangul",
+        "n_hiragana",
+        "n_katakana",
+        "script",
+    )
+
+
+def _sql_script_profile() -> str:
+    # identical construction + RE2 recount + the same frozen argmax
+    # (strict > over earlier list entries, >= over later ones)
+    return r"""
+with s as (
+  select doc_id,
+    text || repeat('安', cast(doc_id % 5 as int))
+         || repeat('и', cast(doc_id % 4 as int))
+         || repeat('ا', cast(doc_id % 3 as int))
+         || repeat('한', cast(doc_id % 6 as int))
+         || repeat('あ', cast(doc_id % 2 as int))
+         || repeat('ア', cast(doc_id % 8 as int)) as t
+  from documents
+),
+c as (
+  select doc_id,
+    cast(length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) as int)
+      as n_latin,
+    cast(length(regexp_replace(t, '[^\p{Han}]', '', 'g')) as int) as n_han,
+    cast(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) as int)
+      as n_cyrillic,
+    cast(length(regexp_replace(t, '[^\p{Arabic}]', '', 'g')) as int)
+      as n_arabic,
+    cast(length(regexp_replace(t, '[^\p{Hangul}]', '', 'g')) as int)
+      as n_hangul,
+    cast(length(regexp_replace(t, '[^\p{Hiragana}]', '', 'g')) as int)
+      as n_hiragana,
+    cast(length(regexp_replace(t, '[^\p{Katakana}]', '', 'g')) as int)
+      as n_katakana
+  from s
+)
+select *,
+  case
+    when n_latin > 0 and n_latin >= n_han and n_latin >= n_cyrillic
+     and n_latin >= n_arabic and n_latin >= n_hangul
+     and n_latin >= n_hiragana and n_latin >= n_katakana then 'latin'
+    when n_han > 0 and n_han > n_latin and n_han >= n_cyrillic
+     and n_han >= n_arabic and n_han >= n_hangul
+     and n_han >= n_hiragana and n_han >= n_katakana then 'han'
+    when n_cyrillic > 0 and n_cyrillic > n_latin and n_cyrillic > n_han
+     and n_cyrillic >= n_arabic and n_cyrillic >= n_hangul
+     and n_cyrillic >= n_hiragana and n_cyrillic >= n_katakana
+      then 'cyrillic'
+    when n_arabic > 0 and n_arabic > n_latin and n_arabic > n_han
+     and n_arabic > n_cyrillic and n_arabic >= n_hangul
+     and n_arabic >= n_hiragana and n_arabic >= n_katakana then 'arabic'
+    when n_hangul > 0 and n_hangul > n_latin and n_hangul > n_han
+     and n_hangul > n_cyrillic and n_hangul > n_arabic
+     and n_hangul >= n_hiragana and n_hangul >= n_katakana then 'hangul'
+    when n_hiragana > 0 and n_hiragana > n_latin and n_hiragana > n_han
+     and n_hiragana > n_cyrillic and n_hiragana > n_arabic
+     and n_hiragana > n_hangul and n_hiragana >= n_katakana
+      then 'hiragana'
+    when n_katakana > 0 and n_katakana > n_latin and n_katakana > n_han
+     and n_katakana > n_cyrillic and n_katakana > n_arabic
+     and n_katakana > n_hangul and n_katakana > n_hiragana
+      then 'katakana'
+    else 'none' end as script
+from c
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -9402,7 +9505,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # by rotating semantic_dedup_text to the tail (green r4,
     # similarity.py zero r5 hunks — see its comment below)
     "term_drift": q_term_drift,
-    "ann_ivf": q_ann_ivf,
+    # script_profile: late-r5 NEW (operators/unicodescript.py —
+    # per-script character census + dominant script, pure codegen).
+    # Takes the window slot freed by rotating ann_ivf to the tail
+    # (green r4, similarity.py zero r5 hunks — see its comment below)
+    "script_profile": q_script_profile,
     # byte_shards: late-r5 NEW (operators/sharding.py — size-balanced
     # output sharding by distributed byte prefix-sum). Takes the
     # window slot freed by rotating ann_ivf_incremental to the tail
@@ -9430,6 +9537,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # ann_ivf: driver-green r4 (hash-match); its whole chain
+    # (operators/similarity.py IVF, q_ann_ivf/its oracle) has zero r5
+    # hunks (git log aac4fb1..HEAD -- similarity.py is empty).
+    # Displaced late-r5 to window the brand-new script_profile row;
+    # re-verified green via scripts/check_entry.py this session
+    "ann_ivf": q_ann_ivf,
     # semantic_dedup_text: driver-green r4 (hash-match); its whole
     # chain (operators/similarity.py embedder + SemDeDup, its oracle)
     # has zero r5 hunks (git log aac4fb1..HEAD -- similarity.py is
@@ -10027,6 +10140,7 @@ from corpus group by 1
         "byte_shards": _sql_byte_shards(),
         "cdc_dedup": _sql_cdc_dedup(),
         "term_drift": _sql_term_drift(),
+        "script_profile": _sql_script_profile(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

@@ -1,0 +1,74 @@
+"""Unicode script profile (operators/unicodescript): counts per
+writing system, dominant-script argmax with frozen tie-break, and the
+codegen plan shape (no Python, no shuffle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.operators.unicodescript import SCRIPTS, with_script_profile
+
+
+def _profile(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in with_script_profile(df).collect()}
+
+
+def test_counts_per_script(spark):
+    got = _profile(spark, ["abc 安和 иää ا한あア x1!"])
+    r = got[0]
+    assert r["n_latin"] == 6  # abc, ää, x (digits/punct are Common)
+    assert r["n_han"] == 2
+    assert r["n_cyrillic"] == 1
+    assert r["n_arabic"] == 1
+    assert r["n_hangul"] == 1
+    assert r["n_hiragana"] == 1
+    assert r["n_katakana"] == 1
+
+
+def test_dominant_script_and_ties(spark):
+    got = _profile(spark, [
+        "hello world",          # latin
+        "安和安和 ab",           # han 4 > latin 2
+        "абв 安和в",            # cyrillic 4 > han 2
+        "安和 ab",              # tie 2-2 → earlier list entry (latin)
+        "12345 !!!",            # no script chars at all
+        "",
+    ])
+    assert got[0]["script"] == "latin"
+    assert got[1]["script"] == "han"
+    assert got[2]["script"] == "cyrillic"
+    assert got[3]["script"] == "latin"
+    assert got[4]["script"] == "none"
+    assert got[5]["script"] == "none"
+
+
+def test_cjk_with_no_spaces_is_counted(spark):
+    # the motivating case: whitespace tokenization sees ONE token here,
+    # the script census sees the real signal
+    got = _profile(spark, ["今日は良い天気ですね"])
+    r = got[0]
+    assert r["n_han"] >= 4 and r["n_hiragana"] >= 3
+    assert r["script"] == "han"
+
+
+def test_plan_is_pure_codegen(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        with_script_profile(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas"):
+        assert marker not in plan
+
+
+def test_script_list_is_frozen():
+    # the oracle's RE2 twin classes pair 1:1 with the Java classes
+    assert [n for n, _j, _r in SCRIPTS] == [
+        "latin", "han", "cyrillic", "arabic",
+        "hangul", "hiragana", "katakana",
+    ]
