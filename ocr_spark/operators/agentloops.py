@@ -1,0 +1,96 @@
+"""Agent-loop detection — find conversations where the agent is stuck
+repeating (near-)identical turns, the classic agentic failure mode a
+transcript-curation pipeline filters before training.
+
+A looping session ("run tool X → same error → run tool X → …") is
+low-value training signal at best and teaches the failure at worst;
+SFT sets built from agent transcripts routinely drop or truncate such
+conversations. The detector is the relational gaps-and-islands device
+over the north star's (conv_id, turn_idx) ordering:
+
+* each turn gets a repeat key — md5 of (role, normalized text) — so
+  "the same action again" compares in O(32 hex) regardless of turn
+  size; normalization (trim + whitespace collapse + lowercase) makes
+  cosmetic jitter (spacing, case) still count as a repeat;
+* a turn STARTS a new island when its key differs from the previous
+  turn's (lag window, O(1) state);
+* the running sum of start-flags numbers the islands (prefix-sum
+  window, O(1) state);
+* one groupBy (conv_id, island) yields run lengths; one groupBy
+  conv_id rolls up the verdict.
+
+Output per conversation: ``n_turns``, ``max_run`` (longest repeated
+run), ``n_loops`` (islands of length ≥ ``min_run``), ``looped_turns``
+(turns inside such islands), and ``loop_flag``. Two windows + two
+combiner-friendly aggregates, all partitioned by conv_id — no
+corpus-wide exchange beyond the conversation shuffle the pipeline
+already pays; a whale session costs one task O(n) with O(1) window
+state (the sft_pairs posture).
+
+Reference analog: the reference's per-document degenerate-content
+gates (repeated-line filters in app/services/text_processing.py),
+lifted to the conversation/turn axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def turn_repeat_key(role: Column, text: Column) -> Column:
+    """md5 of (role, normalized text): trim, collapse whitespace runs,
+    lowercase — cosmetic jitter still counts as a repeat."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(F.concat_ws("|", role, norm))
+
+
+def detect_loops(
+    conv: DataFrame,
+    min_run: int = 3,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "clean_text",
+) -> DataFrame:
+    """Per-conversation loop verdict: ``(conv_id, n_turns, max_run,
+    n_loops, looped_turns, loop_flag)``."""
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    run = Window.partitionBy(conv_col).orderBy(turn_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    keyed = conv.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        turn_repeat_key(F.col(role_col), F.col(text_col)).alias("k"),
+    )
+    islands = keyed.select(
+        "conv_id",
+        "turn_idx",
+        F.sum(
+            F.when(
+                F.lag("k").over(w).isNull() | (F.lag("k").over(w) != F.col("k")),
+                1,
+            ).otherwise(0)
+        )
+        .over(run)
+        .alias("island"),
+    )
+    runs = islands.groupBy("conv_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("run_len").cast("int").alias("n_turns"),
+        F.max("run_len").cast("int").alias("max_run"),
+        F.sum((F.col("run_len") >= min_run).cast("int"))
+        .cast("int")
+        .alias("n_loops"),
+        F.sum(
+            F.when(F.col("run_len") >= min_run, F.col("run_len")).otherwise(0)
+        )
+        .cast("int")
+        .alias("looped_turns"),
+        F.max((F.col("run_len") >= min_run).cast("boolean")).alias(
+            "loop_flag"
+        ),
+    )

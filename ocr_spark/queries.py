@@ -4310,6 +4310,99 @@ from c
 """
 
 
+def q_conv_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-loop detection (new r5, operators/agentloops.py): the
+    sft conversation derivation with turns 2–4 of every third
+    conversation replaced by ONE fixed retrying-tool-call text, so
+    those sessions carry a genuine 3-run (with the md5-derived role
+    riding the same repeated text, as a real stuck agent produces).
+    The operator runs the gaps-and-islands device — normalized repeat
+    key, lag-window island starts, prefix-sum island ids, two
+    combiner-friendly aggregates — and emits the per-conversation
+    verdict a curation pipeline filters on. The oracle replays the
+    identical windows in DuckDB; the loop rows light up only if key
+    normalization, island numbering, and the run rollup all agree."""
+    from ocr_spark.operators.agentloops import detect_loops
+
+    d = F.col("doc_id")
+    turn = F.floor(d / 50).cast("int")
+    looped = turn.between(2, 4) & ((d % 50) % 3 == 1)
+    t = F.when(looped, F.lit("retry GET /api -> 500")).otherwise(
+        F.col("text")
+    )
+    base = _docs(spark, sf_dir).select(
+        F.concat(F.lit("c"), (d % 50).cast("string")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        t.alias("t"),
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("role|"), F.col("t"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    conv = base.select(
+        "conv_id",
+        "turn_idx",
+        F.when(h < 15, "tool")
+        .when(h < 55, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("t").alias("clean_text"),
+    )
+    return detect_loops(conv, min_run=3)
+
+
+def _sql_conv_loops() -> str:
+    # the identical derivation + gaps-and-islands windows in DuckDB
+    return r"""
+with conv as (
+  select 'c' || cast(doc_id % 50 as varchar) as conv_id,
+    cast(doc_id // 50 as int) as turn_idx,
+    case when doc_id // 50 between 2 and 4 and (doc_id % 50) % 3 = 1
+         then 'retry GET /api -> 500' else text end as t
+  from documents
+),
+r as (
+  select conv_id, turn_idx,
+    md5((case when h < 15 then 'tool' when h < 55 then 'user'
+          else 'assistant' end)
+        || '|' || lower(regexp_replace(trim(t), '\s+', ' ', 'g'))) as k
+  from (
+    select *,
+      cast(concat('0x', substr(md5('role|' || t), 1, 8)) as bigint) % 100
+        as h
+    from conv
+  )
+),
+i as (
+  select conv_id,
+    sum(case when prev is null or prev <> k then 1 else 0 end)
+      over (partition by conv_id order by turn_idx
+            rows between unbounded preceding and current row) as island
+  from (
+    select conv_id, turn_idx, k,
+      lag(k) over (partition by conv_id order by turn_idx) as prev
+    from r
+  )
+),
+runs as (
+  select conv_id, island, count(*) as run_len from i group by 1, 2
+)
+select conv_id,
+  cast(sum(run_len) as int) as n_turns,
+  cast(max(run_len) as int) as max_run,
+  cast(sum(case when run_len >= 3 then 1 else 0 end) as int) as n_loops,
+  cast(sum(case when run_len >= 3 then run_len else 0 end) as int)
+    as looped_turns,
+  bool_or(run_len >= 3) as loop_flag
+from runs
+group by conv_id
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -9464,7 +9557,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows still describe the shipped code (see tail comments)
     "tar_members": q_tar_members,
     "priority_sample": q_priority_sample,
-    "sft_pairs": q_sft_pairs,
+    # conv_loops: late-r5 NEW (operators/agentloops.py — stuck-agent
+    # loop detection, the agentic-transcript curation gate). Takes the
+    # window slot freed by rotating sft_pairs to the tail (green r4,
+    # conversation.py zero r5 hunks — see its comment below)
+    "conv_loops": q_conv_loops,
     # cdc_dedup: late-r5 NEW (operators/cdc.py — gear content-defined
     # chunking for byte-level binary dedup). Takes the window slot
     # freed by rotating sft_pairs_bpe to the tail (green r4, its whole
@@ -9537,6 +9634,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # sft_pairs: driver-green r4 (hash-match); its whole chain
+    # (operators/conversation.py sft_pairs + the sft oracle region)
+    # has zero r5 hunks (git log aac4fb1..HEAD -- conversation.py is
+    # empty). Displaced late-r5 to window the brand-new conv_loops
+    # row; re-verified green via scripts/check_entry.py this session
+    "sft_pairs": q_sft_pairs,
     # ann_ivf: driver-green r4 (hash-match); its whole chain
     # (operators/similarity.py IVF, q_ann_ivf/its oracle) has zero r5
     # hunks (git log aac4fb1..HEAD -- similarity.py is empty).
@@ -10141,6 +10244,7 @@ from corpus group by 1
         "cdc_dedup": _sql_cdc_dedup(),
         "term_drift": _sql_term_drift(),
         "script_profile": _sql_script_profile(),
+        "conv_loops": _sql_conv_loops(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

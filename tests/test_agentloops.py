@@ -1,0 +1,96 @@
+"""Agent-loop detection (operators/agentloops): parity with a naive
+single-process islands computation, normalization semantics, edges."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from ocr_spark.operators.agentloops import detect_loops
+
+
+def _py_loops(turns, min_run=3):
+    by_conv: dict[str, list] = {}
+    for conv, idx, role, text in turns:
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        k = hashlib.md5(f"{role}|{norm}".encode()).hexdigest()
+        by_conv.setdefault(conv, []).append((idx, k))
+    out = {}
+    for conv, rows in by_conv.items():
+        rows.sort()
+        runs, cur = [], 0
+        prev = None
+        for _idx, k in rows:
+            if k == prev:
+                cur += 1
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = 1
+                prev = k
+        runs.append(cur)
+        loops = [r for r in runs if r >= min_run]
+        out[conv] = {
+            "n_turns": len(rows),
+            "max_run": max(runs),
+            "n_loops": len(loops),
+            "looped_turns": sum(loops),
+            "loop_flag": bool(loops),
+        }
+    return out
+
+
+TURNS = [
+    # conv a: healthy conversation, no repeats
+    ("a", 0, "user", "hello"),
+    ("a", 1, "assistant", "hi"),
+    ("a", 2, "user", "bye"),
+    # conv b: a 4-run of identical tool calls mid-conversation
+    ("b", 0, "user", "fetch the page"),
+    ("b", 1, "tool", "GET /x -> 500"),
+    ("b", 2, "tool", "GET /x -> 500"),
+    ("b", 3, "tool", "get /X   ->   500"),  # cosmetic jitter, same key
+    ("b", 4, "tool", "GET /x -> 500"),
+    ("b", 5, "assistant", "giving up"),
+    # conv c: repeats by different ROLES are not a run
+    ("c", 0, "user", "same text"),
+    ("c", 1, "assistant", "same text"),
+    ("c", 2, "user", "same text"),
+    # conv d: two separate loops of exactly min_run
+    ("d", 0, "tool", "A"), ("d", 1, "tool", "A"), ("d", 2, "tool", "A"),
+    ("d", 3, "tool", "B"), ("d", 4, "tool", "B"), ("d", 5, "tool", "B"),
+]
+
+
+def _spark_loops(spark, turns, min_run=3):
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, role string, clean_text string"
+    )
+    return {
+        r["conv_id"]: {
+            k: r[k]
+            for k in ("n_turns", "max_run", "n_loops", "looped_turns", "loop_flag")
+        }
+        for r in detect_loops(df, min_run=min_run).collect()
+    }
+
+
+@pytest.mark.parametrize("min_run", [2, 3, 4])
+def test_parity_with_python_twin(spark, min_run):
+    assert _spark_loops(spark, TURNS, min_run) == _py_loops(TURNS, min_run)
+
+
+def test_verdicts(spark):
+    got = _spark_loops(spark, TURNS)
+    assert got["a"] == {
+        "n_turns": 3, "max_run": 1, "n_loops": 0,
+        "looped_turns": 0, "loop_flag": False,
+    }
+    # case/whitespace jitter still counts: the b loop is 4 long
+    assert got["b"]["max_run"] == 4 and got["b"]["loop_flag"]
+    assert got["b"]["looped_turns"] == 4 and got["b"]["n_loops"] == 1
+    # same text, alternating roles → no run
+    assert got["c"]["max_run"] == 1 and not got["c"]["loop_flag"]
+    assert got["d"]["n_loops"] == 2 and got["d"]["looped_turns"] == 6
