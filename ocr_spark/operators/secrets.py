@@ -1,0 +1,94 @@
+"""Credential/secret detection and scrubbing — the transcript-curation
+gate PII scrubbing does not cover.
+
+Agent transcripts are uniquely prone to LEAKED CREDENTIALS: tool
+outputs echo environment variables, users paste config files, agents
+print curl commands with live Authorization headers. Training on them
+memorizes working secrets — worse than the email/phone PII class the
+``pii_scrub`` leg handles, and shaped differently: secrets follow
+VENDOR TOKEN FORMATS (public, documented by each provider), not
+person-data patterns.
+
+Detectors (all public format specs): AWS access key ids
+(``AKIA``/``ASIA`` + 16 Base32-ish chars), GitHub tokens (``ghp_``/
+``gho_``/``ghu_``/``ghs_``/``ghr_`` + 36+), Slack tokens
+(``xox[baprs]-``), JWTs (three dot-joined base64url segments with the
+``eyJ`` JSON header prefix), PEM private-key blocks, Google API keys
+(``AIza`` + 35), and HTTP ``Authorization: Bearer`` values.
+
+The frozen contract (what the oracle replays):
+
+* per-detector counts are computed INDEPENDENTLY on the raw text (a
+  JWT inside a Bearer header counts once for each detector — counts
+  are per-pattern telemetry, not a partition of the text);
+* the scrub applies detectors sequentially in ``SCRUB_ORDER``, each
+  replacing globally with ``[SECRET:<kind>]`` — the bracketed form
+  contains no detector-charset characters, so replacements never
+  chain into new matches;
+* everything is native ``regexp_count``/``regexp_replace`` (one
+  codegen projection, zero Python, zero shuffle), and every pattern
+  is RE2-compatible, so the DuckDB oracle runs the LITERAL same
+  regexes — two independent regex engines must agree on every match
+  and every replacement for the row to hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (kind, pattern) — patterns are RE2-safe (no backrefs/lookaround)
+#: and identical on both engines; order here IS the scrub order
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    ("pem", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("jwt", r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}"),
+    ("aws", r"\b(AKIA|ASIA)[0-9A-Z]{16}\b"),
+    ("github", r"\bgh[pousr]_[A-Za-z0-9]{36}\b"),
+    ("gcp", r"\bAIza[0-9A-Za-z_-]{35}\b"),
+    ("slack", r"\bxox[baprs]-[0-9A-Za-z-]{10,48}\b"),
+    ("bearer", r"(?i)authorization:\s*bearer\s+[A-Za-z0-9._~+/-]+=*"),
+]
+
+KINDS = [k for k, _ in SECRET_PATTERNS]
+
+
+def secret_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts on the raw text (independent detectors)."""
+    return {
+        kind: F.regexp_count(col, F.lit(pat)).cast("int")
+        for kind, pat in SECRET_PATTERNS
+    }
+
+
+def scrub_secrets(col: Column) -> Column:
+    """Sequentially replace every detector's matches with
+    ``[SECRET:<kind>]`` in SCRUB_ORDER."""
+    out = col
+    for kind, pat in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[SECRET:{kind}]")
+    return out
+
+
+def with_secret_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``n_<kind>`` counts, ``n_secrets`` total,
+    ``has_secrets``, and the scrubbed text. The counts and the
+    7-regex scrub chain sit behind a generator barrier
+    (``cleaning.materialize``): CollapseProject would otherwise
+    inline the whole chain into EVERY downstream reference
+    (md5(scrubbed), length(scrubbed), n_secrets, has_secrets…),
+    multiplying ~14 regex passes per extra reference."""
+    from ocr_spark.operators.cleaning import materialize
+
+    counts = secret_counts(F.col(text_col))
+    out = materialize(
+        df,
+        **{f"n_{kind}": counts[kind] for kind in KINDS},
+        scrubbed=scrub_secrets(F.col(text_col)),
+    )
+    total = None
+    for kind in KINDS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_secrets", total.cast("int")).withColumn(
+        "has_secrets", F.col("n_secrets") > 0
+    )
