@@ -55,9 +55,18 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach ``n_<script>`` counts for every SCRIPTS entry plus the
     dominant ``script`` column (frozen argmax: strictly-greater beats,
     ties keep the earlier list entry; all zero → ``'none'``)."""
-    out = df
-    for name, java, _re2 in SCRIPTS:
-        out = out.withColumn(f"n_{name}", script_count(F.col(text_col), java))
+    # counts behind the generator barrier: the argmax below references
+    # each count ~13 times, and CollapseProject would otherwise inline
+    # the regex pass into every reference (the secrets_scrub lesson)
+    from ocr_spark.operators.cleaning import materialize
+
+    out = materialize(
+        df,
+        **{
+            f"n_{name}": script_count(F.col(text_col), java)
+            for name, java, _re2 in SCRIPTS
+        },
+    )
     names = [n for n, _j, _r in SCRIPTS]
     total = None
     for n in names:
