@@ -157,6 +157,38 @@ def cdc_chunks(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def cdc_novelty(
+    batch_chunks: DataFrame, index: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental byte-level dedup: score a NEW batch's chunks
+    against the committed chunk index — the CDC analog of
+    ``dedup.dedup_incremental`` (never re-chunk or re-hash the
+    committed corpus; cost is O(batch)). ``index`` needs a
+    ``chunk_md5`` column (any other columns ignored). Output per
+    batch document: ``(id, n_chunks, n_novel, novel_bytes,
+    dup_bytes)`` — novel bytes are what storage/training actually
+    gains from the document; a doc whose bytes are ≥95% already-known
+    chunks is a near-dup of committed content even when its file hash
+    is fresh. One equi-join on the high-entropy chunk md5 (the index
+    is corpus-derived, so NO broadcast hint — the wer_join contract)
+    plus one combiner-friendly per-doc aggregate."""
+    known = index.select("chunk_md5").distinct().withColumn(
+        "_known", F.lit(True)
+    )
+    j = batch_chunks.join(known, "chunk_md5", "left")
+    novel = F.col("_known").isNull()
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(novel.cast("int")).cast("int").alias("n_novel"),
+        F.sum(F.when(novel, F.col("length")).otherwise(0))
+        .cast("long")
+        .alias("novel_bytes"),
+        F.sum(F.when(~novel, F.col("length")).otherwise(0))
+        .cast("long")
+        .alias("dup_bytes"),
+    )
+
+
 def chunk_dedup_stats(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Corpus-wide chunk sharing: per chunk row, how many DISTINCT
     documents carry an identical chunk. One combiner-friendly groupBy
@@ -219,6 +251,19 @@ def synth_cdc_block(i: int) -> bytes:
     nonce = 0
     while True:
         body = _md5_stream(f"cdc-block|{i}|{nonce}", length - 64)
+        block = body + boundary_suffix()
+        if chunk_boundaries(block) == [len(block)]:
+            return block
+        nonce += 1
+
+
+def synth_cdc_unique(doc_id: int, length: int = 2500) -> bytes:
+    """A boundary-engineered block UNIQUE to ``doc_id`` (fixed length,
+    per-doc content, no interior cut) — the novel-bytes leg of the
+    incremental-dedup oracle construction."""
+    nonce = 0
+    while True:
+        body = _md5_stream(f"cdc-uniq|{doc_id}|{nonce}", length - 64)
         block = body + boundary_suffix()
         if chunk_boundaries(block) == [len(block)]:
             return block

@@ -4519,6 +4519,79 @@ from c
 """
 
 
+def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental byte-level dedup (new r5, operators/cdc.py
+    `cdc_novelty`): the committed corpus is the even-id shards'
+    chunks, the new batch is the odd-id shards each carrying one
+    per-doc UNIQUE boundary-engineered block on top of the recurring
+    oracle blocks — so every batch document is a near-dup of
+    committed content with exactly 2,500 genuinely novel bytes. The
+    stage scores the batch against the committed chunk index with
+    one md5 equi-join (index corpus-derived → no broadcast hint) and
+    one per-doc aggregate, never re-chunking the committed side —
+    the O(batch) contract of the whole incremental-dedup family.
+    The oracle replays chunk counts, novel bytes, and dup bytes from
+    doc_id arithmetic over the pinned block lengths."""
+    from ocr_spark.operators.cdc import (
+        cdc_chunks,
+        cdc_novelty,
+        synth_cdc_payload,
+        synth_cdc_unique,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                p = synth_cdc_payload(d)
+                if d % 2 == 1:
+                    p += synth_cdc_unique(d)
+                rows.append(p)
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = rows
+            yield out
+
+    all_chunks = cdc_chunks(
+        docs.mapInPandas(synth, "doc_id long, payload binary")
+    )
+    index = all_chunks.filter(F.col("doc_id") % 2 == 0)
+    batch = all_chunks.filter(F.col("doc_id") % 2 == 1)
+    return cdc_novelty(batch, index).select(
+        "doc_id", "n_chunks", "n_novel", "novel_bytes", "dup_bytes"
+    )
+
+
+def _sql_cdc_incremental() -> str:
+    # arithmetic replay: even docs commit every oracle block (their
+    # (doc+3i)%8 classes cover all residues), so each odd doc's only
+    # novel chunk is its 2,500-byte unique block; dup bytes are the
+    # pinned block lengths it shares with the index
+    return """
+with blocks as (
+  select * from (values
+    (0, 2500), (1, 2900), (2, 3300), (3, 3700),
+    (4, 4100), (5, 4500), (6, 4900), (7, 5300)
+  ) b(i, len)
+),
+m as (
+  select d.doc_id, (d.doc_id + 3 * t.k) % 8 as bi
+  from documents d
+  join (values (0),(1),(2),(3)) t(k) on t.k < 2 + d.doc_id % 3
+  where d.doc_id % 2 = 1
+)
+select m.doc_id,
+  cast(count(*) + 1 as int) as n_chunks,
+  cast(1 as int) as n_novel,
+  cast(2500 as bigint) as novel_bytes,
+  cast(sum(b.len) as bigint) as dup_bytes
+from m join blocks b on b.i = m.bi
+group by m.doc_id
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -9742,7 +9815,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # to the tail (green r4, textstats.py/functions/bpe.py zero r5
     # hunks — see its comment below)
     "secrets_scrub": q_secrets_scrub,
-    "bpe_segment": q_bpe_segment,
+    # cdc_incremental: late-r5 NEW (cdc.cdc_novelty — O(batch) chunk
+    # novelty vs the committed index). Takes the window slot freed by
+    # rotating bpe_segment to the tail (green r4, functions/bpe.py
+    # zero r5 hunks — see its comment below)
+    "cdc_incremental": q_cdc_incremental,
     # fix_mojibake: late-r5 NEW (operators/mojibake.py — ftfy-style
     # UTF-8-as-cp1252/latin-1 repair). Takes the window slot freed by
     # rotating pack_emit to the tail (green r4, corpus.py zero r5 hunks
@@ -9755,6 +9832,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # bpe_segment: driver-green r4 (hash-match); its whole chain
+    # (functions/bpe.py + its oracle region) has zero r5 hunks.
+    # Displaced late-r5 to window the brand-new cdc_incremental row;
+    # re-verified green via scripts/check_entry.py this session
+    "bpe_segment": q_bpe_segment,
     # token_counts_bpe: driver-green r4 (hash-match); its whole chain
     # (functions/bpe.py + operators/textstats.py, its oracle) has zero
     # r5 hunks (git log aac4fb1..HEAD lists neither). Displaced
@@ -10373,6 +10455,7 @@ from corpus group by 1
         "script_profile": _sql_script_profile(),
         "conv_loops": _sql_conv_loops(),
         "secrets_scrub": _sql_secrets_scrub(),
+        "cdc_incremental": _sql_cdc_incremental(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

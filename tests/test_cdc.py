@@ -128,3 +128,48 @@ def test_stage_and_dedup_stats(spark):
 
     c = Counter(r["doc_id"] for r in rows)
     assert c == {0: 2, 1: 3, 3: 2, 8: 4}
+
+
+def test_unique_blocks_are_single_chunks_and_distinct():
+    a, b = cdc.synth_cdc_unique(1), cdc.synth_cdc_unique(3)
+    assert len(a) == len(b) == 2500 and a != b
+    assert cdc.chunk_boundaries(a) == [2500]
+
+
+def test_cdc_novelty_incremental(spark):
+    import pandas as pd
+
+    committed_ids = [0, 2, 8]
+    batch_ids = [1, 3]
+    cpdf = pd.DataFrame(
+        {
+            "doc_id": committed_ids,
+            "payload": [cdc.synth_cdc_payload(i) for i in committed_ids],
+        }
+    )
+    bpdf = pd.DataFrame(
+        {
+            "doc_id": batch_ids,
+            "payload": [
+                cdc.synth_cdc_payload(i) + cdc.synth_cdc_unique(i)
+                for i in batch_ids
+            ],
+        }
+    )
+    index = cdc.cdc_chunks(spark.createDataFrame(cpdf))
+    batch = cdc.cdc_chunks(spark.createDataFrame(bpdf))
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in cdc.cdc_novelty(batch, index).collect()
+    }
+    # committed docs 0,2,8 carry blocks {0,3} ∪ {2,5,0} ∪ {0,3,6,1}
+    # = {0,1,2,3,5,6}; batch doc 1 carries blocks {1,4,7} + unique →
+    # novel = blocks 4,7 + unique; doc 3 carries {3,6} + unique →
+    # novel = unique only
+    blk = [2500 + 400 * i for i in range(8)]
+    assert rows[1]["n_chunks"] == 4 and rows[1]["n_novel"] == 3
+    assert rows[1]["novel_bytes"] == blk[4] + blk[7] + 2500
+    assert rows[1]["dup_bytes"] == blk[1]
+    assert rows[3]["n_chunks"] == 3 and rows[3]["n_novel"] == 1
+    assert rows[3]["novel_bytes"] == 2500
+    assert rows[3]["dup_bytes"] == blk[3] + blk[6]
