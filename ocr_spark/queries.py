@@ -4592,6 +4592,138 @@ group by m.doc_id
 """
 
 
+def q_url_canonical_idn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-key unification chain end to end (new r5): messy URLs
+    with INTERNATIONALIZED hosts — uppercase schemes, default ports,
+    fragments, ``www.`` subdomains, and hosts rotating between the
+    Unicode form (``münchen.de``) and its pre-encoded ACE twin —
+    flow through ``linkgraph.normalize_url`` → ``idna.
+    with_ascii_host`` → the ``urlfilter`` suffix-chain blocklist
+    primitives, against a blocklist that carries ONLY ACE domains.
+    A row is blocked iff its canonical ACE host's suffix chain hits
+    an entry — so the Unicode and ACE representations of one banned
+    origin MUST converge on the same verdict, and a ``www.``
+    subdomain must be caught by its parent-domain entry. This is the
+    integration claim of the whole URL family as one verified row
+    set (the warc_extract role, on the URL-key side). The oracle
+    replays norm/ACE/verdict from the construction constants pinned
+    by tests/test_idna.py."""
+    from ocr_spark.operators.idna import with_ascii_host
+    from ocr_spark.operators.linkgraph import normalize_url
+    from ocr_spark.operators.urlfilter import host_suffixes
+
+    d = F.col("doc_id")
+    uni = F.array(
+        *[F.lit(x) for x in ["münchen", "bücher", "日本語", "example", "café"]]
+    )
+    ace = F.array(
+        *[
+            F.lit(x)
+            for x in [
+                "xn--mnchen-3ya",
+                "xn--bcher-kva",
+                "xn--wgv71a119e",
+                "example",
+                "xn--caf-dma",
+            ]
+        ]
+    )
+    idx = (d % 5 + 1).cast("int")
+    lab = F.when(d % 7 == 3, F.element_at(ace, idx)).otherwise(
+        F.element_at(uni, idx)
+    )
+    tld = F.element_at(
+        F.array(F.lit("de"), F.lit("com"), F.lit("jp")), (d % 3 + 1).cast("int")
+    )
+    sub = F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host = F.concat(sub, lab, F.lit("."), tld)
+    url = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("HTTP://"), host, F.lit(":80/p/"), d.cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), d.cast("string"),
+            F.lit("#frag"),
+        )
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), host.alias("host")
+    )
+    normed = base.withColumn("norm", normalize_url(F.col("url")))
+    aced = with_ascii_host(normed)
+    blocklist = spark.createDataFrame(
+        [("xn--mnchen-3ya.de",), ("xn--wgv71a119e.jp",), ("example.com",)],
+        "domain string",
+    )
+    matches = (
+        aced.select(
+            "doc_id",
+            F.explode(host_suffixes(F.col("ascii_host"))).alias("_suf"),
+        )
+        .join(blocklist.select(F.col("domain").alias("_suf")), "_suf")
+        .groupBy("doc_id")
+        .agg(F.max_by("_suf", F.length("_suf")).alias("blocked_by"))
+    )
+    return (
+        aced.join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url",
+            "norm",
+            "ascii_host",
+            "blocked_by",
+            F.col("blocked_by").isNull().alias("keep"),
+        )
+    )
+
+
+def _sql_url_canonical_idn() -> str:
+    # construction replay with the ACE constants as fixed points; the
+    # verdict depends only on (label index, tld) — so Unicode and ACE
+    # input forms MUST land identically for the hash to match
+    return """
+with v as (
+  select * from (values
+    (0, 'münchen', 'xn--mnchen-3ya'),
+    (1, 'bücher', 'xn--bcher-kva'),
+    (2, '日本語', 'xn--wgv71a119e'),
+    (3, 'example', 'example'),
+    (4, 'café', 'xn--caf-dma')
+  ) t(i, uni, ace)
+),
+base as (
+  select d.doc_id, v.uni, v.ace,
+    case when d.doc_id % 7 = 3 then v.ace else v.uni end as lab,
+    case d.doc_id % 3 when 0 then 'de' when 1 then 'com' else 'jp' end
+      as tld,
+    case when d.doc_id % 2 = 0 then 'www.' else '' end as sub,
+    v.i
+  from documents d join v on v.i = d.doc_id % 5
+)
+select doc_id,
+  case when doc_id % 2 = 0
+       then 'HTTP://' || sub || lab || '.' || tld || ':80/p/'
+            || cast(doc_id as varchar)
+       else 'https://' || sub || lab || '.' || tld || '/p/'
+            || cast(doc_id as varchar) || '#frag' end as url,
+  case when doc_id % 2 = 0
+       then 'http://' || sub || lab || '.' || tld || '/p/'
+            || cast(doc_id as varchar)
+       else 'https://' || sub || lab || '.' || tld || '/p/'
+            || cast(doc_id as varchar) end as norm,
+  sub || ace || '.' || tld as ascii_host,
+  case when i = 0 and tld = 'de' then 'xn--mnchen-3ya.de'
+       when i = 2 and tld = 'jp' then 'xn--wgv71a119e.jp'
+       when i = 3 and tld = 'com' then 'example.com'
+       else null end as blocked_by,
+  (case when i = 0 and tld = 'de' then 'x'
+        when i = 2 and tld = 'jp' then 'x'
+        when i = 3 and tld = 'com' then 'x'
+        else null end) is null as keep
+from base
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -9808,7 +9940,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # zorder_layout to the tail (green r4, layout.py zero r5 hunks —
     # see its comment below)
     "anchor_stats": q_anchor_stats,
-    "corpus_report": q_corpus_report,
+    # url_canonical_idn: late-r5 NEW (the URL-key unification chain —
+    # normalize_url → IDNA ACE → suffix-chain blocklist — as one
+    # verified row set). Takes the window slot freed by rotating
+    # corpus_report to the tail (green r4, corpus.py zero r5 hunks —
+    # see its comment below)
+    "url_canonical_idn": q_url_canonical_idn,
     # secrets_scrub: late-r5 NEW (operators/secrets.py — vendor-format
     # credential detection + scrub, the gate the PII leg doesn't
     # cover). Takes the window slot freed by rotating token_counts_bpe
@@ -9832,6 +9969,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # corpus_report: driver-green r4 (hash-match); its whole chain
+    # (operators/corpus.py + its oracle region) has zero r5 hunks.
+    # Displaced late-r5 to window the brand-new url_canonical_idn
+    # row; re-verified green via scripts/check_entry.py this session
+    "corpus_report": q_corpus_report,
     # bpe_segment: driver-green r4 (hash-match); its whole chain
     # (functions/bpe.py + its oracle region) has zero r5 hunks.
     # Displaced late-r5 to window the brand-new cdc_incremental row;
@@ -10456,6 +10598,7 @@ from corpus group by 1
         "conv_loops": _sql_conv_loops(),
         "secrets_scrub": _sql_secrets_scrub(),
         "cdc_incremental": _sql_cdc_incremental(),
+        "url_canonical_idn": _sql_url_canonical_idn(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),
