@@ -741,3 +741,72 @@ def synth_warc_revisit_payload(doc_id: int) -> bytes:
             ],
         )
     return build_warc_gz([rec])
+
+
+# --------------------------------------------------------------------------
+# WET export — the OUTPUT side of the crawl family
+# --------------------------------------------------------------------------
+
+WET_INFO_BODY = b"software: ocr-spark-wet/1.0\r\nformat: WARC File Format 1.0\r\n"
+
+
+def build_wet_payload(doc_id: int, uri: str, text: str) -> bytes:
+    """One WET-shaped ``.warc.gz`` payload for one extracted document:
+    a ``warcinfo`` record followed by a ``conversion`` record carrying
+    the extracted text (the Common-Crawl WET convention, ISO 28500
+    record types), each in its own gzip member (the seekable-crawl
+    framing the ingest side's random-access property relies on)."""
+    info = build_warc_record(
+        "warcinfo",
+        WET_INFO_BODY,
+        record_id=f"<urn:uuid:wetinfo-{doc_id}>",
+        content_type="application/warc-fields",
+    )
+    conv = build_warc_record(
+        "conversion",
+        text.encode("utf-8"),
+        uri=uri,
+        record_id=f"<urn:uuid:wet-{doc_id}>",
+        content_type="text/plain",
+    )
+    return build_warc_gz([info, conv])
+
+
+def wet_export(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    uri_col: str = "uri",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serialize extracted text as WET archives — ``(id, payload)``
+    with one warcinfo + one conversion record per document (Arrow
+    ``mapInPandas``, row-local, shuffle-free). The export is the
+    EXACT inverse of ``warc_expand`` on this record class, so the
+    round trip (export → expand) must reproduce the text
+    byte-identically — the contract the ``wet_roundtrip`` oracle
+    hash-verifies per row."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [
+                {
+                    id_col: did,
+                    "payload": build_wet_payload(int(did), u, t or ""),
+                }
+                for did, u, t in zip(
+                    pdf[id_col], pdf[uri_col], pdf[text_col]
+                )
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.select(id_col, uri_col, text_col).mapInPandas(run, out_schema)

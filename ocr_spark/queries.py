@@ -4724,6 +4724,66 @@ from base
 """
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export round trip (new r5, warc.wet_export): the OUTPUT
+    side of the crawl family — each document's text serializes as a
+    Common-Crawl-WET-shaped archive (warcinfo + conversion records,
+    one gzip member each, the seekable framing) and flows straight
+    back through the PRODUCTION ingest (`warc_expand`). The oracle
+    replays record types, URIs, mimes, body md5s (conversion bodies
+    must equal the source text byte-for-byte; warcinfo bodies equal
+    the pinned fields block), and body lengths — so the export is
+    hash-proven to be the exact inverse of the ingest on this record
+    class. Writer and reader verifying each other closes the crawl
+    family loop: archives we emit are archives we (and any ISO 28500
+    consumer) can read."""
+    from ocr_spark.operators.warc import warc_expand, wet_export
+
+    d = F.col("doc_id")
+    src = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://ex"), (d % 7).cast("string"), F.lit(".org/p/"),
+            d.cast("string"),
+        ).alias("uri"),
+        F.col("text").alias("clean_text"),
+    )
+    out = warc_expand(wet_export(src))
+    return out.select(
+        "doc_id",
+        "rec_idx",
+        "ok",
+        "rec_type",
+        "uri",
+        "mime",
+        F.md5(F.col("body")).alias("body_md5"),
+        F.length("body").cast("long").alias("body_len"),
+    )
+
+
+def _sql_wet_roundtrip() -> str:
+    # two rows per document from construction arithmetic: the pinned
+    # warcinfo fields block (59 bytes) and the conversion record whose
+    # body must be the source text byte-for-byte
+    return """
+select doc_id, cast(0 as int) as rec_idx, true as ok,
+  'warcinfo' as rec_type, cast(null as varchar) as uri,
+  'application/warc-fields' as mime,
+  '67df444705fd27c7ff460d8cf180346d' as body_md5,
+  cast(59 as bigint) as body_len
+from documents
+union all
+select doc_id, cast(1 as int) as rec_idx, true as ok,
+  'conversion' as rec_type,
+  'https://ex' || cast(doc_id % 7 as varchar) || '.org/p/'
+    || cast(doc_id as varchar) as uri,
+  'text/plain' as mime,
+  md5(text) as body_md5,
+  cast(length(text) as bigint) as body_len
+from documents
+"""
+
+
 def _sql_media_resize() -> str:
     # nearest-neighbor source mapping src = ((2i+1)·src_dim) // (2·out_dim),
     # replayed in integer SQL over the synthesized gradients
@@ -9933,7 +9993,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window slot freed by rotating ann_ivf_incremental to the tail
     # (green r4, similarity.py zero r5 hunks — see its comment below)
     "byte_shards": q_byte_shards,
-    "pii_scrub": q_pii_scrub,
+    # wet_roundtrip: late-r5 NEW (warc.wet_export — the crawl family's
+    # output side, hash-proven as the exact inverse of warc_expand).
+    # Takes the window slot freed by rotating pii_scrub to the tail
+    # (green r4, corpus.py zero r5 hunks — see its comment below)
+    "wet_roundtrip": q_wet_roundtrip,
     # anchor_stats: late-r5 NEW (linkgraph.anchor_stats — per-URL
     # anchor-text aggregation, max_by argmax reduction + stacked
     # partial-agg distinct). Takes the window slot freed by rotating
@@ -9969,6 +10033,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below)
     "url_filter": q_url_filter,
     # --- rotated past the 50-entry driver-verification window (see above)
+    # pii_scrub: driver-green r4 (hash-match); its whole chain
+    # (operators/corpus.py pii functions + its oracle region) has zero
+    # r5 hunks. Displaced late-r5 to window the brand-new
+    # wet_roundtrip row; re-verified green via scripts/check_entry.py
+    # this session
+    "pii_scrub": q_pii_scrub,
     # corpus_report: driver-green r4 (hash-match); its whole chain
     # (operators/corpus.py + its oracle region) has zero r5 hunks.
     # Displaced late-r5 to window the brand-new url_canonical_idn
@@ -10599,6 +10669,7 @@ from corpus group by 1
         "secrets_scrub": _sql_secrets_scrub(),
         "cdc_incremental": _sql_cdc_incremental(),
         "url_canonical_idn": _sql_url_canonical_idn(),
+        "wet_roundtrip": _sql_wet_roundtrip(),
         "dsir": _sql_dsir(),
         "bm25": _sql_bm25(),
         "code_fences": _sql_code_fences(),

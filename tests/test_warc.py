@@ -440,3 +440,45 @@ def test_revisit_resolve_earliest_capture_and_dangling(spark):
     assert out[30].orig_body_len == len(body)
     assert not out[31].resolved and out[31].orig_doc_id is None
     assert not out[32].resolved  # foreign digest algorithm: no false match
+
+
+# --------------------------------------------------------------------------
+# WET export (round trip through the production ingest)
+# --------------------------------------------------------------------------
+
+
+def test_wet_payload_roundtrips_through_expand():
+    from ocr_spark.operators import warc as W
+
+    text = "extracted main content\nwith two lines"
+    p = W.build_wet_payload(3, "https://ex.org/p/3", text)
+    rows = W.expand_warc_payload(p)
+    assert [r["rec_type"] for r in rows] == ["warcinfo", "conversion"]
+    assert rows[0]["mime"] == "application/warc-fields"
+    assert rows[1]["uri"] == "https://ex.org/p/3"
+    assert bytes(rows[1]["body"]).decode("utf-8") == text
+    # seekable framing: each record re-inflates from its own byte range
+    for r in rows:
+        member = p[r["offset"] : r["offset"] + r["length"]]
+        assert W.gzip_members(member)[0].data.startswith(b"WARC/1.0")
+
+
+def test_wet_export_stage(spark):
+    import pandas as pd
+
+    from ocr_spark.operators import warc as W
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "uri": ["https://a.org/0", "https://b.org/1"],
+            "clean_text": ["alpha body", ""],
+        }
+    )
+    out = W.wet_export(spark.createDataFrame(pdf))
+    expanded = W.warc_expand(out)
+    rows = [r.asDict() for r in expanded.collect()]
+    conv = {r["doc_id"]: r for r in rows if r["rec_type"] == "conversion"}
+    assert bytes(conv[0]["body"]) == b"alpha body"
+    assert bytes(conv[1]["body"]) == b""  # empty text survives
+    assert all(r["ok"] for r in rows) and len(rows) == 4
